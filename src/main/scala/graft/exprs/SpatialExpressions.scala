@@ -1,0 +1,215 @@
+package graft.exprs
+
+import graft.geom.{Crs, Geom}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+
+/** Native Catalyst expressions for the spatial scalar algebra the reference
+  * gets from Sedona (reference: spark_job/process_geodata.py:102-139 invokes
+  * ST_GeomFromWKT / ST_AsText / ST_MakeValid / ST_Buffer / ST_Intersection /
+  * ST_Transform / ST_Area via `F.expr` strings; here each is a first-class
+  * `Expression`).
+  *
+  * Geometry columns are WKB bytes (`BinaryType`) — see SURVEY.md §7.3.
+  * All are `CodegenFallback`: geometry bodies are JTS calls that dominate
+  * any codegen gain, and fallback keeps surrounding operators codegen'd.
+  */
+object SpatialExpressions {
+  @inline private[exprs] def geom(v: Any): Geometry = Geom.fromWkb(v.asInstanceOf[Array[Byte]])
+  @inline private[exprs] def wkb(g: Geometry): Array[Byte] = Geom.toWkb(g)
+}
+import SpatialExpressions._
+
+/** WKT text -> WKB geometry. */
+case class StGeomFromWKT(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromwkt"
+  override protected def nullSafeEval(v: Any): Any =
+    wkb(Geom.fromWkt(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): StGeomFromWKT = copy(child = c)
+}
+
+/** WKB geometry -> WKT text. */
+case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Geom.toWkt(geom(v)))
+  override protected def withNewChildInternal(c: Expression): StAsText = copy(child = c)
+}
+
+/** (x, y) -> WKB point. */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_point"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    wkb(Geom.factory.createPoint(new org.locationtech.jts.geom.Coordinate(
+      x.asInstanceOf[Double], y.asInstanceOf[Double])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StPoint =
+    copy(left = l, right = r)
+}
+
+/** Repair invalid geometry (JTS GeometryFixer); identity on valid input. */
+case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_makevalid"
+  override protected def nullSafeEval(v: Any): Any = wkb(Geom.makeValid(geom(v)))
+  override protected def withNewChildInternal(c: Expression): StMakeValid = copy(child = c)
+}
+
+/** Minkowski buffer; d=0 is the validity-normalizing trick the reference
+  * uses (process_geodata.py:125,133), d=1e-7 its gap-sealing buffer (:102). */
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_buffer"
+  override protected def nullSafeEval(g: Any, d: Any): Any =
+    wkb(geom(g).buffer(d.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StBuffer =
+    copy(left = l, right = r)
+}
+
+/** Defensive geometric intersection (repair-and-retry on TopologyException). */
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_intersection"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    wkb(Geom.safeIntersection(geom(a), geom(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+    copy(left = l, right = r)
+}
+
+/** Binary geometric union. */
+case class StUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_union"
+  override protected def nullSafeEval(a: Any, b: Any): Any = wkb(geom(a).union(geom(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StUnion =
+    copy(left = l, right = r)
+}
+
+/** Planar area in CRS units. */
+case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_area"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getArea
+  override protected def withNewChildInternal(c: Expression): StArea = copy(child = c)
+}
+
+/** Geometry length/perimeter in CRS units. */
+case class StLength(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_length"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getLength
+  override protected def withNewChildInternal(c: Expression): StLength = copy(child = c)
+}
+
+case class StCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_centroid"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getCentroid)
+  override protected def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
+}
+
+case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_envelope"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getEnvelope)
+  override protected def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
+}
+
+case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_x"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getCoordinate.x
+  override protected def withNewChildInternal(c: Expression): StX = copy(child = c)
+}
+
+case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_y"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getCoordinate.y
+  override protected def withNewChildInternal(c: Expression): StY = copy(child = c)
+}
+
+case class StIsValid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isvalid"
+  override protected def nullSafeEval(v: Any): Any = geom(v).isValid
+  override protected def withNewChildInternal(c: Expression): StIsValid = copy(child = c)
+}
+
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Predicate {
+  override def prettyName: String = "st_intersects"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).intersects(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
+    copy(left = l, right = r)
+}
+
+case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Predicate {
+  override def prettyName: String = "st_contains"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).contains(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains =
+    copy(left = l, right = r)
+}
+
+case class StWithin(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Predicate {
+  override def prettyName: String = "st_within"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).within(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StWithin =
+    copy(left = l, right = r)
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).distance(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+    copy(left = l, right = r)
+}
+
+/** Vertex-wise CRS reprojection. CRS args are usually foldable literals —
+  * the point-transform closure is resolved once and cached. */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform"
+  override def children: Seq[Expression] = Seq(first, second, third)
+
+  @transient private lazy val foldedTransform: Option[(Double, Double) => (Double, Double)] =
+    if (second.foldable && third.foldable) {
+      val s = second.eval().asInstanceOf[UTF8String].toString
+      val d = third.eval().asInstanceOf[UTF8String].toString
+      Some(Crs.pointTransform(s, d))
+    } else None
+
+  override protected def nullSafeEval(g: Any, src: Any, dst: Any): Any = {
+    val f = foldedTransform.getOrElse(
+      Crs.pointTransform(src.asInstanceOf[UTF8String].toString, dst.asInstanceOf[UTF8String].toString))
+    val in = geom(g)
+    val out = in.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val (x, y) = f(seq.getX(i), seq.getY(i))
+        seq.setOrdinate(i, 0, x)
+        seq.setOrdinate(i, 1, y)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    out.geometryChanged()
+    wkb(out)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StTransform =
+    copy(first = a, second = b, third = c)
+}

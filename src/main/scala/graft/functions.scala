@@ -1,0 +1,84 @@
+package graft
+
+import graft.exprs._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Public Column API for graft's native expressions, mirroring the shape of
+  * `org.apache.spark.sql.functions`. The spatial surface matches what the
+  * reference pipeline invokes through Sedona SQL
+  * (reference: spark_job/process_geodata.py:102-139).
+  *
+  * `registerAll` additionally exposes every function to SQL text
+  * (`spark.sql("... st_area(g) ...")`), the analogue of Sedona's
+  * extension-based registration (reference: airflow_dag/dag_geo_pipeline.py:20).
+  */
+object functions {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  // ---- spatial scalar algebra (WKB BinaryType geometry columns) ----
+  def st_geomfromwkt(wkt: Column): Column = col(StGeomFromWKT(ex(wkt)))
+  def st_astext(g: Column): Column = col(StAsText(ex(g)))
+  def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_makevalid(g: Column): Column = col(StMakeValid(ex(g)))
+  def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
+  def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
+  def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
+  def st_area(g: Column): Column = col(StArea(ex(g)))
+  def st_length(g: Column): Column = col(StLength(ex(g)))
+  def st_centroid(g: Column): Column = col(StCentroid(ex(g)))
+  def st_envelope(g: Column): Column = col(StEnvelope(ex(g)))
+  def st_x(g: Column): Column = col(StX(ex(g)))
+  def st_y(g: Column): Column = col(StY(ex(g)))
+  def st_isvalid(g: Column): Column = col(StIsValid(ex(g)))
+  def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
+  def st_contains(a: Column, b: Column): Column = col(StContains(ex(a), ex(b)))
+  def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
+  def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
+  def st_transform(g: Column, src: Column, dst: Column): Column =
+    col(StTransform(ex(g), ex(src), ex(dst)))
+  def st_transform(g: Column, src: String, dst: String): Column = {
+    import org.apache.spark.sql.functions.lit
+    st_transform(g, lit(src), lit(dst))
+  }
+
+  // ---- aggregates ----
+  /** Grouped geometric union (Sedona `ST_Union_Aggr` analogue). */
+  def st_union_agg(g: Column): Column =
+    col(StUnionAgg(ex(g)).toAggregateExpression())
+
+  /** Register every graft function for SQL-text use on this session.
+    * Idempotent; temp (session-scoped) registrations. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = Bridge.functionRegistry(spark)
+    def r1(name: String, b: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => b(es.head), "graft")
+    def r2(name: String, b: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => b(es.head, es(1)), "graft")
+
+    r1("st_geomfromwkt", StGeomFromWKT)
+    r1("st_astext", StAsText)
+    r2("st_point", StPoint)
+    r1("st_makevalid", StMakeValid)
+    r2("st_buffer", StBuffer)
+    r2("st_intersection", StIntersection)
+    r2("st_union", StUnion)
+    r1("st_area", StArea)
+    r1("st_length", StLength)
+    r1("st_centroid", StCentroid)
+    r1("st_envelope", StEnvelope)
+    r1("st_x", StX)
+    r1("st_y", StY)
+    r1("st_isvalid", StIsValid)
+    r2("st_intersects", StIntersects)
+    r2("st_contains", StContains)
+    r2("st_within", StWithin)
+    r2("st_distance", StDistance)
+    reg.createOrReplaceTempFunction(
+      "st_transform", es => StTransform(es.head, es(1), es(2)), "graft")
+    reg.createOrReplaceTempFunction(
+      "st_union_agg", es => StUnionAgg(es.head), "graft")
+  }
+}

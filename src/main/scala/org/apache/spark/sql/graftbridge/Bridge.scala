@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow bridge to `private[sql]` Spark internals: Column <-> Expression
+  * conversion and the session FunctionRegistry. Lives under
+  * `org.apache.spark.sql` for access, exactly like other Spark extension
+  * libraries do; everything else in graft uses only this object. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+}
