@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Pipelines, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory: one entry per
+  * implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+  * surface). `oracleSql` carries the DuckDB-runnable ANSI mirror for every
+  * SQL-expressible query; entries absent from it get the driver's weaker
+  * rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's spatial-aggregation pipeline end to end, including the
+    * EPSG:3857→5880 reprojection (spark_job/process_geodata.py:98-144). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipelines.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ Map[String, (SparkSession, String) => DataFrame](
+      // A1+F1-F8: the full spatial pipeline, closed-form-area variant
+      // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
+      "q_geo_flagship" -> ((s, dir) => Pipelines.flagship(s, dir, to5880 = false)),
+      // F6 st_transform: same pipeline measured in EPSG:5880 m² (no SQL
+      // oracle — the polyconic reprojection is not DuckDB-expressible).
+      "q_geo_flagship_5880" -> ((s, dir) => Pipelines.flagship(s, dir)),
+    )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles + ("q_geo_flagship" -> Pipelines.flagshipOracleSql)
 }

@@ -124,17 +124,27 @@ case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
 }
 
+/** X of a non-empty Point; null otherwise (PostGIS/Sedona ST_X semantics). */
 case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "st_x"
-  override protected def nullSafeEval(v: Any): Any = geom(v).getCoordinate.x
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Point if !p.isEmpty => p.getX
+    case _ => null
+  }
   override protected def withNewChildInternal(c: Expression): StX = copy(child = c)
 }
 
+/** Y of a non-empty Point; null otherwise (PostGIS/Sedona ST_Y semantics). */
 case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "st_y"
-  override protected def nullSafeEval(v: Any): Any = geom(v).getCoordinate.y
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Point if !p.isEmpty => p.getY
+    case _ => null
+  }
   override protected def withNewChildInternal(c: Expression): StY = copy(child = c)
 }
 
@@ -184,7 +194,6 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_transform"
-  override def children: Seq[Expression] = Seq(first, second, third)
 
   @transient private lazy val foldedTransform: Option[(Double, Double) => (Double, Double)] =
     if (second.foldable && third.foldable) {

@@ -46,8 +46,14 @@ case class StUnionAgg(
   override def update(buf: java.util.ArrayList[Geometry], input: InternalRow): java.util.ArrayList[Geometry] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.add(Geom.fromWkb(v.asInstanceOf[Array[Byte]]))
-      compact(buf)
+      val g = Geom.fromWkb(v.asInstanceOf[Array[Byte]])
+      // Empty geometries are union identities; dropping them here also keeps
+      // serialize() safe (JTS WKBWriter rejects empty Points inside a
+      // GeometryCollection).
+      if (!g.isEmpty) {
+        buf.add(g)
+        compact(buf)
+      }
     }
     buf
   }

@@ -54,9 +54,9 @@ object functions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = Bridge.functionRegistry(spark)
     def r1(name: String, b: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => b(es.head), "graft")
+      reg.createOrReplaceTempFunction(name, es => b(es.head), "scala_udf")
     def r2(name: String, b: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => b(es.head, es(1)), "graft")
+      reg.createOrReplaceTempFunction(name, es => b(es.head, es(1)), "scala_udf")
 
     r1("st_geomfromwkt", StGeomFromWKT)
     r1("st_astext", StAsText)
@@ -77,8 +77,8 @@ object functions {
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
     reg.createOrReplaceTempFunction(
-      "st_transform", es => StTransform(es.head, es(1), es(2)), "graft")
+      "st_transform", es => StTransform(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "st_union_agg", es => StUnionAgg(es.head), "graft")
+      "st_union_agg", es => StUnionAgg(es.head), "scala_udf")
   }
 }

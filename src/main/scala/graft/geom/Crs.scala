@@ -84,35 +84,46 @@ object Crs {
       }
     }
 
+    /** Inverse by damped 2-D Newton on the (tested) forward map with a
+      * finite-difference Jacobian. Snyder's closed-form iteration
+      * (eqs. 18-18…18-21) has sign-sensitive terms and a sin(2φ)
+      * singularity near the equator; inverting the forward numerically is
+      * robust everywhere the forward is defined and converges in a handful
+      * of iterations (the inverse is a cold path — the flagship pipeline
+      * only ever runs forward 5880). Throws on non-convergence rather than
+      * returning silently-wrong coordinates. */
     def inverse(xIn: Double, yIn: Double): (Double, Double) = {
-      val x = xIn - fe
-      val y = yIn - fn
-      if (math.abs(y + m0) < 1e-9 * a) {
-        // latitude 0 row
-        (RadToDeg * (x / a + lon0), 0.0)
-      } else {
-        // Snyder eqs. 18-18…18-21, Newton iteration on phi
-        val aa = (m0 + y) / a
-        val bb = x * x / (a * a) + aa * aa
-        var phi = aa
-        var i = 0
-        while (i < 50) {
-          val sinP = math.sin(phi)
-          val cosP = math.cos(phi)
-          val c = math.sqrt(1.0 - e2 * sinP * sinP) * sinP / cosP // sqrt(1-e2 sin^2) * tan
-          val ma = meridArc(phi) / a
-          val mn = c0 - 2 * c2 * math.cos(2 * phi) + 4 * c4 * math.cos(4 * phi) - 6 * c6 * math.cos(6 * phi)
-          val num = aa * (c * ma + 1.0) - ma - 0.5 * c * (ma * ma + bb)
-          val den = e2 * math.sin(2 * phi) * (ma * ma + bb - 2.0 * aa * ma) / (4.0 * c) +
-            (aa - ma) * (c * mn - 2.0 / math.sin(2 * phi)) - mn
-          val next = phi - num / den
-          if (math.abs(next - phi) < 1e-13) { phi = next; i = 100 } else { phi = next; i += 1 }
-        }
-        val sinP = math.sin(phi)
-        val c2p = math.sqrt(1.0 - e2 * sinP * sinP) * sinP / math.cos(phi)
-        val lam = math.asin(x * c2p / a) / sinP + lon0
-        (lam * RadToDeg, phi * RadToDeg)
+      // initial guess: equirectangular approximation around (lat0, lon0)
+      var lat = (yIn - fn + m0) / a * RadToDeg
+      var lon = lon0Deg + (xIn - fe) / a * RadToDeg / math.max(0.2, math.cos(lat * DegToRad))
+      val h = 1e-7 // degrees; ~1 cm — safe for central differences in double
+      var i = 0
+      while (i < 60) {
+        val (fx, fy) = forward(lon, lat)
+        val rx = fx - xIn
+        val ry = fy - yIn
+        if (math.abs(rx) < 1e-6 && math.abs(ry) < 1e-6) return (lon, lat)
+        val (fxLon, fyLon) = forward(lon + h, lat)
+        val (fxLat, fyLat) = forward(lon, lat + h)
+        val j11 = (fxLon - fx) / h; val j12 = (fxLat - fx) / h
+        val j21 = (fyLon - fy) / h; val j22 = (fyLat - fy) / h
+        val det = j11 * j22 - j12 * j21
+        if (det == 0.0) throw new IllegalStateException(
+          s"polyconic inverse: singular Jacobian at ($xIn, $yIn)")
+        var dLon = (rx * j22 - ry * j12) / det
+        var dLat = (ry * j11 - rx * j21) / det
+        // damp steps so iterates stay in the projection's domain
+        val maxStep = 5.0
+        val norm = math.max(math.abs(dLon), math.abs(dLat))
+        if (norm > maxStep) { dLon *= maxStep / norm; dLat *= maxStep / norm }
+        lon -= dLon
+        lat -= dLat
+        if (lat > 89.9) lat = 89.9
+        if (lat < -89.9) lat = -89.9
+        i += 1
       }
+      throw new IllegalStateException(
+        s"polyconic inverse did not converge for ($xIn, $yIn)")
     }
   }
 

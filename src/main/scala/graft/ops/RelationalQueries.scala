@@ -1,0 +1,300 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational parity surface (SURVEY.md §2.1-§2.5): every scan /
+  * projection / filter / join / aggregate / window / sort / set-op shape the
+  * reference exercises (or that §2.5 lists as required capability), each as
+  * a small declarative DataFrame query with a DuckDB-mirrorable oracle.
+  *
+  * Oracle-safety conventions (the driver hash-compares values after sorting
+  * columns by name):
+  *   - every computed column is aliased identically here and in the SQL;
+  *   - double aggregates go through DECIMAL casts so both engines sum
+  *     exactly (IEEE addition is order-sensitive, decimal addition is not);
+  *   - DuckDB `count`/`sum`/`month` result types are cast to Spark's
+  *     (BIGINT / BIGINT / INTEGER);
+  *   - every query has a total ORDER BY (ties broken by a unique key), with
+  *     NULLS FIRST spelled out in SQL to match Spark's ascending default.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** S1: scalar bounds scan that drove the reference's JDBC range planning
+    * (reference: spark_job/process_geodata.py:54-72,165-172). */
+  def s1Bounds(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).agg(
+      max(col("l_orderkey")).as("max_key"),
+      min(col("l_orderkey")).as("min_key"),
+      count(lit(1)).as("n_rows"))
+
+  /** S2: range-partitioned scan analogue — `repartitionByRange` replaces the
+    * reference's numPartitions/lowerBound/upperBound JDBC split
+    * (process_geodata.py:83-88); the aggregate proves the scan. */
+  def s2RangePartition(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .repartitionByRange(16, col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("l_returnflag"))
+
+  /** S3/P4: projection + predicate pushed into the Parquet scan (the
+    * reference pushed these into Postgres via a SQL subquery,
+    * process_geodata.py:165-174; Catalyst does it for free). */
+  def s3Pushdown(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P1/P2: withColumn-derived measure + filter (process_geodata.py:102-103,
+    * 120-139 — same shape, numeric instead of spatial). */
+  def p1Derive(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J1: broadcast hash equi inner join, the reference's only join
+    * (process_geodata.py:101), with a grouped aggregate on top. */
+  def j1BroadcastAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+
+  /** Left outer join (§2.5 capability: full join-type family). */
+  def j2LeftJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left semi join (EXISTS). */
+  def j3SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = orders(spark, dir).filter(col("o_totalprice") > 400000)
+    customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Left anti join (NOT EXISTS): customers who never placed a large order
+    * (the plain no-orders variant is empty on this corpus — every customer
+    * has at least one order — which would make the check vacuous). */
+  def j4AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Full outer join of two derived sides with non-overlapping keys. */
+  def j5FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_ord"))
+    val rich = customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    perCust.join(rich, col("k") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("k"), col("c_custkey")).as("custkey"),
+        col("n_ord"), col("c_acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  /** A2: ungrouped min/max aggregate (process_geodata.py:165-172). */
+  def a2MinMax(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).agg(
+      max(col("o_totalprice")).as("max_price"),
+      min(col("o_totalprice")).as("min_price"),
+      count(lit(1)).as("n"))
+
+  /** Distinct (§2.4 note). */
+  def distinctQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Rollup (§2.4 note: grouping-sets family). */
+  def rollupQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Cube. */
+  def cubeQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Window: ranked top-3 orders per market segment (§2.5 capability). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val j = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"), "inner")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Window: running (prefix) sum per user over the events stream table.
+    * Decimal accumulator → identical results regardless of engine-internal
+    * summation order. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).filter(col("user_id") < 8)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("run_sum", sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("run_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Sort + limit (§2.5): global top-10, executes as TakeOrderedAndProject
+    * (no full sort at scale). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Set ops (§2.5): (orders ∩ rich customers) \ nation-3 customers. */
+  def setopMix(spark: SparkSession, dir: String): DataFrame = {
+    val a = orders(spark, dir).select(col("o_custkey").as("key"))
+    val b = customer(spark, dir).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("key"))
+    val c = customer(spark, dir).filter(col("c_nationkey") === 3).select(col("c_custkey").as("key"))
+    a.intersect(b).except(c).orderBy(col("key"))
+  }
+
+  /** Union (unionByName) of per-table counts. */
+  def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
+    val c = customer(spark, dir).agg(count(lit(1)).as("n")).select(lit("customer").as("src"), col("n"))
+    o.unionByName(c).orderBy(col("src"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_bounds" -> (s1Bounds _),
+    "q_s2_range_partition" -> (s2RangePartition _),
+    "q_s3_pushdown" -> (s3Pushdown _),
+    "q_p1_derive" -> (p1Derive _),
+    "q_j1_broadcast_agg" -> (j1BroadcastAgg _),
+    "q_j2_left_join" -> (j2LeftJoin _),
+    "q_j3_semi_join" -> (j3SemiJoin _),
+    "q_j4_anti_join" -> (j4AntiJoin _),
+    "q_j5_full_outer" -> (j5FullOuter _),
+    "q_a2_minmax" -> (a2MinMax _),
+    "q_distinct" -> (distinctQ _),
+    "q_rollup" -> (rollupQ _),
+    "q_cube" -> (cubeQ _),
+    "q_window_topk" -> (windowTopK _),
+    "q_window_running" -> (windowRunning _),
+    "q_sort_limit" -> (sortLimit _),
+    "q_setop_mix" -> (setopMix _),
+    "q_union_all_counts" -> (unionAllCounts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_s1_bounds" ->
+      """SELECT max(l_orderkey) AS max_key, min(l_orderkey) AS min_key,
+        |       count(*) AS n_rows FROM lineitem""".stripMargin,
+    "q_s2_range_partition" ->
+      """SELECT l_returnflag, count(*) AS cnt, max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_s3_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_p1_derive" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem WHERE l_quantity >= 48
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_j1_broadcast_agg" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_j2_left_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        |       count(DISTINCT c_custkey) AS n_cust
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_j3_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_j4_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_j5_full_outer" ->
+      """SELECT COALESCE(o.k, c.c_custkey) AS custkey, o.n_ord, c.c_acctbal
+        |FROM (SELECT o_custkey AS k, count(*) AS n_ord FROM orders GROUP BY o_custkey) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |ON o.k = c.c_custkey ORDER BY custkey""".stripMargin,
+    "q_a2_minmax" ->
+      """SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price,
+        |       count(*) AS n FROM orders""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_topk" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events WHERE user_id < 8
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_setop_mix" ->
+      """SELECT key FROM (
+        |  (SELECT o_custkey AS key FROM orders
+        |   INTERSECT
+        |   SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000)
+        |  EXCEPT
+        |  SELECT c_custkey AS key FROM customer WHERE c_nationkey = 3) t
+        |ORDER BY key""".stripMargin,
+    "q_union_all_counts" ->
+      """SELECT 'orders' AS src, count(*) AS n FROM orders
+        |UNION ALL
+        |SELECT 'customer' AS src, count(*) AS n FROM customer
+        |ORDER BY src""".stripMargin,
+  )
+}

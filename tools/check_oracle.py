@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Dev-side oracle checker mirroring the driver's DuckDB compare:
+run graft.Verify first (writes <out>/<query>/ parquet + oracle_sql.json),
+then this script runs each oracle SQL in DuckDB over the same sf tables and
+compares values column-by-column (columns sorted by name, rows as-written).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for q in sorted(os.listdir(out)):
+    qdir = os.path.join(out, q)
+    if not os.path.isdir(qdir):
+        continue
+    ours = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+    if q not in oracle:
+        print(f"{q:28s} rows-only: {len(ours)} rows")
+        continue
+    theirs = con.execute(oracle[q]).fetchdf()
+    ours = ours[sorted(ours.columns)]
+    theirs = theirs[sorted(theirs.columns)]
+    ok = True
+    msgs = []
+    if list(ours.columns) != list(theirs.columns):
+        ok = False; msgs.append(f"cols {list(ours.columns)} != {list(theirs.columns)}")
+    elif len(ours) != len(theirs):
+        ok = False; msgs.append(f"rows {len(ours)} != {len(theirs)}")
+    else:
+        for c in ours.columns:
+            a, b = ours[c], theirs[c]
+            if str(a.dtype) != str(b.dtype):
+                msgs.append(f"dtype[{c}] {a.dtype} vs {b.dtype}")
+            eq = (a == b) | (a.isna() & b.isna())
+            if not eq.all():
+                ok = False
+                i = (~eq).idxmax()
+                msgs.append(f"val[{c}] row {i}: {a[i]!r} != {b[i]!r}")
+    status = "OK " if ok else "FAIL"
+    if not ok:
+        fails += 1
+    print(f"{q:28s} {status} {len(ours)} rows  {'; '.join(msgs)}")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
