@@ -1,0 +1,187 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for large-scale text deduplication:
+  * character-shingle hashing, MinHash signatures/bands, and SimHash.
+  *
+  * These are the per-row kernels of the LSH near-dup pipeline (shingle →
+  * minhash → band → bucket-join); the pipeline itself is plain DataFrame
+  * code (TextQueries) so Catalyst keeps the surrounding plan declarative.
+  * All hashes are deterministic (fixed seeds) — required for the driver's
+  * reproducibility checks and for cross-run joins at scale.
+  */
+object TextHash {
+  /** FNV-1a 64-bit over a char window (chars folded as 2 bytes each). */
+  def fnv1a(s: String, from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val c = s.charAt(i)
+      h = (h ^ (c & 0xff)) * 0x100000001b3L
+      h = (h ^ ((c >> 8) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap independent hash family via seed XOR. */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct char-n-gram shingle hashes of a document. */
+  def shingleHashes(text: String, n: Int): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (text.length >= n) {
+      var i = 0
+      val last = text.length - n
+      while (i <= last) {
+        set.add(fnv1a(text, i, n))
+        i += 1
+      }
+    } else if (text.nonEmpty) {
+      set.add(fnv1a(text, 0, text.length))
+    }
+    set
+  }
+
+  /** k-permutation MinHash signature over the shingle set. */
+  def minhashSig(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = shingleHashes(text, n).iterator()
+    while (it.hasNext) {
+      val s = it.next().longValue()
+      var i = 0
+      while (i < k) {
+        val h = mix64(s ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over the shingle set. */
+  def simhash64(text: String, n: Int): Long = {
+    val counts = new Array[Int](64)
+    val it = shingleHashes(text, n).iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard similarity of the two documents' shingle sets. */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleHashes(a, n)
+    val sb = shingleHashes(b, n)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    inter.toDouble / union
+  }
+}
+
+/** minhash_sig(text, k, shingleLen) -> array<bigint> of k signature minima. */
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    new GenericArrayData(TextHash.minhashSig(
+      t.asInstanceOf[UTF8String].toString, k.asInstanceOf[Int], n.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): MinHashSig =
+    copy(first = a, second = b, third = c)
+}
+
+/** minhash_bands(text, numBands, rowsPerBand, shingleLen) -> array<bigint>
+  * of per-band bucket hashes (the banded-LSH key material: two documents
+  * collide in band b iff all rowsPerBand minima of that band agree). */
+case class MinHashBands(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4, "minhash_bands(text, numBands, rowsPerBand, shingleLen)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def prettyName: String = "minhash_bands"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = children(0).eval(input)
+    if (t == null) return null
+    val bands = children(1).eval(input).asInstanceOf[Int]
+    val rows = children(2).eval(input).asInstanceOf[Int]
+    val n = children(3).eval(input).asInstanceOf[Int]
+    val sig = TextHash.minhashSig(t.asInstanceOf[UTF8String].toString, bands * rows, n)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rows) {
+        h = TextHash.mix64(h ^ sig(b * rows + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MinHashBands =
+    copy(children = cs)
+}
+
+/** simhash64(text, shingleLen) -> bigint. */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextHash.simhash64(t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHash64 =
+    copy(left = l, right = r)
+}
+
+/** hamming64(a, b) -> int — Hamming distance between two 64-bit hashes. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming64"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+}
+
+/** ngram_jaccard(a, b, shingleLen) -> double — exact char-n-gram Jaccard. */
+case class NGramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextHash.ngramJaccard(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): NGramJaccard =
+    copy(first = a, second = b, third = c)
+}

@@ -44,6 +44,17 @@ object functions {
     st_transform(g, lit(src), lit(dst))
   }
 
+  // ---- text dedup / fingerprinting kernels ----
+  def minhash_sig(text: Column, k: Column, shingleLen: Column): Column =
+    col(MinHashSig(ex(text), ex(k), ex(shingleLen)))
+  def minhash_bands(text: Column, numBands: Column, rowsPerBand: Column, shingleLen: Column): Column =
+    col(MinHashBands(Seq(ex(text), ex(numBands), ex(rowsPerBand), ex(shingleLen))))
+  def simhash64(text: Column, shingleLen: Column): Column =
+    col(SimHash64(ex(text), ex(shingleLen)))
+  def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
+  def ngram_jaccard(a: Column, b: Column, shingleLen: Column): Column =
+    col(NGramJaccard(ex(a), ex(b), ex(shingleLen)))
+
   // ---- aggregates ----
   /** Grouped geometric union (Sedona `ST_Union_Aggr` analogue). */
   def st_union_agg(g: Column): Column =
@@ -80,5 +91,13 @@ object functions {
       "st_transform", es => StTransform(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "st_union_agg", es => StUnionAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", es => MinHashSig(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands", es => MinHashBands(es), "scala_udf")
+    r2("simhash64", SimHash64)
+    r2("hamming64", Hamming64)
+    reg.createOrReplaceTempFunction(
+      "ngram_jaccard", es => NGramJaccard(es.head, es(1), es(2)), "scala_udf")
   }
 }

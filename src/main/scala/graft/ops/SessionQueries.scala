@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: gap-based
+  * sessionization (the batch twin of the streaming state machine in
+  * graft.streaming) and conditional event-type aggregation.
+  *
+  * `ts` is read as nanos-since-epoch BIGINT (Tables.events); all temporal
+  * arithmetic is integer millisecond math both engines share exactly.
+  */
+object SessionQueries {
+  import Tables._
+
+  val GapMs: Long = 4 * 3600 * 1000L
+
+  /** Gap sessionization: lag + cumulative-sum of session starts — the
+    * classic two-window formulation; shuffles once on user_id and both
+    * windows reuse that partitioning. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val runner = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      // integer DIV, not `/`: epoch-nanos exceed 2^53, double division
+      // would lose the low milliseconds
+      .withColumn("tms", expr("ts DIV 1000000L"))
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tms") - col("prev") > GapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(runner))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("tms")) - min(col("tms"))).as("duration_ms"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Conditional (pivot-style) per-user aggregation by event type. */
+  def eventTypeAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        sum(when(col("event_type") === "click", col("value").cast("decimal(18,6)")))
+          .cast("double").as("click_value"))
+      .orderBy(col("user_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_event_type_agg" -> (eventTypeAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, tms, value,
+         |    CASE WHEN lag(tms) OVER w IS NULL
+         |              OR tms - lag(tms) OVER w > $GapMs THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         |sessions AS (
+         |  SELECT user_id, tms, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       CAST(max(tms) - min(tms) AS BIGINT) AS duration_ms,
+         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q_event_type_agg" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.functions.{hamming64, minhash_bands, ngram_jaccard, simhash64}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over the `documents` table: exact and
+  * near deduplication, similarity, language ID, quality scoring, token
+  * stats, and fingerprinting.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - near-dup candidate generation is banded MinHash LSH — documents are
+  *     shuffled by (band, bucket) and pairs form only inside a bucket;
+  *     there is NO all-pairs/cross join anywhere;
+  *   - exact dedup groups on a 256-bit content hash, never on the text
+  *     itself, so the shuffle carries 32 bytes + ids per row;
+  *   - everything else is embarrassingly parallel per-row projection.
+  */
+object TextQueries {
+  import Tables._
+
+  /** Exact dedup: content-hash groupBy; keeps the smallest doc_id of every
+    * duplicate class (the industry-standard sha-based exact dedup). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Near-dup candidates via banded MinHash LSH (shingle → minhash → band
+    * → bucket-join), verified with exact n-gram Jaccard. */
+  def dedupMinhash(spark: SparkSession, dir: String,
+                   bands: Int = 16, rows: Int = 4, shingle: Int = 5,
+                   threshold: Double = 0.5): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(minhash_bands(col("text"), lit(bands), lit(rows), lit(shingle))))
+      .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("bucket"))
+    // pairs form only within a bucket: the join key is (band_idx, bucket)
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    candidates.join(ta, "a_id").join(tb, "b_id")
+      .withColumn("jaccard", round(ngram_jaccard(col("a_text"), col("b_text"), lit(shingle)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Near-dup candidates via 64-bit SimHash with 16-bit chunk banding
+    * (Hamming-distance LSH: two docs within distance d collide on at least
+    * one of 4 chunks when d <= 3; we post-filter at d <= 6 as a recall
+    * compromise, still never all-pairs). */
+  def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), simhash64(col("text"), lit(5)).as("sim"))
+    val chunked = docs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact token-set Jaccard between consecutive documents — the oracle-
+    * checkable face of the similarity surface (DuckDB mirrors the list
+    * arithmetic). */
+  def jaccardTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val a = docs.select(col("doc_id").as("a_id"), split(col("text"), " ").as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"),
+      split(col("text"), " ").as("tb"))
+    a.join(b, "a_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb")))).cast("double") /
+        size(array_union(col("ta"), col("tb"))).cast("double"), 6))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"))
+  }
+
+  /** Corpus stats per language: doc/char/token counts (token = whitespace
+    * split, computed with exact string arithmetic both engines share). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tokens", length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** Marker-frequency language-ID heuristic (the n-gram-counting shape of
+    * real lang-ID, deterministic and oracle-mirrorable). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def occurrences(marker: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"), marker, ""))) / marker.length).cast("int")
+    documents(spark, dir)
+      .withColumn("c_data", occurrences("data"))
+      .withColumn("c_query", occurrences("query"))
+      .withColumn("c_table", occurrences("table"))
+      .withColumn("pred",
+        when(col("c_data") >= col("c_query") && col("c_data") >= col("c_table"), lit("data-ish"))
+          .when(col("c_query") >= col("c_table"), lit("query-ish"))
+          .otherwise(lit("table-ish")))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Per-document quality score: type-token ratio + bounded mean word
+    * length (the length/punct/stopword-ratio family of quality filters). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("n_tokens", (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("double"))
+      .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))).cast("double"))
+      .withColumn("mean_wlen", (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
+      .withColumn("score", round(
+        lit(0.5) * (col("n_uniq") / col("n_tokens")) +
+        lit(0.5) * least(col("mean_wlen") / lit(10.0), lit(1.0)), 6))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
+    * the join-key form used for cross-corpus dedup. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
+    "q_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
+    "q_jaccard_tokens" -> (jaccardTokens _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_quality_score" -> (qualityScore _),
+    "q_fingerprint" -> (fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_jaccard_tokens" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
+        |                                list_distinct(string_split(b.text,' ')))) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(string_split(a.text,' '),
+        |                                           string_split(b.text,' ')))) AS DOUBLE), 6) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+        |  CAST(min(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS min_tokens,
+        |  CAST(max(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS INTEGER) AS c_data,
+        |    CAST((length(text) - length(replace(text, 'query', ''))) / 5 AS INTEGER) AS c_query,
+        |    CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS INTEGER) AS c_table
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN c_data >= c_query AND c_data >= c_table THEN 'data-ish'
+        |       WHEN c_query >= c_table THEN 'query-ish'
+        |       ELSE 'table-ish' END AS pred,
+        |  count(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, ROUND(
+        |  0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) +
+        |  0.5 * least((CAST(length(text) AS DOUBLE) -
+        |               (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) - 1)) /
+        |              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 10.0, 1.0),
+        |  6) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

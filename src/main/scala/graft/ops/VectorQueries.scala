@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over the `embeddings` table
+  * (`array<float>` column): brute-force cosine top-k as the exact baseline
+  * and a sign-LSH bucketed variant as the scale path.
+  *
+  * Scale notes:
+  *   - the query vector is a driver-side constant folded into the plan
+  *     (a 1-row lookup, then a literal — the same pattern as the
+  *     reference's bounds collect, process_geodata.py:70-71), so scoring is
+  *     a pure per-row projection over the fleet — no join at all;
+  *   - top-k runs as TakeOrderedAndProject (per-partition heap + driver
+  *     merge of k rows), never a global sort;
+  *   - the LSH variant prunes scoring to one bucket of ~n/2^bits vectors,
+  *     the shape that survives 100 TB (bits scale with n).
+  */
+object VectorQueries {
+  import Tables._
+
+  private val QueryVecId = 0L
+  private val SignBits = 8
+
+  /** Driver-side 1-row read of the query vector. */
+  private def queryVector(spark: SparkSession, dir: String): Seq[Double] =
+    embeddings(spark, dir).filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+
+  /** Sequential-fold sum over an array column (deterministic order — the
+    * same left-to-right double accumulation DuckDB's list_sum performs, so
+    * oracle values match bit-for-bit). */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def cosineAgainst(q: Seq[Double]): Column = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val qlit = typedlit(q)
+    val dot = foldSum(zip_with(embD, qlit, (a, b) => a * b))
+    val na = foldSum(transform(embD, x => x * x))
+    val nb = lit(q.map(x => x * x).sum)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact brute-force cosine top-10 against the query vector. */
+  def simTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val sims = embeddings(spark, dir)
+      .filter(col("vec_id") =!= QueryVecId)
+      .withColumn("sim", cosineAgainst(queryVector(spark, dir)))
+    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("rank"))
+  }
+
+  /** Sign bucket: bit i set iff embedding[i] >= 0 (random-hyperplane LSH
+    * with axis-aligned planes — deterministic, so DuckDB can mirror it). */
+  private def signBucket(emb: Column): Column =
+    (0 until SignBits).map(i =>
+      when(element_at(emb, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0))
+    ).reduce((a, b) => a + b)
+
+  /** ANN: score only the query's sign-LSH bucket, then top-5. At 100 TB the
+    * bucket column is a partition/cluster key and non-matching buckets are
+    * pruned at the scan. */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = queryVector(spark, dir)
+    val qBucket = (0 until SignBits).map(i => if (q(i) >= 0) 1 << i else 0).sum
+    val sims = embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .filter(col("bucket") === qBucket && col("vec_id") =!= QueryVecId)
+      .withColumn("sim", cosineAgainst(q))
+    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-label embedding norm stats. min/max are order-insensitive doubles;
+    * the sum goes through DECIMAL so engine-internal aggregation order
+    * cannot perturb it. */
+  def embNorms(spark: SparkSession, dir: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    embeddings(spark, dir)
+      .withColumn("norm", sqrt(foldSum(transform(embD, x => x * x))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        sum(col("norm").cast("decimal(18,9)")).cast("double").as("sum_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> ((s, d) => simTopK(s, d)),
+    "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q_emb_norms" -> (embNorms _),
+  )
+
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+         |       vec_id, ROUND(sim, 4) AS sim
+         |FROM scored ORDER BY rank LIMIT 10""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
+         |     CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END +
+         |     CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END +
+         |     CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END +
+         |     CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END +
+         |     CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END +
+         |     CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM bucketed WHERE vec_id = $QueryVecId),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM bucketed e, q, qb
+         |  WHERE e.bucket = qb.qbucket AND e.vec_id <> $QueryVecId)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+         |       vec_id, ROUND(sim, 4) AS sim
+         |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
+    "q_emb_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm,
+        |       CAST(sum(CAST(norm AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
