@@ -1,0 +1,96 @@
+package graft.exprs
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spatial algebra exercised through the registered SQL surface — the same
+  * way the reference invokes Sedona (`F.expr` strings,
+  * spark_job/process_geodata.py:102-139). */
+class SpatialSqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def one(sql: String): Row = spark.sql(sql).head()
+
+  test("wkt round-trip through st_geomfromwkt/st_astext") {
+    assert(one("SELECT st_astext(st_geomfromwkt('POINT (3 4)')) AS t").getString(0) == "POINT (3 4)")
+  }
+
+  test("st_area / st_length on a unit square") {
+    val r = one("""SELECT st_area(g) AS a, st_length(g) AS l FROM
+                   (SELECT st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS g)""")
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 4.0)
+  }
+
+  test("st_x/st_y: point coordinates, null for non-points and empties") {
+    val r = one("""SELECT st_x(st_point(3.5D, 7.25D)) AS x, st_y(st_point(3.5D, 7.25D)) AS y,
+                          st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)')) AS lx,
+                          st_y(st_geomfromwkt('POINT EMPTY')) AS ey""")
+    assert(r.getDouble(0) == 3.5 && r.getDouble(1) == 7.25)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("st_makevalid repairs a bowtie; st_isvalid reports it") {
+    val r = one("""SELECT st_isvalid(b) AS before, st_isvalid(st_makevalid(b)) AS after,
+                          st_area(st_makevalid(b)) AS a
+                   FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))') AS b)""")
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("st_intersection / st_union / st_intersects / st_contains / st_within / st_distance") {
+    val r = one("""SELECT st_area(st_intersection(a, b)) AS ia, st_area(st_union(a, b)) AS ua,
+                          st_intersects(a, b) AS i, st_contains(a, b) AS c, st_within(b, a) AS w,
+                          st_distance(a, st_geomfromwkt('POINT (5 1)')) AS d
+                   FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS a,
+                                st_geomfromwkt('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))') AS b)""")
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 7.0)
+    assert(r.getBoolean(2) && !r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getDouble(5) == 3.0)
+  }
+
+  test("st_buffer(., 0) keeps a valid polygon's area") {
+    val r = one("""SELECT st_area(st_buffer(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 0.0D)) AS a""")
+    assert(r.getDouble(0) == 4.0)
+  }
+
+  test("st_transform 3857->5880 lands in the false-origin band and back within 1 m") {
+    val r = one("""SELECT st_x(p5880) AS e, st_y(p5880) AS n,
+                          st_x(back) AS bx, st_y(back) AS by
+                   FROM (SELECT st_transform(st_point(-5193566.0D, -2698813.0D), 'EPSG:3857', 'EPSG:5880') AS p5880,
+                                st_transform(st_transform(st_point(-5193566.0D, -2698813.0D), 'EPSG:3857', 'EPSG:5880'),
+                                             'EPSG:5880', 'EPSG:3857') AS back)""")
+    assert(r.getDouble(0) > 4000000 && r.getDouble(0) < 6000000)
+    assert(r.getDouble(1) > 7000000 && r.getDouble(1) < 9000000)
+    assert(math.hypot(r.getDouble(2) - -5193566.0, r.getDouble(3) - -2698813.0) < 1.0)
+  }
+
+  test("st_union_agg unions a group, ignores empties and nulls") {
+    val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
+                     SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
+                     UNION ALL SELECT st_geomfromwkt('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')
+                     UNION ALL SELECT st_geomfromwkt('POINT EMPTY')
+                     UNION ALL SELECT CAST(NULL AS BINARY))""")
+    assert(r.getDouble(0) == 7.0)
+  }
+
+  test("st_union_agg result is invariant under input permutation") {
+    val areas = (0 until 3).map { seed =>
+      one(s"""SELECT st_area(st_union_agg(g)) AS a FROM (
+                SELECT st_geomfromwkt(concat('POLYGON ((', x, ' 0, ', x + 2, ' 0, ',
+                                             x + 2, ' 2, ', x, ' 2, ', x, ' 0))')) AS g
+                FROM (SELECT explode(shuffle(sequence(0, 19), $seed)) AS x))""").getDouble(0)
+    }
+    // 20 unit-offset 2x2 squares on a line: union area = 2 * (19 + 2) = 42? no:
+    // squares [x, x+2] for x in 0..19 overlap by 1 → union is [0, 21] x [0, 2] = 42.
+    assert(areas.forall(a => math.abs(a - 42.0) < 1e-9), areas.toString)
+  }
+
+  test("minhash/simhash/jaccard SQL registration surface") {
+    val r = one("""SELECT size(minhash_sig('abcdef', 16, 5)) AS k,
+                          size(minhash_bands('abcdef', 4, 4, 5)) AS b,
+                          hamming64(simhash64('abc', 3), simhash64('abc', 3)) AS h,
+                          ngram_jaccard('abcdef', 'abcdef', 5) AS j""")
+    assert(r.getInt(0) == 16 && r.getInt(1) == 4 && r.getInt(2) == 0 && r.getDouble(3) == 1.0)
+  }
+}
