@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Pipelines, RelationalQueries, SessionQueries, TextQueries, VectorQueries}
+import graft.ops.{Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-    SessionQueries.all ++ Map[String, (SparkSession, String) => DataFrame](
+    SessionQueries.all ++ SinkQueries.all ++ Multimodal.all ++
+    Map[String, (SparkSession, String) => DataFrame](
       // A1+F1-F8: the full spatial pipeline, closed-form-area variant
       // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
       "q_geo_flagship" -> ((s, dir) => Pipelines.flagship(s, dir, to5880 = false)),
@@ -34,5 +35,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-    SessionQueries.oracles + ("q_geo_flagship" -> Pipelines.flagshipOracleSql)
+    SessionQueries.oracles ++ SinkQueries.oracles +
+    ("q_geo_flagship" -> Pipelines.flagshipOracleSql)
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sink/scan parity operators: the reference's headerless-CSV interchange
+  * (S4/S5) and the versioned-materialization protocol (§2.8), each closed
+  * into a write-then-read-back query so the driver's oracle can check the
+  * whole loop against the source tables.
+  *
+  * Outputs land under target/ of the repo (the only writable area); every
+  * run overwrites, so the queries are idempotent.
+  */
+object SinkQueries {
+  import Tables._
+
+  private val OutBase = "/root/repo/target/graft_store"
+
+  /** S4+S5: write lineitem projection as headerless comma CSV with the
+    * reference's exact layout knobs — repartition(10),
+    * maxRecordsPerFile=10000, mode=overwrite
+    * (spark_job/process_geodata.py:146-160) — read it back positionally
+    * (schema-less interchange, load_to_postgres.py:175), and aggregate. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/csv_interchange"
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      .repartition(10)
+      .write
+      .option("header", "false")
+      .option("delimiter", ",")
+      .option("maxRecordsPerFile", "10000")
+      .mode("overwrite")
+      .csv(path)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ln", IntegerType),
+      StructField("flag", StringType), StructField("qty", DoubleType)))
+    spark.read.schema(schema)
+      .option("header", "false").option("delimiter", ",")
+      .csv(path)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("flag"))
+  }
+
+  /** §2.8: publish two versions of an aggregate with the unique-key gate,
+    * GC down to 2, then read back through the current pointer — the full
+    * write → swap → read-current protocol in one query. */
+  def materializeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val agg = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    Materialize.publish(agg, OutBase, "cust_orders", "v1", Seq("o_custkey"))
+    Materialize.publish(agg, OutBase, "cust_orders", "v2", Seq("o_custkey"))
+    Materialize.gc(OutBase, "cust_orders", keep = 2)
+    Materialize.current(spark, OutBase, "cust_orders")
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_materialize" -> (materializeRoundtrip _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT l_returnflag AS flag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+        |       max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+    "q_materialize" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the engine's event operators: the same
+  * gap-sessionization the batch path runs (graft.ops.SessionQueries) as an
+  * incremental stateful stream, plus watermarked windowed aggregation.
+  *
+  * The reference is batch-only (SURVEY.md §2.5 — no streaming constructs),
+  * so this is engine capability beyond parity: `readStream` sources flow
+  * through the exact same typed logic, and state is bounded per key (one
+  * open session), which is what survives an unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  case class Event(user_id: Long, tms: Long, value: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                        n_events: Int, sum_value: Double)
+  case class OpenSession(start: Long, last: Long, n: Int, total: Double)
+
+  /** Incremental gap sessionization: one bounded state record per user;
+    * a session is emitted when a later event arrives more than `gapMs`
+    * after the session's last event. Works identically on a bounded
+    * MemoryStream and an unbounded source. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tms, e.value))
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.tms - s.last <= gapMs =>
+                open = Some(OpenSession(s.start, e.tms, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(user, s.start, s.last, s.n, s.total)
+                open = Some(OpenSession(e.tms, e.tms, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.tms, e.tms, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Watermarked tumbling-window event counts: the canonical
+    * readStream → withWatermark → window → agg shape. `ts` must be a
+    * TimestampType column. */
+  def windowedCounts(events: DataFrame, watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("streaming gap sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events within the gap -> session stays open
+      input.addData(StreamOps.Event(1L, 0L, 1.0), StreamOps.Event(1L, 500L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0)
+      // batch 2: event beyond the gap -> first session closes
+      input.addData(StreamOps.Event(1L, 5000L, 4.0))
+      q.processAllAvailable()
+      val row = spark.table("sessions_out").as[StreamOps.SessionOut].collect()
+      assert(row.length == 1)
+      assert(row(0) == StreamOps.SessionOut(1L, 0L, 500L, 2, 3.0))
+      // a second user is independent state
+      input.addData(StreamOps.Event(2L, 0L, 9.0), StreamOps.Event(2L, 10000L, 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions_out").as[StreamOps.SessionOut]
+        .collect().groupBy(_.user_id)
+      assert(byUser(2L).head == StreamOps.SessionOut(2L, 0L, 0L, 1, 9.0))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts aggregate by tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.windowedCounts(df, "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:00:05"), "click"),
+        (t("2024-01-01 00:00:20"), "click"),
+        (t("2024-01-01 00:01:10"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect().map(r =>
+        (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 00:01:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+}
