@@ -13,42 +13,66 @@ object Pipelines {
 
   /** Flagship pipeline over synthesized parcels/regions (GeoFixtures).
     *
+    * Plan shape vs the reference: the reference groups by
+    * (region_id, season_id, land_type_id, geo_region_mod), carrying the
+    * region polygon WKB through the shuffle as a grouping key
+    * (process_geodata.py:110-114). Since the region geometry is
+    * functionally dependent on region_id (both derive from the same
+    * regions row), grouping by the three integer keys and broadcast-joining
+    * the 25-row region table AFTER the aggregate is semantically identical
+    * and strictly cheaper at scale: the exchange carries integers + the
+    * partial union buffers, never the region polygon; the region WKT is
+    * parsed 25 times instead of once per fact row; and the post-agg join
+    * touches only #groups rows. Map-side partial union (the
+    * TypedImperativeAggregate) bounds the shuffle payload per group.
+    *
     * @param gapBuffer the reference's gap-sealing buffer distance
-    *                  (1e-7 at process_geodata.py:102); 0.0 keeps shapes
-    *                  closed-form for the DuckDB oracle.
+    *                  (1e-7 at process_geodata.py:102). 0.0 skips the
+    *                  buffer entirely — on the already-valid fixture
+    *                  rectangles buffer(0) is a per-row no-op that would
+    *                  dominate runtime, and it keeps shapes closed-form
+    *                  for the DuckDB oracle.
     * @param roundTo   decimal places for the output area.
     * @param to5880    reproject EPSG:3857→5880 before measuring area (the
     *                  reference's full chain, process_geodata.py:120-139).
     *                  false keeps areas in EPSG:3857 m² — closed-form
-    *                  (disjoint 400 m parcels => area = 160000 · #parcels),
-    *                  so a DuckDB oracle can mirror it arithmetically.
+    *                  (disjoint 400 m parcels => area = 160000 · #parcels).
     */
   def flagship(spark: SparkSession, dir: String, gapBuffer: Double = 0.0,
                roundTo: Int = 2, to5880: Boolean = true): DataFrame = {
     import GeoFixtures._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_shipdate"))
+    val rawParcel = st_makevalid(st_geomfromwkt(
+      parcelWkt(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))))
     val parcels = li.select(
       (col("l_partkey") % 25).cast("int").as("region_id"),
       (month(col("l_shipdate")) % 4).cast("int").as("season_id"),
       (col("l_partkey") % 7).cast("int").as("land_type_id"),
-      parcelWkt(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber"))).as("parcel_wkt"))
+      (if (gapBuffer != 0.0) st_buffer(rawParcel, lit(gapBuffer)) else rawParcel)
+        .as("geo_land_use_mod"))
 
+    // 25-row dimension: parse the region polygon once per region, here,
+    // not once per fact row after the join (J1 broadcast, like the
+    // reference's F.broadcast at process_geodata.py:101)
     val regions = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("id"),
-        regionWkt(col("n_nationkey")).as("region_wkt"))
+        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("geo_region_mod"))
 
-    // dimension side is 25 rows — broadcast, exactly like the reference (J1)
-    val joined = parcels.join(broadcast(regions), parcels("region_id") === regions("id"), "inner")
-      .withColumn("geo_land_use_mod",
-        st_buffer(st_makevalid(st_geomfromwkt(col("parcel_wkt"))), lit(gapBuffer)))
-      .withColumn("geo_region_mod", st_makevalid(st_geomfromwkt(col("region_wkt"))))
+    // semi-join against the dimension BEFORE the aggregate preserves the
+    // reference's inner-join semantics (rows without a region drop out)
+    // without carrying any geometry into the shuffle
+    val kept = parcels.join(broadcast(regions.select(col("id"))),
+      parcels("region_id") === col("id"), "left_semi")
 
-    val clipped = joined
-      .groupBy(col("region_id"), col("season_id"), col("land_type_id"), col("geo_region_mod"))
+    val unioned = kept
+      .groupBy(col("region_id"), col("season_id"), col("land_type_id"))
       .agg(st_makevalid(st_union_agg(col("geo_land_use_mod"))).as("geo_union"))
+
+    val clipped = unioned
+      .join(broadcast(regions), unioned("region_id") === regions("id"), "inner")
       .withColumn("clip",
-        st_buffer(st_makevalid(st_intersection(col("geo_union"), col("geo_region_mod"))), lit(0.0)))
+        st_makevalid(st_intersection(col("geo_union"), col("geo_region_mod"))))
     val measured =
       if (to5880) clipped.withColumn("area",
         round(st_area(st_transform(col("clip"), "EPSG:3857", "EPSG:5880")), roundTo))

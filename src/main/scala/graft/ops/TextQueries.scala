@@ -29,23 +29,45 @@ object TextQueries {
       .orderBy(col("keep_id"))
 
   /** Near-dup candidates via banded MinHash LSH (shingle → minhash → band
-    * → bucket-join), verified with exact n-gram Jaccard. */
+    * → bucket groupBy), verified with exact n-gram Jaccard.
+    *
+    * Plan shape, chosen for 100 TB:
+    *   - signatures are computed ONCE per document (a self-join on the
+    *     banded relation would run the minhash kernel twice per doc);
+    *   - the input is repartitioned to the session's parallelism first —
+    *     a small upstream file otherwise serializes the most expensive
+    *     per-row kernel in the engine onto one task;
+    *   - candidate pairs are generated inside each (band, bucket) group
+    *     from the sorted id list — never an all-pairs join — and buckets
+    *     above `maxBucket` are dropped (degenerate buckets, e.g. all-empty
+    *     docs, would otherwise produce quadratic pairs);
+    *   - band geometry (8 × 8) puts the LSH S-curve threshold at
+    *     (1/8)^(1/8) ≈ 0.77: on a corpus whose random-pair baseline
+    *     Jaccard is already ~0.35 (shared vocabulary), looser banding
+    *     floods the verifier with candidates — the exact-Jaccard check is
+    *     the most expensive kernel in the pipeline, so candidate volume,
+    *     not signature cost, is what must be engineered down.
+    */
   def dedupMinhash(spark: SparkSession, dir: String,
-                   bands: Int = 16, rows: Int = 4, shingle: Int = 5,
-                   threshold: Double = 0.5): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+                   bands: Int = 8, rows: Int = 8, shingle: Int = 5,
+                   threshold: Double = 0.7, maxBucket: Int = 128): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = documents(spark, dir).select(col("doc_id"), col("text")).repartition(par)
     val banded = docs
       .select(col("doc_id"),
         posexplode(minhash_bands(col("text"), lit(bands), lit(rows), lit(shingle))))
       .select(col("doc_id"), col("pos").as("band_idx"), col("col").as("bucket"))
-    // pairs form only within a bucket: the join key is (band_idx, bucket)
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // all in-bucket (a < b) pairs, from the sorted id array
+    val candidates = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
     val ta = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
     val tb = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
@@ -60,21 +82,27 @@ object TextQueries {
     * (Hamming-distance LSH: two docs within distance d collide on at least
     * one of 4 chunks when d <= 3; we post-filter at d <= 6 as a recall
     * compromise, still never all-pairs). */
-  def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
-    val docs = documents(spark, dir)
+  def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 6,
+                   maxBucket: Int = 128): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = documents(spark, dir).repartition(par)
       .select(col("doc_id"), simhash64(col("text"), lit(5)).as("sim"))
+    // one simhash pass; pairs generated per (chunk_idx, chunk) bucket
     val chunked = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    a.join(b,
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+    chunked
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    struct(x.doc_id AS a_id, y.doc_id AS b_id,
+          |           x.sim AS a_sim, y.sim AS b_sim))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"),
+        hamming64(col("p.a_sim"), col("p.b_sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy(col("a_id"), col("b_id"))
