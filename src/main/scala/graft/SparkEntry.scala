@@ -29,6 +29,8 @@ object SparkEntry {
       // F6 st_transform: same pipeline measured in EPSG:5880 m² (no SQL
       // oracle — the polyconic reprojection is not DuckDB-expressible).
       "q_geo_flagship_5880" -> ((s, dir) => Pipelines.flagship(s, dir)),
+      // Broadcast R-tree st_intersects join (SURVEY §2.3 stretch op).
+      "q_spatial_join" -> (Pipelines.spatialJoinRollup _),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
     SessionQueries.oracles ++ SinkQueries.oracles +
-    ("q_geo_flagship" -> Pipelines.flagshipOracleSql)
+    ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
+    ("q_spatial_join" -> Pipelines.spatialJoinOracleSql)
 }

@@ -82,6 +82,32 @@ object Pipelines {
       .orderBy(col("region_id"), col("season_id"), col("land_type_id"))
   }
 
+  /** Spatial-join rollup: parcels ⋈ regions ON st_intersects via the
+    * broadcast R-tree operator, counted per region. On the fixture
+    * geometry every parcel intersects exactly its own region (regions are
+    * disjoint 50 km cells on a 60 km grid; parcels lie strictly inside),
+    * so the result is closed-form: the per-region fact-row count. */
+  def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    import GeoFixtures._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val parcels = li.select(
+      st_makevalid(st_geomfromwkt(
+        parcelWkt(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))))
+        .as("parcel_geom"))
+    val regions = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("int").as("region_id"),
+        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
+    SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom")
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("region_id"))
+  }
+
+  val spatialJoinOracleSql: String =
+    """SELECT CAST(l_partkey % 25 AS INTEGER) AS region_id, count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Closed-form oracle for `flagship(to5880 = false, gapBuffer = 0)`:
     * parcels are disjoint 400 m squares fully inside their region, so the
     * clipped union area is exactly 160000 · count(DISTINCT parcel index). */

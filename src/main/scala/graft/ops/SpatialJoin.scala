@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.geom.Geom
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.StructType
+import org.locationtech.jts.index.strtree.STRtree
+import scala.jdk.CollectionConverters._
+
+/** Broadcast R-tree spatial join — the engine-level operator Sedona's
+  * installed-but-unused spatial-join machinery would have provided
+  * (reference: Sedona extensions loaded at airflow_dag/dag_geo_pipeline.py:20,
+  * never exercised; SURVEY.md §2.3 marks this the capability stretch goal).
+  *
+  * Catalyst cannot know `st_intersects` is index-accelerable, so a naive
+  * formulation becomes BroadcastNestedLoopJoin — O(|L|·|R|) geometry tests.
+  * This operator broadcasts the small side as WKB, builds one JTS STRtree
+  * per partition (not per row), and probes it with each left row's
+  * envelope; exact `intersects` runs only on envelope survivors. At 1000
+  * executors the tree builds 1000 times total and the big side never
+  * shuffles — the same plan shape Spark uses for broadcast hash joins.
+  */
+object SpatialJoin {
+
+  /** Inner join `left ⋈ right ON st_intersects(left[leftGeomCol],
+    * right[rightGeomCol])`. `right` must be the dimension side (collected
+    * and broadcast, like `functions.broadcast`). Output schema is the
+    * concatenation of both sides' columns. */
+  def broadcastIntersects(left: DataFrame, right: DataFrame,
+                          leftGeomCol: String, rightGeomCol: String): DataFrame = {
+    val spark = left.sparkSession
+    val rightSchema = right.schema
+    val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
+    // dimension side: WKB + the row's other values travel in one broadcast
+    val rightRows: Array[(Array[Byte], Seq[Any])] = right.collect().map { r =>
+      (r.getAs[Array[Byte]](rightGeomIdx), r.toSeq)
+    }
+    val bRight = spark.sparkContext.broadcast(rightRows)
+    val leftGeomIdx = left.schema.fieldIndex(leftGeomCol)
+    val outSchema = StructType(left.schema.fields ++ rightSchema.fields)
+
+    left.mapPartitions { it =>
+      val tree = new STRtree()
+      bRight.value.foreach { case (wkb, values) =>
+        val g = Geom.fromWkb(wkb)
+        tree.insert(g.getEnvelopeInternal, (g, values))
+      }
+      tree.build()
+      it.flatMap { lrow =>
+        val lg = Geom.fromWkb(lrow.getAs[Array[Byte]](leftGeomIdx))
+        tree.query(lg.getEnvelopeInternal).asScala.iterator
+          .map(_.asInstanceOf[(org.locationtech.jts.geom.Geometry, Seq[Any])])
+          .filter { case (rg, _) => lg.intersects(rg) }
+          .map { case (_, rvals) => Row.fromSeq(lrow.toSeq ++ rvals) }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions injection path (the reference's Sedona
+  * mechanism): a session built with the extension class resolves every
+  * graft function from SQL text without registerAll. */
+class GraftSparkExtensionsSpec extends AnyFunSuite {
+
+  test("session built with graft.GraftSparkExtensions resolves st_* in SQL") {
+    // spark.sql.extensions is a STATIC conf: it must be on the SparkContext
+    // (set by the first builder of the JVM — SparkFixture). A fresh session
+    // over that context re-applies the extension injections; no
+    // registerAll call happens on this session.
+    graft.SparkFixture.spark // ensure the context (with the static conf) exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT st_area(st_buffer(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 0.0D)) AS a,
+          |       hamming64(simhash64('abc', 3), simhash64('abc', 3)) AS h""".stripMargin).head()
+      assert(r.getDouble(0) == 4.0)
+      assert(r.getInt(1) == 0)
+      val agg = s.sql(
+        """SELECT st_area(st_union_agg(g)) AS a FROM (
+          |  SELECT st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS g
+          |  UNION ALL SELECT st_geomfromwkt('POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))'))""".stripMargin).head()
+      assert(agg.getDouble(0) == 2.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -9,6 +9,9 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // static conf: must be on the FIRST session of the JVM so the
+      // SparkContext carries it (GraftSparkExtensionsSpec relies on it)
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guardrails for the 100 TB plan contract: predicates/projections reach
+  * the parquet scan, dimension joins broadcast, and no registered query
+  * ever plans a cartesian/nested-loop join. These are the properties the
+  * reference encoded manually (SURVEY.md §4) and that must survive every
+  * future query edit. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("filter and projection are pushed into the parquet scan (S3/P4)") {
+    val p = planOf("q_s3_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("dimension join is a broadcast hash join (J1)") {
+    assert(planOf("q_j1_broadcast_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("flagship aggregate shuffles no geometry: exchange partitions on integer keys only") {
+    val qe = SparkEntry.queries("q_geo_flagship")(spark, dir).queryExecution
+    qe.executedPlan // force planning; the tree below is the adaptive plan
+    val p = qe.executedPlan.toString
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, p.take(1500))
+    assert(!exchangeLines.exists(_.contains("geo_")),
+      s"geometry column in a shuffle key:\n${exchangeLines.mkString("\n")}")
+    assert(p.contains("ObjectHashAggregate"), "union agg should run as ObjectHashAggregate with partial merge")
+    assert(p.contains("partial_st_union_agg"), "union agg must have a map-side partial stage")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(planOf("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("no registered query plans a cartesian or nested-loop join") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("whole-stage codegen survives around the spatial expressions") {
+    // CodegenFallback expressions must not disable codegen for the rest of
+    // the plan: the executed flagship still contains WholeStageCodegen
+    // spans. (AQE materializes codegen stages only after execution.)
+    val df = SparkEntry.queries("q_geo_flagship")(spark, dir)
+    df.collect() // count() would plan a different execution; execute THIS one
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print as "*(n) Op" in the final adaptive plan
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+  }
+}
