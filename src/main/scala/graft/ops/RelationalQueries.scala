@@ -101,6 +101,22 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"))
 
+  /** Right outer join (§2.5 capability: full join-type family). */
+  def j6RightJoin(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+
+  /** HLL++ sketch cardinality (§2.4 note). No SQL oracle: DuckDB's
+    * approx_distinct is a different sketch; the spec bounds the error. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
   /** Full outer join of two derived sides with non-overlapping keys. */
   def j5FullOuter(spark: SparkSession, dir: String): DataFrame = {
     val perCust = orders(spark, dir).groupBy(col("o_custkey").as("k"))
@@ -200,6 +216,8 @@ object RelationalQueries {
     "q_j3_semi_join" -> (j3SemiJoin _),
     "q_j4_anti_join" -> (j4AntiJoin _),
     "q_j5_full_outer" -> (j5FullOuter _),
+    "q_j6_right_join" -> (j6RightJoin _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q_a2_minmax" -> (a2MinMax _),
     "q_distinct" -> (distinctQ _),
     "q_rollup" -> (rollupQ _),
@@ -247,6 +265,11 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_j6_right_join" ->
+      """SELECT c_nationkey, count(o_orderkey) AS n_orders,
+        |       count(DISTINCT c_custkey) AS n_cust
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_j5_full_outer" ->
       """SELECT COALESCE(o.k, c.c_custkey) AS custkey, o.n_ord, c.c_acctbal
         |FROM (SELECT o_custkey AS k, count(*) AS n_ord FROM orders GROUP BY o_custkey) o

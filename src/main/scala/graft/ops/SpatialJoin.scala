@@ -39,17 +39,21 @@ object SpatialJoin {
     val outSchema = StructType(left.schema.fields ++ rightSchema.fields)
 
     left.mapPartitions { it =>
+      // PreparedGeometry caches the index-side geometry's edge index: the
+      // same polygon is probed by every left row in the partition, which
+      // is PreparedGeometryFactory's designed use case (~3x on intersects)
       val tree = new STRtree()
       bRight.value.foreach { case (wkb, values) =>
         val g = Geom.fromWkb(wkb)
-        tree.insert(g.getEnvelopeInternal, (g, values))
+        val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+        tree.insert(g.getEnvelopeInternal, (prepared, values))
       }
       tree.build()
       it.flatMap { lrow =>
         val lg = Geom.fromWkb(lrow.getAs[Array[Byte]](leftGeomIdx))
         tree.query(lg.getEnvelopeInternal).asScala.iterator
-          .map(_.asInstanceOf[(org.locationtech.jts.geom.Geometry, Seq[Any])])
-          .filter { case (rg, _) => lg.intersects(rg) }
+          .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Seq[Any])])
+          .filter { case (rg, _) => rg.intersects(lg) }
           .map { case (_, rvals) => Row.fromSeq(lrow.toSeq ++ rvals) }
       }
     }(Encoders.row(outSchema))

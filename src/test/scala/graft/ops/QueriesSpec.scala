@@ -39,6 +39,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("approx_count_distinct is within its 1% rsd of the exact count") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = RelationalQueries.approxDistinct(spark, dir).head().getLong(1)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
