@@ -28,6 +28,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_geomfromwkt", es => StGeomFromWKT(es.head))
     inject("st_astext", es => StAsText(es.head))
     inject("st_point", es => StPoint(es.head, es(1)))
+    inject("st_makeenvelope", es => StMakeEnvelope(es))
     inject("st_makevalid", es => StMakeValid(es.head))
     inject("st_buffer", es => StBuffer(es.head, es(1)))
     inject("st_intersection", es => StIntersection(es.head, es(1)))

@@ -53,6 +53,32 @@ case class StPoint(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** (xmin, ymin, xmax, ymax) -> WKB axis-aligned rectangle polygon
+  * (PostGIS/Sedona ST_MakeEnvelope). Builds geometry directly from
+  * numeric columns — no WKT text on the hot path. */
+case class StMakeEnvelope(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 4, "st_makeenvelope(xmin, ymin, xmax, ymax)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_makeenvelope"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
+    val f = Geom.factory
+    val ring = Array(
+      new org.locationtech.jts.geom.Coordinate(x0, y0),
+      new org.locationtech.jts.geom.Coordinate(x1, y0),
+      new org.locationtech.jts.geom.Coordinate(x1, y1),
+      new org.locationtech.jts.geom.Coordinate(x0, y1),
+      new org.locationtech.jts.geom.Coordinate(x0, y0))
+    wkb(f.createPolygon(ring))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): StMakeEnvelope =
+    copy(children = cs)
+}
+
 /** Repair invalid geometry (JTS GeometryFixer); identity on valid input. */
 case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -22,6 +22,8 @@ object functions {
   def st_geomfromwkt(wkt: Column): Column = col(StGeomFromWKT(ex(wkt)))
   def st_astext(g: Column): Column = col(StAsText(ex(g)))
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_makeenvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    col(StMakeEnvelope(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
   def st_makevalid(g: Column): Column = col(StMakeValid(ex(g)))
   def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
@@ -72,6 +74,7 @@ object functions {
     r1("st_geomfromwkt", StGeomFromWKT)
     r1("st_astext", StAsText)
     r2("st_point", StPoint)
+    reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es), "scala_udf")
     r1("st_makevalid", StMakeValid)
     r2("st_buffer", StBuffer)
     r2("st_intersection", StIntersection)

@@ -49,10 +49,13 @@ object GeoFixtures {
   def parcelIdx(orderkey: Column, linenumber: Column): Column =
     (orderkey * 7 + linenumber) % 2500
 
+  /** Parcel-cell origin coordinates for cell (idx%50, idx/50) of the region. */
+  def parcelX0(regionKey: Column, idx: Column): Column =
+    regionX0(regionKey) + (idx % 50).cast("long") * lit(ParcelCell)
+  def parcelY0(regionKey: Column, idx: Column): Column =
+    regionY0(regionKey) + (idx.cast("long") / lit(50L)).cast("long") * lit(ParcelCell)
+
   /** Parcel rectangle WKT: 400 m square in cell (idx%50, idx/50) of the region. */
-  def parcelWkt(regionKey: Column, idx: Column): Column = {
-    val px0 = regionX0(regionKey) + (idx % 50).cast("long") * lit(ParcelCell)
-    val py0 = regionY0(regionKey) + (idx.cast("long") / lit(50L)).cast("long") * lit(ParcelCell)
-    rectWkt(px0, py0, ParcelSize, ParcelSize)
-  }
+  def parcelWkt(regionKey: Column, idx: Column): Column =
+    rectWkt(parcelX0(regionKey, idx), parcelY0(regionKey, idx), ParcelSize, ParcelSize)
 }

@@ -91,9 +91,13 @@ object Pipelines {
     import GeoFixtures._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    // geometry built directly from numeric columns (st_makeenvelope) — the
+    // probe side of a spatial join has no reason to round-trip WKT text
+    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
     val parcels = li.select(
-      st_makevalid(st_geomfromwkt(
-        parcelWkt(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))))
+      st_makeenvelope(px0.cast("double"), py0.cast("double"),
+        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
         .as("parcel_geom"))
     val regions = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("region_id"),

@@ -199,6 +199,24 @@ object RelationalQueries {
     a.intersect(b).except(c).orderBy(col("key"))
   }
 
+  /** Two-phase salted aggregation for skewed keys: events has only a
+    * handful of event_type values, so a direct groupBy funnels every row
+    * of a hot key through one reducer at scale. Phase 1 groups by
+    * (key, deterministic salt) spreading each hot key over 16 reducers;
+    * phase 2 re-aggregates the 16 partials. Decimal partials re-sum
+    * exactly, so the result is identical to the direct aggregation (which
+    * is what the oracle computes). */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n"),
+        sum(col("pv")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -227,6 +245,7 @@ object RelationalQueries {
     "q_sort_limit" -> (sortLimit _),
     "q_setop_mix" -> (setopMix _),
     "q_union_all_counts" -> (unionAllCounts _),
+    "q_skew_salted_agg" -> (skewSaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,5 +338,9 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'customer' AS src, count(*) AS n FROM customer
         |ORDER BY src""".stripMargin,
+    "q_skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -61,9 +61,36 @@ object SinkQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key, so the join runs as a shuffle-free sort-merge join — the
+    * bucketing/pre-partitioning strategy that removes the dominant
+    * exchange from repeated large-fact joins at 100 TB (PlanShapeSpec
+    * asserts the absence of a hash-partitioning exchange). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
+    orders(spark, dir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$OutBase/orders_bkt")
+      .mode("overwrite").saveAsTable("graft_orders_bkt")
+    customer(spark, dir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$OutBase/customer_bkt")
+      .mode("overwrite").saveAsTable("graft_customer_bkt")
+    // merge hint: at production scale neither side broadcasts; the hint
+    // keeps the test-scale plan on the same shuffle-free SMJ path
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
+    "q_bucketed_join" -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +103,10 @@ object SinkQueries {
       """SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -138,6 +138,19 @@ object TextQueries {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("lang"))
 
+  /** Token counting beyond whitespace: BPE-ish regex token classes
+    * (letter runs, digit runs, other non-space symbols) — the
+    * subword-tokenizer-shaped counting pass of a training-data pipeline. */
+  def tokenRegex(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("alpha_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[0-9]+', 0)"))).as("num_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))).as("sym_tokens"))
+      .orderBy(col("source"))
+
   /** Marker-frequency language-ID heuristic (the n-gram-counting shape of
     * real lang-ID, deterministic and oracle-mirrorable). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -182,6 +195,7 @@ object TextQueries {
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "q_jaccard_tokens" -> (jaccardTokens _),
     "q_text_stats" -> (textStats _),
+    "q_token_regex" -> (tokenRegex _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
@@ -206,6 +220,12 @@ object TextQueries {
         |  CAST(min(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS min_tokens,
         |  CAST(max(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_token_regex" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS num_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS sym_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT lang,

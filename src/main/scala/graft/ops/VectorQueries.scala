@@ -80,6 +80,34 @@ object VectorQueries {
       .orderBy(col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a sign-LSH
+    * bucket whose exact cosine exceeds the threshold (0.35 — this corpus's embeddings are near-orthogonal, 99th-pct same-bucket cosine ~0.36; real near-dup corpora would use ~0.9). Same
+    * bucket-group-then-pair shape as the MinHash dedup — candidate pairs
+    * exist only inside a bucket, never across the full corpus. */
+  def dedupEmbedding(spark: SparkSession, dir: String,
+                     threshold: Double = 0.35, maxBucket: Int = 256): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val bucketed = embeddings(spark, dir)
+      .select(col("vec_id"), embD.as("emb"), signBucket(col("embedding")).as("bucket"))
+    val pairs = bucketed
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("emb")))).as("vs"))
+      .filter(size(col("vs")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs) - i - 1), y ->
+          |    struct(x.vec_id AS a_id, y.vec_id AS b_id,
+          |           x.emb AS a_emb, y.emb AS b_emb))))""".stripMargin)).as("p"))
+    val dot = foldSum(zip_with(col("p.a_emb"), col("p.b_emb"), (a, b) => a * b))
+    val na = foldSum(transform(col("p.a_emb"), x => x * x))
+    val nb = foldSum(transform(col("p.b_emb"), x => x * x))
+    pairs
+      .withColumn("sim", round(dot / (sqrt(na) * sqrt(nb)), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Per-label embedding norm stats. min/max are order-insensitive doubles;
     * the sum goes through DECIMAL so engine-internal aggregation order
     * cannot perturb it. */
@@ -100,7 +128,12 @@ object VectorQueries {
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_emb_norms" -> (embNorms _),
+    "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
   )
+
+  /** The 8-bit sign bucket, spelled in DuckDB. */
+  private val bucketSql = (0 until SignBits).map(i =>
+    s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
 
   private val cosineSql =
     """list_sum(list_transform(list_zip(e.embedding, q.qv),
@@ -138,6 +171,20 @@ object VectorQueries {
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ($bucketSql) AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         |    ROUND(
+         |      list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+         |               q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      6) AS sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE a.bucket IN (SELECT bucket FROM b GROUP BY bucket
+         |                     HAVING count(*) BETWEEN 2 AND 256))
+         |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin,
     "q_emb_norms" ->
       """WITH n AS (
         |  SELECT label,

@@ -49,6 +49,13 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 3.0)
   }
 
+  test("st_makeenvelope builds the rectangle directly from numbers") {
+    val r = one("""SELECT st_area(st_makeenvelope(0.0D, 0.0D, 3.0D, 2.0D)) AS a,
+                          st_astext(st_makeenvelope(1.0D, 1.0D, 2.0D, 2.0D)) AS t""")
+    assert(r.getDouble(0) == 6.0)
+    assert(r.getString(1) == "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+  }
+
   test("st_buffer(., 0) keeps a valid polygon's area") {
     val r = one("""SELECT st_area(st_buffer(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 0.0D)) AS a""")
     assert(r.getDouble(0) == 4.0)

@@ -41,6 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed join is a shuffle-free sort-merge join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("hashpartitioning"),
+      s"bucketed join should not exchange either side:\n${p.take(1500)}")
+  }
+
   test("no registered query plans a cartesian or nested-loop join") {
     SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)

@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // near-dup searches may legitimately find nothing at tiny scale
-  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash")
+  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
