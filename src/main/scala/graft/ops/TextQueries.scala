@@ -117,9 +117,9 @@ object TextQueries {
     val b = docs.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"),
       split(col("text"), " ").as("tb"))
     a.join(b, "a_id")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard",
         size(array_intersect(array_distinct(col("ta")), array_distinct(col("tb")))).cast("double") /
-        size(array_union(col("ta"), col("tb"))).cast("double"), 6))
+        size(array_union(col("ta"), col("tb"))).cast("double"))
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"))
   }
@@ -176,9 +176,12 @@ object TextQueries {
       .withColumn("n_tokens", (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("double"))
       .withColumn("n_uniq", size(array_distinct(split(col("text"), " "))).cast("double"))
       .withColumn("mean_wlen", (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
-      .withColumn("score", round(
+      // no rounding: the op chain is identical IEEE arithmetic in both
+      // engines, while round-at-6 hits half-boundaries on dyadic ratios
+      // (e.g. 0.5203125) that Spark (HALF_UP) and DuckDB resolve differently
+      .withColumn("score",
         lit(0.5) * (col("n_uniq") / col("n_tokens")) +
-        lit(0.5) * least(col("mean_wlen") / lit(10.0), lit(1.0)), 6))
+        lit(0.5) * least(col("mean_wlen") / lit(10.0), lit(1.0)))
       .select(col("doc_id"), col("score"))
       .orderBy(col("doc_id"))
 
@@ -207,10 +210,10 @@ object TextQueries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_jaccard_tokens" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
-        |                                list_distinct(string_split(b.text,' ')))) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(string_split(a.text,' '),
-        |                                           string_split(b.text,' ')))) AS DOUBLE), 6) AS jaccard
+        |  CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
+        |                           list_distinct(string_split(b.text,' ')))) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(string_split(a.text,' '),
+        |                                     string_split(b.text,' ')))) AS DOUBLE) AS jaccard
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
     "q_text_stats" ->
@@ -240,13 +243,13 @@ object TextQueries {
         |  count(*) AS n
         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
     "q_quality_score" ->
-      """SELECT doc_id, ROUND(
+      """SELECT doc_id,
         |  0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)) +
         |  0.5 * least((CAST(length(text) AS DOUBLE) -
         |               (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) - 1)) /
-        |              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 10.0, 1.0),
-        |  6) AS score
+        |              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 10.0, 1.0)
+        |  AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp
