@@ -24,7 +24,9 @@ object SpatialExpressions {
 import SpatialExpressions._
 
 /** WKT text -> WKB geometry. */
-case class StGeomFromWKT(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StGeomFromWKT(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_geomfromwkt"
   override protected def nullSafeEval(v: Any): Any =
@@ -33,7 +35,9 @@ case class StGeomFromWKT(child: Expression) extends UnaryExpression with Codegen
 }
 
 /** WKB geometry -> WKT text. */
-case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StAsText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def prettyName: String = "st_astext"
   override protected def nullSafeEval(v: Any): Any =
@@ -43,7 +47,8 @@ case class StAsText(child: Expression) extends UnaryExpression with CodegenFallb
 
 /** (x, y) -> WKB point. */
 case class StPoint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_point"
   override protected def nullSafeEval(x: Any, y: Any): Any =
@@ -57,8 +62,9 @@ case class StPoint(left: Expression, right: Expression)
   * (PostGIS/Sedona ST_MakeEnvelope). Builds geometry directly from
   * numeric columns — no WKT text on the hot path. */
 case class StMakeEnvelope(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
   require(children.length == 4, "st_makeenvelope(xmin, ymin, xmax, ymax)")
+  override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "st_makeenvelope"
@@ -80,7 +86,9 @@ case class StMakeEnvelope(children: Seq[Expression])
 }
 
 /** Repair invalid geometry (JTS GeometryFixer); identity on valid input. */
-case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StMakeValid(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_makevalid"
   override protected def nullSafeEval(v: Any): Any = wkb(Geom.makeValid(geom(v)))
@@ -90,7 +98,8 @@ case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFa
 /** Minkowski buffer; d=0 is the validity-normalizing trick the reference
   * uses (process_geodata.py:125,133), d=1e-7 its gap-sealing buffer (:102). */
 case class StBuffer(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_buffer"
   override protected def nullSafeEval(g: Any, d: Any): Any =
@@ -101,7 +110,8 @@ case class StBuffer(left: Expression, right: Expression)
 
 /** Defensive geometric intersection (repair-and-retry on TopologyException). */
 case class StIntersection(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_intersection"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -112,7 +122,8 @@ case class StIntersection(left: Expression, right: Expression)
 
 /** Binary geometric union. */
 case class StUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_union"
   override protected def nullSafeEval(a: Any, b: Any): Any = wkb(geom(a).union(geom(b)))
@@ -121,7 +132,9 @@ case class StUnion(left: Expression, right: Expression)
 }
 
 /** Planar area in CRS units. */
-case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StArea(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "st_area"
   override protected def nullSafeEval(v: Any): Any = geom(v).getArea
@@ -129,21 +142,27 @@ case class StArea(child: Expression) extends UnaryExpression with CodegenFallbac
 }
 
 /** Geometry length/perimeter in CRS units. */
-case class StLength(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StLength(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "st_length"
   override protected def nullSafeEval(v: Any): Any = geom(v).getLength
   override protected def withNewChildInternal(c: Expression): StLength = copy(child = c)
 }
 
-case class StCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StCentroid(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_centroid"
   override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getCentroid)
   override protected def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
 }
 
-case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_envelope"
   override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getEnvelope)
@@ -151,7 +170,9 @@ case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFal
 }
 
 /** X of a non-empty Point; null otherwise (PostGIS/Sedona ST_X semantics). */
-case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StX(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "st_x"
@@ -163,7 +184,9 @@ case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
 }
 
 /** Y of a non-empty Point; null otherwise (PostGIS/Sedona ST_Y semantics). */
-case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StY(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "st_y"
@@ -174,7 +197,9 @@ case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
   override protected def withNewChildInternal(c: Expression): StY = copy(child = c)
 }
 
-case class StIsValid(child: Expression) extends UnaryExpression with CodegenFallback {
+case class StIsValid(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "st_isvalid"
   override protected def nullSafeEval(v: Any): Any = geom(v).isValid
@@ -182,7 +207,8 @@ case class StIsValid(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 case class StIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with Predicate {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def prettyName: String = "st_intersects"
   override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).intersects(geom(b))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
@@ -190,7 +216,8 @@ case class StIntersects(left: Expression, right: Expression)
 }
 
 case class StContains(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with Predicate {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def prettyName: String = "st_contains"
   override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).contains(geom(b))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains =
@@ -198,7 +225,8 @@ case class StContains(left: Expression, right: Expression)
 }
 
 case class StWithin(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with Predicate {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def prettyName: String = "st_within"
   override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).within(geom(b))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StWithin =
@@ -206,7 +234,8 @@ case class StWithin(left: Expression, right: Expression)
 }
 
 case class StDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "st_distance"
   override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).distance(geom(b))
@@ -217,7 +246,8 @@ case class StDistance(left: Expression, right: Expression)
 /** Vertex-wise CRS reprojection. CRS args are usually foldable literals —
   * the point-transform closure is resolved once and cached. */
 case class StTransform(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType, StringType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_transform"
 

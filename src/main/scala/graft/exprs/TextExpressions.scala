@@ -106,7 +106,8 @@ object TextHash {
 
 /** minhash_sig(text, k, shingleLen) -> array<bigint> of k signature minima. */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
@@ -120,17 +121,21 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
   * of per-band bucket hashes (the banded-LSH key material: two documents
   * collide in band b iff all rowsPerBand minima of that band agree). */
 case class MinHashBands(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
   require(children.length == 4, "minhash_bands(text, numBands, rowsPerBand, shingleLen)")
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = children.head.nullable
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "minhash_bands"
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val t = children(0).eval(input)
-    if (t == null) return null
-    val bands = children(1).eval(input).asInstanceOf[Int]
-    val rows = children(2).eval(input).asInstanceOf[Int]
-    val n = children(3).eval(input).asInstanceOf[Int]
+    // SQL null propagation: any null argument yields null
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val t = vs(0)
+    val bands = vs(1).asInstanceOf[Int]
+    val rows = vs(2).asInstanceOf[Int]
+    val n = vs(3).asInstanceOf[Int]
     val sig = TextHash.minhashSig(t.asInstanceOf[UTF8String].toString, bands * rows, n)
     val out = new Array[Long](bands)
     var b = 0
@@ -152,7 +157,8 @@ case class MinHashBands(children: Seq[Expression])
 
 /** simhash64(text, shingleLen) -> bigint. */
 case class SimHash64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(t: Any, n: Any): Any =
@@ -163,7 +169,8 @@ case class SimHash64(left: Expression, right: Expression)
 
 /** hamming64(a, b) -> int — Hamming distance between two 64-bit hashes. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming64"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -174,7 +181,8 @@ case class Hamming64(left: Expression, right: Expression)
 
 /** ngram_jaccard(a, b, shingleLen) -> double — exact char-n-gram Jaccard. */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
   override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =

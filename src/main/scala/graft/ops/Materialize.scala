@@ -11,32 +11,42 @@ import scala.jdk.CollectionConverters._
   * unique index, :234-247 CREATE OR REPLACE VIEW cutover, :269-291 old
   * version GC; pattern documented in README.md:21-28).
   *
-  *   - each publish writes a fresh `<table>_<version>/` parquet dir
-  *     (never in place — readers of the previous version are undisturbed);
-  *   - the unique-key gate is enforced BEFORE the swap, like the
-  *     reference's unique index: a duplicate-key publish leaves the
-  *     current pointer untouched;
-  *   - the "view" is a one-line pointer file renamed into place
-  *     atomically (POSIX rename), so readers see old or new, never half.
+  * Layout: `<base>/<table>/versions/<version>/` parquet dirs + a
+  * `<base>/<table>/current` pointer file (one line: the live version dir).
+  * Namespacing versions under the table directory keeps GC from ever
+  * touching a sibling table.
+  *
+  *   - each publish writes a fresh version dir (never in place — readers
+  *     of the previous version are undisturbed), then validates the
+  *     WRITTEN data, so the input plan executes exactly once;
+  *   - the unique-key gate runs BEFORE the swap, like the reference's
+  *     unique index: a duplicate-key publish leaves `current` untouched
+  *     (the orphaned version dir is reclaimed by the next gc);
+  *   - the pointer file is renamed into place atomically (POSIX rename),
+  *     so readers see old or new, never half.
   */
 object Materialize {
 
-  private def pointer(base: String, table: String): Path = Paths.get(base, s"$table.current")
+  private def tableDir(base: String, table: String): Path = Paths.get(base, table)
+  private def pointer(base: String, table: String): Path = tableDir(base, table).resolve("current")
 
   /** Publish a new version. Returns the version directory written.
-    * Fails (and leaves `current` untouched) if `keys` are not unique —
-    * the reference's unique-index contract (load_to_postgres.py:134-135). */
+    * Fails (and leaves `current` untouched) if `keys` are not unique in
+    * the written data — the reference's unique-index contract
+    * (load_to_postgres.py:134-135). */
   def publish(df: DataFrame, base: String, table: String, version: String,
               keys: Seq[String]): String = {
-    val dir = s"$base/${table}_$version"
-    val dups = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    val dir = tableDir(base, table).resolve("versions").resolve(version).toString
+    df.write.mode("overwrite").parquet(dir)
+    // gate on the written parquet: one execution of the input plan, and
+    // the check sees exactly the bytes a reader would
+    val written = df.sparkSession.read.parquet(dir)
+    val dups = written.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
     if (!dups.isEmpty) {
       throw new IllegalStateException(
         s"unique-key violation on (${keys.mkString(", ")}); refusing to publish $table $version")
     }
-    df.write.mode("overwrite").parquet(dir)
-    Files.createDirectories(Paths.get(base))
-    val tmp = Paths.get(base, s"$table.current.tmp")
+    val tmp = tableDir(base, table).resolve("current.tmp")
     Files.writeString(tmp, dir)
     Files.move(tmp, pointer(base, table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -47,15 +57,17 @@ object Materialize {
   def current(spark: SparkSession, base: String, table: String): DataFrame =
     spark.read.parquet(Files.readString(pointer(base, table)).trim)
 
-  /** Drop all but the newest `keep` versions (never the pointed-to one) —
-    * the reference's min-dated-table GC (load_to_postgres.py:269-291). */
+  /** Drop all but the `keep` most recently written versions (and never the
+    * pointed-to one) — the reference's min-dated-table GC
+    * (load_to_postgres.py:269-291). Ordered by modification time, not
+    * name: version strings need not sort lexicographically (v10 > v2). */
   def gc(base: String, table: String, keep: Int = 2): Seq[String] = {
-    val basePath = Paths.get(base)
-    if (!Files.isDirectory(basePath)) return Nil
+    val versionsDir = tableDir(base, table).resolve("versions")
+    if (!Files.isDirectory(versionsDir)) return Nil
     val live = Files.readString(pointer(base, table)).trim
-    val versions = Files.list(basePath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"${table}_"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val versions = Files.list(versionsDir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis)
     val doomed = versions.dropRight(keep).filterNot(_.toString == live)
     doomed.foreach { d =>
       Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)

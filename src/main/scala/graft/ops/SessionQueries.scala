@@ -62,13 +62,13 @@ object SessionQueries {
          |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
          |  FROM events),
          |flagged AS (
-         |  SELECT user_id, tms, value,
+         |  SELECT user_id, event_id, tms, value,
          |    CASE WHEN lag(tms) OVER w IS NULL
          |              OR tms - lag(tms) OVER w > $GapMs THEN 1 ELSE 0 END AS is_new
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
          |sessions AS (
          |  SELECT user_id, tms, value,
-         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id, count(*) AS n_events,

@@ -66,7 +66,7 @@ object SinkQueries {
     * bucketing/pre-partitioning strategy that removes the dominant
     * exchange from repeated large-fact joins at 100 TB (PlanShapeSpec
     * asserts the absence of a hash-partitioning exchange). */
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def ensureBucketTables(spark: SparkSession, dir: String): Unit = {
     spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
     orders(spark, dir).write
@@ -77,8 +77,22 @@ object SinkQueries {
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", s"$OutBase/customer_bkt")
       .mode("overwrite").saveAsTable("graft_customer_bkt")
+  }
+
+  /** The bare bucketed join (no aggregate on top): the only exchanges this
+    * plan could ever contain would belong to the join, which is what
+    * PlanShapeSpec asserts against the EXECUTED plan. */
+  def bucketedJoinPlain(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketTables(spark, dir)
     // merge hint: at production scale neither side broadcasts; the hint
     // keeps the test-scale plan on the same shuffle-free SMJ path
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketTables(spark, dir)
     spark.table("graft_orders_bkt").hint("merge")
       .join(spark.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))

@@ -37,7 +37,11 @@ object StreamOps {
           sorted.foreach { e =>
             open match {
               case Some(s) if e.tms - s.last <= gapMs =>
-                open = Some(OpenSession(s.start, e.tms, s.n + 1, s.total + e.value))
+                // max: a late event from a subsequent micro-batch must not
+                // regress the session frontier (events are only sorted
+                // within a batch, not across batches)
+                open = Some(OpenSession(math.min(s.start, e.tms),
+                  math.max(s.last, e.tms), s.n + 1, s.total + e.value))
               case Some(s) =>
                 closed += SessionOut(user, s.start, s.last, s.n, s.total)
                 open = Some(OpenSession(e.tms, e.tms, 1, e.value))

@@ -56,6 +56,16 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getString(1) == "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
   }
 
+  test("integer literals coerce: st_makeenvelope(0,0,10,10), st_buffer(g, 0)") {
+    // regression: without ImplicitCastInputTypes these threw
+    // ClassCastException (Integer cannot be cast to Double)
+    val r = one("""SELECT st_area(st_makeenvelope(0, 0, 10, 10)) AS a,
+                          st_area(st_buffer(st_makeenvelope(0, 0, 2, 2), 0)) AS b,
+                          size(minhash_bands(NULL, 4, 4, 5)) AS nb""")
+    assert(r.getDouble(0) == 100.0 && r.getDouble(1) == 4.0)
+    assert(r.isNullAt(2), "minhash_bands with NULL text must be NULL")
+  }
+
   test("st_buffer(., 0) keeps a valid polygon's area") {
     val r = one("""SELECT st_area(st_buffer(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 0.0D)) AS a""")
     assert(r.getDouble(0) == 4.0)

@@ -42,8 +42,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("bucketed join is a shuffle-free sort-merge join") {
-    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
-    val p = df.queryExecution.sparkPlan.toString
+    // the plain join: any hashpartitioning exchange in the EXECUTED plan
+    // could only come from the join inputs, so its absence proves the
+    // bucketed scan satisfied the join's distribution requirement
+    val df = SinkQueries.bucketedJoinPlain(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"), p.take(1500))
     assert(!p.contains("hashpartitioning"),
       s"bucketed join should not exchange either side:\n${p.take(1500)}")

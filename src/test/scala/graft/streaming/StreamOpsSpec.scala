@@ -34,6 +34,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late cross-batch event does not regress the session frontier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 1000)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.Event(1L, 0L, 1.0), StreamOps.Event(1L, 800L, 1.0))
+      q.processAllAvailable()
+      // late event at t=500 arrives in the next batch; frontier stays 800
+      input.addData(StreamOps.Event(1L, 500L, 1.0))
+      q.processAllAvailable()
+      // t=1700: within gap of the true frontier (800), NOT of the late 500
+      input.addData(StreamOps.Event(1L, 1700L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_out").count() == 0,
+        "session wrongly closed: late event regressed the frontier")
+      // t=3000 closes it: session must span 0..1700 with 4 events
+      input.addData(StreamOps.Event(1L, 3000L, 1.0))
+      q.processAllAvailable()
+      val s = spark.table("late_out").as[StreamOps.SessionOut].collect()
+      assert(s.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 1700L, 4, 4.0)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts aggregate by tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -18,6 +18,12 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+# a query that crashed inside Verify writes no directory at all — that is
+# a failure, not a silent absence
+for q in sorted(oracle):
+    if not os.path.isdir(os.path.join(out, q)):
+        print(f"{q:28s} FAIL no output written (query crashed in Verify)")
+        fails += 1
 for q in sorted(os.listdir(out)):
     qdir = os.path.join(out, q)
     if not os.path.isdir(qdir):
