@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, TextQueries, VectorQueries}
+import graft.ops.{AsofJoin, Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-    SessionQueries.all ++ SinkQueries.all ++ Multimodal.all ++
+    SessionQueries.all ++ SinkQueries.all ++ Multimodal.all ++ AsofJoin.all ++
     Map[String, (SparkSession, String) => DataFrame](
       // A1+F1-F8: the full spatial pipeline, closed-form-area variant
       // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
@@ -37,7 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-    SessionQueries.oracles ++ SinkQueries.oracles +
+    SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql)
 }
