@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: fuse chained st_transform calls (SURVEY §7.5)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseStTransforms)
+
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

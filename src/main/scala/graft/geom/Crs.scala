@@ -142,11 +142,14 @@ object Crs {
     "EPSG:5880" -> BrazilPolyconic
   )
 
-  /** Pointwise coordinate transform src -> dst via the lon/lat hub. */
+  /** Pointwise coordinate transform src -> dst via the lon/lat hub.
+    * src == dst is the exact identity (no hub round-trip FP noise) — the
+    * case CollapseStTransforms produces when fusing a→b→a chains. */
   def pointTransform(src: String, dst: String): (Double, Double) => (Double, Double) = {
     val s = registry.getOrElse(src, throw new IllegalArgumentException(s"unknown CRS $src"))
     val d = registry.getOrElse(dst, throw new IllegalArgumentException(s"unknown CRS $dst"))
-    (x, y) => {
+    if (src == dst) (x, y) => (x, y)
+    else (x, y) => {
       val (lon, lat) = s.inverse(x, y)
       d.forward(lon, lat)
     }

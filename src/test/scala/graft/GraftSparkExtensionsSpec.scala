@@ -33,6 +33,19 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
           |  SELECT st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS g
           |  UNION ALL SELECT st_geomfromwkt('POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))'))""".stripMargin).head()
       assert(agg.getDouble(0) == 2.0)
+      // CollapseStTransforms: a chained reprojection over a NON-foldable
+      // geometry (all-literal input would be constant-folded away first)
+      // optimizes to a single st_transform, and the collapsed 3857->3857
+      // trip is exact identity
+      val chained = s.sql(
+        """SELECT st_astext(st_transform(st_transform(p, 'EPSG:3857', 'EPSG:5880'),
+          |                              'EPSG:5880', 'EPSG:3857')) AS t
+          |FROM (SELECT st_point(CAST(id AS DOUBLE) - 5193566.0D, -2698813.0D) AS p
+          |      FROM range(1))""".stripMargin)
+      val optimized = chained.queryExecution.optimizedPlan.toString
+      assert("st_transform".r.findAllIn(optimized).size == 1,
+        s"chained transforms should collapse to one:\n$optimized")
+      assert(chained.head().getString(0) == "POINT (-5193566 -2698813)")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
