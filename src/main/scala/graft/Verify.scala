@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // full inventory manifest: lets the checker treat a crashed rows-only
+    // query (no output dir) as a failure instead of a silent absence
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

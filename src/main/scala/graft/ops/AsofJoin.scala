@@ -24,6 +24,12 @@ object AsofJoin {
     * "at or before" includes same-instant rows; equal-time right rows are
     * pre-deduplicated to max payload so the pick is deterministic. */
   def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    // the order side's NTZ->epoch conversion goes through the session zone
+    // while the event side is raw epoch nanos; any zone but UTC would skew
+    // the two time axes against each other — fail fast instead of
+    // returning silently shifted matches
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "as-of join requires spark.sql.session.timeZone=UTC (NTZ order dates are interpreted in the session zone)")
     val right = Tables.orders(spark, dir)
       .select(col("o_custkey").as("k"),
         // parquet ms-timestamps read as TIMESTAMP_NTZ; the session is UTC,

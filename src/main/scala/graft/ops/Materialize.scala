@@ -20,8 +20,8 @@ import scala.jdk.CollectionConverters._
   *     of the previous version are undisturbed), then validates the
   *     WRITTEN data, so the input plan executes exactly once;
   *   - the unique-key gate runs BEFORE the swap, like the reference's
-  *     unique index: a duplicate-key publish leaves `current` untouched
-  *     (the orphaned version dir is reclaimed by the next gc);
+  *     unique index: a duplicate-key publish deletes its rejected version
+  *     dir and leaves `current` untouched;
   *   - the pointer file is renamed into place atomically (POSIX rename),
   *     so readers see old or new, never half.
   */
@@ -36,13 +36,17 @@ object Materialize {
     * (load_to_postgres.py:134-135). */
   def publish(df: DataFrame, base: String, table: String, version: String,
               keys: Seq[String]): String = {
-    val dir = tableDir(base, table).resolve("versions").resolve(version).toString
+    val dirPath = tableDir(base, table).resolve("versions").resolve(version)
+    val dir = dirPath.toString
     df.write.mode("overwrite").parquet(dir)
     // gate on the written parquet: one execution of the input plan, and
     // the check sees exactly the bytes a reader would
     val written = df.sparkSession.read.parquet(dir)
     val dups = written.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
     if (!dups.isEmpty) {
+      // remove the rejected version so it can neither be pointed at nor
+      // occupy a gc retention slot
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       throw new IllegalStateException(
         s"unique-key violation on (${keys.mkString(", ")}); refusing to publish $table $version")
     }
@@ -64,7 +68,9 @@ object Materialize {
   def gc(base: String, table: String, keep: Int = 2): Seq[String] = {
     val versionsDir = tableDir(base, table).resolve("versions")
     if (!Files.isDirectory(versionsDir)) return Nil
-    val live = Files.readString(pointer(base, table)).trim
+    // no pointer = no successful publish yet (every version is reclaimable)
+    val ptr = pointer(base, table)
+    val live = if (Files.exists(ptr)) Files.readString(ptr).trim else ""
     val versions = Files.list(versionsDir).iterator().asScala
       .filter(Files.isDirectory(_))
       .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis)

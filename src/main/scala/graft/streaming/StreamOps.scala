@@ -36,9 +36,16 @@ object StreamOps {
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             open match {
+              case Some(s) if e.tms < s.start - gapMs =>
+                // straggler older than the open session's reach: it belongs
+                // to an already-closed span, so it forms its own session —
+                // merging would regress the start without bound and diverge
+                // from the batch twin's semantics
+                closed += SessionOut(user, e.tms, e.tms, 1, e.value)
               case Some(s) if e.tms - s.last <= gapMs =>
-                // max: a late event from a subsequent micro-batch must not
-                // regress the session frontier (events are only sorted
+                // min/max: a late event from a subsequent micro-batch may
+                // extend the session backwards (within one gap) but must
+                // never regress the frontier (events are only sorted
                 // within a batch, not across batches)
                 open = Some(OpenSession(math.min(s.start, e.tms),
                   math.max(s.last, e.tms), s.n + 1, s.total + e.value))

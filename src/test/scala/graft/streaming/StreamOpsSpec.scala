@@ -52,11 +52,20 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("late_out").count() == 0,
         "session wrongly closed: late event regressed the frontier")
-      // t=3000 closes it: session must span 0..1700 with 4 events
+      // a straggler far older than the open session's reach forms its
+      // own session instead of regressing the start without bound
+      input.addData(StreamOps.Event(1L, -9000L, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("late_out").as[StreamOps.SessionOut].collect().toSeq ==
+        Seq(StreamOps.SessionOut(1L, -9000L, -9000L, 1, 7.0)))
+      // t=3000 closes the open session: it must span 0..1700 with 4 events
       input.addData(StreamOps.Event(1L, 3000L, 1.0))
       q.processAllAvailable()
       val s = spark.table("late_out").as[StreamOps.SessionOut].collect()
-      assert(s.toSeq == Seq(StreamOps.SessionOut(1L, 0L, 1700L, 4, 4.0)))
+        .sortBy(_.start_ms)
+      assert(s.toSeq == Seq(
+        StreamOps.SessionOut(1L, -9000L, -9000L, 1, 7.0),
+        StreamOps.SessionOut(1L, 0L, 1700L, 4, 4.0)))
     } finally q.stop()
   }
 

@@ -19,8 +19,13 @@ for p in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 # a query that crashed inside Verify writes no directory at all — that is
-# a failure, not a silent absence
-for q in sorted(oracle):
+# a failure, not a silent absence. queries.txt (the full inventory, incl.
+# rows-only queries) is authoritative when present.
+manifest_path = os.path.join(out, "queries.txt")
+expected = set(oracle)
+if os.path.exists(manifest_path):
+    expected |= {q for q in open(manifest_path).read().split() if q}
+for q in sorted(expected):
     if not os.path.isdir(os.path.join(out, q)):
         print(f"{q:28s} FAIL no output written (query crashed in Verify)")
         fails += 1
