@@ -217,6 +217,42 @@ object RelationalQueries {
         sum(col("pv")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Range (non-equi interval) join via bucket expansion: the right side's
+    * intervals explode into fixed-width integer buckets, the join runs as
+    * an equi join on the bucket, and the exact interval predicate
+    * post-filters. A naive non-equi join plans BroadcastNestedLoopJoin —
+    * O(|L|·|R|) predicate tests and no partition pruning; bucket expansion
+    * keeps the join hash-based and shuffle-partitionable at any scale. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketWidth = 10
+    val bands = region(spark, dir).select(
+      col("r_name").as("band"),
+      (col("r_regionkey") * 10).cast("double").as("lo"),
+      (col("r_regionkey") * 10 + 10).cast("double").as("hi"))
+    val bandBuckets = bands.withColumn("bucket",
+      explode(expr(s"sequence(CAST(floor(lo / $bucketWidth) AS INT), " +
+        s"CAST(ceil(hi / $bucketWidth) AS INT) - 1)")))
+    lineitem(spark, dir)
+      .select(col("l_quantity"))
+      .withColumn("bucket", floor(col("l_quantity") / bucketWidth).cast("int"))
+      .join(broadcast(bandBuckets), "bucket")
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
+  /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -246,6 +282,8 @@ object RelationalQueries {
     "q_setop_mix" -> (setopMix _),
     "q_union_all_counts" -> (unionAllCounts _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
+    "q_range_join" -> (rangeJoin _),
+    "q_percentile" -> (percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +380,15 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_range_join" ->
+      """SELECT r_name AS band, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN region
+        |  ON l_quantity >= r_regionkey * 10 AND l_quantity < r_regionkey * 10 + 10
+        |GROUP BY r_name ORDER BY band""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
