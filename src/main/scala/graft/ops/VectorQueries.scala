@@ -80,6 +80,43 @@ object VectorQueries {
       .orderBy(col("rank"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
+    * vectors stand in for trained centroids), every vector assigned to its
+    * nearest centroid's inverted list, and the query probing only the
+    * `nprobe` nearest lists before exact cosine re-ranking. The centroids
+    * are a driver-side constant (tiny lookup, like the reference's bounds
+    * collect), so assignment is a pure per-row projection — at 100 TB the
+    * list id becomes a partition key and unprobed lists never leave the
+    * scan. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5,
+             nprobe: Int = 2, nlist: Int = 8): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
+      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
+    val q = queryVector(spark, dir)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = centroids.map { case (cid, cv) => (cid, l2(q, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val distToCentroids = array(centroids.map { case (_, cv) =>
+      foldSum(zip_with(embD, typedlit(cv), (a, b) => (a - b) * (a - b)))
+    }: _*)
+    val sims = embeddings(spark, dir)
+      .withColumn("dists", distToCentroids)
+      .withColumn("list_id",
+        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+      .filter(col("list_id").isin(probed.map(Int.box): _*) && col("vec_id") =!= QueryVecId)
+      .withColumn("sim", cosineAgainst(q))
+    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing a sign-LSH
     * bucket whose exact cosine exceeds the threshold (0.35 — this corpus's embeddings are near-orthogonal, 99th-pct same-bucket cosine ~0.36; real near-dup corpora would use ~0.9). Same
     * bucket-group-then-pair shape as the MinHash dedup — candidate pairs
@@ -129,6 +166,7 @@ object VectorQueries {
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_emb_norms" -> (embNorms _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
   )
 
   /** The 8-bit sign bucket, spelled in DuckDB. */
@@ -168,6 +206,28 @@ object VectorQueries {
          |  SELECT e.vec_id, $cosineSql AS sim
          |  FROM bucketed e, q, qb
          |  WHERE e.bucket = qb.qbucket AND e.vec_id <> $QueryVecId)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+         |       vec_id, ROUND(sim, 4) AS sim
+         |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(e.embedding, c.ce),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+         |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+         |  FROM embeddings e CROSS JOIN c),
+         |a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d) t WHERE rn = 1),
+         |probes AS (SELECT cid FROM d WHERE vec_id = $QueryVecId ORDER BY dist, cid LIMIT 2),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id, q
+         |  WHERE a.cid IN (SELECT cid FROM probes) AND e.vec_id <> $QueryVecId)
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,

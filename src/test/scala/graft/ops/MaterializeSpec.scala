@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkFixture
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def freshBase(): String =
+    Files.createTempDirectory(Paths.get("/root/repo/target"), "mat_spec").toString
+
+  test("publish -> current round-trips; re-publish swaps atomically") {
+    import spark.implicits._
+    val base = freshBase()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v2 = Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("k", "v")
+    Materialize.publish(v1, base, "t", "v1", Seq("k"))
+    assert(Materialize.current(spark, base, "t").count() == 2)
+    Materialize.publish(v2, base, "t", "v2", Seq("k"))
+    assert(Materialize.current(spark, base, "t").count() == 3)
+  }
+
+  test("duplicate keys refuse the publish, delete the version dir, keep the pointer") {
+    import spark.implicits._
+    val base = freshBase()
+    Materialize.publish(Seq((1L, "a")).toDF("k", "v"), base, "t", "v1", Seq("k"))
+    val before = Files.readString(Paths.get(base, "t", "current"))
+    assertThrows[IllegalStateException] {
+      Materialize.publish(Seq((1L, "a"), (1L, "b")).toDF("k", "v"), base, "t", "v2", Seq("k"))
+    }
+    assert(Files.readString(Paths.get(base, "t", "current")) == before)
+    assert(!Files.exists(Paths.get(base, "t", "versions", "v2")), "rejected version dir must be deleted")
+    assert(Materialize.current(spark, base, "t").count() == 1)
+  }
+
+  test("gate failure on the FIRST publish leaves a gc-safe pointer-less table") {
+    import spark.implicits._
+    val base = freshBase()
+    assertThrows[IllegalStateException] {
+      Materialize.publish(Seq((1L, "a"), (1L, "b")).toDF("k", "v"), base, "t", "v1", Seq("k"))
+    }
+    assert(Materialize.gc(base, "t") == Nil) // must not throw on missing pointer
+  }
+
+  test("gc keeps the newest versions by mtime and never the live one") {
+    import spark.implicits._
+    val base = freshBase()
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // v10 written before v2: lexicographic order would mis-sort these
+    Materialize.publish(df, base, "t", "v10", Seq("k"))
+    Thread.sleep(1100) // parquet dir mtimes have second granularity on some filesystems
+    Materialize.publish(df, base, "t", "v2", Seq("k"))
+    Thread.sleep(1100)
+    Materialize.publish(df, base, "t", "v3", Seq("k"))
+    val gone = Materialize.gc(base, "t", keep = 2)
+    assert(gone.map(p => Paths.get(p).getFileName.toString) == Seq("v10"),
+      s"oldest-by-mtime (v10) should be collected, got $gone")
+    assert(Materialize.current(spark, base, "t").count() == 1)
+  }
+
+  test("gc of one table never touches a sibling table sharing a name prefix") {
+    import spark.implicits._
+    val base = freshBase()
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Materialize.publish(df, base, "cust", "v1", Seq("k"))
+    Materialize.publish(df, base, "cust_orders", "v1", Seq("k"))
+    Materialize.gc(base, "cust", keep = 0)
+    assert(Files.exists(Paths.get(base, "cust_orders", "versions", "v1")),
+      "sibling table must be untouched")
+  }
+}
