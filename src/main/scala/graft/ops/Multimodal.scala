@@ -50,7 +50,7 @@ object Multimodal {
     * image/audio blobs; modality assigned deterministically by source). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Par.fanOut(Tables.documents(spark, dir))
       .select(
         col("doc_id").as("item_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -41,8 +41,12 @@ object Pipelines {
   def flagship(spark: SparkSession, dir: String, gapBuffer: Double = 0.0,
                roundTo: Int = 2, to5880: Boolean = true): DataFrame = {
     import GeoFixtures._
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_shipdate"))
+    // fan the narrow key columns out across cores BEFORE the per-row JTS
+    // kernel (WKT build/parse/makevalid) and the partial union aggregate —
+    // the single-row-group local file otherwise plans the whole map side
+    // onto ≤3 tasks (no-op at production scale, see Par.fanOut)
+    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_shipdate")))
     val rawParcel = st_makevalid(st_geomfromwkt(
       parcelWkt(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))))
     val parcels = li.select(
@@ -89,8 +93,11 @@ object Pipelines {
     * so the result is closed-form: the per-region fact-row count. */
   def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
     import GeoFixtures._
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    // fan out the narrow key columns BEFORE the per-row envelope/WKB
+    // projection — geometry construction is the expensive kernel here, and
+    // it must not run on the handful of scan tasks (see Par.fanOut)
+    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
     // geometry built directly from numeric columns (st_makeenvelope) — the
     // probe side of a spatial join has no reason to round-trip WKT text
     val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
@@ -102,7 +109,8 @@ object Pipelines {
     val regions = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("region_id"),
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom")
+    SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom",
+        outputCols = Seq("region_id"))
       .groupBy(col("region_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("region_id"))

@@ -158,13 +158,25 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** Window: ranked top-3 orders per market segment (§2.5 capability). */
+  /** Window: ranked top-3 orders per market segment (§2.5 capability).
+    *
+    * Two-phase: a group-by key with few distinct values (5 segments) gives
+    * a single-phase window only 5-way parallelism and unbounded per-group
+    * sorts. Phase 1 ranks within (segment, salt) — every core busy, each
+    * sort group ~1/32 of a segment — and keeps 3 rows per salt; phase 2
+    * ranks the ≤ 3·32·|segments| survivors. Same rows out (the global
+    * top-3 survives every salt-local top-3), shuffle two carries ~500 rows
+    * at any input scale. */
   def windowTopK(spark: SparkSession, dir: String): DataFrame = {
     val j = orders(spark, dir)
       .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"), "inner")
+    val local = Window.partitionBy(col("c_mktsegment"), pmod(col("o_orderkey"), lit(32)))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    j.withColumn("rn", row_number().over(w))
+    j.withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= 3)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))

@@ -54,8 +54,13 @@ object SinkQueries {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
-    Materialize.publish(agg, OutBase, "cust_orders", "v1", Seq("o_custkey"))
-    Materialize.publish(agg, OutBase, "cust_orders", "v2", Seq("o_custkey"))
+      // two versions of the same plan are published back to back; caching
+      // the aggregate means the input executes once, not once per version
+      .persist()
+    try {
+      Materialize.publish(agg, OutBase, "cust_orders", "v1", Seq("o_custkey"))
+      Materialize.publish(agg, OutBase, "cust_orders", "v2", Seq("o_custkey"))
+    } finally agg.unpersist(blocking = false)
     Materialize.gc(OutBase, "cust_orders", keep = 2)
     Materialize.current(spark, OutBase, "cust_orders")
       .orderBy(col("o_custkey"))
@@ -79,11 +84,14 @@ object SinkQueries {
         spark.catalog.tableExists("graft_customer_bkt")) return
     spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
-    orders(spark, dir).write
+    // pre-hash-partition on the bucket key with the bucket count: each of
+    // the 8 writer tasks then owns exactly one bucket's rows (same Murmur3
+    // pmod), instead of one scan task writing all 8 bucket files serially
+    orders(spark, dir).repartition(8, col("o_custkey")).write
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", s"$OutBase/orders_bkt")
       .mode("overwrite").saveAsTable("graft_orders_bkt")
-    customer(spark, dir).write
+    customer(spark, dir).repartition(8, col("c_custkey")).write
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", s"$OutBase/customer_bkt")
       .mode("overwrite").saveAsTable("graft_customer_bkt")

@@ -24,9 +24,15 @@ object SpatialJoin {
   /** Inner join `left ⋈ right ON st_intersects(left[leftGeomCol],
     * right[rightGeomCol])`. `right` must be the dimension side (collected
     * and broadcast, like `functions.broadcast`). Output schema is the
-    * concatenation of both sides' columns. */
+    * concatenation of both sides' columns, or just `outputCols` when given
+    * (resolved left side first). mapPartitions is opaque to Catalyst column
+    * pruning, so when the consumer needs only a few columns — e.g. a
+    * count-per-key rollup that drops both geometries — projecting inside
+    * the operator is what keeps multi-hundred-byte WKB payloads out of the
+    * row encoder and the downstream shuffle. */
   def broadcastIntersects(left: DataFrame, right: DataFrame,
-                          leftGeomCol: String, rightGeomCol: String): DataFrame = {
+                          leftGeomCol: String, rightGeomCol: String,
+                          outputCols: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     val rightSchema = right.schema
     val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
@@ -35,10 +41,24 @@ object SpatialJoin {
       (r.getAs[Array[Byte]](rightGeomIdx), r.toSeq)
     }
     val bRight = spark.sparkContext.broadcast(rightRows)
-    val leftGeomIdx = left.schema.fieldIndex(leftGeomCol)
-    val outSchema = StructType(left.schema.fields ++ rightSchema.fields)
+    val leftSchema = left.schema
+    val leftGeomIdx = leftSchema.fieldIndex(leftGeomCol)
+    // output projection: (isLeft, ordinal) per emitted column
+    val picks: Array[(Boolean, Int)] =
+      if (outputCols.isEmpty) {
+        leftSchema.fields.indices.map(i => (true, i)).toArray ++
+          rightSchema.fields.indices.map(i => (false, i))
+      } else outputCols.map { c =>
+        val li = leftSchema.fieldNames.indexOf(c)
+        if (li >= 0) (true, li)
+        else (false, rightSchema.fieldIndex(c))
+      }.toArray
+    val outSchema = StructType(picks.map { case (isLeft, i) =>
+      if (isLeft) leftSchema.fields(i) else rightSchema.fields(i)
+    })
 
-    left.mapPartitions { it =>
+    // probe kernel is per-row JTS work — guarantee it fans out across cores
+    Par.fanOut(left).mapPartitions { it =>
       // PreparedGeometry caches the index-side geometry's edge index: the
       // same polygon is probed by every left row in the partition, which
       // is PreparedGeometryFactory's designed use case (~3x on intersects)
@@ -54,7 +74,16 @@ object SpatialJoin {
         tree.query(lg.getEnvelopeInternal).asScala.iterator
           .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Seq[Any])])
           .filter { case (rg, _) => rg.intersects(lg) }
-          .map { case (_, rvals) => Row.fromSeq(lrow.toSeq ++ rvals) }
+          .map { case (_, rvals) =>
+            val vs = new Array[Any](picks.length)
+            var i = 0
+            while (i < picks.length) {
+              val (isLeft, ord) = picks(i)
+              vs(i) = if (isLeft) lrow.get(ord) else rvals(ord)
+              i += 1
+            }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vs))
+          }
       }
     }(Encoders.row(outSchema))
   }

@@ -51,8 +51,7 @@ object TextQueries {
   def dedupMinhash(spark: SparkSession, dir: String,
                    bands: Int = 8, rows: Int = 8, shingle: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 128): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val docs = documents(spark, dir).select(col("doc_id"), col("text")).repartition(par)
+    val docs = Par.fanOut(documents(spark, dir).select(col("doc_id"), col("text")))
     val banded = docs
       .select(col("doc_id"),
         posexplode(minhash_bands(col("text"), lit(bands), lit(rows), lit(shingle))))
@@ -84,8 +83,7 @@ object TextQueries {
     * compromise, still never all-pairs). */
   def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 6,
                    maxBucket: Int = 128): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val docs = documents(spark, dir).repartition(par)
+    val docs = Par.fanOut(documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), simhash64(col("text"), lit(5)).as("sim"))
     // one simhash pass; pairs generated per (chunk_idx, chunk) bucket
     val chunked = docs.select(col("doc_id"), col("sim"),
@@ -142,7 +140,7 @@ object TextQueries {
     * (letter runs, digit runs, other non-space symbols) — the
     * subword-tokenizer-shaped counting pass of a training-data pipeline. */
   def tokenRegex(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    Par.fanOut(documents(spark, dir))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

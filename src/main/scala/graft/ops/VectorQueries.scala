@@ -46,7 +46,7 @@ object VectorQueries {
 
   /** Exact brute-force cosine top-10 against the query vector. */
   def simTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val sims = embeddings(spark, dir)
+    val sims = Par.fanOut(embeddings(spark, dir))
       .filter(col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(queryVector(spark, dir)))
     val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
@@ -69,7 +69,7 @@ object VectorQueries {
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = queryVector(spark, dir)
     val qBucket = (0 until SignBits).map(i => if (q(i) >= 0) 1 << i else 0).sum
-    val sims = embeddings(spark, dir)
+    val sims = Par.fanOut(embeddings(spark, dir))
       .withColumn("bucket", signBucket(col("embedding")))
       .filter(col("bucket") === qBucket && col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(q))
@@ -104,7 +104,7 @@ object VectorQueries {
     val distToCentroids = array(centroids.map { case (_, cv) =>
       foldSum(zip_with(embD, typedlit(cv), (a, b) => (a - b) * (a - b)))
     }: _*)
-    val sims = embeddings(spark, dir)
+    val sims = Par.fanOut(embeddings(spark, dir))
       .withColumn("dists", distToCentroids)
       .withColumn("list_id",
         (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
@@ -124,7 +124,7 @@ object VectorQueries {
   def dedupEmbedding(spark: SparkSession, dir: String,
                      threshold: Double = 0.35, maxBucket: Int = 256): DataFrame = {
     val embD = transform(col("embedding"), x => x.cast("double"))
-    val bucketed = embeddings(spark, dir)
+    val bucketed = Par.fanOut(embeddings(spark, dir))
       .select(col("vec_id"), embD.as("emb"), signBucket(col("embedding")).as("bucket"))
     val pairs = bucketed
       .groupBy(col("bucket"))
@@ -150,7 +150,7 @@ object VectorQueries {
     * cannot perturb it. */
   def embNorms(spark: SparkSession, dir: String): DataFrame = {
     val embD = transform(col("embedding"), x => x.cast("double"))
-    embeddings(spark, dir)
+    Par.fanOut(embeddings(spark, dir))
       .withColumn("norm", sqrt(foldSum(transform(embD, x => x * x))))
       .groupBy(col("label"))
       .agg(
