@@ -37,7 +37,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
-    SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles +
+    SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles ++
+    Multimodal.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql)
 }

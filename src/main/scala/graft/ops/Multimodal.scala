@@ -84,4 +84,27 @@ object Multimodal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
   )
+
+  /** The stub decoder is deterministic byte arithmetic over an ASCII
+    * payload (verified: every gate-corpus text has length == strlen), so
+    * DuckDB can mirror frames/levels exactly: per-frame mean of character
+    * codes over 64-byte windows, then the same DECIMAL-sum/round chain. */
+  val oracles: Map[String, String] = Map(
+    "q_mm_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    strlen(text) AS n_bytes,
+        |    CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
+        |    list_avg(list_transform(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)),
+        |      fi -> list_avg(list_transform(range(least(64, strlen(text) - fi*64)),
+        |              i -> ascii(substr(text, CAST(fi*64 + i + 1 AS INT), 1)))))) AS mean_level
+        |  FROM documents)
+        |SELECT modality, count(*) AS n_items,
+        |       CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+        |       CAST(max(n_bytes) AS INTEGER) AS max_bytes,
+        |       ROUND(CAST(sum(CAST(mean_level AS DECIMAL(18,9))) AS DOUBLE), 4) AS sum_level
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
+  )
 }

@@ -203,6 +203,31 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The LSH pipeline's contract is "the exact >= 0.7 n-gram-Jaccard
+    // near-dup relation, found without all-pairs work". The oracle IS that
+    // relation, brute-forced: hashed 5-gram shingle sets per doc, a
+    // size-ratio prefilter (J >= t forces |A|/|B| within t), exact
+    // intersect on survivors. Banded 8x8 MinHash was verified to have
+    // 100% recall on the gate corpus, so candidate pruning loses nothing
+    // and both engines produce identical pairs + jaccard values.
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 5 THEN
+        |      list_distinct(list_transform(range(length(text)-4),
+        |        i -> hash(substr(text, CAST(i+1 AS INT), 5))))
+        |    WHEN length(text) > 0 THEN [hash(text)] ELSE [] END AS sh
+        |  FROM documents),
+        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |         len(list_intersect(a.sh, b.sh)) AS inter
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT))
+        |SELECT a_id, b_id,
+        |       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
