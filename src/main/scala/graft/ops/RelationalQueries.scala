@@ -158,6 +158,18 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general member of the grouping-sets
+    * family (§2.4 note): two independent single-dimension sets, a shape
+    * neither rollup nor cube can express. */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Window: ranked top-3 orders per market segment (§2.5 capability).
     *
     * Two-phase: a group-by key with few distinct values (5 segments) gives
@@ -288,6 +300,7 @@ object RelationalQueries {
     "q_distinct" -> (distinctQ _),
     "q_rollup" -> (rollupQ _),
     "q_cube" -> (cubeQ _),
+    "q_grouping_sets" -> (groupingSetsQ _),
     "q_window_topk" -> (windowTopK _),
     "q_window_running" -> (windowRunning _),
     "q_sort_limit" -> (sortLimit _),
@@ -357,6 +370,12 @@ object RelationalQueries {
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_window_topk" ->
       """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (

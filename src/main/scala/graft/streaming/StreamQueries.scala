@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Driver-contract face of the Structured Streaming surface: the
+  * watermarked windowed aggregation (StreamOps.windowedCounts) executed by
+  * the real streaming engine — file source → event-time watermark →
+  * tumbling window → append-mode memory sink — on the bounded `events`
+  * table, returned as a DataFrame the batch oracle can check.
+  *
+  * Append mode emits exactly the windows the watermark has finalized, so
+  * the batch mirror is deterministic: windows whose end is at or before
+  * max(event time) − watermark delay. That IS the streaming semantics
+  * under test (late-data eviction), not just a batch agg in disguise.
+  */
+object StreamQueries {
+
+  private val runSeq = new AtomicInteger(0)
+
+  val WatermarkMs: Long = 2 * 3600 * 1000L
+  val WindowMs: Long = 3600 * 1000L
+
+  /** Tumbling 1 h per-event-type counts with a 2 h watermark, run as a
+    * bounded stream (Trigger.AvailableNow + the trailing no-data batch
+    * that lets the final watermark close its windows). Output timestamps
+    * are epoch-millis BIGINTs — integer math both engines share. */
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema // also sets nanosAsLong
+    // file stream sources take a directory; pathGlobFilter narrows the
+    // listing to the events table within the shared corpus dir
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // ns → µs integer DIV (epoch-nanos exceed 2^53 — see SessionQueries)
+    val withTs = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val counts = StreamOps.windowedCounts(withTs, "2 hours", "1 hour")
+    val sink = s"graft_stream_window_${runSeq.incrementAndGet()}"
+    val q = counts.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(unix_millis(col("w_start")).as("w_start_ms"), col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window" -> (streamWindowCounts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // batch mirror of the append-mode emission rule: tumbling windows are
+    // epoch-aligned; a window is emitted iff its end <= final watermark
+    // (max event-time ms − delay). DuckDB truncates the parquet ns
+    // timestamps to µs exactly like `ts DIV 1000`.
+    "q_stream_window" ->
+      s"""WITH e AS (
+         |  SELECT CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms, event_type
+         |  FROM events),
+         |w AS (
+         |  SELECT (tms // $WindowMs) * $WindowMs AS w_start_ms, event_type,
+         |         count(*) AS n
+         |  FROM e GROUP BY 1, 2)
+         |SELECT w_start_ms, event_type, n FROM w
+         |WHERE w_start_ms + $WindowMs <= (SELECT max(tms) FROM e) - $WatermarkMs
+         |ORDER BY w_start_ms, event_type""".stripMargin,
+  )
+}
