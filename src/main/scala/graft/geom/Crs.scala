@@ -96,7 +96,7 @@ object Crs {
       // initial guess: equirectangular approximation around (lat0, lon0)
       var lat = (yIn - fn + m0) / a * RadToDeg
       var lon = lon0Deg + (xIn - fe) / a * RadToDeg / math.max(0.2, math.cos(lat * DegToRad))
-      val h = 1e-7 // degrees; ~1 cm — safe for central differences in double
+      val h = 1e-7 // degrees; ~1 cm — safe for forward differences in double
       var i = 0
       while (i < 60) {
         val (fx, fy) = forward(lon, lat)
@@ -108,8 +108,14 @@ object Crs {
         val j11 = (fxLon - fx) / h; val j12 = (fxLat - fx) / h
         val j21 = (fyLon - fy) / h; val j22 = (fyLat - fy) / h
         val det = j11 * j22 - j12 * j21
-        if (det == 0.0) throw new IllegalStateException(
-          s"polyconic inverse: singular Jacobian at ($xIn, $yIn)")
+        // near-singular test relative to the Jacobian's own scale (m/deg):
+        // an exact ==0.0 check would let a numerically-degenerate matrix
+        // produce a huge step and mask the failure as non-convergence
+        val scale = math.max(math.max(math.abs(j11), math.abs(j12)),
+          math.max(math.abs(j21), math.abs(j22)))
+        if (det == 0.0 || math.abs(det) < 1e-12 * scale * scale)
+          throw new IllegalStateException(
+            s"polyconic inverse: near-singular Jacobian at ($xIn, $yIn)")
         var dLon = (rx * j22 - ry * j12) / det
         var dLat = (ry * j11 - rx * j21) / det
         // damp steps so iterates stay in the projection's domain

@@ -78,7 +78,9 @@ object SinkQueries {
   private val bucketTablesBuilt =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  private def ensureBucketTables(spark: SparkSession, dir: String): Unit = {
+  private def ensureBucketTables(spark: SparkSession, dir: String): Unit = synchronized {
+    // synchronized: the check-then-rebuild below is not atomic, and two
+    // concurrent callers racing DROP/saveAsTable would corrupt the tables
     if (dir == bucketTablesBuilt.get(spark) &&
         spark.catalog.tableExists("graft_orders_bkt") &&
         spark.catalog.tableExists("graft_customer_bkt")) return

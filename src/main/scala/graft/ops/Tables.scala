@@ -26,7 +26,16 @@ object Tables {
 
   /** `events.parquet` stores nanosecond timestamps, which Spark's Parquet
     * reader only accepts as raw longs (`ts` becomes nanos-since-epoch
-    * BIGINT). Set per-read via runtime conf so it works on any session. */
+    * BIGINT).
+    *
+    * SESSION-LEVEL SIDE EFFECT, by necessity: `nanosAsLong` exists only as
+    * the SQLConf `spark.sql.legacy.parquet.nanosAsLong` (ParquetOptions
+    * exposes no per-read option for it in Spark 4.1), so this flips the
+    * conf for the whole session. It is scoped in practice: the conf only
+    * changes how parquet NANOS columns are read, and `events` is the sole
+    * corpus table containing one; every other table reads identically
+    * either way. All graft entry points (Bench/Verify/tests) also set it
+    * at session build. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")

@@ -19,18 +19,48 @@ object StreamOps {
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
                         n_events: Int, sum_value: Double)
   case class OpenSession(start: Long, last: Long, n: Int, total: Double)
+  /** Internal grouped-input shape: Event plus the event-time column the
+    * EventTimeTimeout checker requires to remain visible at the stateful
+    * operator (a projection that drops it fails analysis). */
+  case class EventW(user_id: Long, tms: Long, value: Double, ets: java.sql.Timestamp)
 
   /** Incremental gap sessionization: one bounded state record per user;
     * a session is emitted when a later event arrives more than `gapMs`
-    * after the session's last event. Works identically on a bounded
-    * MemoryStream and an unbounded source. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    * after the session's last event, or when the event-time watermark
+    * passes the session's gap horizon (`last + gapMs`) — so an idle user's
+    * final session is flushed and its state dropped instead of being
+    * retained forever on an unbounded stream.
+    *
+    * `watermarkDelay` is the lateness tolerance: larger values accept
+    * older stragglers but delay idle-session flushes by the same amount
+    * (the inherent streaming tradeoff). Note the standard watermark
+    * contract that comes with it: input events at or before the current
+    * watermark are dropped by the engine before reaching the state
+    * function. Works identically on a bounded MemoryStream and an
+    * unbounded source; in batch execution timeouts never fire and the
+    * trailing open session is simply not emitted. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "24 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming // plain val: the closure must not capture the Dataset
+    // EventTimeTimeout needs an event-time watermark, and the watermarked
+    // column must stay visible at the stateful operator — so the grouped
+    // input carries it as a typed field (EventW)
+    val evw = events.withColumn("ets", timestamp_millis(col("tms"))).as[EventW]
+    val withWatermark =
+      if (streaming) evw.withWatermark("ets", watermarkDelay) else evw
+    withWatermark
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[EventW], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap horizon: no event
+            // can extend it any more — flush and free the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+          } else {
           val sorted = it.toSeq.sortBy(e => (e.tms, e.value))
           var open = state.getOption
           val closed = Seq.newBuilder[SessionOut]
@@ -56,8 +86,16 @@ object StreamOps {
                 open = Some(OpenSession(e.tms, e.tms, 1, e.value))
             }
           }
-          open.foreach(state.update)
+          open.foreach { s =>
+            state.update(s)
+            // flush when the watermark passes last+gap; never set a
+            // timeout at or before the current watermark (illegal)
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+          }
           closed.result().iterator
+          }
       }
   }
 

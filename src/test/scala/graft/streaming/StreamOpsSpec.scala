@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class StreamOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
+  // all session event times sit far above epoch 0: the initial watermark
+  // is 0 ms, and watermarked stateful ops drop input at or before the
+  // watermark — epoch-relative test times would be swallowed silently
+  private val B = 1700000000000L
 
   test("streaming gap sessionization closes sessions across micro-batches") {
     import spark.implicits._
@@ -16,21 +20,21 @@ class StreamOpsSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       // batch 1: two events within the gap -> session stays open
-      input.addData(StreamOps.Event(1L, 0L, 1.0), StreamOps.Event(1L, 500L, 2.0))
+      input.addData(StreamOps.Event(1L, B, 1.0), StreamOps.Event(1L, B + 500L, 2.0))
       q.processAllAvailable()
       assert(spark.table("sessions_out").count() == 0)
       // batch 2: event beyond the gap -> first session closes
-      input.addData(StreamOps.Event(1L, 5000L, 4.0))
+      input.addData(StreamOps.Event(1L, B + 5000L, 4.0))
       q.processAllAvailable()
       val row = spark.table("sessions_out").as[StreamOps.SessionOut].collect()
       assert(row.length == 1)
-      assert(row(0) == StreamOps.SessionOut(1L, 0L, 500L, 2, 3.0))
+      assert(row(0) == StreamOps.SessionOut(1L, B, B + 500L, 2, 3.0))
       // a second user is independent state
-      input.addData(StreamOps.Event(2L, 0L, 9.0), StreamOps.Event(2L, 10000L, 1.0))
+      input.addData(StreamOps.Event(2L, B, 9.0), StreamOps.Event(2L, B + 10000L, 1.0))
       q.processAllAvailable()
       val byUser = spark.table("sessions_out").as[StreamOps.SessionOut]
         .collect().groupBy(_.user_id)
-      assert(byUser(2L).head == StreamOps.SessionOut(2L, 0L, 0L, 1, 9.0))
+      assert(byUser(2L).head == StreamOps.SessionOut(2L, B, B, 1, 9.0))
     } finally q.stop()
   }
 
@@ -42,30 +46,52 @@ class StreamOpsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("late_out")
       .outputMode("append").start()
     try {
-      input.addData(StreamOps.Event(1L, 0L, 1.0), StreamOps.Event(1L, 800L, 1.0))
+      input.addData(StreamOps.Event(1L, B, 1.0), StreamOps.Event(1L, B + 800L, 1.0))
       q.processAllAvailable()
-      // late event at t=500 arrives in the next batch; frontier stays 800
-      input.addData(StreamOps.Event(1L, 500L, 1.0))
+      // late event at t=+500 arrives in the next batch; frontier stays +800
+      input.addData(StreamOps.Event(1L, B + 500L, 1.0))
       q.processAllAvailable()
-      // t=1700: within gap of the true frontier (800), NOT of the late 500
-      input.addData(StreamOps.Event(1L, 1700L, 1.0))
+      // t=+1700: within gap of the true frontier (+800), NOT of the late +500
+      input.addData(StreamOps.Event(1L, B + 1700L, 1.0))
       q.processAllAvailable()
       assert(spark.table("late_out").count() == 0,
         "session wrongly closed: late event regressed the frontier")
-      // a straggler far older than the open session's reach forms its
-      // own session instead of regressing the start without bound
-      input.addData(StreamOps.Event(1L, -9000L, 7.0))
+      // a straggler far older than the open session's reach (but inside
+      // the 24 h watermark tolerance) forms its own session instead of
+      // regressing the start without bound
+      input.addData(StreamOps.Event(1L, B - 9000L, 7.0))
       q.processAllAvailable()
       assert(spark.table("late_out").as[StreamOps.SessionOut].collect().toSeq ==
-        Seq(StreamOps.SessionOut(1L, -9000L, -9000L, 1, 7.0)))
-      // t=3000 closes the open session: it must span 0..1700 with 4 events
-      input.addData(StreamOps.Event(1L, 3000L, 1.0))
+        Seq(StreamOps.SessionOut(1L, B - 9000L, B - 9000L, 1, 7.0)))
+      // t=+3000 closes the open session: it must span +0..+1700 with 4 events
+      input.addData(StreamOps.Event(1L, B + 3000L, 1.0))
       q.processAllAvailable()
       val s = spark.table("late_out").as[StreamOps.SessionOut].collect()
         .sortBy(_.start_ms)
       assert(s.toSeq == Seq(
-        StreamOps.SessionOut(1L, -9000L, -9000L, 1, 7.0),
-        StreamOps.SessionOut(1L, 0L, 1700L, 4, 4.0)))
+        StreamOps.SessionOut(1L, B - 9000L, B - 9000L, 1, 7.0),
+        StreamOps.SessionOut(1L, B, B + 1700L, 4, 4.0)))
+    } finally q.stop()
+  }
+
+  test("idle session is flushed when the watermark passes its gap horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 1000, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("flush_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamOps.Event(1L, B, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("flush_out").count() == 0) // watermark not yet past B+gap
+      // another user's much-later event advances the watermark to B+10 s;
+      // user 1's idle session (timeout at B+1 s) must flush WITHOUT any
+      // further user-1 event — the NoTimeout regression kept it forever
+      input.addData(StreamOps.Event(2L, B + 10000L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("flush_out").as[StreamOps.SessionOut].collect()
+      assert(rows.toSeq == Seq(StreamOps.SessionOut(1L, B, B, 1, 5.0)))
     } finally q.stop()
   }
 
