@@ -63,8 +63,14 @@ object functions {
     col(StUnionAgg(ex(g)).toAggregateExpression())
 
   /** Register every graft function for SQL-text use on this session.
-    * Idempotent; temp (session-scoped) registrations. */
+    * Idempotent; temp (session-scoped) registrations. Also installs the
+    * spatial-join planner strategy (the imperative equivalent of the
+    * GraftSparkExtensions injection, for sessions built without the
+    * static `spark.sql.extensions` conf). */
   def registerAll(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.SpatialJoinStrategy
     val reg = Bridge.functionRegistry(spark)
     def r1(name: String, b: Expression => Expression): Unit =
       reg.createOrReplaceTempFunction(name, es => b(es.head), "scala_udf")

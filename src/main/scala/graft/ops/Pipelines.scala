@@ -86,12 +86,17 @@ object Pipelines {
       .orderBy(col("region_id"), col("season_id"), col("land_type_id"))
   }
 
-  /** Spatial-join rollup: parcels ⋈ regions ON st_intersects via the
-    * broadcast R-tree operator, counted per region. On the fixture
-    * geometry every parcel intersects exactly its own region (regions are
-    * disjoint 50 km cells on a 60 km grid; parcels lie strictly inside),
-    * so the result is closed-form: the per-region fact-row count. */
+  /** Spatial-join rollup: parcels ⋈ regions ON st_intersects, written as a
+    * PLAIN DECLARATIVE JOIN — `join(broadcast(regions), st_intersects(…))`
+    * — and planned by graft.plans.SpatialJoinStrategy into the broadcast
+    * R-tree physical operator (PlanShapeSpec asserts the exec node; without
+    * the strategy this exact plan is BroadcastNestedLoopJoin, O(|L|·|R|)).
+    * On the fixture geometry every parcel intersects exactly its own
+    * region (regions are disjoint 50 km cells on a 60 km grid; parcels lie
+    * strictly inside), so the result is closed-form: the per-region
+    * fact-row count. */
   def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
     import GeoFixtures._
     // fan out the narrow key columns BEFORE the per-row envelope/WKB
     // projection — geometry construction is the expensive kernel here, and
@@ -109,8 +114,8 @@ object Pipelines {
     val regions = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("region_id"),
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom",
-        outputCols = Seq("region_id"))
+    parcels
+      .join(broadcast(regions), st_intersects(col("parcel_geom"), col("region_geom")))
       .groupBy(col("region_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("region_id"))

@@ -6,10 +6,18 @@ import org.apache.spark.sql.types.StructType
 import org.locationtech.jts.index.strtree.STRtree
 import scala.jdk.CollectionConverters._
 
-/** Broadcast R-tree spatial join — the engine-level operator Sedona's
-  * installed-but-unused spatial-join machinery would have provided
-  * (reference: Sedona extensions loaded at airflow_dag/dag_geo_pipeline.py:20,
-  * never exercised; SURVEY.md §2.3 marks this the capability stretch goal).
+/** Broadcast R-tree spatial join, DataFrame-API form — the engine-level
+  * operator Sedona's installed-but-unused spatial-join machinery would
+  * have provided (reference: Sedona extensions loaded at
+  * airflow_dag/dag_geo_pipeline.py:20, never exercised; SURVEY.md §2.3
+  * marks this the capability stretch goal).
+  *
+  * The PREFERRED path is the declarative one: write
+  * `left.join(broadcast(right), st_intersects(lg, rg))` and let
+  * graft.plans.SpatialJoinStrategy plan BroadcastRTreeSpatialJoinExec —
+  * Catalyst then still prunes columns and composes the join with the rest
+  * of the plan. This explicit operator remains for sessions where the
+  * strategy is not installed.
   *
   * Catalyst cannot know `st_intersects` is index-accelerable, so a naive
   * formulation becomes BroadcastNestedLoopJoin — O(|L|·|R|) geometry tests.

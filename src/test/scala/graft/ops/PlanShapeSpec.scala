@@ -53,6 +53,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join should not exchange either side:\n${p.take(1500)}")
   }
 
+  test("declarative st_intersects join plans as the broadcast R-tree operator") {
+    // the strategy must intercept the plain join(broadcast(...), st_intersects)
+    // shape; without it this exact plan is BroadcastNestedLoopJoin
+    val p = planOf("q_spatial_join")
+    assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("spatial-join rollup returns the closed-form per-region counts") {
+    val rows = SparkEntry.queries("q_spatial_join")(spark, dir).collect()
+    val expected = Tables.lineitem(spark, dir)
+      .groupBy((org.apache.spark.sql.functions.col("l_partkey") % 25).cast("int"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("no registered query plans a cartesian or nested-loop join") {
     SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)
