@@ -38,11 +38,19 @@ object StreamQueries {
     val withTs = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val counts = StreamOps.windowedCounts(withTs, "2 hours", "1 hour")
     val sink = s"graft_stream_window_${runSeq.incrementAndGet()}"
-    val q = counts.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // streaming agg state partitions = shuffle partitions at query start;
+    // each one is a checkpoint directory written per micro-batch. Size to
+    // the bounded replay here (a real deployment sizes it to the cluster,
+    // and it is fixed for the query's lifetime).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     spark.table(sink)
       .select(unix_millis(col("w_start")).as("w_start_ms"), col("event_type"), col("n"))
