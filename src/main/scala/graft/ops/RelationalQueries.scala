@@ -277,6 +277,44 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: grouped aggregation spread across fixed pivot-column values
+    * (§2.4 family; explicit value list keeps the plan single-pass — no
+    * distinct-values pre-query). */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot (melt): wide metric columns to (metric, value) rows, then
+    * re-aggregated — the schema-normalization shape of feature pipelines. */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice")), "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,3)")).cast("double").as("sum_val"))
+      .orderBy(col("metric"))
+
+  /** The reference loader's scalar surface — date formatting, versioned
+    * table-name concat, digit-extraction regex (reference:
+    * ecs_loader/load_to_postgres.py:286,298 builds and later parses
+    * `crop_analytics_<Y_m_d>` names) — as one oracle-checked query. */
+  def dateOps(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("vname",
+        concat(lit("crop_analytics_"), date_format(col("o_orderdate"), "yyyy_MM_dd")))
+      .withColumn("yr",
+        regexp_extract(col("vname"), "([0-9]{4})_([0-9]{2})_([0-9]{2})", 1).cast("int"))
+      .withColumn("mo",
+        regexp_extract(col("vname"), "([0-9]{4})_([0-9]{2})_([0-9]{2})", 2).cast("int"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n"), max(col("vname")).as("max_vname"))
+      .orderBy(col("yr"), col("mo"))
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -309,6 +347,9 @@ object RelationalQueries {
     "q_skew_salted_agg" -> (skewSaltedAgg _),
     "q_range_join" -> (rangeJoin _),
     "q_percentile" -> (percentiles _),
+    "q_pivot" -> (pivotQ _),
+    "q_unpivot" -> (unpivotQ _),
+    "q_date_ops" -> (dateOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +462,26 @@ object RelationalQueries {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n,
+        |       CAST(sum(CAST(val AS DECIMAL(18,3))) AS DOUBLE) AS sum_val
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
+    "q_date_ops" ->
+      """WITH v AS (
+        |  SELECT 'crop_analytics_' || strftime(o_orderdate, '%Y_%m_%d') AS vname
+        |  FROM orders)
+        |SELECT CAST(regexp_extract(vname, '([0-9]{4})_([0-9]{2})_([0-9]{2})', 1) AS INTEGER) AS yr,
+        |       CAST(regexp_extract(vname, '([0-9]{4})_([0-9]{2})_([0-9]{2})', 2) AS INTEGER) AS mo,
+        |       count(*) AS n, max(vname) AS max_vname
+        |FROM v GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
   )
 }
