@@ -46,6 +46,27 @@ object SinkQueries {
       .orderBy(col("flag"))
   }
 
+  /** JSON sink/scan parity: newline-delimited gzip JSON out, schema'd read
+    * back, aggregate — the interchange format sibling of the CSV loop
+    * (documents survive the text round-trip byte-exactly, which the
+    * oracle's sum over source text lengths proves). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/json_interchange"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).json(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** §2.8: publish two versions of an aggregate with the unique-key gate,
     * GC down to 2, then read back through the current pointer — the full
     * write → swap → read-current protocol in one query. */
@@ -123,12 +144,18 @@ object SinkQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_json_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,

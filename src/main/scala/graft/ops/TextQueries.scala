@@ -183,6 +183,36 @@ object TextQueries {
       .select(col("doc_id"), col("score"))
       .orderBy(col("doc_id"))
 
+  /** N-gram repetition ratio — the MassiveText-style quality signal: a
+    * document whose 5-gram multiset is dominated by few distinct shingles
+    * is repetitive. Computed with engine-portable array arithmetic
+    * (sequence → substring → distinct) so the oracle mirrors it exactly. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("total", greatest(length(col("text")) - 4, lit(0)))
+      .withColumn("n_distinct",
+        size(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 4, 0)), i -> substring(text, i, 5))"))))
+      .filter(col("total") > 0)
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("total").cast("double"))
+      .select(col("doc_id"), col("total"), col("n_distinct"), col("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword ratio per document (the stopword-density member of the
+    * length/punct/stopword quality-filter family). */
+  def stopwordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
+    documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> t IN (${stops.map(s => s"'$s'").mkString(",")}))")))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / size(col("toks")).cast("double"))
+      .select(col("doc_id"), col("n_stop"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
     * the join-key form used for cross-corpus dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -200,6 +230,8 @@ object TextQueries {
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
+    "q_repetition" -> (repetition _),
+    "q_stopword_ratio" -> (stopwordRatio _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,5 +309,25 @@ object TextQueries {
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    greatest(length(text) - 4, 0) AS total,
+        |    CAST(len(list_distinct(list_transform(range(greatest(length(text) - 4, 0)),
+        |      i -> substr(text, CAST(i + 1 AS INT), 5)))) AS INTEGER) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, CAST(total AS INTEGER) AS total, n_distinct,
+        |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE) AS rep_ratio
+        |FROM d WHERE total > 0 ORDER BY doc_id""".stripMargin,
+    "q_stopword_ratio" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t IN
+        |    ('the','of','and','a','to','in','is','on','for','with'))) AS INTEGER) AS n_stop,
+        |  CAST(len(list_filter(toks, t -> t IN
+        |    ('the','of','and','a','to','in','is','on','for','with'))) AS DOUBLE) /
+        |  CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

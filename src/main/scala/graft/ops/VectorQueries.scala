@@ -161,7 +161,25 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Per-label embedding centroid components via positional explode — the
+    * scale path for element-wise vector aggregation: (label, dim) is the
+    * shuffle key, so a 100 TB embedding table aggregates as |labels|·|dims|
+    * groups with map-side partials instead of collecting vectors. Decimal
+    * partial sums make the result engine-exact; the final mean divides two
+    * exact doubles. */
+  def embCentroid(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
+    Par.fanOut(embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")))
+      .filter(col("pos") < dims)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("col").cast("double").cast("decimal(18,9)")).as("s"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_emb_norms" -> (embNorms _),
@@ -245,6 +263,15 @@ object VectorQueries {
          |  WHERE a.bucket IN (SELECT bucket FROM b GROUP BY bucket
          |                     HAVING count(*) BETWEEN 2 AND 256))
          |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    "q_emb_centroid" ->
+      """WITH e AS (
+        |  SELECT label, CAST(t.i AS INTEGER) AS pos,
+        |         CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(16)) AS t(i)
+        |  WHERE t.i < len(embedding))
+        |SELECT label, pos, count(*) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_emb_norms" ->
       """WITH n AS (
         |  SELECT label,
