@@ -57,8 +57,40 @@ object StreamQueries {
       .orderBy(col("w_start_ms"), col("event_type"))
   }
 
+  /** Streaming stateful dedup: one event per (user, hour) survives, state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` — plain
+    * streaming dropDuplicates retains key state forever). The bounded
+    * single-batch replay emits exactly the distinct key set (nothing is
+    * late on first sight), so the batch mirror is COUNT(DISTINCT hour)
+    * per user; only key columns are output, since WHICH duplicate
+    * survives is arrival-order-dependent but the key set is not. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val deduped = stream
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("hour_ms", expr("unix_millis(ts) DIV 3600000") * lit(3600000L))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "hour_ms")
+      .select(col("user_id"), col("hour_ms"))
+    val sink = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_hours"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
+    "q_stream_dedup" -> (streamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,5 +109,9 @@ object StreamQueries {
          |SELECT w_start_ms, event_type, n FROM w
          |WHERE w_start_ms + $WindowMs <= (SELECT max(tms) FROM e) - $WatermarkMs
          |ORDER BY w_start_ms, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id,
+        |       count(DISTINCT (CAST(epoch_ns(ts) // 1000000 AS BIGINT)) // 3600000) AS n_active_hours
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
