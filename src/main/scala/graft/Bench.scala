@@ -19,13 +19,24 @@ object Bench {
     // JIT/codegen/classloading (profiled at 0.5-2.7 s per query cold, which
     // would swamp the sf0.1 work being measured). Long-running executors
     // are the production condition; cold-start is not the benched metric.
-    val warmDir = "/root/testdata/sf0.001"
+    // warm on the sibling sf0.001 corpus when present, else the timed dir
+    // itself (slower warmup, still warm); count failures instead of
+    // swallowing them invisibly — an all-failed warmup means the timed
+    // numbers are cold-start and not comparable
+    val sibling = new java.io.File(sfDir).getParentFile match {
+      case null => sfDir
+      case p => new java.io.File(p, "sf0.001").getPath
+    }
+    val warmDir = if (new java.io.File(sibling).isDirectory) sibling else sfDir
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} warmup runs failed on $warmDir")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

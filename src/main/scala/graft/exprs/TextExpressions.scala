@@ -23,7 +23,10 @@ object TextHash {
     * than hashing (measured ~40% of kernel time). Zero is handled via a
     * separate flag so the backing array needs no sentinel encoding. */
   final class LongSet(initialCapacity: Int = 1024) {
-    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    // clamp before doubling: initialCapacity >= 2^30 would overflow Int
+    // and produce a negative array size
+    private var cap = Integer.highestOneBit(
+      math.min(1 << 29, math.max(initialCapacity, 16)) * 2 - 1)
     private var keys = new Array[Long](cap)
     private var occupied = new Array[Boolean](cap)
     private var n = 0

@@ -285,6 +285,10 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
+      // pivot fills missing (flag, status) cells with NULL, but the
+      // oracle's count(*) FILTER yields 0 — make the equivalence
+      // structural, not a property of this corpus
+      .na.fill(0L, Seq("F", "O"))
       .orderBy(col("l_returnflag"))
 
   /** Unpivot (melt): wide metric columns to (metric, value) rows, then

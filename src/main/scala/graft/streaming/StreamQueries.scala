@@ -52,9 +52,14 @@ object StreamQueries {
         .start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
-    spark.table(sink)
+    // materialize off the sink, then drop the temp view: repeated
+    // invocations must not accumulate memory-sink tables on the driver
+    val out = spark.table(sink)
       .select(unix_millis(col("w_start")).as("w_start_ms"), col("event_type"), col("n"))
       .orderBy(col("w_start_ms"), col("event_type"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   /** Streaming stateful dedup: one event per (user, hour) survives, state
@@ -82,10 +87,13 @@ object StreamQueries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
-    spark.table(sink)
+    val out = spark.table(sink)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_active_hours"))
       .orderBy(col("user_id"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

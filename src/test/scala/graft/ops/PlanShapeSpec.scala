@@ -61,6 +61,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("API-form broadcastIntersects agrees with the strategy-planned join") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import GeoFixtures._
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val parcels = li.select(st_makeenvelope(px0.cast("double"), py0.cast("double"),
+      (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double")).as("parcel_geom"))
+    val regions = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("int").as("region_id"),
+        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
+    val api = SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom",
+        outputCols = Seq("region_id"))
+      .groupBy(col("region_id")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val strategy = SparkEntry.queries("q_spatial_join")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(api == strategy)
+  }
+
   test("spatial-join rollup returns the closed-form per-region counts") {
     val rows = SparkEntry.queries("q_spatial_join")(spark, dir).collect()
     val expected = Tables.lineitem(spark, dir)

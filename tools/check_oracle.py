@@ -58,7 +58,8 @@ for q in sorted(os.listdir(out)):
                 msg = f"val[{c}] row {i}: {a[i]!r} != {b[i]!r} ({int((~eq).sum())} rows differ"
                 # for numeric columns report the magnitude, so an
                 # FP-equivalence flake is distinguishable from a real bug
-                if pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b):
+                if (pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)
+                        and a.dtype != bool and b.dtype != bool):
                     msg += f", max|diff|={ (a - b).abs().max() !r}"
                 msgs.append(msg + ")")
     status = "OK " if ok else "FAIL"
