@@ -38,6 +38,21 @@ object SessionQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** RANGE-frame window: trailing-hour sum per user — the value-based
+    * frame (peers by ORDER BY value distance, not row offsets) that
+    * complements the ROWS frame in windowRunning. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      .rangeBetween(-3600000L, 0L)
+    events(spark, dir)
+      .filter(col("user_id") < 4)
+      .withColumn("tms", expr("ts DIV 1000000L"))
+      .withColumn("hour_sum",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("hour_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Conditional (pivot-style) per-user aggregation by event type. */
   def eventTypeAgg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -53,6 +68,7 @@ object SessionQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_event_type_agg" -> (eventTypeAgg _),
+    "q_window_range" -> (windowRange _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +92,16 @@ object SessionQueries {
          |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM sessions GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events WHERE user_id < 4)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |       PARTITION BY user_id ORDER BY tms
+        |       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "q_event_type_agg" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
