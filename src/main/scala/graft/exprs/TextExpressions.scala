@@ -217,33 +217,43 @@ case class MinHashBands(children: Seq[Expression])
     copy(children = cs)
 }
 
-/** simhash64(text, shingleLen) -> bigint. */
+/** simhash64(text, shingleLen) -> bigint. Fully codegen'd: the kernel is
+  * a static call, so the expression stays inside whole-stage codegen
+  * instead of falling back to boxed eval. */
 case class SimHash64(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(t: Any, n: Any): Any =
     TextHash.simhash64(t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.exprs.TextHash.simhash64($t.toString(), $n)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHash64 =
     copy(left = l, right = r)
 }
 
-/** hamming64(a, b) -> int — Hamming distance between two 64-bit hashes. */
+/** hamming64(a, b) -> int — Hamming distance between two 64-bit hashes.
+  * Codegen'd to a bare xor + popcount. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming64"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
     copy(left = l, right = r)
 }
 
-/** ngram_jaccard(a, b, shingleLen) -> double — exact char-n-gram Jaccard. */
+/** ngram_jaccard(a, b, shingleLen) -> double — exact char-n-gram Jaccard.
+  * Codegen'd static call (the verify kernel runs once per candidate pair —
+  * the hottest expression in the LSH pipeline). */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
@@ -252,6 +262,9 @@ case class NGramJaccard(first: Expression, second: Expression, third: Expression
       a.asInstanceOf[UTF8String].toString,
       b.asInstanceOf[UTF8String].toString,
       n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"graft.exprs.TextHash.ngramJaccard($a.toString(), $b.toString(), $n)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): NGramJaccard =
     copy(first = a, second = b, third = c)
 }
