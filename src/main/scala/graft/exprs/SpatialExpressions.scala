@@ -62,7 +62,7 @@ case class StPoint(left: Expression, right: Expression)
   * (PostGIS/Sedona ST_MakeEnvelope). Builds geometry directly from
   * numeric columns — no WKT text on the hot path. */
 case class StMakeEnvelope(children: Seq[Expression])
-    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes {
   require(children.length == 4, "st_makeenvelope(xmin, ymin, xmax, ymax)")
   override def inputTypes: Seq[DataType] = Seq.fill(4)(DoubleType)
   override def dataType: DataType = BinaryType
@@ -72,14 +72,24 @@ case class StMakeEnvelope(children: Seq[Expression])
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
     val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
-    val f = Geom.factory
-    val ring = Array(
-      new org.locationtech.jts.geom.Coordinate(x0, y0),
-      new org.locationtech.jts.geom.Coordinate(x1, y0),
-      new org.locationtech.jts.geom.Coordinate(x1, y1),
-      new org.locationtech.jts.geom.Coordinate(x0, y1),
-      new org.locationtech.jts.geom.Coordinate(x0, y0))
-    wkb(f.createPolygon(ring))
+    Geom.envelopeWkb(x0, y0, x1, y1)
+  }
+  // probe-side geometry construction is per-fact-row: emit the static
+  // direct-WKB call inside whole-stage codegen instead of falling back
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val nullCheck =
+      if (nullable) evals.map(e => s"${e.isNull}").mkString(" || ") else "false"
+    ev.copy(code = code"""
+      ${evals.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $nullCheck;
+      byte[] ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.geom.Geom.envelopeWkb(
+          ${evals(0).value}, ${evals(1).value}, ${evals(2).value}, ${evals(3).value});
+      }""")
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): StMakeEnvelope =
     copy(children = cs)

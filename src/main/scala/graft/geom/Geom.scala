@@ -28,6 +28,26 @@ object Geom {
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
 
+  /** WKB of the axis-aligned rectangle [x0,x1]×[y0,y1], written directly
+    * (big-endian, the same layout JTS WKBWriter emits — byte-identical to
+    * encoding the equivalent JTS polygon). The envelope is the probe-side
+    * geometry of every spatial join, built once per fact row: direct byte
+    * writing skips five Coordinate allocations + polygon construction and
+    * is a static call codegen can emit inline. */
+  def envelopeWkb(x0: Double, y0: Double, x1: Double, y1: Double): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(93) // 1 + 4 + 4 + 4 + 5*16, big-endian
+    buf.put(0.toByte)      // XDR byte order
+    buf.putInt(3)          // wkbPolygon
+    buf.putInt(1)          // one ring
+    buf.putInt(5)          // five points, closed
+    buf.putDouble(x0).putDouble(y0)
+    buf.putDouble(x1).putDouble(y0)
+    buf.putDouble(x1).putDouble(y1)
+    buf.putDouble(x0).putDouble(y1)
+    buf.putDouble(x0).putDouble(y0)
+    buf.array()
+  }
+
   /** Repair invalid geometry; identity on valid input.
     * Mirrors Sedona `ST_MakeValid` as exercised by the reference
     * (process_geodata.py:102,103,113,126). */

@@ -59,6 +59,13 @@ object GeomProps extends Properties("geom") {
     u >= math.max(aa, ab) - 1e-6 && u <= aa + ab + 1e-6
   }
 
+  property("direct envelopeWkb is byte-identical to JTS-encoded polygon") =
+    forAll(rects) { r =>
+      val direct = Geom.envelopeWkb(r.x0.toDouble, r.y0.toDouble,
+        (r.x0 + r.w).toDouble, (r.y0 + r.h).toDouble)
+      java.util.Arrays.equals(direct, Geom.toWkb(r.geom))
+    }
+
   property("3857 -> 5880 -> 3857 round-trips to < 1 m") = forAll(coord, coordY) { (x, y) =>
     val fwd = Crs.pointTransform("EPSG:3857", "EPSG:5880")
     val inv = Crs.pointTransform("EPSG:5880", "EPSG:3857")
