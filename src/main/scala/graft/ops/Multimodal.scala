@@ -46,6 +46,54 @@ object Multimodal {
     (nFrames, frameSum / nFrames)
   }
 
+  /** Decoded features after frame-sampling + resize. */
+  case class SampledFeatures(item_id: Long, modality: String,
+                             n_kept: Int, mean_level: Double)
+
+  private val SampleEvery = 3
+
+  /** STUB frame-sample + resize — keeps every `SampleEvery`-th 64-byte
+    * frame and "resizes" each kept frame by striding to every 2nd byte
+    * (the downsample shape of image resize / audio decimation), then
+    * levels as in decodeFrames. Deterministic byte arithmetic, so the
+    * oracle mirrors it; swap for a real codec call and nothing else in
+    * the pipeline changes. */
+  private def sampleResizeLevel(payload: Array[Byte]): (Int, Double) = {
+    if (payload.isEmpty) return (0, 0.0)
+    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+    var f = 0; var kept = 0; var levelSum = 0.0
+    while (f < nFrames) {
+      if (f % SampleEvery == 0) {
+        val from = f * FrameBytes
+        val until = math.min(from + FrameBytes, payload.length)
+        var s = 0L; var cnt = 0; var i = from
+        while (i < until) { s += (payload(i) & 0xff); cnt += 1; i += 2 }
+        levelSum += s.toDouble / cnt
+        kept += 1
+      }
+      f += 1
+    }
+    (kept, levelSum / kept)
+  }
+
+  /** The sampled pipeline: decode → frame-sample → resize → features,
+    * still typed, partition-local, shuffle-free until the rollup. */
+  def sampledStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        val (kept, level) = sampleResizeLevel(m.payload)
+        SampledFeatures(m.item_id, m.modality, kept, level)
+      }
+    }
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_kept")).as("sum_kept"),
+        round(sum(col("mean_level").cast("decimal(18,9)")).cast("double"), 4).as("sum_level"))
+      .orderBy(col("modality"))
+  }
+
   /** Media table synthesized from `documents` (text bytes stand in for
     * image/audio blobs; modality assigned deterministically by source). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
@@ -83,6 +131,7 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
+    "q_mm_sampled" -> (sampledStats _),
   )
 
   /** The stub decoder is deterministic byte arithmetic over an ASCII
@@ -106,5 +155,22 @@ object Multimodal {
         |       CAST(max(n_bytes) AS INTEGER) AS max_bytes,
         |       ROUND(CAST(sum(CAST(mean_level AS DECIMAL(18,9))) AS DOUBLE), 4) AS sum_level
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
+    "q_mm_sampled" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    len(list_filter(range(CAST(ceil(strlen(text)/64.0) AS BIGINT)),
+        |        fi -> fi % 3 = 0)) AS n_kept,
+        |    list_avg(list_transform(
+        |      list_filter(range(CAST(ceil(strlen(text)/64.0) AS BIGINT)), fi -> fi % 3 = 0),
+        |      fi -> list_avg(list_transform(
+        |        list_filter(range(least(64, strlen(text) - fi*64)), i -> i % 2 = 0),
+        |        i -> ascii(substr(text, CAST(fi*64 + i + 1 AS INT), 1)))))) AS mean_level
+        |  FROM documents)
+        |SELECT modality, count(*) AS n_items,
+        |       CAST(sum(n_kept) AS BIGINT) AS sum_kept,
+        |       ROUND(CAST(sum(CAST(mean_level AS DECIMAL(18,9))) AS DOUBLE), 4) AS sum_level
+        |FROM l GROUP BY modality ORDER BY modality""".stripMargin,
   )
 }
