@@ -169,8 +169,9 @@ object VectorQueries {
     * exact doubles. */
   def embCentroid(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
     Par.fanOut(embeddings(spark, dir))
-      .select(col("label"), posexplode(col("embedding")))
-      .filter(col("pos") < dims)
+      // slice BEFORE the explode: generate `dims` rows per vector, not
+      // the full dimensionality followed by a filter
+      .select(col("label"), posexplode(slice(col("embedding"), 1, dims)))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(col("col").cast("double").cast("decimal(18,9)")).as("s"))
