@@ -14,8 +14,10 @@ import org.locationtech.jts.geom.Geometry
   * `Expression`).
   *
   * Geometry columns are WKB bytes (`BinaryType`) — see SURVEY.md §7.3.
-  * All are `CodegenFallback`: geometry bodies are JTS calls that dominate
+  * Most are `CodegenFallback`: their bodies are JTS calls that dominate
   * any codegen gain, and fallback keeps surrounding operators codegen'd.
+  * The exception is `StMakeEnvelope`, whose body is a cheap static
+  * direct-WKB write, so it implements real `doGenCode`.
   */
 object SpatialExpressions {
   @inline private[exprs] def geom(v: Any): Geometry = Geom.fromWkb(v.asInstanceOf[Array[Byte]])

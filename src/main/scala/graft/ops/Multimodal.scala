@@ -26,22 +26,31 @@ object Multimodal {
 
   private val FrameBytes = 64
 
+  /** Single source of the 64-byte framing arithmetic: visits every frame
+    * as (index, from, until) so decode and sample/resize can never desync
+    * on the window boundaries. */
+  @inline private def foreachFrame(payload: Array[Byte])(f: (Int, Int, Int) => Unit): Int = {
+    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+    var fi = 0
+    while (fi < nFrames) {
+      val from = fi * FrameBytes
+      f(fi, from, math.min(from + FrameBytes, payload.length))
+      fi += 1
+    }
+    nFrames
+  }
+
   /** STUB decoder — stands in for image decode / audio PCM framing.
     * Deterministic: frames = consecutive 64-byte windows; per-frame level =
     * mean unsigned byte value; item level = mean of frame levels. */
   private def decodeFrames(payload: Array[Byte]): (Int, Double) = {
     if (payload.isEmpty) return (0, 0.0)
-    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
     var frameSum = 0.0
-    var f = 0
-    while (f < nFrames) {
-      val from = f * FrameBytes
-      val until = math.min(from + FrameBytes, payload.length)
+    val nFrames = foreachFrame(payload) { (_, from, until) =>
       var s = 0L
       var i = from
       while (i < until) { s += (payload(i) & 0xff); i += 1 }
       frameSum += s.toDouble / (until - from)
-      f += 1
     }
     (nFrames, frameSum / nFrames)
   }
@@ -60,18 +69,14 @@ object Multimodal {
     * the pipeline changes. */
   private def sampleResizeLevel(payload: Array[Byte]): (Int, Double) = {
     if (payload.isEmpty) return (0, 0.0)
-    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
-    var f = 0; var kept = 0; var levelSum = 0.0
-    while (f < nFrames) {
-      if (f % SampleEvery == 0) {
-        val from = f * FrameBytes
-        val until = math.min(from + FrameBytes, payload.length)
+    var kept = 0; var levelSum = 0.0
+    foreachFrame(payload) { (fi, from, until) =>
+      if (fi % SampleEvery == 0) {
         var s = 0L; var cnt = 0; var i = from
         while (i < until) { s += (payload(i) & 0xff); cnt += 1; i += 2 }
         levelSum += s.toDouble / cnt
         kept += 1
       }
-      f += 1
     }
     (kept, levelSum / kept)
   }
