@@ -96,9 +96,53 @@ object StreamQueries {
     out
   }
 
+  /** Stream-stream interval inner join: each click pairs with the same
+    * user's views in the following hour, both sides watermarked (the
+    * watermark + time-range condition is what lets the engine expire join
+    * state — unbounded-history stream joins don't exist). On the bounded
+    * single-batch replay every match is emitted, so the batch mirror is
+    * the plain interval join. Output is the per-user match count (the
+    * pair set is order-independent; which micro-batch emitted it is not). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    def side(eventType: String, idAs: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${idAs}_user"),
+          col("event_id").as(s"${idAs}_id"),
+          // ms truncation, matching the oracle's epoch-ms floor — a µs-
+          // precision axis would decide ±1h boundaries differently than
+          // the ms mirror for events inside the same millisecond
+          timestamp_millis(expr("ts DIV 1000000")).as(s"${idAs}_ts"))
+        .withWatermark(s"${idAs}_ts", "2 hours")
+    val clicks = side("click", "c")
+    val views = side("view", "v")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val sink = s"graft_stream_join_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    val out = spark.table(sink)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_join" -> (streamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +161,17 @@ object StreamQueries {
          |SELECT w_start_ms, event_type, n FROM w
          |WHERE w_start_ms + $WindowMs <= (SELECT max(tms) FROM e) - $WatermarkMs
          |ORDER BY w_start_ms, event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events)
+        |SELECT c.user_id, count(*) AS n_pairs
+        |FROM e c JOIN e v
+        |  ON c.user_id = v.user_id
+        | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id,
         |       count(DISTINCT (CAST(epoch_ns(ts) // 1000000 AS BIGINT)) // 3600000) AS n_active_hours
