@@ -46,6 +46,17 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
       assert("st_transform".r.findAllIn(optimized).size == 1,
         s"chained transforms should collapse to one:\n$optimized")
       assert(chained.head().getString(0) == "POINT (-5193566 -2698813)")
+      // SpatialJoinStrategy also arrives via the extension (no registerAll
+      // on this session): an st_intersects join over SQL text plans the
+      // R-tree operator, not BroadcastNestedLoopJoin
+      val join = s.sql(
+        """SELECT /*+ BROADCAST(b) */ count(*) AS n
+          |FROM (SELECT st_makeenvelope(0.0D, 0.0D, 1.0D, 1.0D) AS ga) a
+          |JOIN (SELECT st_makeenvelope(0.5D, 0.5D, 2.0D, 2.0D) AS gb) b
+          |  ON st_intersects(ga, gb)""".stripMargin)
+      assert(join.queryExecution.sparkPlan.toString.contains("BroadcastRTreeSpatialJoin"),
+        join.queryExecution.sparkPlan.toString.take(1200))
+      assert(join.head().getLong(0) == 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
