@@ -21,8 +21,9 @@ object AsofJoin {
   /** events ⟕asof orders on user/customer key and millisecond time:
     * each event picks the user's most recent order at or before it.
     * Rows tagged 0 (right) sort before tag 1 (left) at equal times, so
-    * "at or before" includes same-instant rows; equal-time right rows are
-    * pre-deduplicated to max payload so the pick is deterministic. */
+    * "at or before" includes same-instant rows; equal-time right rows
+    * sort by payload so the frame's last (= the pick) is the max payload,
+    * deterministically, with no pre-dedup aggregate. */
   def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
     // the order side's NTZ->epoch conversion goes through the session zone
     // while the event side is raw epoch nanos; any zone but UTC would skew
@@ -36,8 +37,6 @@ object AsofJoin {
         // so the LTZ cast yields the same epoch DuckDB's epoch_ms computes
         unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
         col("o_orderkey").as("payload"))
-      .groupBy(col("k"), col("t"))
-      .agg(max(col("payload")).as("payload"))
       .withColumn("tag", lit(0))
       .withColumn("event_id", lit(null).cast("long"))
     val left = Tables.events(spark, dir)
@@ -47,8 +46,14 @@ object AsofJoin {
       .withColumn("payload", lit(null).cast("long"))
       .withColumn("tag", lit(1))
       .select(col("k"), col("t"), col("payload"), col("tag"), col("event_id"))
+    // payload as the final sort key replaces a pre-dedup aggregate on the
+    // right side: among equal-time right rows the LAST one in frame order
+    // is the max payload, which is exactly what `last(ignoreNulls)` picks
+    // — and dropping the aggregate leaves this window's exchange as the
+    // plan's ONLY shuffle (left-row ties sort by a null payload, which
+    // cannot affect the ignore-nulls pick)
     val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("tag"))
+      .orderBy(col("t"), col("tag"), col("payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     right.unionByName(left)
       .withColumn("asof_payload", last(col("payload"), ignoreNulls = true).over(w))
