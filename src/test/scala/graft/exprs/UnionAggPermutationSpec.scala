@@ -18,6 +18,19 @@ class UnionAggPermutationSpec extends AnyFunSuite {
   private def rectWkt(x0: Int, y0: Int, w: Int, h: Int) =
     s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
 
+  test("buffer compaction (> CompactAt geometries in one group) preserves the union") {
+    import spark.implicits._
+    // 600 disjoint unit squares in ONE group: crosses CompactAt (256)
+    // twice in a single task and once more at merge, so the eager
+    // pre-union path runs; disjointness makes the expected area exact
+    val n = 600
+    val wkts = (0 until n).map(i => rectWkt((i % 40) * 3, (i / 40) * 3, 1, 1))
+    val area = wkts.toDF("wkt").repartition(4)
+      .agg(st_area(st_union_agg(st_geomfromwkt(col("wkt")))))
+      .head().getDouble(0)
+    assert(area == n.toDouble, s"expected $n disjoint unit squares, got $area")
+  }
+
   test("st_union_agg area is invariant under row order and partitioning") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
