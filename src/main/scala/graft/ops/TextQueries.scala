@@ -106,6 +106,56 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Near-dup cluster assignment: connected components over the verified
+    * near-dup pair relation (dedupMinhash), by iterative min-label
+    * propagation — each document lands in a cluster keyed by its
+    * component's smallest doc_id (the representative real dedup pipelines
+    * keep). Every iteration is a distributed join+aggregate; the driver
+    * only checks convergence (iterations ≈ component diameter, which for
+    * near-dup graphs is tiny — this is the standard Spark connected-
+    * components shape, not a collect-driven loop). */
+  def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("a_id"), col("b_id")).cache()
+    try {
+      val edges = pairs
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // relax: take the min label over neighbors
+        val neighborMin = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        val relaxed = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+          .select(labels("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("lbl"))
+        // pointer-jump: follow label -> that node's label, collapsing
+        // chains so convergence is logarithmic in component diameter,
+        // not linear
+        val hop = relaxed.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        val next = relaxed.join(hop, relaxed("lbl") === hop("jid"), "left")
+          .select(relaxed("id"), col("old"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("label"))
+          .cache()
+        // ONE action per iteration: the aggregate both materializes the
+        // cache and reports how many labels moved
+        changed = next
+          .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("c"))
+          .head().getAs[Any](0) match { case null => 0L; case v: Long => v }
+        val prev = labels
+        labels = next.select(col("id"), col("label"))
+        prev.unpersist(blocking = false)
+        iter += 1
+      }
+      edges.unpersist(blocking = false)
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+    } finally pairs.unpersist(blocking = false)
+  }
+
   /** Exact token-set Jaccard between consecutive documents — the oracle-
     * checkable face of the similarity surface (DuckDB mirrors the list
     * arithmetic). */
@@ -232,6 +282,7 @@ object TextQueries {
     "q_fingerprint" -> (fingerprint _),
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
+    "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +370,35 @@ object TextQueries {
         |SELECT doc_id, CAST(total AS INTEGER) AS total, n_distinct,
         |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE) AS rep_ratio
         |FROM d WHERE total > 0 ORDER BY doc_id""".stripMargin,
+    // connected components over the same exact near-dup relation as
+    // q_dedup_minhash's oracle (MATERIALIZED: the pair CTE feeds both
+    // directions of the edge list), labeled by recursive min-reachability
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 5 THEN
+        |      list_distinct(list_transform(range(length(text)-4),
+        |        i -> hash(substr(text, CAST(i+1 AS INT), 5))))
+        |    WHEN length(text) > 0 THEN [hash(text)] ELSE [] END AS sh
+        |  FROM documents),
+        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+        |p AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |         len(list_intersect(a.sh, b.sh)) AS inter
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM p
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |r(u, l) AS (
+        |  SELECT DISTINCT u, u FROM e
+        |  UNION
+        |  SELECT e.v, r.l FROM r JOIN e ON r.u = e.u
+        |)
+        |SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u
+        |ORDER BY doc_id""".stripMargin,
     "q_stopword_ratio" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // near-dup searches may legitimately find nothing at tiny scale
-  private val mayBeEmpty = Set("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding")
+  private val mayBeEmpty =
+    Set("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding", "q_dedup_clusters")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
