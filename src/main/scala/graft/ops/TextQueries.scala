@@ -116,6 +116,13 @@ object TextQueries {
     * components shape, not a collect-driven loop). */
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select(col("a_id"), col("b_id")).cache()
+    // materialize the pair relation at the session's full parallelism,
+    // then run the iterative tail small: the label table is ~|near-dup
+    // docs| rows, and 32-partition shuffles per iteration spend more time
+    // scheduling empty tasks than joining (size to the data at scale)
+    pairs.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
@@ -153,7 +160,10 @@ object TextQueries {
       labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy(col("doc_id"))
         .localCheckpoint(eager = true)
-    } finally pairs.unpersist(blocking = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      pairs.unpersist(blocking = false)
+    }
   }
 
   /** Exact token-set Jaccard between consecutive documents — the oracle-
