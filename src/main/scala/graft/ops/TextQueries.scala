@@ -156,10 +156,14 @@ object TextQueries {
         prev.unpersist(blocking = false)
         iter += 1
       }
-      edges.unpersist(blocking = false)
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy(col("doc_id"))
         .localCheckpoint(eager = true)
+      // the checkpoint owns the result now — release every loop cache
+      // (repeated invocations must not accumulate executor storage)
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       pairs.unpersist(blocking = false)
@@ -295,6 +299,33 @@ object TextQueries {
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
   )
 
+  /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
+    * relation, brute-forced (hashed 5-gram shingle sets, size-ratio
+    * prefilter, exact intersect). Both the minhash and the clusters
+    * oracles consume the SAME relation — one string keeps them in sync —
+    * and the filter applies to ROUND(j, 4), exactly like the Spark
+    * pipeline, so a boundary pair in [0.69995, 0.7) cannot split the
+    * engines. MATERIALIZED: the clusters oracle reads it twice. */
+  private val pairsCteSql: String =
+    """WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 5 THEN
+      |      list_distinct(list_transform(range(length(text)-4),
+      |        i -> hash(substr(text, CAST(i+1 AS INT), 5))))
+      |    WHEN length(text) > 0 THEN [hash(text)] ELSE [] END AS sh
+      |  FROM documents),
+      |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+      |p AS MATERIALIZED (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+      |         len(list_intersect(a.sh, b.sh)) AS inter
+      |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a_id, b_id,
+      |         ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+      |  FROM p
+      |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // The LSH pipeline's contract is "the exact >= 0.7 n-gram-Jaccard
     // near-dup relation, found without all-pairs work". The oracle IS that
@@ -304,23 +335,9 @@ object TextQueries {
     // 100% recall on the gate corpus, so candidate pruning loses nothing
     // and both engines produce identical pairs + jaccard values.
     "q_dedup_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 5 THEN
-        |      list_distinct(list_transform(range(length(text)-4),
-        |        i -> hash(substr(text, CAST(i+1 AS INT), 5))))
-        |    WHEN length(text) > 0 THEN [hash(text)] ELSE [] END AS sh
-        |  FROM documents),
-        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
-        |         len(list_intersect(a.sh, b.sh)) AS inter
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
-        |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT))
-        |SELECT a_id, b_id,
-        |       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
-        |FROM p WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7
-        |ORDER BY a_id, b_id""".stripMargin,
+      (pairsCteSql + "\n" +
+        """SELECT a_id, b_id, jaccard FROM pairs
+          |ORDER BY a_id, b_id""".stripMargin),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -384,31 +401,16 @@ object TextQueries {
     // q_dedup_minhash's oracle (MATERIALIZED: the pair CTE feeds both
     // directions of the edge list), labeled by recursive min-reachability
     "q_dedup_clusters" ->
-      """WITH RECURSIVE d AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) >= 5 THEN
-        |      list_distinct(list_transform(range(length(text)-4),
-        |        i -> hash(substr(text, CAST(i+1 AS INT), 5))))
-        |    WHEN length(text) > 0 THEN [hash(text)] ELSE [] END AS sh
-        |  FROM documents),
-        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
-        |p AS MATERIALIZED (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
-        |         len(list_intersect(a.sh, b.sh)) AS inter
-        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
-        |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT)),
-        |pairs AS MATERIALIZED (
-        |  SELECT a_id, b_id FROM p
-        |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.7),
-        |e AS (SELECT a_id AS u, b_id AS v FROM pairs
-        |      UNION ALL SELECT b_id, a_id FROM pairs),
-        |r(u, l) AS (
-        |  SELECT DISTINCT u, u FROM e
-        |  UNION
-        |  SELECT e.v, r.l FROM r JOIN e ON r.u = e.u
-        |)
-        |SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u
-        |ORDER BY doc_id""".stripMargin,
+      (pairsCteSql + ",\n" +
+        """e AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |      UNION ALL SELECT b_id, a_id FROM pairs),
+          |r(u, l) AS (
+          |  SELECT DISTINCT u, u FROM e
+          |  UNION
+          |  SELECT e.v, r.l FROM r JOIN e ON r.u = e.u
+          |)
+          |SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u
+          |ORDER BY doc_id""".stripMargin),
     "q_stopword_ratio" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

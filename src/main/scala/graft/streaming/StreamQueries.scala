@@ -24,6 +24,28 @@ object StreamQueries {
   val WatermarkMs: Long = 2 * 3600 * 1000L
   val WindowMs: Long = 3600 * 1000L
 
+  /** Run a streaming DataFrame to completion on the bounded corpus:
+    * AvailableNow trigger into an append-mode memory sink (with the
+    * trailing no-data batch that lets the final watermark fire), state
+    * partitions sized to the replay, sink table dropped after the result
+    * is checkpointed so repeated runs hold no driver sink state.
+    * `finish` shapes the sink table into the query's deterministic
+    * output. */
+  private def runBounded(spark: SparkSession, df: DataFrame, prefix: String)
+                        (finish: DataFrame => DataFrame): DataFrame = {
+    val sink = s"${prefix}_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      df.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    val out = finish(spark.table(sink)).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** Tumbling 1 h per-event-type counts with a 2 h watermark, run as a
     * bounded stream (Trigger.AvailableNow + the trailing no-data batch
     * that lets the final watermark close its windows). Output timestamps
@@ -37,29 +59,10 @@ object StreamQueries {
     // ns → µs integer DIV (epoch-nanos exceed 2^53 — see SessionQueries)
     val withTs = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val counts = StreamOps.windowedCounts(withTs, "2 hours", "1 hour")
-    val sink = s"graft_stream_window_${runSeq.incrementAndGet()}"
-    // streaming agg state partitions = shuffle partitions at query start;
-    // each one is a checkpoint directory written per micro-batch. Size to
-    // the bounded replay here (a real deployment sizes it to the cluster,
-    // and it is fixed for the query's lifetime).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      counts.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
-    // materialize off the sink, then drop the temp view: repeated
-    // invocations must not accumulate memory-sink tables on the driver
-    val out = spark.table(sink)
-      .select(unix_millis(col("w_start")).as("w_start_ms"), col("event_type"), col("n"))
-      .orderBy(col("w_start_ms"), col("event_type"))
-      .localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    out
+    runBounded(spark, counts, "graft_stream_window") {
+      _.select(unix_millis(col("w_start")).as("w_start_ms"), col("event_type"), col("n"))
+        .orderBy(col("w_start_ms"), col("event_type"))
+    }
   }
 
   /** Streaming stateful dedup: one event per (user, hour) survives, state
@@ -79,21 +82,11 @@ object StreamQueries {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "hour_ms")
       .select(col("user_id"), col("hour_ms"))
-    val sink = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
-    val out = spark.table(sink)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_active_hours"))
-      .orderBy(col("user_id"))
-      .localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    out
+    runBounded(spark, deduped, "graft_stream_dedup") {
+      _.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_active_hours"))
+        .orderBy(col("user_id"))
+    }
   }
 
   /** Stream-stream interval inner join: each click pairs with the same
@@ -122,21 +115,11 @@ object StreamQueries {
       col("c_user") === col("v_user") &&
         col("v_ts") >= col("c_ts") &&
         col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-    val sink = s"graft_stream_join_${runSeq.incrementAndGet()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
-    val out = spark.table(sink)
-      .groupBy(col("c_user").as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("user_id"))
-      .localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    out
+    runBounded(spark, joined, "graft_stream_join") {
+      _.groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -20,12 +20,13 @@ class UnionAggPermutationSpec extends AnyFunSuite {
 
   test("buffer compaction (> CompactAt geometries in one group) preserves the union") {
     import spark.implicits._
-    // 600 disjoint unit squares in ONE group: crosses CompactAt (256)
-    // twice in a single task and once more at merge, so the eager
-    // pre-union path runs; disjointness makes the expected area exact
+    // 600 disjoint unit squares in ONE group over TWO partitions: each map
+    // task buffers ~300 geometries, crossing CompactAt (256) inside
+    // update() — the per-task bounded-memory path — and the reduce-side
+    // merge crosses it again; disjointness makes the expected area exact
     val n = 600
     val wkts = (0 until n).map(i => rectWkt((i % 40) * 3, (i / 40) * 3, 1, 1))
-    val area = wkts.toDF("wkt").repartition(4)
+    val area = wkts.toDF("wkt").repartition(2)
       .agg(st_area(st_union_agg(st_geomfromwkt(col("wkt")))))
       .head().getDouble(0)
     assert(area == n.toDouble, s"expected $n disjoint unit squares, got $area")
