@@ -128,40 +128,41 @@ object TextQueries {
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst").cache()
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).cache()
+        .withColumn("label", col("id")).localCheckpoint(eager = true)
+      // one propagation round: relax (min label over neighbors), then
+      // pointer-jump (follow label -> that node's label), which collapses
+      // chains so convergence is logarithmic in component diameter
+      def round(cur: DataFrame): DataFrame = {
+        val neighborMin = edges.join(cur, edges("src") === cur("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        val relaxed = cur.join(neighborMin, cur("id") === neighborMin("dst"), "left")
+          .select(cur("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("lbl"))
+        val hop = relaxed.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        relaxed.join(hop, relaxed("lbl") === hop("jid"), "left")
+          .select(relaxed("id"), least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("label"))
+      }
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
-        // relax: take the min label over neighbors
-        val neighborMin = edges.join(labels, edges("src") === labels("id"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-        val relaxed = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
-          .select(labels("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("lbl"))
-        // pointer-jump: follow label -> that node's label, collapsing
-        // chains so convergence is logarithmic in component diameter,
-        // not linear
-        val hop = relaxed.select(col("id").as("jid"), col("lbl").as("jlbl"))
-        val next = relaxed.join(hop, relaxed("lbl") === hop("jid"), "left")
-          .select(relaxed("id"), col("old"),
-            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("label"))
-          .cache()
-        // ONE action per iteration: the aggregate both materializes the
-        // cache and reports how many labels moved
-        changed = next
+        // TWO composed rounds per materialization (an extra round after
+        // the fixpoint is a no-op), then TRUNCATE LINEAGE: round()
+        // references its input several times, so a cache-only loop grows
+        // the logical plan ~16x per iteration and analysis time explodes
+        // with iteration count — localCheckpoint re-roots the plan at the
+        // materialized data, the standard shape for iterative algorithms
+        val old = labels.withColumnRenamed("label", "old")
+        val next = round(round(labels)).localCheckpoint(eager = true)
+        changed = next.join(old, "id")
           .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("c"))
           .head().getAs[Any](0) match { case null => 0L; case v: Long => v }
-        val prev = labels
-        labels = next.select(col("id"), col("label"))
-        prev.unpersist(blocking = false)
+        labels = next
         iter += 1
       }
       val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
         .orderBy(col("doc_id"))
         .localCheckpoint(eager = true)
-      // the checkpoint owns the result now — release every loop cache
-      // (repeated invocations must not accumulate executor storage)
-      labels.unpersist(blocking = false)
+      // the final checkpoint owns the result; intermediate checkpoint
+      // blocks are reclaimed by the ContextCleaner as references drop
       edges.unpersist(blocking = false)
       out
     } finally {
