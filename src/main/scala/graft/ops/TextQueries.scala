@@ -122,7 +122,12 @@ object TextQueries {
     // scheduling empty tasks than joining (size to the data at scale)
     pairs.count()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // AQE materializes every shuffle as its own query stage with a
+    // re-planning round-trip; on a ~|near-dup docs|-row loop that
+    // orchestration IS the iteration cost — plan statically instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
@@ -167,6 +172,7 @@ object TextQueries {
       out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       pairs.unpersist(blocking = false)
     }
   }
