@@ -17,12 +17,33 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(y - 10000000.0) < 1e-6)
   }
 
-  test("EPSG:5880 Brasília lands in the published coordinate band") {
-    // Brasília ≈ (-47.9, -15.8): ~650 km east of lon0, ~1750 km south of
-    // the equator. Guards gross sign/units errors in the Snyder forward.
+  test("GRS80 quarter meridian matches the published value to < 0.5 m") {
+    // Absolute anchor for the meridional-arc series (Snyder eq. 3-21
+    // coefficients, Crs.scala): the GRS80 meridian quadrant is a published
+    // geodetic constant — 10 001 965.7293 m (Moritz, "Geodetic Reference
+    // System 1980", Bulletin Géodésique; the EPSG:7019 ellipsoid). At the
+    // central meridian (lon0 = -54) the polyconic northing is exactly
+    // FN + M(lat), so forward(-54, 90) exposes M(90°) = the quadrant.
+    // A wrong c0/c2/c4/c6 coefficient cannot reproduce this value; the
+    // truncated-series (e^8) error is ~4 mm, far inside the tolerance.
+    val (x, y) = Crs.BrazilPolyconic.forward(-54.0, 90.0)
+    assert(math.abs(x - 5000000.0) < 1e-6, s"easting $x")
+    assert(math.abs((y - 10000000.0) - 10001965.7293) < 0.5, s"M(90) = ${y - 10000000.0}")
+  }
+
+  test("EPSG:5880 Brasília anchored to an independently-derived coordinate < 1 m") {
+    // Expected value computed OUTSIDE this codebase from the projection's
+    // definition: meridional arc by 64-point Gauss-Legendre integration of
+    // M(φ) = a(1-e²)∫(1-e²sin²t)^(-3/2)dt (no series), cross-checked
+    // against the Helmert third-flattening series — the two agree to
+    // < 1e-7 m, and the same integration reproduces the published GRS80
+    // quarter meridian to 0.07 mm. Parameters from the EPSG registry
+    // entry for 5880 (SIRGAS 2000 / Brazil Polyconic: GRS80, lat0=0,
+    // lon0=-54, FE=5 000 000, FN=10 000 000). This pins the hand-derived
+    // series absolutely, not just round-trip.
     val (e, n) = Crs.BrazilPolyconic.forward(-47.8828, -15.7939)
-    assert(e > 5_600_000 && e < 5_700_000, s"easting $e")
-    assert(n > 8_200_000 && n < 8_300_000, s"northing $n")
+    assert(math.abs(e - 5655325.4548) < 1.0, s"easting $e")
+    assert(math.abs(n - 8243641.0379) < 1.0, s"northing $n")
   }
 
   test("polyconic inverse round-trips Brazil-wide grid to < 1 mm") {
