@@ -117,49 +117,71 @@ object TextQueries {
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select(col("a_id"), col("b_id")).cache()
     // materialize the pair relation at the session's full parallelism,
-    // then run the iterative tail small: the label table is ~|near-dup
-    // docs| rows, and 32-partition shuffles per iteration spend more time
-    // scheduling empty tasks than joining (size to the data at scale)
-    pairs.count()
+    // then size the iterative tail to the MEASURED pair count: the label
+    // table is ~|near-dup docs| <= 2n rows, and shuffles much wider than
+    // that spend more time scheduling empty tasks than joining. ~1M label
+    // rows per partition: the gate corpora get 1 partition, a 100 TB
+    // pair relation (billions of pairs) gets thousands — derived from
+    // data, never a constant
+    val nPairs = pairs.count()
+    val tailParts = math.max(1L, (2L * nPairs) / 1000000L)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", tailParts.toString)
     // AQE materializes every shuffle as its own query stage with a
     // re-planning round-trip; on a ~|near-dup docs|-row loop that
     // orchestration IS the iteration cost — plan statically instead
+    // (the partition count above is already data-derived, which is the
+    // one decision AQE would have made)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst").cache()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(eager = true)
-      // one propagation round: relax (min label over neighbors), then
-      // pointer-jump (follow label -> that node's label), which collapses
-      // chains so convergence is logarithmic in component diameter
+        .toDF("src", "dst")
+      val nodes = edges.select(col("src").as("id")).distinct()
+      var labels = nodes.withColumn("label", col("id")).localCheckpoint(eager = true)
+      // self-loops fold the "keep your own label" case into the relax
+      // aggregate, so one round is ONE join + ONE agg (+ one join for the
+      // pointer jump) instead of join/agg/join/coalesce — less to plan
+      // and codegen per iteration, same fixpoint
+      val edgesSelf = edges
+        .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+        .cache()
+      // one propagation round: relax (min label over {self} ∪ neighbors),
+      // then pointer-jump (follow label -> that node's label), which
+      // collapses chains so convergence is logarithmic in component
+      // diameter
       def round(cur: DataFrame): DataFrame = {
-        val neighborMin = edges.join(cur, edges("src") === cur("id"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-        val relaxed = cur.join(neighborMin, cur("id") === neighborMin("dst"), "left")
-          .select(cur("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("lbl"))
+        val relaxed = edgesSelf.join(cur, edgesSelf("src") === cur("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("lbl"))
+          .select(col("dst").as("id"), col("lbl"))
         val hop = relaxed.select(col("id").as("jid"), col("lbl").as("jlbl"))
         relaxed.join(hop, relaxed("lbl") === hop("jid"), "left")
           .select(relaxed("id"), least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("label"))
       }
-      var changed = 1L
+      // labels move monotonically DOWN (relax takes min including self,
+      // hop takes least), so the label sum strictly decreases until the
+      // fixpoint and "sum unchanged" ⇔ "no label changed" — convergence
+      // is a narrow aggregate over the just-checkpointed partitions, not
+      // a join against the previous iteration. DECIMAL(38) keeps the sum
+      // exact at any corpus size (1e10 ids × 1e10 max id overflows Long).
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+          .head().getDecimal(0) match { case null => java.math.BigDecimal.ZERO; case v => v }
+      var prevSum = labelSum(labels)
+      var changed = true
       var iter = 0
-      while (changed > 0 && iter < maxIter) {
+      while (changed && iter < maxIter) {
         // TWO composed rounds per materialization (an extra round after
         // the fixpoint is a no-op), then TRUNCATE LINEAGE: round()
         // references its input several times, so a cache-only loop grows
         // the logical plan ~16x per iteration and analysis time explodes
         // with iteration count — localCheckpoint re-roots the plan at the
         // materialized data, the standard shape for iterative algorithms
-        val old = labels.withColumnRenamed("label", "old")
         val next = round(round(labels)).localCheckpoint(eager = true)
-        changed = next.join(old, "id")
-          .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("c"))
-          .head().getAs[Any](0) match { case null => 0L; case v: Long => v }
+        val s = labelSum(next)
+        changed = s.compareTo(prevSum) != 0
+        prevSum = s
         labels = next
         iter += 1
       }
@@ -168,7 +190,7 @@ object TextQueries {
         .localCheckpoint(eager = true)
       // the final checkpoint owns the result; intermediate checkpoint
       // blocks are reclaimed by the ContextCleaner as references drop
-      edges.unpersist(blocking = false)
+      edgesSelf.unpersist(blocking = false)
       out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
