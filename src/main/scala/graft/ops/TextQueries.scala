@@ -356,6 +356,61 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full DuckDB mirror of the SimHash pipeline — the FNV-1a shingle
+    // hash is replayed in SQL with HUGEINT mod-2^64 arithmetic (xor only
+    // ever touches the low byte, so it lowers to BIGINT xor on h % 256),
+    // the 64 bit-majority votes via nested list lambdas, chunk banding /
+    // bucket caps / pair generation exactly as the Spark plan, and
+    // hamming = bit_count(xor()) after mapping the unsigned hash back to
+    // the signed BIGINT Spark carries. Verified bit-identical to the
+    // Scala kernel (TextHash.fnv1a/simhash64) on the sf0.01 corpus.
+    "q_dedup_simhash" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 5 THEN
+        |      list_transform(range(CAST(length(text)-4 AS BIGINT)), i -> substr(text, CAST(i+1 AS INT), 5))
+        |    WHEN length(text) > 0 THEN [text] ELSE [] END AS sh
+        |  FROM documents),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh, s ->
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          flatten(list_transform(range(CAST(length(s) AS BIGINT)),
+        |            j -> [ascii(substr(s, CAST(j+1 AS INT), 1)) % 256,
+        |                  ascii(substr(s, CAST(j+1 AS INT), 1)) // 256]))),
+        |        (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |                   * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT))) AS hs
+        |  FROM raw),
+        |sims AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(range(64), b ->
+        |      CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
+        |             h -> CAST((h // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT))), 0) > len(hs)
+        |      THEN CAST(power(2, b) AS HUGEINT) ELSE 0::HUGEINT END)), 0::HUGEINT) AS simu
+        |  FROM hashes),
+        |chunks AS (
+        |  SELECT doc_id, simu, c.c AS chunk_idx,
+        |    CAST((simu // CAST(power(2, c.c * 16) AS HUGEINT)) % 65536 AS BIGINT) AS chunk
+        |  FROM sims, (SELECT unnest(range(4)) AS c) c),
+        |ok_buckets AS (
+        |  SELECT chunk_idx, chunk FROM chunks
+        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 128),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simu AS sa, b.simu AS sb
+        |  FROM chunks a
+        |  JOIN chunks b ON b.chunk_idx = a.chunk_idx AND b.chunk = a.chunk AND b.doc_id > a.doc_id
+        |  JOIN ok_buckets o ON o.chunk_idx = a.chunk_idx AND o.chunk = a.chunk)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(
+        |    CAST(CASE WHEN sa >= 9223372036854775808::HUGEINT THEN sa - 18446744073709551616::HUGEINT ELSE sa END AS BIGINT),
+        |    CAST(CASE WHEN sb >= 9223372036854775808::HUGEINT THEN sb - 18446744073709551616::HUGEINT ELSE sb END AS BIGINT)
+        |  )) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(
+        |    CAST(CASE WHEN sa >= 9223372036854775808::HUGEINT THEN sa - 18446744073709551616::HUGEINT ELSE sa END AS BIGINT),
+        |    CAST(CASE WHEN sb >= 9223372036854775808::HUGEINT THEN sb - 18446744073709551616::HUGEINT ELSE sb END AS BIGINT))) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // The LSH pipeline's contract is "the exact >= 0.7 n-gram-Jaccard
     // near-dup relation, found without all-pairs work". The oracle IS that
     // relation, brute-forced: hashed 5-gram shingle sets per doc, a
