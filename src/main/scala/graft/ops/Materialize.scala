@@ -64,8 +64,19 @@ object Materialize {
   /** Drop all but the `keep` most recently written versions (and never the
     * pointed-to one) — the reference's min-dated-table GC
     * (load_to_postgres.py:269-291). Ordered by modification time, not
-    * name: version strings need not sort lexicographically (v10 > v2). */
+    * name: version strings need not sort lexicographically (v10 > v2).
+    *
+    * `keep` must be >= 2: "never the pointed-to one" protects the version
+    * the pointer names NOW, but a reader that resolved `current` just
+    * before a publish+gc pair is still scanning the PREVIOUS version —
+    * with keep=1 that directory would be deleted mid-read. keep=2 keeps
+    * the last pre-swap version alive through one full publish+gc cycle,
+    * which bounds reader staleness the same way the reference's GC keeps
+    * the prior dated table until the next load. */
   def gc(base: String, table: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 2,
+      s"gc(keep=$keep): keep must be >= 2 — a reader that resolved 'current' " +
+      "before the latest publish may still be reading the previous version")
     val versionsDir = tableDir(base, table).resolve("versions")
     if (!Files.isDirectory(versionsDir)) return Nil
     // no pointer = no successful publish yet (every version is reclaimable)

@@ -63,10 +63,21 @@ class MaterializeSpec extends AnyFunSuite {
     import spark.implicits._
     val base = freshBase()
     val df = Seq((1L, "a")).toDF("k", "v")
-    Materialize.publish(df, base, "cust", "v1", Seq("k"))
+    for (v <- Seq("v1", "v2", "v3")) Materialize.publish(df, base, "cust", v, Seq("k"))
     Materialize.publish(df, base, "cust_orders", "v1", Seq("k"))
-    Materialize.gc(base, "cust", keep = 0)
+    // pin mtimes explicitly (no sleeps): v1 oldest -> the one gc dooms
+    for ((v, i) <- Seq("v1", "v2", "v3").zipWithIndex)
+      Files.setLastModifiedTime(Paths.get(base, "cust", "versions", v),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    val gone = Materialize.gc(base, "cust", keep = 2)
+    assert(gone.map(p => Paths.get(p).getFileName.toString) == Seq("v1"))
     assert(Files.exists(Paths.get(base, "cust_orders", "versions", "v1")),
       "sibling table must be untouched")
+  }
+
+  test("gc refuses keep < 2 (a pre-swap reader may still scan the previous version)") {
+    val base = freshBase()
+    assertThrows[IllegalArgumentException](Materialize.gc(base, "t", keep = 1))
+    assertThrows[IllegalArgumentException](Materialize.gc(base, "t", keep = 0))
   }
 }
