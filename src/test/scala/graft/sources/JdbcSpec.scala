@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class JdbcSpec extends AnyFunSuite {
+
+  private val src = Jdbc.SourceConfig(
+    url = "jdbc:postgresql://db:5432/postgres_db",
+    table = "land_use",
+    user = "u",
+    password = "p")
+
+  test("source options mirror the reference's partitioned-read properties") {
+    val cfg = src.partitionedOn("id", 1L, 10000000L, 100)
+    val o = cfg.options
+    assert(o("url") == "jdbc:postgresql://db:5432/postgres_db")
+    assert(o("dbtable") == "land_use")
+    assert(o("driver") == "org.postgresql.Driver")
+    assert(o("fetchsize") == "10000")
+    assert(o("partitionColumn") == "id")
+    assert(o("lowerBound") == "1")
+    assert(o("upperBound") == "10000000")
+    assert(o("numPartitions") == "100")
+  }
+
+  test("unpartitioned source omits the partitioning quadruple") {
+    val o = src.options
+    assert(!o.contains("partitionColumn") && !o.contains("lowerBound") &&
+      !o.contains("upperBound") && !o.contains("numPartitions"))
+  }
+
+  test("partial partition spec is rejected at construction") {
+    assertThrows[IllegalArgumentException](
+      src.copy(partitionColumn = Some("id"), lowerBound = Some(1L)))
+    assertThrows[IllegalArgumentException](
+      src.partitionedOn("id", 10L, 1L, 4)) // inverted bounds
+    assertThrows[IllegalArgumentException](
+      src.partitionedOn("id", 1L, 10L, 0)) // zero partitions
+  }
+
+  test("bounds probe wraps the table in the reference's max/min subquery") {
+    val b = Jdbc.boundsConfig(src, "id")
+    assert(b.options("dbtable") ==
+      "(SELECT max(id) AS hi, min(id) AS lo FROM land_use) graft_bounds")
+    assert(!b.options.contains("numPartitions"))
+  }
+
+  test("partitionsFor derives counts from bounds, clamped to sane limits") {
+    assert(Jdbc.partitionsFor(1L, 100L) == 1)
+    assert(Jdbc.partitionsFor(0L, 10000000L - 1) == 10)
+    assert(Jdbc.partitionsFor(0L, Long.MaxValue / 2, maxPartitions = 10000) == 10000)
+  }
+
+  test("sink options carry batchsize/isolation/truncate like the bulk loader") {
+    val o = Jdbc.SinkConfig(
+      url = "jdbc:postgresql://db:5432/analytics",
+      table = "gold.land_use_20240101",
+      user = "u", password = "p",
+      batchSize = 5000, truncate = true).options
+    assert(o("batchsize") == "5000")
+    assert(o("isolationLevel") == "READ_COMMITTED")
+    assert(o("truncate") == "true")
+    assert(o("dbtable") == "gold.land_use_20240101")
+  }
+
+  test("invalid sink isolation level is rejected") {
+    assertThrows[IllegalArgumentException](
+      Jdbc.SinkConfig("jdbc:x", "t", "u", "p", isolationLevel = "SNAPSHOT"))
+  }
+
+  test("reader/writer builders accept the option maps (compile + wiring)") {
+    val spark = SparkFixture.spark
+    // no DB in the sandbox: .load()/.save() are the only steps not taken
+    val r = Jdbc.reader(spark, src.partitionedOn("id", 1L, 100L, 4))
+    assert(r != null)
+    import spark.implicits._
+    val w = Jdbc.writer(Seq((1L, "a")).toDF("id", "v"),
+      Jdbc.SinkConfig("jdbc:postgresql://db:5432/analytics", "t", "u", "p"))
+    assert(w != null)
+  }
+}
