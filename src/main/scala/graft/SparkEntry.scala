@@ -33,6 +33,9 @@ object SparkEntry {
       "q_geo_flagship_5880" -> ((s, dir) => Pipelines.flagship(s, dir)),
       // Broadcast R-tree st_intersects join (SURVEY §2.3 stretch op).
       "q_spatial_join" -> (Pipelines.spatialJoinRollup _),
+      // Same operator, distance predicate: st_dwithin with envelope
+      // expansion + exact post-filter.
+      "q_spatial_dwithin" -> ((s, dir) => Pipelines.spatialDWithinRollup(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +45,6 @@ object SparkEntry {
     SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles ++
     Multimodal.oracles ++ StreamQueries.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
-    ("q_spatial_join" -> Pipelines.spatialJoinOracleSql)
+    ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
+    ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql)
 }

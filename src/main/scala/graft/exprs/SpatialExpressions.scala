@@ -255,6 +255,21 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_dwithin(a, b, d) — true iff distance(a, b) <= d. A first-class
+  * predicate (not sugar for st_distance(a,b) <= d) so
+  * SpatialJoinStrategy can recognize it as an index-accelerable join
+  * condition and plan the broadcast R-tree operator with envelope
+  * expansion instead of a nested-loop distance join. */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def prettyName: String = "st_dwithin"
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    geom(a).isWithinDistance(geom(b), d.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StDWithin =
+    copy(first = a, second = b, third = c)
+}
+
 /** Vertex-wise CRS reprojection. CRS args are usually foldable literals —
   * the point-transform closure is resolved once and cached. */
 case class StTransform(first: Expression, second: Expression, third: Expression)

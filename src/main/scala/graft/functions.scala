@@ -39,6 +39,8 @@ object functions {
   def st_contains(a: Column, b: Column): Column = col(StContains(ex(a), ex(b)))
   def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
     col(StTransform(ex(g), ex(src), ex(dst)))
   def st_transform(g: Column, src: String, dst: String): Column = {
@@ -96,6 +98,8 @@ object functions {
     r2("st_contains", StContains)
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
+    reg.createOrReplaceTempFunction(
+      "st_dwithin", es => StDWithin(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "st_transform", es => StTransform(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction(

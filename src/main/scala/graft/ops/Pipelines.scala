@@ -125,6 +125,58 @@ object Pipelines {
     """SELECT CAST(l_partkey % 25 AS INTEGER) AS region_id, count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Distance join: parcels ⋈ regions ON st_dwithin(parcel, region, d),
+    * planned by SpatialJoinStrategy as the broadcast R-tree operator with
+    * the probe envelope expanded by d and exact JTS distance as the
+    * post-filter (PlanShapeSpec asserts the exec node).
+    *
+    * d = 10700 m is chosen against the fixture grid (GeoFixtures: 50 km
+    * regions on a 60 km step → 10 000 m gaps; 400 m parcels on a 1 km
+    * cell grid) so the match set is closed-form AND the distance
+    * semantics are actually exercised: every parcel matches its own
+    * region (distance 0), an edge-column parcel also matches the adjacent
+    * region — gap 10 000 m (col/row 0) or 10 600 m (col/row 49), both
+    * <= d — while second-column parcels (11 000 m) and diagonal regions
+    * (≥ 14 142 m) stay out. No gap equals d, so no FP boundary cases. */
+  def spatialDWithinRollup(spark: SparkSession, dir: String, d: Double = 10700.0): DataFrame = {
+    graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
+    import GeoFixtures._
+    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val parcels = li.select(
+      st_makeenvelope(px0.cast("double"), py0.cast("double"),
+        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
+        .as("parcel_geom"))
+    val regions = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("int").as("region_id"),
+        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
+    parcels
+      .join(broadcast(regions), st_dwithin(col("parcel_geom"), col("region_geom"), lit(d)))
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("region_id"))
+  }
+
+  /** Closed-form mirror of the d=10700 match set: own region always;
+    * the four adjacent regions exactly when the parcel sits in the
+    * first/last parcel column/row AND that neighbor exists in the 5×5
+    * region grid. */
+  val spatialDWithinOracleSql: String =
+    """WITH f AS (
+      |  SELECT CAST(l_partkey % 25 AS INTEGER) AS r,
+      |         CAST(((l_orderkey * 7 + l_linenumber) % 2500) % 50 AS INTEGER) AS c,
+      |         CAST(((l_orderkey * 7 + l_linenumber) % 2500) // 50 AS INTEGER) AS w
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT r AS region_id FROM f
+      |  UNION ALL SELECT r - 1 FROM f WHERE c = 0  AND r % 5 > 0
+      |  UNION ALL SELECT r + 1 FROM f WHERE c = 49 AND r % 5 < 4
+      |  UNION ALL SELECT r - 5 FROM f WHERE w = 0  AND r // 5 > 0
+      |  UNION ALL SELECT r + 5 FROM f WHERE w = 49 AND r // 5 < 4)
+      |SELECT region_id, count(*) AS n FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Closed-form oracle for `flagship(to5880 = false, gapBuffer = 0)`:
     * parcels are disjoint 400 m squares fully inside their region, so the
     * clipped union area is exactly 160000 · count(DISTINCT parcel index). */

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.exprs.StIntersects
+import graft.exprs.{StDWithin, StIntersects}
 import graft.geom.Geom
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
+import org.locationtech.jts.geom.Envelope
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
 import scala.jdk.CollectionConverters._
@@ -17,20 +18,22 @@ import scala.jdk.CollectionConverters._
   * realized at tier (c) of the extension ladder: LogicalPlan pattern →
   * SparkStrategy → custom SparkPlan).
   *
-  * Catalyst cannot know `st_intersects` is index-accelerable: a plain
-  * `left.join(right, st_intersects(lg, rg))` is a non-equi join and planks
-  * down to BroadcastNestedLoopJoin — O(|L|·|R|) full geometry tests. This
-  * strategy recognizes that exact logical shape and plans
-  * [[BroadcastRTreeSpatialJoinExec]] instead: the broadcast-hinted (or
-  * stats-small) side becomes a per-partition JTS STRtree, each probe row
-  * touches only envelope-overlapping candidates, and exact `intersects`
-  * runs against PreparedGeometry. The big side never shuffles — the same
-  * distribution shape as Spark's own broadcast hash join, which is what
-  * survives a 100 TB probe side.
+  * Catalyst cannot know `st_intersects` / `st_dwithin` are
+  * index-accelerable: a plain `left.join(right, st_intersects(lg, rg))`
+  * is a non-equi join and planks down to BroadcastNestedLoopJoin —
+  * O(|L|·|R|) full geometry tests. This strategy recognizes those exact
+  * logical shapes and plans [[BroadcastRTreeSpatialJoinExec]] instead:
+  * the broadcast-hinted (or stats-small) side becomes a per-partition JTS
+  * STRtree, each probe row touches only envelope-overlapping candidates
+  * (for `st_dwithin(a, b, d)` the probe envelope is expanded by `d`
+  * before the index query, then the exact distance test filters), and
+  * exact predicates run against PreparedGeometry. The big side never
+  * shuffles — the same distribution shape as Spark's own broadcast hash
+  * join, which is what survives a 100 TB probe side.
   *
   * Falls through (Nil) whenever the shape doesn't match — inner joins
-  * only, with a clearly broadcastable build side — leaving Spark's
-  * default planning untouched.
+  * only, with a clearly broadcastable build side, and (for dwithin) a
+  * foldable distance — leaving Spark's default planning untouched.
   */
 object SpatialJoinStrategy extends SparkStrategy {
 
@@ -39,41 +42,62 @@ object SpatialJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left, right, Inner, Some(StIntersects(a, b)), hint) =>
-      // orient the two geometry expressions to the children they reference
-      val oriented: Option[(Expression, Expression)] =
-        if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-          Some((a, b))
-        else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-          Some((b, a))
-        else None
-      oriented match {
-        case Some((leftGeom, rightGeom)) =>
-          val threshold = SQLConf.get.autoBroadcastJoinThreshold
-          def small(p: LogicalPlan): Boolean =
-            threshold >= 0 && p.stats.sizeInBytes <= threshold
-          if (wantsBroadcast(hint.rightHint) || (!wantsBroadcast(hint.leftHint) && small(right)))
-            BroadcastRTreeSpatialJoinExec(
-              planLater(left), planLater(right), leftGeom, rightGeom, buildLeft = false) :: Nil
-          else if (wantsBroadcast(hint.leftHint) || small(left))
-            BroadcastRTreeSpatialJoinExec(
-              planLater(left), planLater(right), leftGeom, rightGeom, buildLeft = true) :: Nil
-          else Nil // neither side broadcastable: fall back to default planning
-        case None => Nil
+      planSpatial(left, right, a, b, hint.leftHint, hint.rightHint, distance = None)
+    case Join(left, right, Inner, Some(StDWithin(a, b, d)), hint) if d.foldable =>
+      d.eval(null) match {
+        // negative distance: predicate is constant-false for disjoint
+        // geometries but still degenerate — leave it to default planning
+        case dist: java.lang.Double if dist >= 0.0 =>
+          planSpatial(left, right, a, b, hint.leftHint, hint.rightHint,
+            distance = Some(dist.doubleValue()))
+        case _ => Nil
       }
     case _ => Nil
+  }
+
+  private def planSpatial(
+      left: LogicalPlan, right: LogicalPlan,
+      a: Expression, b: Expression,
+      leftHint: Option[HintInfo], rightHint: Option[HintInfo],
+      distance: Option[Double]): Seq[SparkPlan] = {
+    // orient the two geometry expressions to the children they reference
+    val oriented: Option[(Expression, Expression)] =
+      if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+        Some((a, b))
+      else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+        Some((b, a))
+      else None
+    oriented match {
+      case Some((leftGeom, rightGeom)) =>
+        val threshold = SQLConf.get.autoBroadcastJoinThreshold
+        def small(p: LogicalPlan): Boolean =
+          threshold >= 0 && p.stats.sizeInBytes <= threshold
+        if (wantsBroadcast(rightHint) || (!wantsBroadcast(leftHint) && small(right)))
+          BroadcastRTreeSpatialJoinExec(
+            planLater(left), planLater(right), leftGeom, rightGeom,
+            buildLeft = false, distance) :: Nil
+        else if (wantsBroadcast(leftHint) || small(left))
+          BroadcastRTreeSpatialJoinExec(
+            planLater(left), planLater(right), leftGeom, rightGeom,
+            buildLeft = true, distance) :: Nil
+        else Nil // neither side broadcastable: fall back to default planning
+      case None => Nil
+    }
   }
 }
 
 /** Broadcast R-tree spatial inner join: collects the build side, ships it
   * as WKB + rows, builds one STRtree per probe partition (25-row dimension
   * → microseconds), and streams the probe side through envelope queries +
-  * PreparedGeometry.intersects. Output is `left.output ++ right.output`,
-  * like Spark's join execs; everything stays at the InternalRow level (no
-  * external Row round-trip). */
+  * PreparedGeometry predicates. `distance = None` joins on intersects;
+  * `Some(d)` joins on distance <= d (envelope expanded by d for the index
+  * query, exact JTS distance as the post-filter). Output is
+  * `left.output ++ right.output`, like Spark's join execs; everything
+  * stays at the InternalRow level (no external Row round-trip). */
 case class BroadcastRTreeSpatialJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression,
-    buildLeft: Boolean) extends SparkPlan {
+    buildLeft: Boolean, distance: Option[Double] = None) extends SparkPlan {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def children: Seq[SparkPlan] = Seq(left, right)
@@ -94,6 +118,7 @@ case class BroadcastRTreeSpatialJoinExec(
     val bc = sparkContext.broadcast(buildRows)
     val outAttrs = output
     val bLeft = buildLeft
+    val dist = distance
     streamPlan.execute().mapPartitions { it =>
       val tree = new STRtree()
       bc.value.foreach { case (wkb, row) =>
@@ -110,9 +135,16 @@ case class BroadcastRTreeSpatialJoinExec(
         if (wkb == null) Iterator.empty
         else {
           val g = Geom.fromWkb(wkb)
-          tree.query(g.getEnvelopeInternal).asScala.iterator
+          val qEnv = new Envelope(g.getEnvelopeInternal)
+          dist.foreach(qEnv.expandBy)
+          tree.query(qEnv).asScala.iterator
             .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
-            .filter { case (bg, _) => bg.intersects(g) }
+            .filter { case (bg, _) =>
+              dist match {
+                case None => bg.intersects(g)
+                case Some(d) => bg.getGeometry.isWithinDistance(g, d)
+              }
+            }
             .map { case (_, brow) =>
               proj(if (bLeft) joined.withLeft(brow).withRight(srow)
                    else joined.withLeft(srow).withRight(brow))

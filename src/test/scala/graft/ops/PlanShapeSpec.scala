@@ -61,6 +61,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("declarative st_dwithin join plans as the broadcast R-tree operator") {
+    val p = planOf("q_spatial_dwithin")
+    assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("st_dwithin matches own region plus reachable edge neighbors only") {
+    import org.apache.spark.sql.functions._
+    // fixture arithmetic mirror of the d=10700 closed form (same logic as
+    // the DuckDB oracle, independent of the join machinery under test)
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 25).cast("int").as("r"),
+        (((col("l_orderkey") * 7 + col("l_linenumber")) % 2500) % 50).cast("int").as("c"),
+        ((((col("l_orderkey") * 7 + col("l_linenumber")) % 2500) / 50).cast("int")).as("w"))
+    val own = li.select(col("r").as("region_id"))
+    val leftN = li.filter(col("c") === 0 && col("r") % 5 > 0).select((col("r") - 1).as("region_id"))
+    val rightN = li.filter(col("c") === 49 && col("r") % 5 < 4).select((col("r") + 1).as("region_id"))
+    val downN = li.filter(col("w") === 0 && (col("r") / 5).cast("int") > 0).select((col("r") - 5).as("region_id"))
+    val upN = li.filter(col("w") === 49 && (col("r") / 5).cast("int") < 4).select((col("r") + 5).as("region_id"))
+    val expected = own.union(leftN).union(rightN).union(downN).union(upN)
+      .groupBy("region_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_spatial_dwithin")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the distance predicate must be doing more than intersects: at least
+    // one neighbor match exists on the gate corpus
+    val ownOnly = own.groupBy("region_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got != ownOnly, "d=10700 should reach adjacent regions")
+  }
+
   test("API-form broadcastIntersects agrees with the strategy-planned join") {
     import org.apache.spark.sql.functions._
     import graft.functions._
