@@ -25,21 +25,39 @@ object StreamQueries {
   val WindowMs: Long = 3600 * 1000L
 
   /** Run a streaming DataFrame to completion on the bounded corpus:
-    * AvailableNow trigger into an append-mode memory sink (with the
-    * trailing no-data batch that lets the final watermark fire), state
-    * partitions sized to the replay, sink table dropped after the result
-    * is checkpointed so repeated runs hold no driver sink state.
-    * `finish` shapes the sink table into the query's deterministic
-    * output. */
-  private def runBounded(spark: SparkSession, df: DataFrame, prefix: String)
+    * AvailableNow trigger into an append-mode memory sink, state
+    * partitions sized to the replay (4 by default — per-partition state
+    * stores carry fixed per-batch commit I/O, measured to dominate wide
+    * layouts at this state size; a production deployment with large state
+    * raises `graft.stream.statePartitions`), sink table dropped after the
+    * result is checkpointed so repeated runs hold no driver sink state.
+    * `finish` shapes the sink table into the query's deterministic output.
+    *
+    * `finalWatermarkBatch`: windowed-append queries emit a window only
+    * when a LATER batch's watermark passes its end, so they need the
+    * trailing no-data micro-batch. Dedup and join emit their rows in the
+    * data batch itself (the no-data batch would only purge state that a
+    * terminating query discards anyway) — skipping it saves one full
+    * plan/execute/state-commit cycle per run. */
+  private def runBounded(spark: SparkSession, df: DataFrame, prefix: String,
+                         finalWatermarkBatch: Boolean = true)
                         (finish: DataFrame => DataFrame): DataFrame = {
     val sink = s"${prefix}_${runSeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stateParts = spark.conf.getOption("graft.stream.statePartitions").getOrElse("4")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      finalWatermarkBatch.toString)
+    // start() clones the session + conf synchronously, so restoring in
+    // finally cannot race the async micro-batches
     val q = try {
       df.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     q.awaitTermination()
     val out = finish(spark.table(sink)).localCheckpoint(eager = true)
     spark.catalog.dropTempView(sink)
@@ -82,7 +100,7 @@ object StreamQueries {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "hour_ms")
       .select(col("user_id"), col("hour_ms"))
-    runBounded(spark, deduped, "graft_stream_dedup") {
+    runBounded(spark, deduped, "graft_stream_dedup", finalWatermarkBatch = false) {
       _.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_active_hours"))
         .orderBy(col("user_id"))
@@ -115,7 +133,7 @@ object StreamQueries {
       col("c_user") === col("v_user") &&
         col("v_ts") >= col("c_ts") &&
         col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-    runBounded(spark, joined, "graft_stream_join") {
+    runBounded(spark, joined, "graft_stream_join", finalWatermarkBatch = false) {
       _.groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
