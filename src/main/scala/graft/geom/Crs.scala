@@ -3,7 +3,7 @@ package graft.geom
 import org.locationtech.jts.geom.{CoordinateSequence, Geometry}
 import org.locationtech.jts.geom.CoordinateSequenceFilter
 
-/** Minimal CRS registry + map-projection math.
+/** Pluggable CRS registry + map-projection math.
   *
   * The environment ships no GeoTools, so the reference's
   * `ST_Transform(geom, 'EPSG:3857', 'EPSG:5880')`
@@ -14,9 +14,18 @@ import org.locationtech.jts.geom.CoordinateSequenceFilter
   *     eqs. 7-1/7-2 forward and 7-4/7-5 inverse, R = 6378137.
   *   - EPSG:5880 (SIRGAS 2000 / Brazil Polyconic): ellipsoidal American
   *     Polyconic on GRS80, eqs. 18-12…18-15 forward with the meridional
-  *     arc series eq. 3-21; iterative inverse per eqs. 18-18…18-21.
+  *     arc series eq. 3-21; Newton inverse on the forward map.
+  *   - EPSG:326xx/327xx (WGS84 / UTM N,S) and EPSG:31965-31985
+  *     (SIRGAS 2000 / UTM): ellipsoidal Transverse Mercator,
+  *     eqs. 8-9…8-13, resolved BY PATTERN — the whole 120-zone UTM family
+  *     comes from one parameterized projection, constructed on first use.
   * SIRGAS 2000 is realized identically to WGS84 at this precision, so the
-  * lon/lat hub needs no datum shift.
+  * lon/lat hub needs no datum shift (EPSG:4674 is the same identity hub
+  * as EPSG:4326).
+  *
+  * Additional CRSs plug in at runtime via [[Crs.register]]; every
+  * `st_transform` call resolves codes dynamically, so a registration is
+  * visible to already-built plans.
   *
   * All projections convert through geographic lon/lat degrees (EPSG:4326).
   */
@@ -53,19 +62,25 @@ object Crs {
     }
   }
 
-  /** Ellipsoidal American Polyconic (Snyder ch. 18). */
-  final class Polyconic(a: Double, e2: Double, lat0Deg: Double, lon0Deg: Double,
-                        fe: Double, fn: Double) extends Projection {
-    private val lon0 = lon0Deg * DegToRad
+  /** Meridional arc length from the equator (Snyder eq. 3-21) — shared by
+    * every ellipsoidal projection here. Validated absolutely against the
+    * published GRS80 quarter meridian in CrsSpec. */
+  final class MeridionalArc(a: Double, e2: Double) {
     private val e4 = e2 * e2
     private val e6 = e4 * e2
-    // meridional arc coefficients, Snyder eq. 3-21
     private val c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
     private val c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
     private val c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
     private val c6 = 35.0 * e6 / 3072.0
-    private def meridArc(phi: Double): Double =
+    def apply(phi: Double): Double =
       a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+  }
+
+  /** Ellipsoidal American Polyconic (Snyder ch. 18). */
+  final class Polyconic(a: Double, e2: Double, lat0Deg: Double, lon0Deg: Double,
+                        fe: Double, fn: Double) extends Projection with NewtonInverse {
+    private val lon0 = lon0Deg * DegToRad
+    private val meridArc = new MeridionalArc(a, e2)
     private val m0 = meridArc(lat0Deg * DegToRad)
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -84,18 +99,28 @@ object Crs {
       }
     }
 
-    /** Inverse by damped 2-D Newton on the (tested) forward map with a
-      * finite-difference Jacobian. Snyder's closed-form iteration
-      * (eqs. 18-18…18-21) has sign-sensitive terms and a sin(2φ)
-      * singularity near the equator; inverting the forward numerically is
-      * robust everywhere the forward is defined and converges in a handful
-      * of iterations (the inverse is a cold path — the flagship pipeline
-      * only ever runs forward 5880). Throws on non-convergence rather than
-      * returning silently-wrong coordinates. */
+    // initial guess: equirectangular approximation around (lat0, lon0)
+    protected def inverseGuess(xIn: Double, yIn: Double): (Double, Double) = {
+      val lat = (yIn - fn + m0) / a * RadToDeg
+      val lon = lon0Deg + (xIn - fe) / a * RadToDeg / math.max(0.2, math.cos(lat * DegToRad))
+      (lon, lat)
+    }
+  }
+
+  /** Inverse by damped 2-D Newton on the (tested) forward map with a
+    * finite-difference Jacobian. Closed-form inverse series are
+    * projection-specific and sign-sensitive (e.g. Snyder eqs. 18-18…18-21
+    * have a sin(2φ) singularity near the equator); inverting the forward
+    * numerically is robust everywhere the forward is defined and
+    * converges in a handful of iterations (the inverse is a cold path —
+    * the flagship pipeline only ever runs forward). Throws on
+    * non-convergence rather than returning silently-wrong coordinates. */
+  trait NewtonInverse { self: Projection =>
+    /** Rough (lon, lat) starting point for the Newton iteration. */
+    protected def inverseGuess(x: Double, y: Double): (Double, Double)
+
     def inverse(xIn: Double, yIn: Double): (Double, Double) = {
-      // initial guess: equirectangular approximation around (lat0, lon0)
-      var lat = (yIn - fn + m0) / a * RadToDeg
-      var lon = lon0Deg + (xIn - fe) / a * RadToDeg / math.max(0.2, math.cos(lat * DegToRad))
+      var (lon, lat) = inverseGuess(xIn, yIn)
       val h = 1e-7 // degrees; ~1 cm — safe for forward differences in double
       var i = 0
       while (i < 60) {
@@ -115,7 +140,7 @@ object Crs {
           math.max(math.abs(j21), math.abs(j22)))
         if (det == 0.0 || math.abs(det) < 1e-12 * scale * scale)
           throw new IllegalStateException(
-            s"polyconic inverse: near-singular Jacobian at ($xIn, $yIn)")
+            s"projection inverse: near-singular Jacobian at ($xIn, $yIn)")
         var dLon = (rx * j22 - ry * j12) / det
         var dLat = (ry * j11 - rx * j21) / det
         // damp steps so iterates stay in the projection's domain
@@ -129,7 +154,46 @@ object Crs {
         i += 1
       }
       throw new IllegalStateException(
-        s"polyconic inverse did not converge for ($xIn, $yIn)")
+        s"projection inverse did not converge for ($xIn, $yIn)")
+    }
+  }
+
+  /** Ellipsoidal Transverse Mercator (Snyder ch. 8, eqs. 8-9…8-13) — the
+    * projection behind every UTM zone. Forward is the standard 6th-order
+    * series in A = Δλ·cosφ (sub-mm inside a zone's ±3°); inverse reuses
+    * the Newton machinery. Validated in CrsSpec against values computed
+    * independently with the Krüger third-flattening series. */
+  final class TransverseMercator(a: Double, e2: Double, lon0Deg: Double,
+                                 k0: Double, fe: Double, fn: Double)
+      extends Projection with NewtonInverse {
+    private val lon0 = lon0Deg * DegToRad
+    private val ep2 = e2 / (1.0 - e2) // e'^2, Snyder eq. 8-12
+    private val meridArc = new MeridionalArc(a, e2)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * DegToRad
+      val sinPhi = math.sin(phi)
+      val cosPhi = math.cos(phi)
+      val n = a / math.sqrt(1.0 - e2 * sinPhi * sinPhi)
+      val t = (sinPhi / cosPhi) * (sinPhi / cosPhi) // tan^2
+      val c = ep2 * cosPhi * cosPhi
+      val bigA = (lonDeg * DegToRad - lon0) * cosPhi
+      val a2 = bigA * bigA
+      val x = k0 * n * (bigA + (1.0 - t + c) * a2 * bigA / 6.0 +
+        (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2) * a2 * a2 * bigA / 120.0)
+      val y = k0 * (meridArc(phi) + n * (sinPhi / cosPhi) * (a2 / 2.0 +
+        (5.0 - t + 9.0 * c + 4.0 * c * c) * a2 * a2 / 24.0 +
+        (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ep2) * a2 * a2 * a2 / 720.0))
+      (fe + x, fn + y)
+    }
+
+    // initial guess: rectifying-sphere latitude, equirectangular longitude
+    protected def inverseGuess(xIn: Double, yIn: Double): (Double, Double) = {
+      val lat = (yIn - fn) / (k0 * a) * RadToDeg
+      val clampedLat = math.max(-85.0, math.min(85.0, lat))
+      val lon = lon0Deg + (xIn - fe) / (k0 * a) * RadToDeg /
+        math.max(0.2, math.cos(clampedLat * DegToRad))
+      (lon, clampedLat)
     }
   }
 
@@ -137,23 +201,72 @@ object Crs {
   private val Grs80A = 6378137.0
   private val Grs80F = 1.0 / 298.257222101
   private val Grs80E2 = Grs80F * (2.0 - Grs80F)
+  // WGS84 ellipsoid (EPSG:7030): a = 6378137, 1/f = 298.257223563
+  private val Wgs84A = 6378137.0
+  private val Wgs84F = 1.0 / 298.257223563
+  private val Wgs84E2 = Wgs84F * (2.0 - Wgs84F)
 
   /** EPSG:5880 — SIRGAS 2000 / Brazil Polyconic
     * (lat0=0, lon0=-54, FE=5 000 000 m, FN=10 000 000 m). */
   val BrazilPolyconic = new Polyconic(Grs80A, Grs80E2, 0.0, -54.0, 5000000.0, 10000000.0)
 
-  val registry: Map[String, Projection] = Map(
-    "EPSG:4326" -> LonLat,
-    "EPSG:3857" -> WebMercator,
-    "EPSG:5880" -> BrazilPolyconic
-  )
+  /** UTM zone: lon0 = 6°·zone − 183, k0 = 0.9996, FE = 500 km,
+    * FN = 0 (north) / 10 000 km (south). */
+  def utm(zone: Int, south: Boolean, a: Double, e2: Double): TransverseMercator = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range")
+    new TransverseMercator(a, e2, 6.0 * zone - 183.0, 0.9996,
+      500000.0, if (south) 10000000.0 else 0.0)
+  }
+
+  private val projections = new java.util.concurrent.ConcurrentHashMap[String, Projection]()
+  projections.put("EPSG:4326", LonLat)
+  projections.put("EPSG:4674", LonLat) // SIRGAS 2000 geographic — same hub
+  projections.put("EPSG:3857", WebMercator)
+  projections.put("EPSG:5880", BrazilPolyconic)
+
+  /** Plug in a CRS at runtime. `st_transform` resolves codes per call, so
+    * a registration is visible to already-built plans (executors resolve
+    * against their own JVM's registry — register from a static initializer
+    * or broadcast-side code when running on a real cluster). */
+  def register(code: String, p: Projection): Unit = projections.put(code, p)
+
+  /** Registered + pattern-resolvable codes. The whole UTM family resolves
+    * by EPSG-code arithmetic on first use (then caches):
+    * 326zz/327zz = WGS84 UTM zone zz N/S; 31965-31976 = SIRGAS 2000 UTM
+    * 11N-22N; 31977-31985 = SIRGAS 2000 UTM 17S-25S. */
+  def lookup(code: String): Option[Projection] = {
+    val hit = projections.get(code)
+    if (hit != null) return Some(hit)
+    val resolved: Option[Projection] = code match {
+      case s if s.startsWith("EPSG:326") && s.length == 10 =>
+        s.drop(8).toIntOption.filter(z => z >= 1 && z <= 60)
+          .map(utm(_, south = false, Wgs84A, Wgs84E2))
+      case s if s.startsWith("EPSG:327") && s.length == 10 =>
+        s.drop(8).toIntOption.filter(z => z >= 1 && z <= 60)
+          .map(utm(_, south = true, Wgs84A, Wgs84E2))
+      case s if s.startsWith("EPSG:319") && s.length == 10 =>
+        s.drop(5).toIntOption.collect {
+          case c if c >= 31965 && c <= 31976 => utm(c - 31954, south = false, Grs80A, Grs80E2)
+          case c if c >= 31977 && c <= 31985 => utm(c - 31960, south = true, Grs80A, Grs80E2)
+        }
+      case _ => None
+    }
+    resolved.foreach(p => projections.putIfAbsent(code, p))
+    resolved
+  }
+
+  /** Snapshot view kept for compatibility with existing callers/tests. */
+  def registry: Map[String, Projection] = {
+    import scala.jdk.CollectionConverters._
+    projections.asScala.toMap
+  }
 
   /** Pointwise coordinate transform src -> dst via the lon/lat hub.
     * src == dst is the exact identity (no hub round-trip FP noise) — the
     * case CollapseStTransforms produces when fusing a→b→a chains. */
   def pointTransform(src: String, dst: String): (Double, Double) => (Double, Double) = {
-    val s = registry.getOrElse(src, throw new IllegalArgumentException(s"unknown CRS $src"))
-    val d = registry.getOrElse(dst, throw new IllegalArgumentException(s"unknown CRS $dst"))
+    val s = lookup(src).getOrElse(throw new IllegalArgumentException(s"unknown CRS $src"))
+    val d = lookup(dst).getOrElse(throw new IllegalArgumentException(s"unknown CRS $dst"))
     if (src == dst) (x, y) => (x, y)
     else (x, y) => {
       val (lon, lat) = s.inverse(x, y)

@@ -46,6 +46,64 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(n - 8243641.0379) < 1.0, s"northing $n")
   }
 
+  test("UTM zones resolve by EPSG-code pattern and match independent Krüger values < 5 cm") {
+    // Expected values computed OUTSIDE this codebase with the Krüger
+    // third-flattening series (order n^6 — a different formulation than
+    // the Snyder eqs. 8-9…8-13 implemented here), whose meridian scale
+    // reproduces the published GRS80 quarter meridian. São Paulo in both
+    // datums' UTM 23S and Berlin in WGS84 UTM 33N.
+    val sp23sWgs = Crs.lookup("EPSG:32723").get.forward(-46.633, -23.55)
+    assert(math.abs(sp23sWgs._1 - 333317.9113) < 0.05, s"E ${sp23sWgs._1}")
+    assert(math.abs(sp23sWgs._2 - 7394644.0366) < 0.05, s"N ${sp23sWgs._2}")
+    val sp23sSirgas = Crs.lookup("EPSG:31983").get.forward(-46.633, -23.55)
+    assert(math.abs(sp23sSirgas._1 - 333317.9113) < 0.05, s"E ${sp23sSirgas._1}")
+    assert(math.abs(sp23sSirgas._2 - 7394644.0367) < 0.05, s"N ${sp23sSirgas._2}")
+    val berlin33n = Crs.lookup("EPSG:32633").get.forward(13.4, 52.52)
+    assert(math.abs(berlin33n._1 - 391440.0321) < 0.05, s"E ${berlin33n._1}")
+    assert(math.abs(berlin33n._2 - 5820079.6669) < 0.05, s"N ${berlin33n._2}")
+  }
+
+  test("UTM central meridian: easting exactly FE, northing = FN + k0·M(lat)") {
+    // On lon0 the TM series collapses to the meridional arc, so this pins
+    // the UTM forward to the same integral-validated arc as EPSG:5880:
+    // FN + 0.9996·M(-15°) = 8 341 674.0064 (WGS84, derived by numerical
+    // integration of the defining arc integral).
+    val (x, y) = Crs.lookup("EPSG:32723").get.forward(-45.0, -15.0)
+    assert(math.abs(x - 500000.0) < 1e-6, s"E $x")
+    assert(math.abs(y - 8341674.0064) < 0.05, s"N $y")
+  }
+
+  test("UTM inverse round-trips a zone-wide grid to < 1 mm") {
+    val tm = Crs.lookup("EPSG:32723").get
+    for (lonI <- -48 to -42 by 1; latI <- -34 to 0 by 2) {
+      val (x, y) = tm.forward(lonI.toDouble, latI.toDouble)
+      val (lon2, lat2) = tm.inverse(x, y)
+      assert(math.abs(lon2 - lonI) < 1e-8, s"lon $lonI -> $lon2")
+      assert(math.abs(lat2 - latI) < 1e-8, s"lat $latI -> $lat2")
+    }
+  }
+
+  test("EPSG:4674 (SIRGAS geographic) is the same lon/lat hub as 4326") {
+    val t = Crs.pointTransform("EPSG:4674", "EPSG:5880")
+    val ref = Crs.pointTransform("EPSG:4326", "EPSG:5880")
+    val (e1, n1) = t(-47.8828, -15.7939)
+    val (e2, n2) = ref(-47.8828, -15.7939)
+    assert(e1 == e2 && n1 == n2)
+  }
+
+  test("runtime registration plugs a custom CRS into pointTransform") {
+    Crs.register("TEST:utm22s", Crs.utm(22, south = true, 6378137.0,
+      (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)))
+    val t = Crs.pointTransform("EPSG:4326", "TEST:utm22s")
+    val viaEpsg = Crs.pointTransform("EPSG:4326", "EPSG:32722")
+    assert(t(-51.0, -30.0) == viaEpsg(-51.0, -30.0))
+  }
+
+  test("out-of-range UTM zone codes stay unknown") {
+    assertThrows[IllegalArgumentException](Crs.pointTransform("EPSG:32699", "EPSG:4326"))
+    assertThrows[IllegalArgumentException](Crs.pointTransform("EPSG:31990", "EPSG:4326"))
+  }
+
   test("polyconic inverse round-trips Brazil-wide grid to < 1 mm") {
     for (lonI <- -74 to -34 by 4; latI <- -34 to 5 by 3) {
       val lon = lonI.toDouble
