@@ -306,6 +306,27 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split assignment (80/10/10) by
+    * multiplicative hashing of the stable doc_id — the reproducible
+    * corpus-split op of a training-data pipeline. No RNG: the same
+    * document lands in the same split on every run and every cluster, a
+    * new document joins a split without reshuffling old ones, and the
+    * assignment is a pure per-row projection that costs nothing at any
+    * scale. The inner modulus (1e9+7) bounds the Knuth-constant product
+    * away from Long overflow for arbitrarily large ids (ANSI mode
+    * throws on overflow; silent wrap would be engine-dependent). */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
   /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
     * the join-key form used for cross-corpus dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -326,6 +347,7 @@ object TextQueries {
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q_train_split" -> (trainSplit _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -495,6 +517,15 @@ object TextQueries {
           |)
           |SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u
           |ORDER BY doc_id""".stripMargin),
+    "q_train_split" ->
+      """WITH b AS (
+        |  SELECT lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q_stopword_ratio" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
