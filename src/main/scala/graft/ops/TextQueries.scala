@@ -386,6 +386,12 @@ object TextQueries {
     // hamming = bit_count(xor()) after mapping the unsigned hash back to
     // the signed BIGINT Spark carries. Verified bit-identical to the
     // Scala kernel (TextHash.fnv1a/simhash64) on the sf0.01 corpus.
+    // SCOPE: exact for BMP text only — the JVM kernel iterates UTF-16
+    // units while substr()/ascii()/length() are codepoint-based, so a
+    // supplementary-plane character (one codepoint, two UTF-16 units)
+    // would shift shingle windows and byte-folds between the engines.
+    // The corpora are ASCII; a non-BMP corpus needs a surrogate-aware
+    // rewrite of this mirror.
     "q_dedup_simhash" ->
       """WITH raw AS (
         |  SELECT doc_id,
@@ -517,9 +523,12 @@ object TextQueries {
           |)
           |SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u
           |ORDER BY doc_id""".stripMargin),
+    // inner mod mirrors Spark's pmod (non-negative) — plain % would send
+    // every negative doc_id to 'train' while Spark distributes it
     "q_train_split" ->
       """WITH b AS (
-        |  SELECT lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
+        |  SELECT lang,
+        |    (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 100 AS bucket
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -124,9 +124,12 @@ object Jdbc {
   def partitionsFor(lo: Long, hi: Long, targetPerPartition: Long = 1000000L,
                     maxPartitions: Int = 10000): Int = {
     require(targetPerPartition > 0 && lo <= hi)
-    val span = hi - lo + 1
-    math.max(1L, math.min(maxPartitions.toLong,
-      (span + targetPerPartition - 1) / targetPerPartition)).toInt
+    // BigInt: a 64-bit id space (snowflake/hash partition columns) makes
+    // `hi - lo + 1` wrap in Long, which would silently plan ONE partition
+    // for the widest possible table instead of the capped maximum
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val want = (span + targetPerPartition - 1) / targetPerPartition
+    want.min(maxPartitions).max(1).toInt
   }
 
   /** A configured reader: `reader(spark, cfg).load()` is the full

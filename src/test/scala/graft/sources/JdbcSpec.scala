@@ -50,6 +50,9 @@ class JdbcSpec extends AnyFunSuite {
     assert(Jdbc.partitionsFor(1L, 100L) == 1)
     assert(Jdbc.partitionsFor(0L, 10000000L - 1) == 10)
     assert(Jdbc.partitionsFor(0L, Long.MaxValue / 2, maxPartitions = 10000) == 10000)
+    // full 64-bit id space: the span overflows Long — must clamp to the
+    // cap, not wrap to a single partition
+    assert(Jdbc.partitionsFor(Long.MinValue, Long.MaxValue, maxPartitions = 10000) == 10000)
   }
 
   test("sink options carry batchsize/isolation/truncate like the bulk loader") {
