@@ -40,7 +40,24 @@ object SpatialJoin {
     * row encoder and the downstream shuffle. */
   def broadcastIntersects(left: DataFrame, right: DataFrame,
                           leftGeomCol: String, rightGeomCol: String,
-                          outputCols: Seq[String] = Nil): DataFrame = {
+                          outputCols: Seq[String] = Nil): DataFrame =
+    broadcastJoin(left, right, leftGeomCol, rightGeomCol, outputCols, distance = None)
+
+  /** Inner join on `st_dwithin(left[leftGeomCol], right[rightGeomCol], d)`
+    * — the probe envelope is expanded by `d` before the R-tree query and
+    * exact JTS distance runs as the post-filter (same kernel as the
+    * planner-strategy form). */
+  def broadcastDWithin(left: DataFrame, right: DataFrame,
+                       leftGeomCol: String, rightGeomCol: String, d: Double,
+                       outputCols: Seq[String] = Nil): DataFrame = {
+    require(d >= 0.0, s"distance must be non-negative, got $d")
+    broadcastJoin(left, right, leftGeomCol, rightGeomCol, outputCols, distance = Some(d))
+  }
+
+  private def broadcastJoin(left: DataFrame, right: DataFrame,
+                            leftGeomCol: String, rightGeomCol: String,
+                            outputCols: Seq[String],
+                            distance: Option[Double]): DataFrame = {
     val spark = left.sparkSession
     val rightSchema = right.schema
     val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
@@ -79,9 +96,16 @@ object SpatialJoin {
       tree.build()
       it.flatMap { lrow =>
         val lg = Geom.fromWkb(lrow.getAs[Array[Byte]](leftGeomIdx))
-        tree.query(lg.getEnvelopeInternal).asScala.iterator
+        val qEnv = new org.locationtech.jts.geom.Envelope(lg.getEnvelopeInternal)
+        distance.foreach(qEnv.expandBy)
+        tree.query(qEnv).asScala.iterator
           .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Seq[Any])])
-          .filter { case (rg, _) => rg.intersects(lg) }
+          .filter { case (rg, _) =>
+            distance match {
+              case None => rg.intersects(lg)
+              case Some(dd) => rg.getGeometry.isWithinDistance(lg, dd)
+            }
+          }
           .map { case (_, rvals) =>
             val vs = new Array[Any](picks.length)
             var i = 0
