@@ -179,6 +179,29 @@ object VectorQueries {
         (col("s").cast("double") / col("n").cast("double")).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Int8 symmetric quantization audit — the storage-path compression op
+    * of an embedding pipeline (4× smaller vectors, error must be
+    * measured). Per vector: scale = max|x| / 127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [-127, 127], and the output reports
+    * per-vector scale, max reconstruction error, and MSE. floor(+0.5)
+    * instead of round(): engine round() tie semantics differ (Spark
+    * HALF_UP, DuckDB half-even) while floor is bit-deterministic in both.
+    * Pure per-row projection — embarrassingly parallel at any scale. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    Par.fanOut(embeddings(spark, dir))
+      .withColumn("v", embD)
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("deq",
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x => floor(x / col("scale") + lit(0.5)) * col("scale"))))
+      .withColumn("errs", zip_with(col("v"), col("deq"), (a, b) => abs(a - b)))
+      .select(col("vec_id"), col("scale"),
+        array_max(col("errs")).as("max_abs_err"),
+        (foldSum(transform(col("errs"), e => e * e)) / size(col("v")).cast("double")).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
@@ -186,6 +209,7 @@ object VectorQueries {
     "q_emb_norms" -> (embNorms _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "q_emb_quantize" -> (embQuantize _),
   )
 
   /** The 8-bit sign bucket, spelled in DuckDB. */
@@ -228,6 +252,29 @@ object VectorQueries {
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
+    // identical IEEE op chain in both engines (cast, abs, /, floor, *,
+    // sequential fold) — no rounding anywhere, like q_quality_score
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |d AS (
+        |  SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale) END AS deq
+        |  FROM s),
+        |r AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(range(len(v)),
+        |      i -> abs(v[CAST(i+1 AS INT)] - deq[CAST(i+1 AS INT)])) AS errs,
+        |    len(v) AS n
+        |  FROM d)
+        |SELECT vec_id, scale,
+        |  list_max(errs) AS max_abs_err,
+        |  list_sum(list_transform(errs, e -> e * e)) / CAST(n AS DOUBLE) AS mse
+        |FROM r ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
          |d AS (
