@@ -3,9 +3,10 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the FileScan lines (ReadSchema / PushedFilters) of
-  * selected queries — the quick scan-pruning audit for new operators.
-  * Usage: runMain graft.tools.Explain <query...> */
+/** Dev tool: print the scan-pruning-relevant fields (source file, pushed
+  * filters, read schema) of every FileScan in selected queries' executed
+  * plans — the quick audit that a new operator prunes columns and pushes
+  * predicates. Usage: runMain graft.tools.Explain <query...> */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,13 +18,30 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // pull a named field out of a FileScan line without truncating it:
+    // fields are comma-separated `Name: value` pairs, values never nest
+    // a `, XxxYyy:` sequence
+    def field(line: String, name: String): String = {
+      val i = line.indexOf(name + ":")
+      if (i < 0) return "-"
+      val rest = line.substring(i + name.length + 1).trim
+      val end = rest.indexOf(", ReadSchema:") match {
+        case -1 => rest.length
+        case e => e
+      }
+      rest.substring(0, if (name == "ReadSchema") rest.length else math.min(end, rest.length))
+    }
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       df.collect()
-      val p = df.queryExecution.executedPlan.toString
       println(s"===== $name")
-      p.linesIterator.filter(l => l.contains("ReadSchema") || l.contains("FileScan"))
-        .foreach(l => println(l.trim.take(300)))
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).foreach { l =>
+          val src = l.trim.split("\\[").headOption.getOrElse(l.trim)
+          println(s"  ${src.trim}")
+          println(s"    PushedFilters: ${field(l, "PushedFilters")}")
+          println(s"    ReadSchema:    ${field(l, "ReadSchema")}")
+        }
     }
     spark.stop()
   }

@@ -93,7 +93,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got != ownOnly, "d=10700 should reach adjacent regions")
   }
 
-  test("API-form broadcastDWithin agrees with the strategy-planned distance join") {
+  // shared fixture for the API-vs-strategy agreement tests: the same
+  // parcels/regions frames q_spatial_join / q_spatial_dwithin build
+  private def parcelsAndRegions(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     import graft.functions._
     import GeoFixtures._
@@ -105,31 +107,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val regions = Tables.nation(spark, dir)
       .select(col("n_nationkey").cast("int").as("region_id"),
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    val api = SpatialJoin.broadcastDWithin(parcels, regions, "parcel_geom", "region_geom",
-        10700.0, outputCols = Seq("region_id"))
-      .groupBy(col("region_id")).count().collect()
+    (parcels, regions)
+  }
+
+  private def perRegionCounts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] = {
+    import org.apache.spark.sql.functions.col
+    df.groupBy(col("region_id")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  test("API-form broadcastDWithin agrees with the strategy-planned distance join") {
+    val (parcels, regions) = parcelsAndRegions()
+    val api = perRegionCounts(SpatialJoin.broadcastDWithin(
+      parcels, regions, "parcel_geom", "region_geom", 10700.0, outputCols = Seq("region_id")))
     val strategy = SparkEntry.queries("q_spatial_dwithin")(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(api == strategy)
   }
 
   test("API-form broadcastIntersects agrees with the strategy-planned join") {
-    import org.apache.spark.sql.functions._
-    import graft.functions._
-    import GeoFixtures._
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val parcels = li.select(st_makeenvelope(px0.cast("double"), py0.cast("double"),
-      (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double")).as("parcel_geom"))
-    val regions = Tables.nation(spark, dir)
-      .select(col("n_nationkey").cast("int").as("region_id"),
-        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    val api = SpatialJoin.broadcastIntersects(parcels, regions, "parcel_geom", "region_geom",
-        outputCols = Seq("region_id"))
-      .groupBy(col("region_id")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (parcels, regions) = parcelsAndRegions()
+    val api = perRegionCounts(SpatialJoin.broadcastIntersects(
+      parcels, regions, "parcel_geom", "region_geom", outputCols = Seq("region_id")))
     val strategy = SparkEntry.queries("q_spatial_join")(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(api == strategy)
