@@ -67,6 +67,28 @@ object SinkQueries {
       .orderBy(col("lang"))
   }
 
+  /** ORC sink/scan parity: the third columnar interchange format Spark
+    * ships natively (zlib ORC out, schema'd read back, aggregate). The
+    * oracle aggregates the source parquet directly — equal results prove
+    * the typed round-trip is lossless, including event ns-timestamps
+    * carried as BIGINT nanos. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/orc_interchange"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "zlib").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        // µs floor: DuckDB truncates the parquet ns timestamps to µs on
+        // read, and max∘floor = floor∘max (floor is monotone), so the µs
+        // maxima agree even though only Spark sees the ns tail
+        max(expr("ts DIV 1000")).as("max_ts_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.8: publish two versions of an aggregate with the unique-key gate,
     * GC down to 2, then read back through the current pointer — the full
     * write → swap → read-current protocol in one query. */
@@ -146,6 +168,7 @@ object SinkQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
   )
@@ -161,6 +184,11 @@ object SinkQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
         |       max(l_orderkey) AS max_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(max(epoch_ns(ts)) // 1000 AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_materialize" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
