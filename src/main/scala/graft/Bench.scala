@@ -30,15 +30,19 @@ object Bench {
     val warmDir = if (new java.io.File(sibling).isDirectory) sibling else sfDir
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // optional args: query names to bench (dev iteration); default all
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     var warmFailures = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => warmFailures += 1 }
     }
     if (warmFailures > 0)
-      System.err.println(s"[bench] WARNING: $warmFailures/${SparkEntry.queries.size} warmup runs failed on $warmDir")
+      System.err.println(s"[bench] WARNING: $warmFailures/${selected.size} warmup runs failed on $warmDir")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

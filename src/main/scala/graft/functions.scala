@@ -74,15 +74,23 @@ object functions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.SpatialJoinStrategy
     val reg = Bridge.functionRegistry(spark)
+    // every registration validates arity so SQL text like `st_dwithin(a, b)`
+    // fails with Spark's named wrong-num-args analysis error, not an
+    // IndexOutOfBoundsException from es(2)
+    def rn(name: String, n: Int)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => {
+        if (es.length != n) throw Bridge.wrongNumArgs(name, n, es.length)
+        b(es)
+      }, "scala_udf")
     def r1(name: String, b: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => b(es.head), "scala_udf")
+      rn(name, 1)(es => b(es.head))
     def r2(name: String, b: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => b(es.head, es(1)), "scala_udf")
+      rn(name, 2)(es => b(es.head, es(1)))
 
     r1("st_geomfromwkt", StGeomFromWKT)
     r1("st_astext", StAsText)
     r2("st_point", StPoint)
-    reg.createOrReplaceTempFunction("st_makeenvelope", es => StMakeEnvelope(es), "scala_udf")
+    rn("st_makeenvelope", 4)(es => StMakeEnvelope(es))
     r1("st_makevalid", StMakeValid)
     r2("st_buffer", StBuffer)
     r2("st_intersection", StIntersection)
@@ -98,19 +106,13 @@ object functions {
     r2("st_contains", StContains)
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
-    reg.createOrReplaceTempFunction(
-      "st_dwithin", es => StDWithin(es.head, es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "st_transform", es => StTransform(es.head, es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "st_union_agg", es => StUnionAgg(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", es => MinHashSig(es.head, es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_bands", es => MinHashBands(es), "scala_udf")
+    rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
+    rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
+    rn("st_union_agg", 1)(es => StUnionAgg(es.head))
+    rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
+    rn("minhash_bands", 4)(es => MinHashBands(es))
     r2("simhash64", SimHash64)
     r2("hamming64", Hamming64)
-    reg.createOrReplaceTempFunction(
-      "ngram_jaccard", es => NGramJaccard(es.head, es(1), es(2)), "scala_udf")
+    rn("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
   }
 }

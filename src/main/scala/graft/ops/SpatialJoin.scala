@@ -103,7 +103,9 @@ object SpatialJoin {
           .filter { case (rg, _) =>
             distance match {
               case None => rg.intersects(lg)
-              case Some(dd) => rg.getGeometry.isWithinDistance(lg, dd)
+              // prepared intersects first: overlap implies distance 0, so
+              // the exact distance test only runs for disjoint candidates
+              case Some(dd) => rg.intersects(lg) || rg.getGeometry.isWithinDistance(lg, dd)
             }
           }
           .map { case (_, rvals) =>

@@ -142,7 +142,10 @@ case class BroadcastRTreeSpatialJoinExec(
             .filter { case (bg, _) =>
               dist match {
                 case None => bg.intersects(g)
-                case Some(d) => bg.getGeometry.isWithinDistance(g, d)
+                // intersecting geometries have distance 0, so the prepared
+                // (indexed) intersects test short-circuits the expensive
+                // exact distance computation for the common overlap case
+                case Some(d) => bg.intersects(g) || bg.getGeometry.isWithinDistance(g, d)
               }
             }
             .map { case (_, brow) =>

@@ -103,12 +103,28 @@ object Jdbc {
       "truncate" -> truncate.toString)
   }
 
+  // table refs may be schema-qualified (`core.land_use_areas`) or already a
+  // parenthesized subquery; columns are bare identifiers. Anything outside
+  // these shapes (quotes, semicolons, comment tokens) is rejected rather
+  // than interpolated into SQL shipped to the database.
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
+  private val TableRe = s"(?s)\\(.*\\)\\s*$IdentRe|$IdentRe(\\.$IdentRe)*".r
+  private val ColumnRe = IdentRe.r
+  private def checkIdent(kind: String, re: scala.util.matching.Regex, v: String): String = {
+    require(re.matches(v) && !v.contains("--") && !v.contains("/*") && !v.contains(";"),
+      s"unsafe $kind identifier for SQL interpolation: '$v'")
+    v
+  }
+
   /** A pushed-down bounds probe: the `dbtable` subquery the reference
     * issues before every partitioned read (process_geodata.py:54-58 —
     * `SELECT max(id), min(id)`). Runs ON the database; the driver reads
-    * one row. */
-  def boundsQuery(table: String, column: String): String =
+    * one row. Identifiers are validated before interpolation. */
+  def boundsQuery(table: String, column: String): String = {
+    checkIdent("table", TableRe, table)
+    checkIdent("column", ColumnRe, column)
     s"(SELECT max($column) AS hi, min($column) AS lo FROM $table) graft_bounds"
+  }
 
   /** Config for the bounds probe of `cfg` — same connection options, the
     * subquery as the relation, a single partition (one row comes back). */

@@ -20,16 +20,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     // pull a named field out of a FileScan line without truncating it:
     // fields are comma-separated `Name: value` pairs, values never nest
-    // a `, XxxYyy:` sequence
+    // a `, XxxYyy:` sequence — terminate at the NEXT such token, whatever
+    // it is, so field order in Spark's plan string doesn't matter
+    val nextField = ", [A-Z]\\w+:".r
     def field(line: String, name: String): String = {
       val i = line.indexOf(name + ":")
       if (i < 0) return "-"
       val rest = line.substring(i + name.length + 1).trim
-      val end = rest.indexOf(", ReadSchema:") match {
-        case -1 => rest.length
-        case e => e
+      nextField.findFirstMatchIn(rest) match {
+        case Some(m) => rest.substring(0, m.start)
+        case None => rest
       }
-      rest.substring(0, if (name == "ReadSchema") rest.length else math.min(end, rest.length))
     }
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

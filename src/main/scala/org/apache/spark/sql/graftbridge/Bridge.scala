@@ -14,4 +14,10 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+  /** Spark's own wrong-argument-count analysis error, so SQL-text misuse of
+    * a graft function fails like misuse of a builtin (named function, clear
+    * expected/actual counts) instead of an IndexOutOfBoundsException. */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
 }

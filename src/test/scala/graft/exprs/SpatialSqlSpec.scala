@@ -103,6 +103,17 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(areas.forall(a => math.abs(a - 42.0) < 1e-9), areas.toString)
   }
 
+  test("wrong arity in SQL text fails as a named analysis error, not an index error") {
+    val e = intercept[Exception](spark.sql("SELECT st_dwithin(st_point(0D,0D), st_point(1D,1D))").head())
+    val msg = e.getMessage
+    assert(msg.contains("st_dwithin"), msg)
+    assert(!e.isInstanceOf[IndexOutOfBoundsException])
+    val e2 = intercept[Exception](spark.sql("SELECT st_transform(st_point(0D,0D), 'EPSG:4326')").head())
+    assert(e2.getMessage.contains("st_transform"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql("SELECT st_area()").head())
+    assert(e3.getMessage.contains("st_area"), e3.getMessage)
+  }
+
   test("minhash/simhash/jaccard SQL registration surface") {
     val r = one("""SELECT size(minhash_sig('abcdef', 16, 5)) AS k,
                           size(minhash_bands('abcdef', 4, 4, 5)) AS b,

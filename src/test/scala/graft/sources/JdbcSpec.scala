@@ -67,6 +67,18 @@ class JdbcSpec extends AnyFunSuite {
     assert(o("dbtable") == "gold.land_use_20240101")
   }
 
+  test("bounds probe rejects unsafe identifiers instead of interpolating them") {
+    assertThrows[IllegalArgumentException](
+      Jdbc.boundsQuery("land_use; DROP TABLE users", "id"))
+    assertThrows[IllegalArgumentException](
+      Jdbc.boundsQuery("land_use", "id) FROM t; --"))
+    assertThrows[IllegalArgumentException](
+      Jdbc.boundsQuery("""land"use""", "id"))
+    // legitimate shapes still pass: qualified tables, plain columns
+    assert(Jdbc.boundsQuery("core.land_use_areas", "property_id")
+      .contains("FROM core.land_use_areas"))
+  }
+
   test("invalid sink isolation level is rejected") {
     assertThrows[IllegalArgumentException](
       Jdbc.SinkConfig("jdbc:x", "t", "u", "p", isolationLevel = "SNAPSHOT"))
