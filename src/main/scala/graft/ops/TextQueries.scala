@@ -50,6 +50,15 @@ object TextQueries {
     */
   def dedupMinhash(spark: SparkSession, dir: String,
                    bands: Int = 8, rows: Int = 8, shingle: Int = 5,
+                   threshold: Double = 0.7, maxBucket: Int = 128): DataFrame =
+    minhashPairRelation(spark, dir, bands, rows, shingle, threshold, maxBucket)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The unordered near-dup pair relation — the final sort in
+    * [[dedupMinhash]] is presentation only, and consumers like
+    * [[dedupClusters]] should not pay a range shuffle for it. */
+  private def minhashPairRelation(spark: SparkSession, dir: String,
+                   bands: Int = 8, rows: Int = 8, shingle: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 128): DataFrame = {
     val docs = Par.fanOut(documents(spark, dir).select(col("doc_id"), col("text")))
     val banded = docs
@@ -74,7 +83,6 @@ object TextQueries {
       .withColumn("jaccard", round(ngram_jaccard(col("a_text"), col("b_text"), lit(shingle)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Near-dup candidates via 64-bit SimHash with 16-bit chunk banding
@@ -106,25 +114,96 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Per-partition union-find pass: emits only the edges that MERGED two
+    * components — a spanning forest of the partition's edge set, which
+    * preserves connectivity exactly while shrinking |edges| to at most
+    * |distinct nodes in partition| − |local components|. Memory is one
+    * long→long map over the partition's nodes, the same bound as the
+    * hash side of any per-partition aggregate. Union keeps the SMALLER id
+    * as root, so roots are component-minimal ids end to end. */
+  private[ops] def contractEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElse(x, { parent(x) = x; x })
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      // path compression: re-walk pointing everything at the root
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val forest = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    it.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        forest += ((a, b))
+      }
+    }
+    forest.iterator
+  }
+
+  /** Terminal union-find over a (small, contracted) forest: labels every
+    * node with its component's minimum id. */
+  private[ops] def labelComponents(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElse(x, { parent(x) = x; x })
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => (k, find(k)))
+  }
+
   /** Near-dup cluster assignment: connected components over the verified
-    * near-dup pair relation (dedupMinhash), by iterative min-label
-    * propagation — each document lands in a cluster keyed by its
-    * component's smallest doc_id (the representative real dedup pipelines
-    * keep). Every iteration is a distributed join+aggregate; the driver
-    * only checks convergence (iterations ≈ component diameter, which for
-    * near-dup graphs is tiny — this is the standard Spark connected-
-    * components shape, not a collect-driven loop). */
-  def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select(col("a_id"), col("b_id")).cache()
-    // materialize the pair relation at the session's full parallelism,
-    // then size the iterative tail to the MEASURED pair count: the label
-    // table is ~|near-dup docs| <= 2n rows, and shuffles much wider than
-    // that spend more time scheduling empty tasks than joining. ~1M label
-    // rows per partition: the gate corpora get 1 partition, a 100 TB
-    // pair relation (billions of pairs) gets thousands — derived from
-    // data, never a constant
-    val nPairs = pairs.count()
-    val tailParts = math.max(1L, (2L * nPairs) / 1000000L)
+    * near-dup pair relation (dedupMinhash) — each document lands in a
+    * cluster keyed by its component's smallest doc_id (the representative
+    * real dedup pipelines keep).
+    *
+    * Two-level plan (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — the filtering/contraction family):
+    *   1. a per-partition union-find `mapPartitions` pass contracts the
+    *      edge set to a spanning forest — no shuffle, no join, and the
+    *      forest is ≤ |near-dup docs| edges regardless of how many pairs
+    *      LSH verified (every node survives: a node's first edge always
+    *      merges two components, so it is emitted);
+    *   2. if the measured forest fits one task (`singleTaskMax`, default
+    *      8M edges ≈ 128 MB of longs), a single EXECUTOR task — not the
+    *      driver — finishes the union-find and labels every node;
+    *      otherwise the iterative min-label-propagation loop runs over
+    *      the contracted forest (same components, far fewer edges), with
+    *      shuffle width derived from the measured forest size.
+    * The driver only ever reads counts; per-iteration convergence checks
+    * are narrow aggregates. */
+  def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50,
+                    singleTaskMax: Long = 8000000L): DataFrame = {
+    import spark.implicits._
+    val contracted = minhashPairRelation(spark, dir)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)]
+      .mapPartitions(contractEdges _)
+      .cache()
+    val nForest = contracted.count()
+    if (nForest <= singleTaskMax) {
+      val out = contracted.coalesce(1)
+        .mapPartitions(labelComponents _)
+        .toDF("doc_id", "cluster_rep")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      contracted.unpersist(blocking = false)
+      return out
+    }
+    val pairs = contracted.toDF("a_id", "b_id")
+    // size the iterative tail to the MEASURED contracted-forest size: the
+    // label table is ~|near-dup docs| <= 2n rows, and shuffles much wider
+    // than that spend more time scheduling empty tasks than joining. ~1M
+    // label rows per partition: a 100 TB pair relation (billions of
+    // near-dup docs) gets thousands — derived from data, never a constant
+    val tailParts = math.max(1L, (2L * nForest) / 1000000L)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", tailParts.toString)
@@ -195,7 +274,7 @@ object TextQueries {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      pairs.unpersist(blocking = false)
+      contracted.unpersist(blocking = false)
     }
   }
 
