@@ -131,15 +131,26 @@ object SinkQueries {
     spark.sql("DROP TABLE IF EXISTS graft_customer_bkt")
     // pre-hash-partition on the bucket key with the bucket count: each of
     // the 8 writer tasks then owns exactly one bucket's rows (same Murmur3
-    // pmod), instead of one scan task writing all 8 bucket files serially
-    orders(spark, dir).repartition(8, col("o_custkey")).write
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$OutBase/orders_bkt")
-      .mode("overwrite").saveAsTable("graft_orders_bkt")
-    customer(spark, dir).repartition(8, col("c_custkey")).write
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$OutBase/customer_bkt")
-      .mode("overwrite").saveAsTable("graft_customer_bkt")
+    // pmod), instead of one scan task writing all 8 bucket files serially.
+    // The two builds are independent jobs that each use only 8 cores —
+    // submit them concurrently so the scheduler overlaps them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fOrders = Future {
+      orders(spark, dir).repartition(8, col("o_custkey")).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$OutBase/orders_bkt")
+        .mode("overwrite").saveAsTable("graft_orders_bkt")
+    }
+    val fCustomer = Future {
+      customer(spark, dir).repartition(8, col("c_custkey")).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$OutBase/customer_bkt")
+        .mode("overwrite").saveAsTable("graft_customer_bkt")
+    }
+    Await.result(fOrders, Duration.Inf)
+    Await.result(fCustomer, Duration.Inf)
     bucketTablesBuilt.put(spark, dir)
   }
 
