@@ -64,6 +64,27 @@ object functions {
   def st_union_agg(g: Column): Column =
     col(StUnionAgg(ex(g)).toAggregateExpression())
 
+  // ---- runtime-filter surface (semi-join reduction) ----
+  /** Bloom filter built over `xxhash64(key)` values — the build side of an
+    * explicit semi-join reduction (Spark's own InjectRuntimeFilter shape,
+    * exposed as an operator so a pipeline can prune a fact table BEFORE
+    * its shuffle with a dimension-derived filter). */
+  def bloom_filter_agg(keyHash: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    col(new BloomFilterAggregate(ex(keyHash), Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Probe side of the bloom reduction: true/possibly-true membership of
+    * `xxhash64(key)` in a [[bloom_filter_agg]]-built filter. No false
+    * negatives, so `fact.where(might_contain(bloom, xxhash64(k)))` never
+    * changes join results — it only drops most non-matching rows early. */
+  def might_contain(bloom: Column, keyHash: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    col(BloomFilterMightContain(ex(bloom), ex(keyHash)))
+  }
+
   /** Register every graft function for SQL-text use on this session.
     * Idempotent; temp (session-scoped) registrations. Also installs the
     * spatial-join planner strategy (the imperative equivalent of the

@@ -267,6 +267,37 @@ object RelationalQueries {
       .orderBy(col("band"))
   }
 
+  /** Explicit bloom-filter semi-join reduction (the InjectRuntimeFilter
+    * pattern as a first-class operator): build a bloom over the FILTERED
+    * dimension's join keys (one aggregated row, a few KB), broadcast it,
+    * and drop non-matching fact rows BEFORE the fact side shuffles into
+    * the exact join. At 100 TB the saved work is the point: the fact
+    * exchange carries only rows whose keys might match the dimension
+    * predicate, at the cost of one tiny build aggregate — and the bloom
+    * has no false negatives, so results are bit-identical to the plain
+    * join (which is exactly what the oracle checks). The merge hint keeps
+    * the exact join on the at-scale shuffle path instead of letting the
+    * test-scale dimension broadcast (which would make the reduction moot). */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{bloom_filter_agg, might_contain}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dim = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // the bloom build is a scalar subquery (might_contain requires a
+    // constant or scalar-subquery build side): it runs once as its own
+    // stage and ships to fact tasks like a broadcast variable
+    val bloom = Bridge.scalarSubquery(dim.agg(
+      bloom_filter_agg(xxhash64(col("c_custkey")), 1000000L, 8388608L).as("bf")))
+    val pruned = orders(spark, dir)
+      .filter(might_contain(bloom, xxhash64(col("o_custkey"))))
+    pruned.join(dim.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -350,6 +381,7 @@ object RelationalQueries {
     "q_union_all_counts" -> (unionAllCounts _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
     "q_range_join" -> (rangeJoin _),
+    "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
@@ -357,6 +389,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_s1_bounds" ->
       """SELECT max(l_orderkey) AS max_key, min(l_orderkey) AS min_key,
         |       count(*) AS n_rows FROM lineitem""".stripMargin,

@@ -406,6 +406,64 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic stratified sampling: per-stratum (language) keep-rates
+    * from a broadcast-joined rates dimension, membership decided by the
+    * same RNG-free multiplicative doc_id hash as [[trainSplit]]. The rates
+    * table here derives from the stratum list itself (rank-staggered
+    * percentages) — in production it is the experimenter-supplied curriculum
+    * mix — and stays a broadcast: |strata| rows against a 100 TB fact side,
+    * with the keep decision a per-row projection before any shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    // |distinct langs| is tiny by construction; the global-order window
+    // runs on the deduplicated stratum list, not the corpus
+    val rates = docs.select(col("lang")).distinct()
+      .withColumn("keep_pct",
+        (lit(10) + lit(17) * pmod(row_number().over(Window.orderBy(col("lang"))).cast("long"), lit(5L)))
+          .cast("int"))
+    val bucketed = docs.withColumn("bucket",
+      pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(100L)))
+    bucketed.join(broadcast(rates), "lang")
+      .groupBy(col("lang"), col("keep_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("bucket") < col("keep_pct"), lit(1))).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Document-frequency-filtered top terms per source: tokenize, compute
+    * corpus df per term, drop terms in more than half the corpus (the
+    * integer-exact form of an IDF floor), rank the rest by tf within each
+    * source. Two shuffles — (source, term) tf agg and term df agg — both
+    * with map-side partials; the per-source ranking is a window over the
+    * already-aggregated (small) term relation, and the corpus size joins
+    * in as a broadcast scalar, never a driver read. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Par.fanOut(documents(spark, dir))
+    val toks = docs
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // corpus size enters as a scalar subquery — one stage, its result
+    // shipped to tasks like a broadcast variable (a relation-less 1-row
+    // join would plan BroadcastNestedLoopJoin, which the plan guardrails
+    // ban outright)
+    val nDocs = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      docs.agg(countDistinct(col("doc_id")).as("n_docs")))
+    val filtered = dfreq
+      .filter(col("df") * 2 <= nDocs)
+      .select(col("term"), col("df"))
+    tf.join(filtered, "term")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
     * the join-key form used for cross-corpus dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -427,6 +485,8 @@ object TextQueries {
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_train_split" -> (trainSplit _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_top_terms" -> ((s, d) => topTerms(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -624,5 +684,34 @@ object TextQueries {
         |    ('the','of','and','a','to','in','is','on','for','with'))) AS DOUBLE) /
         |  CAST(len(toks) AS DOUBLE) AS stop_ratio
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    CAST(10 + 17 * (row_number() OVER (ORDER BY lang) % 5) AS INTEGER) AS keep_pct
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |b AS (
+        |  SELECT lang,
+        |    (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 100 AS bucket
+        |  FROM documents)
+        |SELECT b.lang, r.keep_pct, count(*) AS n_total,
+        |       count(CASE WHEN b.bucket < r.keep_pct THEN 1 END) AS n_sampled
+        |FROM b JOIN r USING (lang)
+        |GROUP BY 1, 2 ORDER BY b.lang""".stripMargin,
+    "q_top_terms" ->
+      """WITH toks AS (
+        |  SELECT * FROM (
+        |    SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |t_tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |t_df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT t_tf.source, t_tf.term, t_tf.tf, t_df.df,
+        |         CAST(row_number() OVER (PARTITION BY t_tf.source
+        |           ORDER BY t_tf.tf DESC, t_tf.term) AS INTEGER) AS rank
+        |  FROM t_tf JOIN t_df USING (term)
+        |  WHERE t_df.df * 2 <= (SELECT n_docs FROM n))
+        |SELECT source, rank, term, tf, df FROM ranked
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
   )
 }

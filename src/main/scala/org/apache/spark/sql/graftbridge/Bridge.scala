@@ -14,6 +14,16 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+  /** A 1-row/1-column DataFrame as a scalar-subquery expression — the form
+    * expressions like BloomFilterMightContain require for their build-side
+    * input (a constant or scalar subquery, per Spark's own
+    * InjectRuntimeFilter). The subquery executes once as its own stage and
+    * its result is shipped to every task like a broadcast variable. */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[_]): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
+
   /** Spark's own wrong-argument-count analysis error, so SQL-text misuse of
     * a graft function fails like misuse of a builtin (named function, clear
     * expected/actual counts) instead of an IndexOutOfBoundsException. */

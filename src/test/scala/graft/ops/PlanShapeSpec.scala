@@ -53,6 +53,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join should not exchange either side:\n${p.take(1500)}")
   }
 
+  test("bloom semi-join reduction prunes the fact side BELOW its exchange") {
+    val df = RelationalQueries.bloomJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("might_contain"), p.take(2000))
+    // the might_contain filter must be on the scan side of the fact
+    // exchange: in the plan string, the filter line appears BELOW (after)
+    // the exchange line that feeds the join
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(o_custkey"))
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(exIdx >= 0 && bloomIdx > exIdx,
+      s"bloom filter should sit below the fact exchange (ex=$exIdx bloom=$bloomIdx):\n${p.take(2500)}")
+  }
+
   test("declarative st_intersects join plans as the broadcast R-tree operator") {
     // the strategy must intercept the plain join(broadcast(...), st_intersects)
     // shape; without it this exact plan is BroadcastNestedLoopJoin
