@@ -179,6 +179,74 @@ object VectorQueries {
         (col("s").cast("double") / col("n").cast("double")).as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Distributed Lloyd's k-means over the embedding table — the centroid
+    * TRAINING step the IVF index above consumes (annIvf uses fixed seed
+    * vectors as its lists; this is the real pipeline that produces them).
+    *
+    * Scale shape per iteration, none of which collects vectors:
+    *   - assignment is a pure per-row projection — current centroids are
+    *     a k×dims driver constant folded into the plan as literals (the
+    *     MLlib pattern: broadcast centroids, never join them);
+    *   - the update is the same (cluster, dim) positional-explode
+    *     aggregate as [[embCentroid]] — map-side partial sums, k·dims
+    *     result rows, decimal-exact so the next iteration's literals are
+    *     engine-reproducible;
+    *   - the driver reads back exactly k·dims means per iteration (512
+    *     doubles here), the same class of tiny read as the reference's
+    *     bounds probe (process_geodata.py:70-71).
+    * Init is deterministic (the k smallest vec_ids, like annIvf's lists);
+    * a cluster that loses all members is dropped for the next round (the
+    * SQL mirror drops it identically). Ties in the argmin go to the
+    * smallest cluster id in both engines. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val base = Par.fanOut(embeddings(spark, dir)).withColumn("v", embD)
+
+    def assign(cents: Array[(Int, Seq[Double])]): DataFrame = {
+      val dists = array(cents.map { case (_, cv) =>
+        foldSum(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)))
+      }: _*)
+      val cids = typedlit(cents.map(_._1).toSeq)
+      base.withColumn("dists", dists)
+        // array_position returns the FIRST index of the min, and the dist
+        // array is in ascending-cid order — ties resolve to the smallest
+        // cid, which is what the oracle's ORDER BY dist, cid mirrors
+        .withColumn("idx", expr("array_position(dists, array_min(dists))").cast("int"))
+        .withColumn("cluster_id", element_at(cids, col("idx")))
+        .withColumn("dist", element_at(col("dists"), col("idx")))
+        .drop("dists", "idx")
+    }
+
+    var centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
+      .filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
+
+    // one Lloyd update round (assign -> decimal-exact means -> new centroids)
+    val means = assign(centroids)
+      .select(col("cluster_id"), posexplode(col("v")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(18,9)")).as("s"))
+      .select(col("cluster_id"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
+      .collect()
+    centroids = means.groupBy(_.getInt(0)).toArray
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+
+    // final assignment against the trained centroids: per-cluster size,
+    // decimal-exact inertia, and the first centroid component as the
+    // oracle-checkable face of the centroid values themselves
+    val cFirst = typedlit(centroids.map { case (cid, cv) => (cid, cv.head) }.toMap)
+    assign(centroids)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(28,12)")).cast("double").as("inertia"))
+      .withColumn("c_first", element_at(cFirst, col("cluster_id")))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Int8 symmetric quantization audit — the storage-path compression op
     * of an embedding pipeline (4× smaller vectors, error must be
     * measured). Per vector: scale = max|x| / 127,
@@ -210,6 +278,7 @@ object VectorQueries {
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_emb_quantize" -> (embQuantize _),
+    "q_kmeans" -> ((s, d) => kmeans(s, d)),
   )
 
   /** The 8-bit sign bucket, spelled in DuckDB. */
@@ -275,6 +344,46 @@ object VectorQueries {
         |  list_max(errs) AS max_abs_err,
         |  list_sum(list_transform(errs, e -> e * e)) / CAST(n AS DOUBLE) AS mse
         |FROM r ORDER BY vec_id""".stripMargin,
+    // two unrolled Lloyd iterations: init = k smallest vec_ids, one
+    // decimal-exact mean update, final assignment. Same left-fold double
+    // distance and first-min/smallest-cid tie rule as the Spark plan.
+    "q_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS ce FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, c0.cid,
+        |    list_sum(list_transform(list_zip(e.v, c0.ce),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.cid, t.i,
+        |    CAST(sum(CAST(e.v[t.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+        |  FROM a1 JOIN e USING (vec_id), range(1, 65) t(i)
+        |  GROUP BY a1.cid, t.i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY cid),
+        |d2 AS (
+        |  SELECT e.vec_id, c1.cid,
+        |    list_sum(list_transform(list_zip(e.v, c1.ce),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT a2.cid AS cluster_id, count(*) AS n,
+        |       CAST(sum(CAST(a2.dist AS DECIMAL(28,12))) AS DOUBLE) AS inertia,
+        |       c1.ce[1] AS c_first
+        |FROM a2 JOIN c1 ON a2.cid = c1.cid
+        |GROUP BY a2.cid, c1.ce[1]
+        |ORDER BY cluster_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
          |d AS (
