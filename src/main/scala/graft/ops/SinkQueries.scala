@@ -154,6 +154,62 @@ object SinkQueries {
     bucketTablesBuilt.put(spark, dir)
   }
 
+  /** Z-order clustered sink + 2-D range scan: interleave the top 8 bits
+    * of the two clustering axes (user_id, event time) into a Morton code,
+    * range-partition and sort the write by it, and read back through a
+    * 2-D box filter. Because a contiguous z-range confines BOTH axes,
+    * every written file/row-group carries tight min/max stats on both
+    * columns and the parquet reader skips most of the table for a box
+    * query — the multi-dimensional layout optimization (Delta/Iceberg
+    * Z-ORDER) that single-column sorting cannot give. The axis bounds
+    * come from a 1-row bounds probe (the reference's own pattern,
+    * process_geodata.py:54-72); bucket widths use integer DIV only, so
+    * a 64-bit ns time axis cannot overflow. Results are bit-identical to
+    * the unclustered filter (the oracle runs it on the source table) —
+    * the layout changes what is READ, never what is returned. */
+  def zorderRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    zorderScan(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The box-filtered scan over the z-clustered copy, exposed separately
+    * so PlanShapeSpec can assert row-group pruning on the executed scan. */
+  private[ops] def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/events_zorder"
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("ts")), max(col("ts"))).head()
+    val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def bucket(name: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
+      // ceil(span/256) as the width => bucket in [0, 255]; pure 64-bit
+      // integer math (scaling by multiplication first would overflow ns)
+      val w = math.max(1L, (hi - lo) / 256L + 1L)
+      expr(s"($name - ${lo}L) DIV ${w}L")
+    }
+    val ub = bucket("user_id", uLo, uHi)
+    val tb = bucket("ts", tLo, tHi)
+    // Morton interleave: z = sum_i ub_bit_i << (2i+1) | tb_bit_i << (2i)
+    val z = (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(ub, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(tb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    ev.withColumn("z", z)
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
+    // the 2-D box: the middle [lo+span/4, lo+span/2] of both axes,
+    // integer-derived so the oracle reconstructs it exactly
+    val (uA, uB) = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2)
+    val (tA, tB) = (tLo + (tHi - tLo) / 4, tLo + (tHi - tLo) / 2)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(uA, uB) && col("ts").between(tA, tB))
+  }
+
   /** The bare bucketed join (no aggregate on top): the only exchanges this
     * plan could ever contain would belong to the join, which is what
     * PlanShapeSpec asserts against the EXECUTED plan. */
@@ -182,9 +238,21 @@ object SinkQueries {
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_zorder" -> (zorderRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+        |         min(epoch_ns(ts)) AS tlo, max(epoch_ns(ts)) AS thi
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
+        |  AND epoch_ns(ts) BETWEEN tlo + (thi - tlo) // 4 AND tlo + (thi - tlo) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

@@ -464,6 +464,38 @@ object TextQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * sequences (2048 here) by running token count — the batch-shaping op
+    * between a cleaned corpus and a trainer. Deterministic rule: docs are
+    * laid out in (source, doc_id) order and a doc starts sequence
+    * `floor(tokens_before / budget)`, i.e. greedy concatenation with
+    * overflow into the next window.
+    *
+    * Scale shape: ONE shuffle — the running sum partitions by source and
+    * sorts by doc_id inside each partition (the unbounded-preceding ROWS
+    * frame streams, no buffering); everything after it is a per-row
+    * projection plus an already-partitioned (source, seq_id) aggregate.
+    * A single giant source would serialize its window partition — at real
+    * scale the fix is the same salting used in windowTopK (pack per
+    * (source, shard) with shard = doc_id range), which changes sequence
+    * numbering but not the packing law. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      // whitespace tokens, exact integer arithmetic shared by the oracle
+      .withColumn("toks",
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .withColumn("cum", sum(col("toks")).over(w))
+      // integer DIV, not `/`: Column./ is double division, and doubles
+      // lose exactness past 2^53 cumulative tokens (see sessionize)
+      .withColumn("seq_id", expr(s"(cum - toks) DIV $budget"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
     * the join-key form used for cross-corpus dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -487,6 +519,7 @@ object TextQueries {
     "q_train_split" -> (trainSplit _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
+    "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -697,6 +730,19 @@ object TextQueries {
         |       count(CASE WHEN b.bucket < r.keep_pct THEN 1 END) AS n_sampled
         |FROM b JOIN r USING (lang)
         |GROUP BY 1, 2 ORDER BY b.lang""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (
         |  SELECT * FROM (

@@ -69,6 +69,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom filter should sit below the fact exchange (ex=$exIdx bloom=$bloomIdx):\n${p.take(2500)}")
   }
 
+  test("z-order layout prunes most row groups for a 2-D box scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SinkQueries.zorderScan(spark, dir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    val total = Tables.events(spark, dir).count()
+    // the box covers ~1/16 of z-space; on an unclustered layout every row
+    // group intersects it and the scan emits ~all rows — z-clustering must
+    // let parquet stats skip well over half the table
+    assert(scanned * 2 < total, s"scan emitted $scanned of $total rows - no pruning")
+  }
+
   test("declarative st_intersects join plans as the broadcast R-tree operator") {
     // the strategy must intercept the plain join(broadcast(...), st_intersects)
     // shape; without it this exact plan is BroadcastNestedLoopJoin
