@@ -64,6 +64,30 @@ object Plans {
         "probe envelope expanded by d before the R-tree query and exact " +
         "JTS distance as the post-filter — a distance join with no " +
         "nested loop."),
+    Entry("q_bloom_join",
+      "Explicit runtime-filter semi-join reduction: the bloom over the " +
+        "filtered dimension keys builds as a scalar subquery and the " +
+        "might_contain filter sits BELOW the fact side's exchange — at " +
+        "scale the fact shuffle carries only rows whose keys might match " +
+        "the dimension predicate; no false negatives, so results equal " +
+        "the plain join."),
+    Entry("q_zorder",
+      "Z-order clustered layout: the write range-partitions and sorts by " +
+        "the Morton code of (user_id, ts), so the 2-D box scan's pushed " +
+        "filters skip most row groups via parquet min/max stats — " +
+        "multi-dimensional pruning a single-column sort cannot give " +
+        "(PlanShapeSpec asserts >half the table is skipped)."),
+    Entry("q_kmeans",
+      "Distributed Lloyd's k-means: assignment is a per-row projection " +
+        "against centroid literals (no join), the update is the " +
+        "(cluster, dim) positional-explode aggregate with map-side " +
+        "partials, and the driver reads back exactly k*dims means per " +
+        "iteration."),
+    Entry("q_pack_sequences",
+      "Sequence packing: one exchange on source; the running token sum " +
+        "is a streaming ROWS-frame window, the sequence id a pure " +
+        "integer projection, and the final (source, seq_id) aggregate " +
+        "reuses the window's partitioning."),
   )
 
 
