@@ -496,6 +496,34 @@ object TextQueries {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Eval-set decontamination: flag training documents sharing character
+    * 8-grams with a held-out eval set — the n-gram-overlap contamination
+    * check every LLM training pipeline runs before a corpus ships.
+    *
+    * Scale shape: the eval side is small by definition, so its DISTINCT
+    * shingle set broadcasts; the train side explodes to (doc_id, shingle)
+    * rows that hash-join the broadcast WITHOUT shuffling — only the rows
+    * that actually match (rare) reach the per-document count aggregate.
+    * The train corpus is never collected, never self-joined, and the only
+    * shuffle carries matched shingles. Raw substrings are the join keys
+    * (not engine-specific hashes), so the oracle mirrors them exactly. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Par.fanOut(documents(spark, dir))
+    val isEval = pmod(col("doc_id"), lit(101L)) === 7
+    def shingles(df: DataFrame) = df
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, length(text) - $n), i -> substring(text, i + 1, $n))")))
+        .as("shingle"))
+    val evalShingles = shingles(docs.filter(isEval))
+      .select(col("shingle")).distinct()
+    shingles(docs.filter(!isEval))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (md5-128 truncated to 64 bits hex) per document —
     * the join-key form used for cross-corpus dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -520,6 +548,7 @@ object TextQueries {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -730,6 +759,19 @@ object TextQueries {
         |       count(CASE WHEN b.bucket < r.keep_pct THEN 1 END) AS n_sampled
         |FROM b JOIN r USING (lang)
         |GROUP BY 1, 2 ORDER BY b.lang""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, doc_id % 101 = 7 AS is_eval,
+        |    list_distinct(list_transform(range(length(text) - 7),
+        |      i -> substr(text, CAST(i + 1 AS INT), 8))) AS shingles
+        |  FROM documents WHERE length(text) >= 8),
+        |ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE is_eval),
+        |tr AS (
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE NOT is_eval)
+        |SELECT tr.doc_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT source, doc_id,
