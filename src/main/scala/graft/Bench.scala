@@ -31,6 +31,11 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     // optional args: query names to bench (dev iteration); default all
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -149,8 +149,13 @@ object SinkQueries {
         .option("path", s"$OutBase/customer_bkt")
         .mode("overwrite").saveAsTable("graft_customer_bkt")
     }
-    Await.result(fOrders, Duration.Inf)
-    Await.result(fCustomer, Duration.Inf)
+    // settle BOTH futures before propagating any failure: leaving this
+    // synchronized block with a write still in flight would let a
+    // retrying caller race DROP TABLE against it — the corruption the
+    // lock exists to prevent
+    val results = Seq(fOrders, fCustomer).map(f =>
+      scala.util.Try(Await.result(f, Duration.Inf)))
+    results.foreach(_.get)
     bucketTablesBuilt.put(spark, dir)
   }
 

@@ -121,19 +121,22 @@ object TextQueries {
     * long→long map over the partition's nodes, the same bound as the
     * hash side of any per-partition aggregate. Union keeps the SMALLER id
     * as root, so roots are component-minimal ids end to end. */
+  /** Path-halving find with full compression, inserting unseen nodes as
+    * their own root — the shared kernel of both union-find passes. */
+  private def ufFind(parent: scala.collection.mutable.LongMap[Long], x: Long): Long = {
+    var r = parent.getOrElse(x, { parent(x) = x; x })
+    while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+    // path compression: re-walk pointing everything at the root
+    var c = x
+    while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+    r
+  }
+
   private[ops] def contractEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = parent.getOrElse(x, { parent(x) = x; x })
-      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-      // path compression: re-walk pointing everything at the root
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
     val forest = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     it.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
+      val ra = ufFind(parent, a); val rb = ufFind(parent, b)
       if (ra != rb) {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
         forest += ((a, b))
@@ -146,18 +149,11 @@ object TextQueries {
     * node with its component's minimum id. */
   private[ops] def labelComponents(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = parent.getOrElse(x, { parent(x) = x; x })
-      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
     it.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
+      val ra = ufFind(parent, a); val rb = ufFind(parent, b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    parent.keysIterator.map(k => (k, find(k)))
+    parent.keysIterator.map(k => (k, ufFind(parent, k)))
   }
 
   /** Near-dup cluster assignment: connected components over the verified
@@ -761,7 +757,7 @@ object TextQueries {
         |GROUP BY 1, 2 ORDER BY b.lang""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
-        |  SELECT doc_id, doc_id % 101 = 7 AS is_eval,
+        |  SELECT doc_id, (doc_id % 101 + 101) % 101 = 7 AS is_eval,
         |    list_distinct(list_transform(range(length(text) - 7),
         |      i -> substr(text, CAST(i + 1 AS INT), 8))) AS shingles
         |  FROM documents WHERE length(text) >= 8),

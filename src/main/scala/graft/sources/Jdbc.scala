@@ -103,23 +103,25 @@ object Jdbc {
       "truncate" -> truncate.toString)
   }
 
-  // table refs may be schema-qualified (`core.land_use_areas`) or already a
-  // parenthesized subquery; columns are bare identifiers. Anything outside
-  // these shapes (quotes, semicolons, comment tokens) is rejected rather
-  // than interpolated into SQL shipped to the database.
+  // bounds probes run against a TABLE (possibly schema-qualified), never a
+  // subquery relation — a caller reading from a subquery supplies explicit
+  // bounds instead (partitionedOn). Restricting to the identifier grammar
+  // is what makes the interpolation below safe; arbitrary subquery text
+  // cannot be validated meaningfully.
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*"
-  private val TableRe = s"(?s)\\(.*\\)\\s*$IdentRe|$IdentRe(\\.$IdentRe)*".r
+  private val TableRe = s"$IdentRe(\\.$IdentRe)*".r
   private val ColumnRe = IdentRe.r
   private def checkIdent(kind: String, re: scala.util.matching.Regex, v: String): String = {
-    require(re.matches(v) && !v.contains("--") && !v.contains("/*") && !v.contains(";"),
-      s"unsafe $kind identifier for SQL interpolation: '$v'")
+    require(re.matches(v),
+      s"unsafe $kind identifier for SQL interpolation: '$v' (expected a plain or dot-qualified identifier)")
     v
   }
 
   /** A pushed-down bounds probe: the `dbtable` subquery the reference
     * issues before every partitioned read (process_geodata.py:54-58 —
     * `SELECT max(id), min(id)`). Runs ON the database; the driver reads
-    * one row. Identifiers are validated before interpolation. */
+    * one row. Identifiers are validated before interpolation; subquery
+    * relations are rejected — supply explicit bounds for those. */
   def boundsQuery(table: String, column: String): String = {
     checkIdent("table", TableRe, table)
     checkIdent("column", ColumnRe, column)
