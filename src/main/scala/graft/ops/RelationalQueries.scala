@@ -298,6 +298,40 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** CDC merge (MERGE INTO semantics) as ONE full-outer join: a change
+    * batch of upserts/deletes/inserts applies to the base table in a
+    * single key-partitioned pass — delete tombstones drop the base row,
+    * updates replace payload columns, inserts materialize change-side
+    * rows, unmatched base rows pass through. This is the corpus-refresh
+    * op of a training pipeline (and the engine-level form of the
+    * reference's blue-green reload, load_to_postgres.py:242-243, which
+    * rewrites the whole table instead). At scale both sides shuffle once
+    * on the key; nothing is collected. The change batch here is derived
+    * deterministically from the base (mod rules on doc_id) so the oracle
+    * can rebuild it exactly. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+    val del = base.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("c_text"), lit(null).cast("string").as("c_source"))
+    val upd = base.filter(pmod(col("doc_id"), lit(13L)) =!= 0 &&
+        pmod(col("doc_id"), lit(7L)) === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("c_text"), lit(null).cast("string").as("c_source"))
+    val ins = base.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), lit("I").as("op"),
+        concat(lit("new "), col("text")).as("c_text"), lit("ingest").as("c_source"))
+    val changes = del.unionByName(upd).unionByName(ins)
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        when(col("op").isin("U", "I"), col("c_text")).otherwise(col("text")).as("m_text"),
+        coalesce(col("c_source"), col("source")).as("m_source"))
+      .groupBy(col("m_source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("m_text"))).as("sum_chars"))
+      .orderBy(col("m_source"))
+  }
+
   /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -386,9 +420,32 @@ object RelationalQueries {
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
+    "q_merge_upsert" -> (mergeUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS c_text,
+        |         CAST(NULL AS VARCHAR) AS c_source
+        |  FROM documents WHERE (doc_id % 13 + 13) % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' v2', NULL
+        |  FROM documents
+        |  WHERE (doc_id % 13 + 13) % 13 <> 0 AND (doc_id % 7 + 7) % 7 = 0
+        |  UNION ALL
+        |  SELECT -doc_id - 1, 'I', 'new ' || text, 'ingest'
+        |  FROM documents WHERE (doc_id % 11 + 11) % 11 = 0),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.c_text ELSE b.text END AS m_text,
+        |    COALESCE(c.c_source, b.source) AS m_source,
+        |    c.op
+        |  FROM documents b FULL OUTER JOIN changes c USING (doc_id))
+        |SELECT m_source, count(*) AS n_docs,
+        |       CAST(sum(length(m_text)) AS BIGINT) AS sum_chars
+        |FROM merged WHERE op IS NULL OR op <> 'D'
+        |GROUP BY m_source ORDER BY m_source""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
