@@ -159,6 +159,32 @@ object SinkQueries {
     bucketTablesBuilt.put(spark, dir)
   }
 
+  /** Schema-evolution scan: two generations of the same table written
+    * with different schemas (gen 2 adds a column), read back as ONE
+    * relation via parquet schema merging + partition discovery — the
+    * long-lived-corpus reality where new ingest batches carry new
+    * metadata columns and old files never get rewritten. Old-generation
+    * rows surface the new column as NULL, which the aggregate observes.
+    * mergeSchema costs one footer read per file at planning (not a data
+    * pass), and the gen partition column prunes generations when
+    * filtered. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/schema_evo"
+    val base = documents(spark, dir)
+    base.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    base.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_v2"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Z-order clustered sink + 2-D range scan: interleave the top 8 bits
     * of the two clustering axes (user_id, event time) into a Morton code,
     * range-partition and sort the write by it, and read back through a
@@ -244,9 +270,19 @@ object SinkQueries {
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_zorder" -> (zorderRoundtrip _),
+    "q_schema_evolution" -> (schemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """WITH unioned AS (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars FROM documents
+        |  WHERE (doc_id % 2 + 2) % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE (doc_id % 2 + 2) % 2 = 1)
+        |SELECT lang, count(*) AS n_docs, count(n_chars) AS n_v2,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM unioned GROUP BY lang ORDER BY lang""".stripMargin,
     "q_zorder" ->
       """WITH b AS (
         |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
