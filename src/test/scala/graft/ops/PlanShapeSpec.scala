@@ -69,6 +69,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom filter should sit below the fact exchange (ex=$exIdx bloom=$bloomIdx):\n${p.take(2500)}")
   }
 
+  test("generation filter prunes partition directories at planning time") {
+    import org.apache.spark.sql.functions.col
+    // build the two-generation layout, then scan only gen=2: the partition
+    // filter must reach the scan (PartitionFilters) so gen=1 files are
+    // never listed into the plan — directory-level pruning, not a row filter
+    SinkQueries.schemaEvolution(spark, dir).collect()
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet("/root/repo/target/graft_store/schema_evo")
+      .filter(col("gen") === 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("gen"), p.take(1500))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    val total = spark.read.option("mergeSchema", "true")
+      .parquet("/root/repo/target/graft_store/schema_evo").inputFiles.length
+    assert(scanned < total, s"gen filter did not prune files: $scanned of $total")
+  }
+
   test("z-order layout prunes most row groups for a 2-D box scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SinkQueries.zorderScan(spark, dir)
