@@ -36,6 +36,8 @@ object SparkEntry {
       // Same operator, distance predicate: st_dwithin with envelope
       // expansion + exact post-filter.
       "q_spatial_dwithin" -> ((s, dir) => Pipelines.spatialDWithinRollup(s, dir)),
+      // Spatial semi join (filter-by-any-match, semi-mode R-tree exec).
+      "q_spatial_semi" -> (Pipelines.spatialSemiRollup _),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +48,6 @@ object SparkEntry {
     Multimodal.oracles ++ StreamQueries.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
-    ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql)
+    ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
+    ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql)
 }

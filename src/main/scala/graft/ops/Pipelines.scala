@@ -177,6 +177,41 @@ object Pipelines {
       |  UNION ALL SELECT r + 5 FROM f WHERE w = 49 AND r // 5 < 4)
       |SELECT region_id, count(*) AS n FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Spatial semi join (spatial FILTERING, not enrichment): keep parcels
+    * that intersect ANY region of a flagged subset (region_id < 10),
+    * planned as the broadcast R-tree exec in semi mode — each parcel
+    * probes the index and is emitted at most once, short-circuiting on
+    * the first match; no join-side row duplication ever reaches the
+    * aggregate. Fixture arithmetic: a parcel intersects exactly its own
+    * region, so the kept set is parcels whose own region is flagged. */
+  def spatialSemiRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    import GeoFixtures._
+    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+    val parcels = li.select(
+      (col("l_partkey") % 25).cast("int").as("own_region"),
+      st_makeenvelope(px0.cast("double"), py0.cast("double"),
+        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
+        .as("parcel_geom"))
+    val flagged = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_nationkey") < 10)
+      .select(st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
+    parcels
+      .join(broadcast(flagged),
+        st_intersects(col("parcel_geom"), col("region_geom")), "left_semi")
+      .groupBy(col("own_region"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("own_region"))
+  }
+
+  val spatialSemiOracleSql: String =
+    """SELECT CAST(l_partkey % 25 AS INTEGER) AS own_region, count(*) AS n
+      |FROM lineitem WHERE l_partkey % 25 < 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Closed-form oracle for `flagship(to5880 = false, gapBuffer = 0)`:
     * parcels are disjoint 400 m squares fully inside their region, so the
     * clipped union area is exactly 160000 · count(DISTINCT parcel index). */

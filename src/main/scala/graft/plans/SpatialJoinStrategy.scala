@@ -5,7 +5,7 @@ import graft.geom.Geom
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
@@ -52,6 +52,19 @@ object SpatialJoinStrategy extends SparkStrategy {
             distance = Some(dist.doubleValue()))
         case _ => Nil
       }
+    // spatial filtering: LEFT SEMI preserves (and streams) the left side,
+    // so only the build-right orientation is valid — the broadcast R-tree
+    // answers "does ANY right geometry match" per left row
+    case Join(left, right, LeftSemi, Some(StIntersects(a, b)), hint) =>
+      planSpatial(left, right, a, b, hint.leftHint, hint.rightHint,
+        distance = None, semi = true)
+    case Join(left, right, LeftSemi, Some(StDWithin(a, b, d)), hint) if d.foldable =>
+      d.eval(null) match {
+        case dist: java.lang.Double if dist >= 0.0 =>
+          planSpatial(left, right, a, b, hint.leftHint, hint.rightHint,
+            distance = Some(dist.doubleValue()), semi = true)
+        case _ => Nil
+      }
     case _ => Nil
   }
 
@@ -59,7 +72,7 @@ object SpatialJoinStrategy extends SparkStrategy {
       left: LogicalPlan, right: LogicalPlan,
       a: Expression, b: Expression,
       leftHint: Option[HintInfo], rightHint: Option[HintInfo],
-      distance: Option[Double]): Seq[SparkPlan] = {
+      distance: Option[Double], semi: Boolean = false): Seq[SparkPlan] = {
     // orient the two geometry expressions to the children they reference
     val oriented: Option[(Expression, Expression)] =
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
@@ -75,31 +88,37 @@ object SpatialJoinStrategy extends SparkStrategy {
         if (wantsBroadcast(rightHint) || (!wantsBroadcast(leftHint) && small(right)))
           BroadcastRTreeSpatialJoinExec(
             planLater(left), planLater(right), leftGeom, rightGeom,
-            buildLeft = false, distance) :: Nil
-        else if (wantsBroadcast(leftHint) || small(left))
+            buildLeft = false, distance, semi) :: Nil
+        else if (!semi && (wantsBroadcast(leftHint) || small(left)))
           BroadcastRTreeSpatialJoinExec(
             planLater(left), planLater(right), leftGeom, rightGeom,
             buildLeft = true, distance) :: Nil
-        else Nil // neither side broadcastable: fall back to default planning
+        else Nil // no valid orientation: fall back to default planning
       case None => Nil
     }
   }
 }
 
-/** Broadcast R-tree spatial inner join: collects the build side, ships it
-  * as WKB + rows, builds one STRtree per probe partition (25-row dimension
-  * → microseconds), and streams the probe side through envelope queries +
-  * PreparedGeometry predicates. `distance = None` joins on intersects;
-  * `Some(d)` joins on distance <= d (envelope expanded by d for the index
-  * query, exact JTS distance as the post-filter). Output is
-  * `left.output ++ right.output`, like Spark's join execs; everything
+/** Broadcast R-tree spatial inner/semi join: collects the build side,
+  * ships it as WKB + rows, builds one STRtree per probe partition (25-row
+  * dimension → microseconds), and streams the probe side through envelope
+  * queries + PreparedGeometry predicates. `distance = None` joins on
+  * intersects; `Some(d)` joins on distance <= d (envelope expanded by d
+  * for the index query, exact JTS distance as the post-filter). Inner
+  * output is `left.output ++ right.output`, like Spark's join execs;
+  * `semi = true` (always build-right) emits each left row at most once,
+  * short-circuiting on the first matching build geometry. Everything
   * stays at the InternalRow level (no external Row round-trip). */
 case class BroadcastRTreeSpatialJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression,
-    buildLeft: Boolean, distance: Option[Double] = None) extends SparkPlan {
+    buildLeft: Boolean, distance: Option[Double] = None,
+    semi: Boolean = false) extends SparkPlan {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(!semi || !buildLeft, "semi mode streams (and preserves) the left side")
+
+  override def output: Seq[Attribute] =
+    if (semi) left.output else left.output ++ right.output
   override def children: Seq[SparkPlan] = Seq(left, right)
   override protected def withNewChildrenInternal(c: IndexedSeq[SparkPlan]): SparkPlan =
     copy(left = c(0), right = c(1))
@@ -119,6 +138,7 @@ case class BroadcastRTreeSpatialJoinExec(
     val outAttrs = output
     val bLeft = buildLeft
     val dist = distance
+    val semiMode = semi
     streamPlan.execute().mapPartitions { it =>
       val tree = new STRtree()
       bc.value.foreach { case (wkb, row) =>
@@ -130,28 +150,38 @@ case class BroadcastRTreeSpatialJoinExec(
       tree.build()
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      def predicate(bg: PreparedGeometry, g: org.locationtech.jts.geom.Geometry): Boolean =
+        dist match {
+          case None => bg.intersects(g)
+          // intersecting geometries have distance 0, so the prepared
+          // (indexed) intersects test short-circuits the expensive
+          // exact distance computation for the common overlap case
+          case Some(d) => bg.intersects(g) || bg.getGeometry.isWithinDistance(g, d)
+        }
+      def candidates(g: org.locationtech.jts.geom.Geometry) = {
+        val qEnv = new Envelope(g.getEnvelopeInternal)
+        dist.foreach(qEnv.expandBy)
+        tree.query(qEnv).asScala.iterator
+          .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
+      }
       it.flatMap { srow =>
         val wkb = streamBound.eval(srow).asInstanceOf[Array[Byte]]
         if (wkb == null) Iterator.empty
         else {
           val g = Geom.fromWkb(wkb)
-          val qEnv = new Envelope(g.getEnvelopeInternal)
-          dist.foreach(qEnv.expandBy)
-          tree.query(qEnv).asScala.iterator
-            .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
-            .filter { case (bg, _) =>
-              dist match {
-                case None => bg.intersects(g)
-                // intersecting geometries have distance 0, so the prepared
-                // (indexed) intersects test short-circuits the expensive
-                // exact distance computation for the common overlap case
-                case Some(d) => bg.intersects(g) || bg.getGeometry.isWithinDistance(g, d)
+          if (semiMode) {
+            // at most one output row; exists short-circuits candidate scan
+            if (candidates(g).exists { case (bg, _) => predicate(bg, g) })
+              Iterator.single(proj(srow))
+            else Iterator.empty
+          } else {
+            candidates(g)
+              .filter { case (bg, _) => predicate(bg, g) }
+              .map { case (_, brow) =>
+                proj(if (bLeft) joined.withLeft(brow).withRight(srow)
+                     else joined.withLeft(srow).withRight(brow))
               }
-            }
-            .map { case (_, brow) =>
-              proj(if (bLeft) joined.withLeft(brow).withRight(srow)
-                   else joined.withLeft(srow).withRight(brow))
-            }
+          }
         }
       }
     }

@@ -114,6 +114,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("declarative spatial LEFT SEMI join plans as the semi-mode R-tree operator") {
+    val df = SparkEntry.queries("q_spatial_semi")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // semi output is the left side only — no region columns survive
+    assert(!df.columns.contains("region_geom"))
+  }
+
   test("declarative st_dwithin join plans as the broadcast R-tree operator") {
     val p = planOf("q_spatial_dwithin")
     assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
