@@ -95,27 +95,40 @@ object Pipelines {
     * region (regions are disjoint 50 km cells on a 60 km grid; parcels lie
     * strictly inside), so the result is closed-form: the per-region
     * fact-row count. */
-  def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
+  /** The shared probe side of every spatial-join query: fact rows fanned
+    * out BEFORE the per-row envelope/WKB projection (geometry construction
+    * is the expensive kernel and must not run on the handful of scan
+    * tasks — see Par.fanOut), geometry built directly from numeric columns
+    * (st_makeenvelope — the probe side has no reason to round-trip WKT).
+    * `own_region` is the fixture's closed-form answer key, used by the
+    * semi rollup and oracle mirrors. */
+  private def parcelRelation(spark: SparkSession, dir: String): DataFrame = {
     import GeoFixtures._
-    // fan out the narrow key columns BEFORE the per-row envelope/WKB
-    // projection — geometry construction is the expensive kernel here, and
-    // it must not run on the handful of scan tasks (see Par.fanOut)
     val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
-    // geometry built directly from numeric columns (st_makeenvelope) — the
-    // probe side of a spatial join has no reason to round-trip WKT text
     val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
     val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val parcels = li.select(
+    li.select(
+      (col("l_partkey") % 25).cast("int").as("own_region"),
       st_makeenvelope(px0.cast("double"), py0.cast("double"),
-        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
+        (px0 + lit(GeoFixtures.ParcelSize)).cast("double"),
+        (py0 + lit(GeoFixtures.ParcelSize)).cast("double"))
         .as("parcel_geom"))
-    val regions = spark.read.parquet(s"$dir/nation.parquet")
+  }
+
+  /** The broadcast dimension side: region polygons from WKT. */
+  private def regionRelation(spark: SparkSession, dir: String): DataFrame = {
+    import GeoFixtures._
+    spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("region_id"),
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    parcels
-      .join(broadcast(regions), st_intersects(col("parcel_geom"), col("region_geom")))
+  }
+
+  def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
+    parcelRelation(spark, dir).select(col("parcel_geom"))
+      .join(broadcast(regionRelation(spark, dir)),
+        st_intersects(col("parcel_geom"), col("region_geom")))
       .groupBy(col("region_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("region_id"))
@@ -140,20 +153,9 @@ object Pipelines {
     * (≥ 14 142 m) stay out. No gap equals d, so no FP boundary cases. */
   def spatialDWithinRollup(spark: SparkSession, dir: String, d: Double = 10700.0): DataFrame = {
     graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
-    import GeoFixtures._
-    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
-    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val parcels = li.select(
-      st_makeenvelope(px0.cast("double"), py0.cast("double"),
-        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
-        .as("parcel_geom"))
-    val regions = spark.read.parquet(s"$dir/nation.parquet")
-      .select(col("n_nationkey").cast("int").as("region_id"),
-        st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    parcels
-      .join(broadcast(regions), st_dwithin(col("parcel_geom"), col("region_geom"), lit(d)))
+    parcelRelation(spark, dir).select(col("parcel_geom"))
+      .join(broadcast(regionRelation(spark, dir)),
+        st_dwithin(col("parcel_geom"), col("region_geom"), lit(d)))
       .groupBy(col("region_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("region_id"))
@@ -184,28 +186,22 @@ object Pipelines {
     * the first match; no join-side row duplication ever reaches the
     * aggregate. Fixture arithmetic: a parcel intersects exactly its own
     * region, so the kept set is parcels whose own region is flagged. */
-  def spatialSemiRollup(spark: SparkSession, dir: String): DataFrame = {
+  /** The bare semi join (pre-aggregate), exposed so PlanShapeSpec can
+    * assert the semi exec's output schema is the probe side only. */
+  private[ops] def spatialSemiJoined(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.registerAll(spark)
-    import GeoFixtures._
-    val li = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
-    val px0 = parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
-    val parcels = li.select(
-      (col("l_partkey") % 25).cast("int").as("own_region"),
-      st_makeenvelope(px0.cast("double"), py0.cast("double"),
-        (px0 + lit(ParcelSize)).cast("double"), (py0 + lit(ParcelSize)).cast("double"))
-        .as("parcel_geom"))
-    val flagged = spark.read.parquet(s"$dir/nation.parquet")
-      .filter(col("n_nationkey") < 10)
-      .select(st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
-    parcels
+    val flagged = regionRelation(spark, dir)
+      .filter(col("region_id") < 10).select(col("region_geom"))
+    parcelRelation(spark, dir)
       .join(broadcast(flagged),
         st_intersects(col("parcel_geom"), col("region_geom")), "left_semi")
+  }
+
+  def spatialSemiRollup(spark: SparkSession, dir: String): DataFrame =
+    spatialSemiJoined(spark, dir)
       .groupBy(col("own_region"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("own_region"))
-  }
 
   val spatialSemiOracleSql: String =
     """SELECT CAST(l_partkey % 25 AS INTEGER) AS own_region, count(*) AS n

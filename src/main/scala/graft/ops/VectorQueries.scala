@@ -236,13 +236,20 @@ object VectorQueries {
       }.sortBy(_._1)
 
     // final assignment against the trained centroids: per-cluster size,
-    // decimal-exact inertia, and the first centroid component as the
-    // oracle-checkable face of the centroid values themselves
+    // exact integer-micro inertia, and the first centroid component as
+    // the oracle-checkable face of the centroid values themselves.
+    // floor(d*1e6 + 0.5) instead of a DECIMAL cast: the cast ROUNDS, and
+    // Spark (HALF_UP) vs DuckDB (half-even) disagree when a distance
+    // lands exactly on a rounding boundary (observed at sf0.1); floor
+    // over bit-identical doubles is deterministic in both engines, and
+    // the decimal-typed sum of the resulting integers is exact at any
+    // corpus size
     val cFirst = typedlit(centroids.map { case (cid, cv) => (cid, cv.head) }.toMap)
     assign(centroids)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"),
-        sum(col("dist").cast("decimal(28,12)")).cast("double").as("inertia"))
+        sum(floor(col("dist") * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+          .cast("bigint").as("inertia_micros"))
       .withColumn("c_first", element_at(cFirst, col("cluster_id")))
       .orderBy(col("cluster_id"))
   }
@@ -379,7 +386,8 @@ object VectorQueries {
         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |    FROM d2) WHERE rn = 1)
         |SELECT a2.cid AS cluster_id, count(*) AS n,
-        |       CAST(sum(CAST(a2.dist AS DECIMAL(28,12))) AS DOUBLE) AS inertia,
+        |       CAST(sum(CAST(floor(a2.dist * 1e6 + 0.5) AS HUGEINT)) AS BIGINT)
+        |         AS inertia_micros,
         |       c1.ce[1] AS c_first
         |FROM a2 JOIN c1 ON a2.cid = c1.cid
         |GROUP BY a2.cid, c1.ce[1]

@@ -85,7 +85,10 @@ object SpatialJoinStrategy extends SparkStrategy {
         val threshold = SQLConf.get.autoBroadcastJoinThreshold
         def small(p: LogicalPlan): Boolean =
           threshold >= 0 && p.stats.sizeInBytes <= threshold
-        if (wantsBroadcast(rightHint) || (!wantsBroadcast(leftHint) && small(right)))
+        // semi mode supports ONLY build-right, so a left-side broadcast
+        // hint (un-honorable there) must not suppress the one valid plan
+        if (wantsBroadcast(rightHint) ||
+            ((semi || !wantsBroadcast(leftHint)) && small(right)))
           BroadcastRTreeSpatialJoinExec(
             planLater(left), planLater(right), leftGeom, rightGeom,
             buildLeft = false, distance, semi) :: Nil

@@ -74,9 +74,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // build the two-generation layout, then scan only gen=2: the partition
     // filter must reach the scan (PartitionFilters) so gen=1 files are
     // never listed into the plan — directory-level pruning, not a row filter
-    SinkQueries.schemaEvolution(spark, dir).collect()
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet("/root/repo/target/graft_store/schema_evo")
+    // building the plan performs the generation writes; the aggregate
+    // read-back itself isn't needed for the layout
+    SinkQueries.schemaEvolution(spark, dir)
+    val evoPath = s"${SinkQueries.OutBase}/schema_evo"
+    val df = spark.read.option("mergeSchema", "true").parquet(evoPath)
       .filter(col("gen") === 2)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -86,7 +88,7 @@ class PlanShapeSpec extends AnyFunSuite {
       case s: FileSourceScanExec => s.metrics("numFiles").value
     }.sum
     val total = spark.read.option("mergeSchema", "true")
-      .parquet("/root/repo/target/graft_store/schema_evo").inputFiles.length
+      .parquet(evoPath).inputFiles.length
     assert(scanned < total, s"gen filter did not prune files: $scanned of $total")
   }
 
@@ -115,12 +117,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("declarative spatial LEFT SEMI join plans as the semi-mode R-tree operator") {
-    val df = SparkEntry.queries("q_spatial_semi")(spark, dir)
-    val p = df.queryExecution.sparkPlan.toString
+    // the bare join, pre-aggregate: pins the exec node AND the semi
+    // output contract (probe side only, no build columns, no duplication)
+    val joined = Pipelines.spatialSemiJoined(spark, dir)
+    val p = joined.queryExecution.sparkPlan.toString
     assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // semi output is the left side only — no region columns survive
-    assert(!df.columns.contains("region_geom"))
+    assert(joined.columns.toSeq == Seq("own_region", "parcel_geom"), joined.columns.mkString(","))
   }
 
   test("declarative st_dwithin join plans as the broadcast R-tree operator") {
