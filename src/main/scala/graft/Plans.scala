@@ -64,6 +64,11 @@ object Plans {
         "probe envelope expanded by d before the R-tree query and exact " +
         "JTS distance as the post-filter — a distance join with no " +
         "nested loop."),
+    Entry("q_spatial_semi",
+      "Spatial filtering as LEFT SEMI: the semi-mode R-tree exec streams " +
+        "the probe side, emits each row at most once (exists short-" +
+        "circuits the candidate scan), and outputs the probe schema only " +
+        "— no build columns, no duplication ahead of the aggregate."),
     Entry("q_bloom_join",
       "Explicit runtime-filter semi-join reduction: the bloom over the " +
         "filtered dimension keys builds as a scalar subquery and the " +
