@@ -53,6 +53,23 @@ object SessionQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Sliding-window aggregation with Spark's native `window()` (2 h
+    * windows sliding by 1 h): every event lands in exactly two windows —
+    * the TimeWindow expression explodes window membership per row, so
+    * the shuffle key is (window, event_type) and the aggregate is a
+    * plain partial+final count, linear in |events| · (size/slide). The
+    * batch complement of the streaming tumbling window (q_stream_window)
+    * and the RANGE frame (q_window_range). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      // ns → µs integer DIV (epoch-nanos exceed 2^53; see sessionize)
+      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("tsx"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+
   /** Conditional (pivot-style) per-user aggregation by event type. */
   def eventTypeAgg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -69,9 +86,22 @@ object SessionQueries {
     "q_sessionize" -> (sessionize _),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
+    "q_sliding_window" -> (slidingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
+    // every event belongs to windows {floor(t/1h)*1h, that - 1h}: the
+    // explicit two-start expansion of Spark's epoch-aligned window(2h, 1h)
+    "q_sliding_window" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms, event_type
+        |  FROM events),
+        |x AS (
+        |  SELECT (tms // 3600000) * 3600000 AS w_start_ms, event_type FROM e
+        |  UNION ALL
+        |  SELECT (tms // 3600000) * 3600000 - 3600000, event_type FROM e)
+        |SELECT w_start_ms, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value,
