@@ -135,5 +135,13 @@ object functions {
     r2("simhash64", SimHash64)
     r2("hamming64", Hamming64)
     rn("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
+    // runtime-filter surface in SQL text: build the bloom in a scalar
+    // subquery, probe with might_contain —
+    //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim),
+    //                       xxhash64(fact_k))
+    rn("bloom_filter_agg", 1)(es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head))
+    rn("might_contain", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
   }
 }

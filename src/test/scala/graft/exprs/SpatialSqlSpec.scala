@@ -114,6 +114,17 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("st_area"), e3.getMessage)
   }
 
+  test("bloom runtime-filter surface in SQL text: scalar-subquery build + probe") {
+    val r = spark.sql(
+      """SELECT
+        |  might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(100) t(x)),
+        |                xxhash64(CAST(42 AS BIGINT))) AS hit,
+        |  might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(100) t(x)),
+        |                xxhash64(CAST(1000000 AS BIGINT))) AS miss_mostly""".stripMargin).head()
+    // no false negatives: 42 is in [0, 100)
+    assert(r.getBoolean(0))
+  }
+
   test("minhash/simhash/jaccard SQL registration surface") {
     val r = one("""SELECT size(minhash_sig('abcdef', 16, 5)) AS k,
                           size(minhash_bands('abcdef', 4, 4, 5)) AS b,
