@@ -70,6 +70,25 @@ object SessionQueries {
         col("event_type"), col("n"))
       .orderBy(col("w_start_ms"), col("event_type"))
 
+  /** Equi-width histogram of the event value: bin edges from a 1-row
+    * bounds probe (the reference's own pattern), bucket assignment a pure
+    * per-row projection (floor over identical doubles — deterministic in
+    * both engines, unlike round), then a |bins|-group aggregate with
+    * map-side partials. The profiling/binning pass every numeric feature
+    * column gets before training. */
+  def histogram(spark: SparkSession, dir: String, nbins: Int = 20): DataFrame = {
+    val ev = events(spark, dir).select(col("value"))
+    val b = ev.agg(min(col("value")), max(col("value"))).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val w = if (hi == lo) 1.0 else (hi - lo) / nbins
+    ev.withColumn("bucket",
+        least(floor((col("value") - lit(lo)) / lit(w)), lit((nbins - 1).toDouble)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
   /** Conditional (pivot-style) per-user aggregation by event type. */
   def eventTypeAgg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -87,9 +106,20 @@ object SessionQueries {
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
+    "q_histogram" -> ((s, d) => histogram(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |         CASE WHEN min(value) = max(value) THEN 1.0
+        |              ELSE (max(value) - min(value)) / 20 END AS w
+        |  FROM events)
+        |SELECT CAST(least(floor((value - lo) / w), 19.0) AS INTEGER) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
     // every event belongs to windows {floor(t/1h)*1h, that - 1h}: the
     // explicit two-start expansion of Spark's epoch-aligned window(2h, 1h)
     "q_sliding_window" ->
