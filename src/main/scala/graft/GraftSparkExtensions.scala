@@ -25,37 +25,48 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // R-tree join instead of BroadcastNestedLoopJoin (SURVEY §2.3)
     ext.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
 
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+    // same arity validation as functions.registerAll: wrong SQL-text arity
+    // raises Spark's named analysis error, not IndexOutOfBoundsException
+    def inject(name: String, n: Int)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, null, "", "", "", "", "", "", "scala_udf"),
-        builder))
+        es => {
+          if (es.length != n)
+            throw org.apache.spark.sql.graftbridge.Bridge.wrongNumArgs(name, n, es.length)
+          builder(es)
+        }))
 
-    inject("st_geomfromwkt", es => StGeomFromWKT(es.head))
-    inject("st_astext", es => StAsText(es.head))
-    inject("st_point", es => StPoint(es.head, es(1)))
-    inject("st_makeenvelope", es => StMakeEnvelope(es))
-    inject("st_makevalid", es => StMakeValid(es.head))
-    inject("st_buffer", es => StBuffer(es.head, es(1)))
-    inject("st_intersection", es => StIntersection(es.head, es(1)))
-    inject("st_union", es => StUnion(es.head, es(1)))
-    inject("st_area", es => StArea(es.head))
-    inject("st_length", es => StLength(es.head))
-    inject("st_centroid", es => StCentroid(es.head))
-    inject("st_envelope", es => StEnvelope(es.head))
-    inject("st_x", es => StX(es.head))
-    inject("st_y", es => StY(es.head))
-    inject("st_isvalid", es => StIsValid(es.head))
-    inject("st_intersects", es => StIntersects(es.head, es(1)))
-    inject("st_contains", es => StContains(es.head, es(1)))
-    inject("st_within", es => StWithin(es.head, es(1)))
-    inject("st_distance", es => StDistance(es.head, es(1)))
-    inject("st_transform", es => StTransform(es.head, es(1), es(2)))
-    inject("st_union_agg", es => StUnionAgg(es.head))
-    inject("minhash_sig", es => MinHashSig(es.head, es(1), es(2)))
-    inject("minhash_bands", es => MinHashBands(es))
-    inject("simhash64", es => SimHash64(es.head, es(1)))
-    inject("hamming64", es => Hamming64(es.head, es(1)))
-    inject("ngram_jaccard", es => NGramJaccard(es.head, es(1), es(2)))
+    inject("st_geomfromwkt", 1)(es => StGeomFromWKT(es.head))
+    inject("st_astext", 1)(es => StAsText(es.head))
+    inject("st_point", 2)(es => StPoint(es.head, es(1)))
+    inject("st_makeenvelope", 4)(es => StMakeEnvelope(es))
+    inject("st_makevalid", 1)(es => StMakeValid(es.head))
+    inject("st_buffer", 2)(es => StBuffer(es.head, es(1)))
+    inject("st_intersection", 2)(es => StIntersection(es.head, es(1)))
+    inject("st_union", 2)(es => StUnion(es.head, es(1)))
+    inject("st_area", 1)(es => StArea(es.head))
+    inject("st_length", 1)(es => StLength(es.head))
+    inject("st_centroid", 1)(es => StCentroid(es.head))
+    inject("st_envelope", 1)(es => StEnvelope(es.head))
+    inject("st_x", 1)(es => StX(es.head))
+    inject("st_y", 1)(es => StY(es.head))
+    inject("st_isvalid", 1)(es => StIsValid(es.head))
+    inject("st_intersects", 2)(es => StIntersects(es.head, es(1)))
+    inject("st_contains", 2)(es => StContains(es.head, es(1)))
+    inject("st_within", 2)(es => StWithin(es.head, es(1)))
+    inject("st_distance", 2)(es => StDistance(es.head, es(1)))
+    inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
+    inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
+    inject("st_union_agg", 1)(es => StUnionAgg(es.head))
+    inject("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
+    inject("minhash_bands", 4)(es => MinHashBands(es))
+    inject("simhash64", 2)(es => SimHash64(es.head, es(1)))
+    inject("hamming64", 2)(es => Hamming64(es.head, es(1)))
+    inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
+    inject("bloom_filter_agg", 1)(es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head))
+    inject("might_contain", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
   }
 }

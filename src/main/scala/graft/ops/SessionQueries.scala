@@ -77,8 +77,14 @@ object SessionQueries {
     * map-side partials. The profiling/binning pass every numeric feature
     * column gets before training. */
   def histogram(spark: SparkSession, dir: String, nbins: Int = 20): DataFrame = {
+    // NULL measures carry no bin: without the filter they'd floor to null
+    // and least(null, max) would silently count them into the top bucket
     val ev = events(spark, dir).select(col("value"))
+      .filter(col("value").isNotNull)
     val b = ev.agg(min(col("value")), max(col("value"))).head()
+    if (b.isNullAt(0)) // empty (or all-NULL) input: empty histogram, right schema
+      return ev.limit(0).select(lit(0).as("bucket"), lit(0L).as("n"),
+        lit(0.0).as("sum_value"))
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     val w = if (hi == lo) 1.0 else (hi - lo) / nbins
     ev.withColumn("bucket",
@@ -111,15 +117,16 @@ object SessionQueries {
 
   val oracles: Map[String, String] = Map(
     "q_histogram" ->
-      """WITH b AS (
+      """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |b AS (
         |  SELECT min(value) AS lo, max(value) AS hi,
         |         CASE WHEN min(value) = max(value) THEN 1.0
         |              ELSE (max(value) - min(value)) / 20 END AS w
-        |  FROM events)
+        |  FROM e)
         |SELECT CAST(least(floor((value - lo) / w), 19.0) AS INTEGER) AS bucket,
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM e, b GROUP BY 1 ORDER BY 1""".stripMargin,
     // every event belongs to windows {floor(t/1h)*1h, that - 1h}: the
     // explicit two-start expansion of Spark's epoch-aligned window(2h, 1h)
     "q_sliding_window" ->

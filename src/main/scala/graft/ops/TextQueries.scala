@@ -440,38 +440,30 @@ object TextQueries {
     val toks = docs
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    // tokenize + shuffle ONCE: the (term, doc_id, source) occurrence agg
-    // is the shared parent of both tf and df (a doc has one source, so
-    // rows are distinct (term, doc) pairs); materializing it means the
-    // expensive explode-over-text pass and the wide token shuffle run a
-    // single time instead of once per derived aggregate — the common-
-    // subexpression materialization every multi-output pipeline needs
-    val termDoc = toks
-      .groupBy(col("term"), col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist()
-    try {
-      val tf = termDoc.groupBy(col("source"), col("term"))
-        .agg(sum(col("cnt")).as("tf"))
-      val dfreq = termDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // corpus size enters as a scalar subquery — one stage, its result
-      // shipped to tasks like a broadcast variable (a relation-less 1-row
-      // join would plan BroadcastNestedLoopJoin, which the plan guardrails
-      // ban outright)
-      val nDocs = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
-        docs.agg(countDistinct(col("doc_id")).as("n_docs")))
-      val filtered = dfreq
-        .filter(col("df") * 2 <= nDocs)
-        .select(col("term"), col("df"))
-      tf.join(filtered, "term")
-        .withColumn("rank",
-          row_number().over(Window.partitionBy(col("source"))
-            .orderBy(col("tf").desc, col("term"))))
-        .filter(col("rank") <= k)
-        .select(col("source"), col("rank"), col("term"), col("tf"), col("df"))
-        .orderBy(col("source"), col("rank"))
-        .localCheckpoint(eager = true)
-    } finally termDoc.unpersist(blocking = false)
+    // tf and df are independent aggregates over the tokenized relation —
+    // the plan stays fully declarative (two scans of the source; a
+    // pipeline running this at corpus scale persists `toks`' aggregate
+    // parent explicitly, but an operator must not return an eagerly
+    // checkpointed plan: that blinds plan-shape guardrails and turns
+    // construction into execution)
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // corpus size enters as a scalar subquery — one stage, its result
+    // shipped to tasks like a broadcast variable (a relation-less 1-row
+    // join would plan BroadcastNestedLoopJoin, which the plan guardrails
+    // ban outright)
+    val nDocs = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      docs.agg(countDistinct(col("doc_id")).as("n_docs")))
+    val filtered = dfreq
+      .filter(col("df") * 2 <= nDocs)
+      .select(col("term"), col("df"))
+    tf.join(filtered, "term")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("source"), col("rank"))
   }
 
   /** Sequence packing: assign documents to fixed token-budget training
