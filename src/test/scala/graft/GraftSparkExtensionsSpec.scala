@@ -57,6 +57,13 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
       assert(join.queryExecution.sparkPlan.toString.contains("BroadcastRTreeSpatialJoin"),
         join.queryExecution.sparkPlan.toString.take(1200))
       assert(join.head().getLong(0) == 1L)
+      // full registerAll parity on an extensions-only session: st_dwithin
+      // and the bloom runtime-filter pair must resolve without registerAll
+      val parity = s.sql(
+        """SELECT st_dwithin(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D), 5.0D) AS d,
+          |  might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(50) t(x)),
+          |                xxhash64(CAST(7 AS BIGINT))) AS hit""".stripMargin).head()
+      assert(parity.getBoolean(0) && parity.getBoolean(1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
