@@ -254,6 +254,34 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Linear-classifier inference over the embedding column — the
+    * model-scoring pass of a training-data pipeline (quality classifier,
+    * domain tagger) in its Spark-native shape: the weight matrix is a
+    * driver-side constant folded into the plan (k·dims literals — the
+    * broadcast-weights pattern; a real deployment swaps in a broadcast
+    * variable), each logit is a deterministic left-fold dot product, and
+    * argmax ties resolve to the smallest class id in both engines
+    * (array_position returns the FIRST max index; the oracle mirrors with
+    * ORDER BY logit DESC, class). Pure per-row projection — embarrassingly
+    * parallel at any scale — followed by a |labels|·|classes| confusion
+    * rollup with map-side partials. Weights are a fixed rational pattern
+    * so the oracle rebuilds them exactly. */
+  def embClassify(spark: SparkSession, dir: String,
+                  classes: Int = 3, dims: Int = 64): DataFrame = {
+    val ws: Seq[Seq[Double]] = (0 until classes).map(c =>
+      (0 until dims).map(i => (((c * dims + i) % 7) - 3) / 3.0))
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val logits = array(ws.map(w =>
+      foldSum(zip_with(embD, typedlit(w), (a, b) => a * b))): _*)
+    Par.fanOut(embeddings(spark, dir))
+      .withColumn("logits", logits)
+      .withColumn("pred",
+        (expr("array_position(logits, array_max(logits))") - 1).cast("int"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred"))
+  }
+
   /** Int8 symmetric quantization audit — the storage-path compression op
     * of an embedding pipeline (4× smaller vectors, error must be
     * measured). Per vector: scale = max|x| / 127,
@@ -286,6 +314,7 @@ object VectorQueries {
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "q_emb_quantize" -> (embQuantize _),
     "q_kmeans" -> ((s, d) => kmeans(s, d)),
+    "q_emb_classify" -> ((s, d) => embClassify(s, d)),
   )
 
   /** The 8-bit sign bucket, spelled in DuckDB. */
@@ -351,6 +380,26 @@ object VectorQueries {
         |  list_max(errs) AS max_abs_err,
         |  list_sum(list_transform(errs, e -> e * e)) / CAST(n AS DOUBLE) AS mse
         |FROM r ORDER BY vec_id""".stripMargin,
+    "q_emb_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |w AS (
+        |  SELECT c, list_transform(range(64),
+        |    i -> CAST(((c * 64 + CAST(i AS INT)) % 7) - 3 AS DOUBLE) / 3.0) AS wv
+        |  FROM range(3) t(c)),
+        |s AS (
+        |  SELECT e.vec_id, e.label, w.c,
+        |    list_sum(list_transform(list_zip(e.v, w.wv), p -> p[1] * p[2])) AS logit
+        |  FROM e CROSS JOIN w),
+        |a AS (
+        |  SELECT vec_id, label, c FROM (
+        |    SELECT vec_id, label, c,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY logit DESC, c) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT label, CAST(c AS INTEGER) AS pred, count(*) AS n
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // two unrolled Lloyd iterations: init = k smallest vec_ids, one
     // decimal-exact mean update, final assignment. Same left-fold double
     // distance and first-min/smallest-cid tie rule as the Spark plan.
