@@ -206,6 +206,17 @@ object SinkQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Morton interleave of two 8-bit buckets:
+    * z = sum_i a_bit_i << (2i+1) | b_bit_i << (2i) — injective over
+    * [0,255]², so sorting by z is a space-filling-curve order. */
+  private[ops] def morton8(a: org.apache.spark.sql.Column,
+                           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
   /** The box-filtered scan over the z-clustered copy, exposed separately
     * so PlanShapeSpec can assert row-group pruning on the executed scan. */
   private[ops] def zorderScan(spark: SparkSession, dir: String): DataFrame = {
@@ -223,13 +234,7 @@ object SinkQueries {
     }
     val ub = bucket("user_id", uLo, uHi)
     val tb = bucket("ts", tLo, tHi)
-    // Morton interleave: z = sum_i ub_bit_i << (2i+1) | tb_bit_i << (2i)
-    val z = (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(ub, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftrightunsigned(tb, i).bitwiseAND(lit(1L)), 2 * i))
-    }
-    ev.withColumn("z", z)
+    ev.withColumn("z", morton8(ub, tb))
       .repartitionByRange(16, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)

@@ -92,6 +92,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned < total, s"gen filter did not prune files: $scanned of $total")
   }
 
+  test("morton8 is an injective space-filling map over the full 8-bit grid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    val zs = grid.select(SinkQueries.morton8(col("a"), col("b")).as("z"))
+    val (distinct, mx, mn) = zs
+      .agg(countDistinct(col("z")), max(col("z")), min(col("z")))
+      .as[(Long, Long, Long)].head()
+    // bijection onto [0, 65535]: every (a,b) pair gets a unique z
+    assert(distinct == 65536L && mn == 0L && mx == 65535L, s"$distinct $mn $mx")
+  }
+
   test("z-order layout prunes most row groups for a 2-D box scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SinkQueries.zorderScan(spark, dir)

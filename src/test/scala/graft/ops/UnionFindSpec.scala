@@ -26,4 +26,17 @@ class UnionFindSpec extends AnyFunSuite {
     assert(forest.size == 4, forest.toString)
     assert(labelsOf(forest) == UnionFindProps.model(edges))
   }
+
+  test("distributed label-propagation fallback agrees with the single-task finish") {
+    // singleTaskMax = 0 forces the iterative loop over the contracted
+    // forest — the 100 TB path that the gate corpora otherwise never
+    // exercise end-to-end — and it must produce the identical clustering
+    val spark = graft.SparkFixture.spark
+    val dir = "/root/testdata/sf0.001"
+    val fast = TextQueries.dedupClusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val loop = TextQueries.dedupClusters(spark, dir, singleTaskMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sorted.sameElements(loop.sorted),
+      s"fast=${fast.toSeq.take(10)} loop=${loop.toSeq.take(10)}")
+  }
 }
