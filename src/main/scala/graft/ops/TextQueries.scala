@@ -498,6 +498,37 @@ object TextQueries {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Incremental-ingest dedup: a new document batch checked against the
+    * standing corpus by content hash — the exact-dedup shape of every
+    * rolling ingest pipeline (the standing side would be the
+    * Materialize-published fingerprint table; here both sides derive from
+    * the corpus split by a mod rule so the oracle can rebuild them). The
+    * new batch LEFT ANTI-joins the corpus hash set (first publication
+    * survives) and additionally dedups within itself (min doc_id per
+    * hash). One shuffle on the 32-byte hash; document text never joins. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val isNew = pmod(col("doc_id"), lit(3L)) === 0
+    val corpusHashes = docs.filter(!isNew)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+    val batch = docs.filter(isNew)
+      .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+    // survivor per content hash = the smallest doc_id; its lang attributes
+    // the survivor (min_by — doc_id is unique, so the pick is total)
+    val unseen = batch.join(corpusHashes, Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        expr("min_by(lang, doc_id)").as("lang"))
+    unseen.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new_unique"))
+      .join(
+        batch.groupBy(col("lang")).agg(count(lit(1)).as("n_batch")),
+        Seq("lang"), "right")
+      .select(col("lang"), col("n_batch"),
+        coalesce(col("n_new_unique"), lit(0L)).as("n_new_unique"))
+      .orderBy(col("lang"))
+  }
+
   /** Eval-set decontamination: flag training documents sharing character
     * 8-grams with a held-out eval set — the n-gram-overlap contamination
     * check every LLM training pipeline runs before a corpus ships.
@@ -551,6 +582,7 @@ object TextQueries {
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q_dedup_incremental" -> (dedupIncremental _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -761,6 +793,22 @@ object TextQueries {
         |       count(CASE WHEN b.bucket < r.keep_pct THEN 1 END) AS n_sampled
         |FROM b JOIN r USING (lang)
         |GROUP BY 1, 2 ORDER BY b.lang""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, sha256(text) AS h,
+        |         (doc_id % 3 + 3) % 3 = 0 AS is_new
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM d WHERE NOT is_new),
+        |batch AS (SELECT doc_id, lang, h FROM d WHERE is_new),
+        |unseen AS (
+        |  SELECT h, min(doc_id) AS keep_id, arg_min(lang, doc_id) AS lang
+        |  FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+        |  GROUP BY h),
+        |nu AS (SELECT lang, count(*) AS n_new_unique FROM unseen GROUP BY lang),
+        |nb AS (SELECT lang, count(*) AS n_batch FROM batch GROUP BY lang)
+        |SELECT nb.lang, nb.n_batch, COALESCE(nu.n_new_unique, 0) AS n_new_unique
+        |FROM nb LEFT JOIN nu ON nb.lang = nu.lang
+        |ORDER BY nb.lang""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, (doc_id % 101 + 101) % 101 = 7 AS is_eval,

@@ -40,8 +40,9 @@ object Explain {
         .filter(_.contains("FileScan")).foreach { l =>
           val src = l.trim.split("\\[").headOption.getOrElse(l.trim)
           println(s"  ${src.trim}")
-          println(s"    PushedFilters: ${field(l, "PushedFilters")}")
-          println(s"    ReadSchema:    ${field(l, "ReadSchema")}")
+          println(s"    PushedFilters:    ${field(l, "PushedFilters")}")
+          println(s"    PartitionFilters: ${field(l, "PartitionFilters")}")
+          println(s"    ReadSchema:       ${field(l, "ReadSchema")}")
         }
     }
     spark.stop()

@@ -139,6 +139,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joined.columns.toSeq == Seq("own_region", "parcel_geom"), joined.columns.mkString(","))
   }
 
+  test("st_dwithin LEFT SEMI also plans as the semi-mode R-tree operator") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{st_dwithin, st_makeenvelope}
+    graft.functions.registerAll(spark)
+    val probe = spark.range(10).select(
+      st_makeenvelope(col("id").cast("double"), lit(0.0),
+        col("id").cast("double") + lit(0.5), lit(0.5)).as("g"))
+    val dim = spark.range(2).select(
+      st_makeenvelope(lit(100.0), lit(0.0), lit(101.0), lit(1.0)).as("h"))
+    val df = probe.join(broadcast(dim), st_dwithin(col("g"), col("h"), lit(1.5)), "left_semi")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(df.count() == 0) // nearest probe is 89.5 away; distance joins respect d
+  }
+
   test("declarative st_dwithin join plans as the broadcast R-tree operator") {
     val p = planOf("q_spatial_dwithin")
     assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
