@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing query names: dev-iteration subset (the driver
+    // always calls with exactly two args => full inventory)
+    val selected =
+      if (args.length <= 2) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,8 +25,8 @@ object Verify {
     // full inventory manifest: lets the checker treat a crashed rows-only
     // query (no output dir) as a failure instead of a silent absence
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+      selected.keys.toSeq.sorted.mkString("\n"))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

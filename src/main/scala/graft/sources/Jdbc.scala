@@ -121,12 +121,27 @@ object Jdbc {
     * issues before every partitioned read (process_geodata.py:54-58 —
     * `SELECT max(id), min(id)`). Runs ON the database; the driver reads
     * one row. Identifiers are validated before interpolation; subquery
-    * relations are rejected — supply explicit bounds for those. */
+    * relations are rejected — supply explicit bounds for those.
+    *
+    * The column is double-quoted: Spark's JDBC sink quotes column names at
+    * CREATE TABLE (preserving DataFrame case), while unquoted SQL folds to
+    * the database's default case (upper on Derby/Oracle, lower on
+    * Postgres) — quoting the exact case is the one spelling that resolves
+    * on both a Spark-written and a natively-created table. The table name
+    * stays unquoted because Spark interpolates it verbatim on both the
+    * write and read paths, so folding is applied consistently. */
   def boundsQuery(table: String, column: String): String = {
     checkIdent("table", TableRe, table)
     checkIdent("column", ColumnRe, column)
-    s"(SELECT max($column) AS hi, min($column) AS lo FROM $table) graft_bounds"
+    // aliases quoted too, or the database's case folding renames them
+    s"""(SELECT max("$column") AS "hi", min("$column") AS "lo" FROM $table) graft_bounds"""
   }
+
+  /** The partitionColumn spelling that matches a Spark-written table:
+    * Spark interpolates partitionColumn verbatim into each slice's WHERE,
+    * so it needs the same double-quoting as [[boundsQuery]]. */
+  def quotedColumn(column: String): String =
+    "\"" + checkIdent("column", ColumnRe, column) + "\""
 
   /** Config for the bounds probe of `cfg` — same connection options, the
     * subquery as the relation, a single partition (one row comes back). */
