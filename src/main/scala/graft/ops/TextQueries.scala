@@ -477,9 +477,9 @@ object TextQueries {
     * sorts by doc_id inside each partition (the unbounded-preceding ROWS
     * frame streams, no buffering); everything after it is a per-row
     * projection plus an already-partitioned (source, seq_id) aggregate.
-    * A single giant source would serialize its window partition — at real
-    * scale the fix is the same salting used in windowTopK (pack per
-    * (source, shard) with shard = doc_id range), which changes sequence
+    * A single giant source would serialize its window partition — the
+    * salted fix is implemented as [[packSequencesSharded]] (pack per
+    * (source, shard) with shard = a doc_id range), which changes sequence
     * numbering but not the packing law. */
   def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -496,6 +496,34 @@ object TextQueries {
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
       .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** The salted scale path of [[packSequences]]: pack per (source, shard)
+    * with shard = a fixed doc_id range, so a single giant source spreads
+    * over `span/shardWidth` window partitions instead of serializing one.
+    * Each shard packs independently under the identical greedy law —
+    * sequence ids are per-shard (a trainer consumes (source, shard,
+    * seq_id) as the sequence key), and the one partial sequence per shard
+    * boundary is the bounded, explicit cost of the parallelism. The
+    * window's shuffle key gains the shard column and nothing else changes:
+    * still ONE shuffle, still a streaming ROWS frame. */
+  def packSequencesSharded(spark: SparkSession, dir: String, budget: Int = 2048,
+                           shardWidth: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      // doc_ids are non-negative; DIV floors, so each shard is the
+      // contiguous id range [shard*width, (shard+1)*width)
+      .withColumn("shard", expr(s"doc_id DIV ${shardWidth}L"))
+      .withColumn("toks",
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum - toks) DIV $budget"))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
   }
 
   /** Incremental-ingest dedup: a new document batch checked against the
@@ -581,6 +609,7 @@ object TextQueries {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "q_pack_sequences_sharded" -> ((s, d) => packSequencesSharded(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_dedup_incremental" -> (dedupIncremental _),
   )
@@ -835,6 +864,20 @@ object TextQueries {
         |SELECT source, CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
+    "q_pack_sequences_sharded" ->
+      """WITH d AS (
+        |  SELECT source, doc_id // 200 AS shard, doc_id,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, shard, toks,
+        |    sum(toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |       CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (
         |  SELECT * FROM (

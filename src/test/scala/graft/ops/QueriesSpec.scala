@@ -48,6 +48,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("sharded packing conserves per-source docs and tokens") {
+    import org.apache.spark.sql.functions._
+    // sharding changes sequence boundaries, never membership: per-source
+    // totals must match the unsharded packing exactly
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("docs"), sum(col("sum_tokens")).as("toks"))
+        .orderBy(col("source")).collect().toSeq
+    assert(totals(TextQueries.packSequencesSharded(spark, dir)) ==
+      totals(TextQueries.packSequences(spark, dir)))
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
