@@ -152,10 +152,41 @@ object StreamQueries {
     }
   }
 
+  /** Streaming gap sessionization (`StreamOps.sessionize`,
+    * flatMapGroupsWithState + EventTimeTimeout) run end-to-end by the
+    * engine on the bounded corpus. Emission on a single-batch replay is
+    * deterministic: every non-final session per user closes in the data
+    * batch (a later event sits more than a gap after it); a user's FINAL
+    * session is flushed by the event-time timeout iff the final watermark
+    * strictly passes its gap horizon (`end + gap < max_tms − delay` — the
+    * engine fires a timeout when the eviction watermark exceeds the set
+    * timestamp). Both rules are integer-ms arithmetic the batch oracle
+    * replays exactly; sum_value is dropped from the output because the
+    * state function folds doubles in arrival order, which no engine-
+    * independent mirror can reproduce bit-exactly (same reason as
+    * q_geo_flagship_5880's exclusion — but here the integer columns
+    * fully determine the sessionization, so nothing is lost). */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = stream.select(col("user_id"),
+        expr("ts DIV 1000000L").as("tms"), col("value"))
+      .as[StreamOps.Event]
+    val sessions = StreamOps.sessionize(ev, graft.ops.SessionQueries.GapMs,
+      watermarkDelay = "2 hours")
+    runBounded(spark, sessions.toDF(), "graft_stream_sessionize") {
+      _.select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
+    "q_stream_sessionize" -> (streamSessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -185,6 +216,39 @@ object StreamQueries {
         | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // batch mirror of the sessionizer's emission rule on a single-batch
+    // replay: gap-split sessions (identical to q_sessionize's CTE), then
+    // keep non-final sessions unconditionally and the final session per
+    // user iff the timeout fired (end + gap STRICTLY below the final
+    // watermark = max event-ms − 2 h delay)
+    "q_stream_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, tms,
+         |    CASE WHEN lag(tms) OVER w IS NULL
+         |              OR tms - lag(tms) OVER w > ${graft.ops.SessionQueries.GapMs}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+         |sess AS (
+         |  SELECT user_id, tms,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
+         |                      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged),
+         |agg AS (
+         |  SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+         |         count(*) AS n_events
+         |  FROM sess GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT agg.*, max(sid) OVER (PARTITION BY user_id) AS last_sid
+         |  FROM agg)
+         |SELECT user_id, start_ms, end_ms, CAST(n_events AS INTEGER) AS n_events
+         |FROM fin
+         |WHERE sid < last_sid
+         |   OR end_ms + ${graft.ops.SessionQueries.GapMs}
+         |        < (SELECT max(tms) FROM e) - ${WatermarkMs}
+         |ORDER BY user_id, start_ms""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id,
         |       count(DISTINCT (CAST(epoch_ns(ts) // 1000000 AS BIGINT)) // 3600000) AS n_active_hours
