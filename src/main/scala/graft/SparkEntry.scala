@@ -38,6 +38,9 @@ object SparkEntry {
       "q_spatial_dwithin" -> ((s, dir) => Pipelines.spatialDWithinRollup(s, dir)),
       // Spatial semi join (filter-by-any-match, semi-mode R-tree exec).
       "q_spatial_semi" -> (Pipelines.spatialSemiRollup _),
+      // Partitioned large-large spatial join (grid cells + shuffled equi
+      // join + reference-point dedup; no broadcast, no BNLJ).
+      "q_spatial_join_partitioned" -> (Pipelines.spatialJoinPartitionedRollup _),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +52,6 @@ object SparkEntry {
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
-    ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql)
+    ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
+    ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql)
 }

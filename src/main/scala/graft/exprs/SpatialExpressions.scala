@@ -181,6 +181,29 @@ case class StEnvelope(child: Expression)
   override protected def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
 }
 
+/** Envelope corners of a geometry as struct<xmin,ymin,xmax,ymax> — the
+  * numeric form grid partitioning needs (cell assignment, cheap overlap
+  * prefilters), one WKB parse per row instead of four. Null for empty
+  * geometries (their envelope is the null envelope). */
+case class StEnvelopeBounds(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_envelope_bounds"
+  override protected def nullSafeEval(v: Any): Any = {
+    val env = geom(v).getEnvelopeInternal
+    if (env.isNull) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+  override protected def withNewChildInternal(c: Expression): StEnvelopeBounds = copy(child = c)
+}
+
 /** X of a non-empty Point; null otherwise (PostGIS/Sedona ST_X semantics). */
 case class StX(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {

@@ -32,6 +32,7 @@ object functions {
   def st_length(g: Column): Column = col(StLength(ex(g)))
   def st_centroid(g: Column): Column = col(StCentroid(ex(g)))
   def st_envelope(g: Column): Column = col(StEnvelope(ex(g)))
+  def st_envelope_bounds(g: Column): Column = col(StEnvelopeBounds(ex(g)))
   def st_x(g: Column): Column = col(StX(ex(g)))
   def st_y(g: Column): Column = col(StY(ex(g)))
   def st_isvalid(g: Column): Column = col(StIsValid(ex(g)))
@@ -120,6 +121,7 @@ object functions {
     r1("st_length", StLength)
     r1("st_centroid", StCentroid)
     r1("st_envelope", StEnvelope)
+    r1("st_envelope_bounds", StEnvelopeBounds)
     r1("st_x", StX)
     r1("st_y", StY)
     r1("st_isvalid", StIsValid)

@@ -208,6 +208,26 @@ object Pipelines {
       |FROM lineitem WHERE l_partkey % 25 < 10
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The same parcels ⋈ regions intersects join as [[spatialJoinRollup]],
+    * but through the partitioned (large-large) grid join — neither side
+    * broadcasts; both shuffle once on the grid cell. Cell pitch 25 km:
+    * the 50 km regions land on 3×3 cells (the fixture grid is
+    * 25 km-aligned), the 400 m parcels on 1-4, and a parcel shares a cell
+    * only with its own region (adjacent regions start ≥ 10 km away,
+    * across a cell boundary), so the match set — and the oracle — is the
+    * same closed form as the broadcast variant. Same result, different
+    * physical plan: that is the point. */
+  def spatialJoinPartitionedRollup(spark: SparkSession, dir: String): DataFrame =
+    SpatialJoin.gridIntersects(
+        parcelRelation(spark, dir).select(col("parcel_geom")),
+        regionRelation(spark, dir),
+        "parcel_geom", "region_geom", cellSize = 25000.0)
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("region_id"))
+
+  val spatialJoinPartitionedOracleSql: String = spatialJoinOracleSql
+
   /** Closed-form oracle for `flagship(to5880 = false, gapBuffer = 0)`:
     * parcels are disjoint 400 m squares fully inside their region, so the
     * clipped union area is exactly 160000 · count(DISTINCT parcel index). */

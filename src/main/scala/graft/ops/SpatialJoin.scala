@@ -54,6 +54,65 @@ object SpatialJoin {
     broadcastJoin(left, right, leftGeomCol, rightGeomCol, outputCols, distance = Some(d))
   }
 
+  /** Partitioned large-large spatial inner join — the capability Sedona
+    * ships for two sides that both exceed the broadcast threshold, here
+    * expressed entirely in declarative operators so Catalyst plans a
+    * plain shuffled equi join (never BroadcastNestedLoopJoin, asserted in
+    * PlanShapeSpec):
+    *
+    *   1. each side computes its envelope once ([[graft.exprs.StEnvelopeBounds]],
+    *      one WKB parse) and explodes to the fixed grid cells the envelope
+    *      covers (`floor(coord / cellSize)` per axis);
+    *   2. the sides equi-join on the cell id — the ONLY shuffle, both
+    *      sides hash-partitioned by cell, each cell's candidates meeting
+    *      in one task (AQE splits oversized cells like any skewed key);
+    *   3. cheap envelope-overlap column comparisons prune candidates
+    *      before any geometry is parsed, then exact `st_intersects` runs
+    *      on the survivors;
+    *   4. a pair whose envelopes span several common cells would emit
+    *      once per cell, so the reference-point rule keeps exactly one:
+    *      only the cell containing the envelope-intersection's min corner
+    *      (`greatest(xmin), greatest(ymin)` — a corner guaranteed to lie
+    *      in both sides' cell ranges) reports the pair.
+    *
+    * `cellSize` is the grid pitch in geometry units: smaller cells cut
+    * per-cell candidate counts but multiply the explode factor of large
+    * geometries (a geometry covers `O((extent/cellSize)²)` cells) — size
+    * it near the typical geometry extent. Column names must be disjoint
+    * between the two sides (standard Spark join caveat). */
+  def gridIntersects(left: DataFrame, right: DataFrame,
+                     leftGeomCol: String, rightGeomCol: String,
+                     cellSize: Double,
+                     outputCols: Seq[String] = Nil): DataFrame = {
+    require(cellSize > 0.0 && java.lang.Double.isFinite(cellSize),
+      s"cellSize must be positive and finite, got $cellSize")
+    // selective import: functions.left/right would shadow the parameters
+    import org.apache.spark.sql.functions.{col, explode, expr, floor, greatest}
+    import graft.functions.{st_envelope_bounds, st_intersects}
+    def withCells(df: DataFrame, geomCol: String, p: String): DataFrame =
+      df.withColumn(s"${p}_env", st_envelope_bounds(col(geomCol)))
+        .withColumn(s"${p}_cell", explode(expr(
+          s"""flatten(transform(
+             |  sequence(floor(${p}_env.xmin / ${cellSize}D), floor(${p}_env.xmax / ${cellSize}D)),
+             |  cx -> transform(
+             |    sequence(floor(${p}_env.ymin / ${cellSize}D), floor(${p}_env.ymax / ${cellSize}D)),
+             |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
+    val l = withCells(left, leftGeomCol, "gl")
+    val r = withCells(right, rightGeomCol, "gr")
+    val cond =
+      col("gl_cell") === col("gr_cell") &&
+      // envelope overlap: free column math ahead of the WKB parse
+      col("gl_env.xmin") <= col("gr_env.xmax") && col("gr_env.xmin") <= col("gl_env.xmax") &&
+      col("gl_env.ymin") <= col("gr_env.ymax") && col("gr_env.ymin") <= col("gl_env.ymax") &&
+      // reference-point dedup: exactly one common cell owns the pair
+      floor(greatest(col("gl_env.xmin"), col("gr_env.xmin")) / cellSize) === col("gl_cell.cx") &&
+      floor(greatest(col("gl_env.ymin"), col("gr_env.ymin")) / cellSize) === col("gl_cell.cy") &&
+      st_intersects(col(leftGeomCol), col(rightGeomCol))
+    val joined = l.join(r, cond, "inner")
+      .drop("gl_env", "gl_cell", "gr_env", "gr_cell")
+    if (outputCols.isEmpty) joined else joined.select(outputCols.map(col): _*)
+  }
+
   private def broadcastJoin(left: DataFrame, right: DataFrame,
                             leftGeomCol: String, rightGeomCol: String,
                             outputCols: Seq[String],

@@ -236,6 +236,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == expected)
   }
 
+  test("grid join shuffles on the cell key - no broadcast, no nested loop - and matches the broadcast result") {
+    val (parcels, regions) = parcelsAndRegions()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // neither side may broadcast: the exact condition under which the
+      // strategy-planned path would fall back to BroadcastNestedLoopJoin
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SpatialJoin.gridIntersects(parcels, regions,
+        "parcel_geom", "region_geom", cellSize = 25000.0,
+        outputCols = Seq("region_id"))
+      val counts = perRegionCounts(df)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+      val broadcastCounts = perRegionCounts(SpatialJoin.broadcastIntersects(
+        parcels, regions, "parcel_geom", "region_geom", outputCols = Seq("region_id")))
+      assert(counts == broadcastCounts)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("grid join reference-point rule: multi-cell pairs emit exactly once") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.st_makeenvelope
+    import spark.implicits._
+    // large overlapping rectangles spanning MANY 3-unit cells each, plus
+    // negative coordinates (floor vs integer-division trap) and disjoint
+    // controls; brute-force R-tree join is the truth
+    def rects(ids: Seq[Int], name: String, scale: Double) =
+      ids.toDF("id").select(col("id").as(s"${name}_id"),
+        st_makeenvelope(col("id") * scale - lit(20.0), col("id") * scale - lit(20.0),
+          col("id") * scale + lit(11.0), col("id") * scale + lit(11.0)).as(s"${name}_geom"))
+    val l = rects(0 until 24, "l", 7.0)
+    val r = rects(-6 until 18, "r", 9.0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    val grid = pairs(SpatialJoin.gridIntersects(l, r, "l_geom", "r_geom",
+      cellSize = 3.0, outputCols = Seq("l_id", "r_id")))
+    val truth = pairs(SpatialJoin.broadcastIntersects(l, r, "l_geom", "r_geom",
+      outputCols = Seq("l_id", "r_id")))
+    assert(grid.distinct.size == grid.size, "grid join emitted duplicate pairs")
+    assert(grid.sorted == truth.sorted)
+    assert(grid.nonEmpty)
+  }
+
   test("no registered query plans a cartesian or nested-loop join") {
     SparkEntry.queries.keys.foreach { name =>
       val p = planOf(name)
