@@ -64,8 +64,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))
     inject("hamming64", 2)(es => Hamming64(es.head, es(1)))
     inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
-    inject("bloom_filter_agg", 1)(es =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head))
+    // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo("graft", null, "bloom_filter_agg", null,
+        "", "", "", "", "", "", "scala_udf"),
+      es => graft.functions.bloomFilterAggBuilder(es)))
     inject("might_contain", 2)(es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
   }

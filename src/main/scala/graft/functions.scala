@@ -86,6 +86,19 @@ object functions {
     col(BloomFilterMightContain(ex(bloom), ex(keyHash)))
   }
 
+  /** SQL-text builder for `bloom_filter_agg`, matching the 1-3 arg arity
+    * of Spark's builtin of the same name: (key [, estimatedItems
+    * [, numBits]]). Shared by [[registerAll]] and GraftSparkExtensions. */
+  private[graft] def bloomFilterAggBuilder(es: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    es match {
+      case Seq(k)       => new BloomFilterAggregate(k)
+      case Seq(k, n)    => new BloomFilterAggregate(k, n)
+      case Seq(k, n, m) => new BloomFilterAggregate(k, n, m)
+      case _ => throw Bridge.wrongNumArgs("bloom_filter_agg", Seq(1, 2, 3), es.length)
+    }
+  }
+
   /** Register every graft function for SQL-text use on this session.
     * Idempotent; temp (session-scoped) registrations. Also installs the
     * spatial-join planner strategy (the imperative equivalent of the
@@ -141,8 +154,9 @@ object functions {
     // subquery, probe with might_contain —
     //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim),
     //                       xxhash64(fact_k))
-    rn("bloom_filter_agg", 1)(es =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head))
+    // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      es => bloomFilterAggBuilder(es), "scala_udf")
     rn("might_contain", 2)(es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
   }

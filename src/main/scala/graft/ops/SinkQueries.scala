@@ -225,25 +225,29 @@ object SinkQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val b = ev.agg(min(col("user_id")), max(col("user_id")),
       min(col("ts")), max(col("ts"))).head()
-    val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def bucket(name: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
-      // ceil(span/256) as the width => bucket in [0, 255]; pure 64-bit
-      // integer math (scaling by multiplication first would overflow ns)
-      val w = math.max(1L, (hi - lo) / 256L + 1L)
-      expr(s"($name - ${lo}L) DIV ${w}L")
+    // empty table (or all-null axes): no bounds to bucket by — the scan of
+    // the clustered copy would be empty anyway, so return that directly
+    if ((0 to 3).exists(b.isNullAt)) ev.limit(0) else {
+      val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      def bucket(name: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
+        // ceil(span/256) as the width => bucket in [0, 255]; pure 64-bit
+        // integer math (scaling by multiplication first would overflow ns)
+        val w = math.max(1L, (hi - lo) / 256L + 1L)
+        expr(s"($name - ${lo}L) DIV ${w}L")
+      }
+      val ub = bucket("user_id", uLo, uHi)
+      val tb = bucket("ts", tLo, tHi)
+      ev.withColumn("z", morton8(ub, tb))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(path)
+      // the 2-D box: the middle [lo+span/4, lo+span/2] of both axes,
+      // integer-derived so the oracle reconstructs it exactly
+      val (uA, uB) = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2)
+      val (tA, tB) = (tLo + (tHi - tLo) / 4, tLo + (tHi - tLo) / 2)
+      spark.read.parquet(path)
+        .filter(col("user_id").between(uA, uB) && col("ts").between(tA, tB))
     }
-    val ub = bucket("user_id", uLo, uHi)
-    val tb = bucket("ts", tLo, tHi)
-    ev.withColumn("z", morton8(ub, tb))
-      .repartitionByRange(16, col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(path)
-    // the 2-D box: the middle [lo+span/4, lo+span/2] of both axes,
-    // integer-derived so the oracle reconstructs it exactly
-    val (uA, uB) = (uLo + (uHi - uLo) / 4, uLo + (uHi - uLo) / 2)
-    val (tA, tB) = (tLo + (tHi - tLo) / 4, tLo + (tHi - tLo) / 2)
-    spark.read.parquet(path)
-      .filter(col("user_id").between(uA, uB) && col("ts").between(tA, tB))
   }
 
   /** The bare bucketed join (no aggregate on top): the only exchanges this

@@ -153,7 +153,10 @@ object TextQueries {
       val ra = ufFind(parent, a); val rb = ufFind(parent, b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    parent.keysIterator.map(k => (k, ufFind(parent, k)))
+    // snapshot keys before mapping: ufFind path-compresses (writes values)
+    // while the result iterator is consumed, and a live keysIterator over a
+    // concurrently-written LongMap is fragile against iterator invalidation
+    parent.keysIterator.toArray.iterator.map(k => (k, ufFind(parent, k)))
   }
 
   /** Near-dup cluster assignment: connected components over the verified

@@ -119,6 +119,11 @@ case class BroadcastRTreeSpatialJoinExec(
     semi: Boolean = false) extends SparkPlan {
 
   require(!semi || !buildLeft, "semi mode streams (and preserves) the left side")
+  // the predicate's prepared-intersects short-circuit (distance 0 implies
+  // intersects) is only equivalence-preserving for d >= 0; the strategy
+  // guards this at planning, this guards direct construction
+  require(distance.forall(_ >= 0.0),
+    s"distance must be non-negative, got $distance")
 
   override def output: Seq[Attribute] =
     if (semi) left.output else left.output ++ right.output

@@ -30,4 +30,10 @@ object Bridge {
   def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
     org.apache.spark.sql.errors.QueryCompilationErrors
       .wrongNumArgsError(name, Seq(expected), actual)
+
+  /** Variadic form for functions accepting several arities (e.g.
+    * `bloom_filter_agg(k)`, `(k, items)`, `(k, items, bits)`). */
+  def wrongNumArgs(name: String, expected: Seq[Int], actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, expected, actual)
 }

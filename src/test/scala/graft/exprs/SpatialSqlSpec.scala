@@ -125,6 +125,19 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
   }
 
+  test("bloom_filter_agg accepts 1-3 args in SQL text, like Spark's builtin") {
+    val r = spark.sql(
+      """SELECT
+        |  might_contain((SELECT bloom_filter_agg(xxhash64(x), 100L) FROM range(100) t(x)),
+        |                xxhash64(CAST(42 AS BIGINT))) AS hit2,
+        |  might_contain((SELECT bloom_filter_agg(xxhash64(x), 100L, 8192L) FROM range(100) t(x)),
+        |                xxhash64(CAST(42 AS BIGINT))) AS hit3""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    val e = intercept[Exception](
+      spark.sql("SELECT bloom_filter_agg(1L, 2L, 3L, 4L) FROM range(1)").head())
+    assert(e.getMessage.contains("bloom_filter_agg"), e.getMessage)
+  }
+
   test("minhash/simhash/jaccard SQL registration surface") {
     val r = one("""SELECT size(minhash_sig('abcdef', 16, 5)) AS k,
                           size(minhash_bands('abcdef', 4, 4, 5)) AS b,

@@ -121,6 +121,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned * 2 < total, s"scan emitted $scanned of $total rows - no pruning")
   }
 
+  test("zorderScan on an empty events table returns empty instead of throwing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_empty").toString
+    Tables.events(spark, dir).limit(0).write.parquet(s"$tmp/events.parquet")
+    val df = SinkQueries.zorderScan(spark, tmp)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
   test("declarative st_intersects join plans as the broadcast R-tree operator") {
     // the strategy must intercept the plain join(broadcast(...), st_intersects)
     // shape; without it this exact plan is BroadcastNestedLoopJoin
@@ -217,6 +225,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val strategy = SparkEntry.queries("q_spatial_dwithin")(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(api == strategy)
+  }
+
+  test("negative distance is rejected at every distance-join entry point") {
+    val (parcels, regions) = parcelsAndRegions()
+    // API form
+    intercept[IllegalArgumentException](SpatialJoin.broadcastDWithin(
+      parcels, regions, "parcel_geom", "region_geom", -1.0))
+    // direct exec construction (the strategy itself never plans d < 0):
+    // the prepared-intersects short-circuit is only valid for d >= 0
+    val geomExpr = org.apache.spark.sql.graftbridge.Bridge.expression(
+      graft.functions.st_point(org.apache.spark.sql.functions.lit(0.0),
+        org.apache.spark.sql.functions.lit(0.0)))
+    intercept[IllegalArgumentException](graft.plans.BroadcastRTreeSpatialJoinExec(
+      parcels.queryExecution.sparkPlan, regions.queryExecution.sparkPlan,
+      geomExpr, geomExpr, buildLeft = false, distance = Some(-1.0)))
   }
 
   test("API-form broadcastIntersects agrees with the strategy-planned join") {

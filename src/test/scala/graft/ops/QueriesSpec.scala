@@ -40,6 +40,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("5880 flagship areas match a per-parcel shoelace closed form within 0.11 m^2") {
+    import org.apache.spark.sql.functions._
+    // Quantitative cross-check for the no-oracle q_geo_flagship_5880 entry:
+    // each group's clipped union is a set of disjoint 400 m EPSG:3857
+    // squares, so its Polyconic area has a closed form — transform each
+    // square's 4 corners and shoelace-sum — computed here WITHOUT the
+    // union/intersection/st_area pipeline under test (only the Crs vertex
+    // math is shared, and that carries its own absolute anchors in CrsSpec).
+    val tx = graft.geom.Crs.pointTransform("EPSG:3857", "EPSG:5880")
+    def parcelArea(x0: Double, y0: Double): Double = {
+      val pts = Array((x0, y0), (x0 + 400, y0), (x0 + 400, y0 + 400), (x0, y0 + 400))
+        .map { case (x, y) => tx(x, y) }
+      math.abs(pts.indices.map { i =>
+        val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum) / 2.0
+    }
+    import GeoFixtures._
+    val parcels = Tables.lineitem(spark, dir).select(
+        (col("l_partkey") % 25).cast("int").as("region_id"),
+        (month(col("l_shipdate")) % 4).cast("int").as("season_id"),
+        (col("l_partkey") % 7).cast("int").as("land_type_id"),
+        parcelX0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+          .cast("double").as("x0"),
+        parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
+          .cast("double").as("y0"))
+      .distinct().collect()
+    val expected = parcels
+      .groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .map { case (k, rs) => k -> rs.map(r => parcelArea(r.getDouble(3), r.getDouble(4))).sum }
+    val got = SparkEntry.queries("q_geo_flagship_5880")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet)
+    val worst = expected.map { case (k, a) => math.abs(got(k) - a) }.max
+    assert(worst <= 0.11, s"worst group-area divergence $worst m^2")
+  }
+
   test("approx_count_distinct is within its 1% rsd of the exact count") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, dir)
