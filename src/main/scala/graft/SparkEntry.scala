@@ -41,6 +41,9 @@ object SparkEntry {
       // Partitioned large-large spatial join (grid cells + shuffled equi
       // join + reference-point dedup; no broadcast, no BNLJ).
       "q_spatial_join_partitioned" -> (Pipelines.spatialJoinPartitionedRollup _),
+      // Spatial k-nearest-neighbour join (broadcast R-tree, exact
+      // branch-and-bound kNN; tie-invariant integer-d² rollup).
+      "q_knn_join" -> ((s, dir) => Pipelines.spatialKnnRollup(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +56,6 @@ object SparkEntry {
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
-    ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql)
+    ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
+    ("q_knn_join" -> Pipelines.spatialKnnOracleSql)
 }

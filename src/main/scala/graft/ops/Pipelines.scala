@@ -110,6 +110,11 @@ object Pipelines {
     val py0 = parcelY0(col("l_partkey") % 25, parcelIdx(col("l_orderkey"), col("l_linenumber")))
     li.select(
       (col("l_partkey") % 25).cast("int").as("own_region"),
+      // integral origin coordinates ride along for consumers that compute
+      // exact rectangle arithmetic on the matches (e.g. the kNN rollup);
+      // Catalyst prunes them from every query that selects them away
+      px0.cast("long").as("px0"),
+      py0.cast("long").as("py0"),
       st_makeenvelope(px0.cast("double"), py0.cast("double"),
         (px0 + lit(GeoFixtures.ParcelSize)).cast("double"),
         (py0 + lit(GeoFixtures.ParcelSize)).cast("double"))
@@ -121,6 +126,8 @@ object Pipelines {
     import GeoFixtures._
     spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("int").as("region_id"),
+        regionX0(col("n_nationkey")).cast("long").as("rx0"),
+        regionY0(col("n_nationkey")).cast("long").as("ry0"),
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
   }
 
@@ -192,7 +199,7 @@ object Pipelines {
     graft.functions.registerAll(spark)
     val flagged = regionRelation(spark, dir)
       .filter(col("region_id") < 10).select(col("region_geom"))
-    parcelRelation(spark, dir)
+    parcelRelation(spark, dir).select(col("own_region"), col("parcel_geom"))
       .join(broadcast(flagged),
         st_intersects(col("parcel_geom"), col("region_geom")), "left_semi")
   }
@@ -206,6 +213,70 @@ object Pipelines {
   val spatialSemiOracleSql: String =
     """SELECT CAST(l_partkey % 25 AS INTEGER) AS own_region, count(*) AS n
       |FROM lineitem WHERE l_partkey % 25 < 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Spatial k-nearest-neighbour join (Sedona `ST_KNN` analogue): each
+    * parcel row matches its k=3 nearest regions by exact JTS distance,
+    * via [[SpatialJoin.broadcastKnn]] (broadcast R-tree, branch-and-bound
+    * kNN per probe, probe side never shuffles).
+    *
+    * The rollup is deliberately TIE-INVARIANT so the DuckDB oracle is
+    * bit-exact: kNN ties at the k boundary are broken arbitrarily in any
+    * engine, so instead of emitting match identities it aggregates the
+    * per-pair SQUARED rectangle distance — an exact BIGINT from the
+    * integral fixture coordinates (dx² + dy² with dx = axis gap), whose
+    * per-probe top-k multiset sum is identical under any tie break.
+    * Ordering by JTS double distance equals ordering by integer d²:
+    * sqrt is strictly monotone and injective at these magnitudes. */
+  def spatialKnnRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import GeoFixtures._
+    val pairs = SpatialJoin.broadcastKnn(
+      parcelRelation(spark, dir), regionRelation(spark, dir),
+      "parcel_geom", "region_geom", k,
+      outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0"))
+    val dx = greatest(lit(0L), col("rx0") - (col("px0") + lit(ParcelSize)),
+      col("px0") - (col("rx0") + lit(RegionSize)))
+    val dy = greatest(lit(0L), col("ry0") - (col("py0") + lit(ParcelSize)),
+      col("py0") - (col("ry0") + lit(RegionSize)))
+    pairs
+      .withColumn("d2", dx * dx + dy * dy)
+      .groupBy(col("own_region"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("own_region"))
+  }
+
+  /** Mirror of the k=3 kNN rollup: every (parcel slot, region) distance is
+    * closed-form rectangle arithmetic; rank per distinct parcel slot by d²
+    * and keep 3, weighting by the slot's probe-row multiplicity (lineitem
+    * rows are NOT key-unique in the synthetic corpus, and duplicate rows
+    * of the same slot have identical kNN sets). The aggregate is
+    * tie-break independent (see spatialKnnRollup). */
+  val spatialKnnOracleSql: String =
+    """WITH p AS (
+      |  SELECT CAST(l_partkey % 25 AS INTEGER) AS own_region,
+      |         -6300000 + (l_partkey % 25) % 5 * 60000
+      |           + ((l_orderkey * 7 + l_linenumber) % 2500) % 50 * 1000 AS px0,
+      |         -2000000 + (l_partkey % 25) // 5 * 60000
+      |           + ((l_orderkey * 7 + l_linenumber) % 2500) // 50 * 1000 AS py0,
+      |         count(*) AS m
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT -6300000 + n_nationkey % 5 * 60000 AS rx0,
+      |         -2000000 + n_nationkey // 5 * 60000 AS ry0
+      |  FROM nation),
+      |d AS (
+      |  SELECT own_region, px0, py0, m,
+      |         greatest(0, rx0 - (px0 + 400), px0 - (rx0 + 50000)) AS dx,
+      |         greatest(0, ry0 - (py0 + 400), py0 - (ry0 + 50000)) AS dy
+      |  FROM p CROSS JOIN r),
+      |ranked AS (
+      |  SELECT own_region, m, dx*dx + dy*dy AS d2,
+      |         row_number() OVER (PARTITION BY own_region, px0, py0
+      |                            ORDER BY dx*dx + dy*dy) AS rn
+      |  FROM d)
+      |SELECT own_region, CAST(sum(m) AS BIGINT) AS n,
+      |       CAST(sum(m * d2) AS BIGINT) AS sum_d2
+      |FROM ranked WHERE rn <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The same parcels ⋈ regions intersects join as [[spatialJoinRollup]],

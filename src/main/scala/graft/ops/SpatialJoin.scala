@@ -113,6 +113,97 @@ object SpatialJoin {
     if (outputCols.isEmpty) joined else joined.select(outputCols.map(col): _*)
   }
 
+  /** k-nearest-neighbour join (Sedona `ST_KNN` analogue): for each left
+    * row, the `k` right rows whose geometries are nearest by exact JTS
+    * euclidean distance (ties broken arbitrarily, like Sedona). Same
+    * distribution shape as [[broadcastIntersects]]: `right` is the
+    * dimension side (collected + broadcast), one STRtree per probe
+    * partition, and each probe runs JTS's exact branch-and-bound kNN over
+    * the tree — the big side never shuffles, so the plan survives a
+    * 100 TB probe side. Probe rows with null geometry emit nothing; when
+    * the build side has fewer than `k` rows, every build row matches. */
+  def broadcastKnn(left: DataFrame, right: DataFrame,
+                   leftGeomCol: String, rightGeomCol: String, k: Int,
+                   outputCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = left.sparkSession
+    val rightSchema = right.schema
+    val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
+    val rightRows: Array[(Array[Byte], Seq[Any])] = right.collect().map { r =>
+      (r.getAs[Array[Byte]](rightGeomIdx), r.toSeq)
+    }
+    val bRight = spark.sparkContext.broadcast(rightRows)
+    val leftSchema = left.schema
+    val leftGeomIdx = leftSchema.fieldIndex(leftGeomCol)
+    val (picks, outSchema) = outputPicks(leftSchema, rightSchema, outputCols)
+
+    Par.fanOut(left).mapPartitions { it =>
+      // build entries carry (geometry, row values); the probe item is a
+      // bare Geometry — the ItemDistance handles both shapes
+      val items = bRight.value.iterator
+        .filter(_._1 != null)
+        .map { case (wkb, values) => (Geom.fromWkb(wkb), values) }
+        .toArray
+      val tree = new STRtree()
+      items.foreach { case t @ (g, _) => tree.insert(g.getEnvelopeInternal, t) }
+      val kk = math.min(k, items.length)
+      if (kk == 0) Iterator.empty
+      else {
+        tree.build()
+        def geomOf(o: AnyRef): org.locationtech.jts.geom.Geometry = o match {
+          case g: org.locationtech.jts.geom.Geometry => g
+          case (g: org.locationtech.jts.geom.Geometry, _) => g
+        }
+        val itemDist = new org.locationtech.jts.index.strtree.ItemDistance {
+          override def distance(x: org.locationtech.jts.index.strtree.ItemBoundable,
+                                y: org.locationtech.jts.index.strtree.ItemBoundable): Double =
+            geomOf(x.getItem.asInstanceOf[AnyRef]).distance(geomOf(y.getItem.asInstanceOf[AnyRef]))
+        }
+        it.flatMap { lrow =>
+          val wkb = lrow.getAs[Array[Byte]](leftGeomIdx)
+          if (wkb == null) Iterator.empty
+          else {
+            val lg = Geom.fromWkb(wkb)
+            tree.nearestNeighbour(lg.getEnvelopeInternal, lg, itemDist, kk).iterator
+              .map(_.asInstanceOf[(org.locationtech.jts.geom.Geometry, Seq[Any])])
+              .map { case (_, rvals) => projectRow(picks, lrow, rvals) }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Output projection shared by the broadcast operators: (isLeft, ordinal)
+    * per emitted column, plus the emitted schema. */
+  private def outputPicks(leftSchema: StructType, rightSchema: StructType,
+                          outputCols: Seq[String]): (Array[(Boolean, Int)], StructType) = {
+    val picks: Array[(Boolean, Int)] =
+      if (outputCols.isEmpty) {
+        leftSchema.fields.indices.map(i => (true, i)).toArray ++
+          rightSchema.fields.indices.map(i => (false, i))
+      } else outputCols.map { c =>
+        val li = leftSchema.fieldNames.indexOf(c)
+        if (li >= 0) (true, li)
+        else (false, rightSchema.fieldIndex(c))
+      }.toArray
+    val outSchema = StructType(picks.map { case (isLeft, i) =>
+      if (isLeft) leftSchema.fields(i) else rightSchema.fields(i)
+    })
+    (picks, outSchema)
+  }
+
+  private def projectRow(picks: Array[(Boolean, Int)],
+                         lrow: Row, rvals: Seq[Any]): Row = {
+    val vs = new Array[Any](picks.length)
+    var i = 0
+    while (i < picks.length) {
+      val (isLeft, ord) = picks(i)
+      vs(i) = if (isLeft) lrow.get(ord) else rvals(ord)
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vs))
+  }
+
   private def broadcastJoin(left: DataFrame, right: DataFrame,
                             leftGeomCol: String, rightGeomCol: String,
                             outputCols: Seq[String],
@@ -127,19 +218,7 @@ object SpatialJoin {
     val bRight = spark.sparkContext.broadcast(rightRows)
     val leftSchema = left.schema
     val leftGeomIdx = leftSchema.fieldIndex(leftGeomCol)
-    // output projection: (isLeft, ordinal) per emitted column
-    val picks: Array[(Boolean, Int)] =
-      if (outputCols.isEmpty) {
-        leftSchema.fields.indices.map(i => (true, i)).toArray ++
-          rightSchema.fields.indices.map(i => (false, i))
-      } else outputCols.map { c =>
-        val li = leftSchema.fieldNames.indexOf(c)
-        if (li >= 0) (true, li)
-        else (false, rightSchema.fieldIndex(c))
-      }.toArray
-    val outSchema = StructType(picks.map { case (isLeft, i) =>
-      if (isLeft) leftSchema.fields(i) else rightSchema.fields(i)
-    })
+    val (picks, outSchema) = outputPicks(leftSchema, rightSchema, outputCols)
 
     // probe kernel is per-row JTS work — guarantee it fans out across cores
     Par.fanOut(left).mapPartitions { it =>
@@ -167,16 +246,7 @@ object SpatialJoin {
               case Some(dd) => rg.intersects(lg) || rg.getGeometry.isWithinDistance(lg, dd)
             }
           }
-          .map { case (_, rvals) =>
-            val vs = new Array[Any](picks.length)
-            var i = 0
-            while (i < picks.length) {
-              val (isLeft, ord) = picks(i)
-              vs(i) = if (isLeft) lrow.get(ord) else rvals(ord)
-              i += 1
-            }
-            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vs))
-          }
+          .map { case (_, rvals) => projectRow(picks, lrow, rvals) }
       }
     }(Encoders.row(outSchema))
   }

@@ -251,6 +251,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(api == strategy)
   }
 
+  test("kNN join with k=1 matches exactly the own region at distance 0") {
+    import org.apache.spark.sql.functions.col
+    // every parcel lies strictly inside its own region, so its single
+    // nearest region is that region with rectangle distance 0
+    val rows = Pipelines.spatialKnnRollup(spark, dir, k = 1).collect()
+    val expected = Tables.lineitem(spark, dir)
+      .groupBy((col("l_partkey") % 25).cast("int")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == expected)
+    assert(rows.forall(_.getLong(2) == 0L), "k=1 nearest must be the containing region")
+  }
+
+  test("kNN join with k larger than the build side emits every build row per probe") {
+    import org.apache.spark.sql.functions.col
+    val (parcels, regions) = parcelsAndRegions()
+    val pairs = SpatialJoin.broadcastKnn(
+      parcels.limit(7), regions, "parcel_geom", "region_geom", k = 100)
+    assert(pairs.count() == 7L * regions.count())
+    // null probe geometry emits nothing
+    val withNull = parcels.limit(3)
+      .withColumn("parcel_geom", org.apache.spark.sql.functions
+        .lit(null).cast(org.apache.spark.sql.types.BinaryType))
+    assert(SpatialJoin.broadcastKnn(withNull, regions,
+      "parcel_geom", "region_geom", k = 2).count() == 0)
+  }
+
   test("spatial-join rollup returns the closed-form per-region counts") {
     val rows = SparkEntry.queries("q_spatial_join")(spark, dir).collect()
     val expected = Tables.lineitem(spark, dir)
