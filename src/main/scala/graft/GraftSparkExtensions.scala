@@ -58,6 +58,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_distance", 2)(es => StDistance(es.head, es(1)))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
+    inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))
+    inject("st_makeline", 1)(es => StMakeLine(es.head))
+    inject("st_simplify", 2)(es => StSimplify(es.head, es(1)))
+    inject("st_convexhull", 1)(es => StConvexHull(es.head))
+    inject("st_npoints", 1)(es => StNPoints(es.head))
     inject("st_union_agg", 1)(es => StUnionAgg(es.head))
     inject("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     inject("minhash_bands", 4)(es => MinHashBands(es))

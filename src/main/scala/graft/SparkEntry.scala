@@ -44,6 +44,12 @@ object SparkEntry {
       // Spatial k-nearest-neighbour join (broadcast R-tree, exact
       // branch-and-bound kNN; tie-invariant integer-d² rollup).
       "q_knn_join" -> ((s, dir) => Pipelines.spatialKnnRollup(s, dir)),
+      // st_geohash cell rollup (the prefix-partitionable spatial bucket
+      // key; DuckDB replays the full integer encoder).
+      "q_geohash" -> ((s, dir) => Pipelines.geohashBuckets(s, dir)),
+      // st_makeline + st_simplify + st_npoints: per-user trajectory
+      // build and Douglas-Peucker thinning with a closed-form oracle.
+      "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +63,7 @@ object SparkEntry {
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
     ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
-    ("q_knn_join" -> Pipelines.spatialKnnOracleSql)
+    ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +
+    ("q_geohash" -> Pipelines.geohashOracleSql) +
+    ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -328,3 +328,93 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StTransform =
     copy(first = a, second = b, third = c)
 }
+
+/** st_geohash(point, precision) — base-32 geohash cell key of a point
+  * (Sedona `ST_GeoHash`). The prefix-partitionable spatial bucket key:
+  * sorting/partitioning 100 TB of points by geohash co-locates spatial
+  * neighbours, and a cell predicate becomes a string prefix range. Null
+  * for non-point or empty geometry (Sedona semantics: points only). */
+case class StGeoHash(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geohash"
+  override protected def nullSafeEval(g: Any, p: Any): Any = geom(g) match {
+    case pt: org.locationtech.jts.geom.Point if !pt.isEmpty =>
+      UTF8String.fromString(graft.geom.Geohash.encode(pt.getX, pt.getY, p.asInstanceOf[Int]))
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGeoHash =
+    copy(left = l, right = r)
+}
+
+/** st_makeline(array<geometry>) — LineString through the array's points in
+  * array order (PostGIS/Sedona ST_MakeLine over a collected array). The
+  * trajectory constructor: `collect_list(point) over (order by ts)` or
+  * `array_agg` feeds it per-key without any driver-side geometry work.
+  * Null on fewer than 2 points or a non-point element. */
+case class StMakeLine(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_makeline"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 2) null
+    else {
+      val coords = new Array[org.locationtech.jts.geom.Coordinate](n)
+      var i = 0
+      var ok = true
+      while (ok && i < n) {
+        if (arr.isNullAt(i)) ok = false
+        else geom(arr.getBinary(i)) match {
+          case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+            coords(i) = new org.locationtech.jts.geom.Coordinate(p.getX, p.getY)
+            i += 1
+          case _ => ok = false
+        }
+      }
+      if (!ok) null else wkb(Geom.factory.createLineString(coords))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StMakeLine = copy(child = c)
+}
+
+/** st_simplify(geom, tolerance) — Douglas-Peucker simplification (Sedona
+  * `ST_Simplify`/PostGIS semantics: plain DP, may not preserve topology;
+  * the vertex-thinning pass that makes 100 TB of dense trajectories /
+  * high-resolution boundaries cheap to index and join). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(g: Any, tol: Any): Any =
+    wkb(org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(
+      geom(g), tol.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+    copy(left = l, right = r)
+}
+
+/** st_convexhull(geom) — convex hull (Sedona `ST_ConvexHull`). */
+case class StConvexHull(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_convexhull"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).convexHull())
+  override protected def withNewChildInternal(c: Expression): StConvexHull = copy(child = c)
+}
+
+/** st_npoints(geom) — total vertex count (PostGIS/Sedona ST_NPoints). */
+case class StNPoints(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_npoints"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getNumPoints
+  override protected def withNewChildInternal(c: Expression): StNPoints = copy(child = c)
+}

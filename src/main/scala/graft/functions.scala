@@ -48,6 +48,11 @@ object functions {
     import org.apache.spark.sql.functions.lit
     st_transform(g, lit(src), lit(dst))
   }
+  def st_geohash(g: Column, precision: Column): Column = col(StGeoHash(ex(g), ex(precision)))
+  def st_makeline(points: Column): Column = col(StMakeLine(ex(points)))
+  def st_simplify(g: Column, tolerance: Column): Column = col(StSimplify(ex(g), ex(tolerance)))
+  def st_convexhull(g: Column): Column = col(StConvexHull(ex(g)))
+  def st_npoints(g: Column): Column = col(StNPoints(ex(g)))
 
   // ---- text dedup / fingerprinting kernels ----
   def minhash_sig(text: Column, k: Column, shingleLen: Column): Column =
@@ -144,6 +149,11 @@ object functions {
     r2("st_distance", StDistance)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
+    r2("st_geohash", StGeoHash)
+    r1("st_makeline", StMakeLine)
+    r2("st_simplify", StSimplify)
+    r1("st_convexhull", StConvexHull)
+    r1("st_npoints", StNPoints)
     rn("st_union_agg", 1)(es => StUnionAgg(es.head))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))

@@ -309,4 +309,101 @@ object Pipelines {
       |       ROUND(count(DISTINCT (l_orderkey * 7 + l_linenumber) % 2500) * 160000.0, 2) AS area
       |FROM lineitem JOIN nation ON (l_partkey % 25) = n_nationkey
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Geohash cell rollup (Sedona `ST_GeoHash` analogue): synthesize a
+    * full-globe point per event on an exact dyadic 0.25° grid (quarters
+    * are exactly representable, so the Spark and DuckDB derivations are
+    * bit-identical IEEE arithmetic), bucket by the precision-6 geohash,
+    * count per cell. At 100 TB the geohash IS the partition key — cell
+    * assignment is one multiply+floor per axis, per-row, shuffle-free;
+    * the single shuffle here is the rollup itself, with map-side partial
+    * counts, and a prefix predicate on the cell key becomes a sort-key
+    * range scan. */
+  def geohashBuckets(spark: SparkSession, dir: String, precision: Int = 6): DataFrame = {
+    val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id")))
+    val lon = (col("user_id") % 1440L) / lit(4.0) - lit(180.0)
+    val lat = (col("event_id") % 720L) / lit(4.0) - lit(90.0)
+    ev.select(st_geohash(st_point(lon, lat), lit(precision)).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB replay of the precision-6 geohash: the same scaled-index
+    * quantization (15 bits per axis), bit interleave (longitude leads,
+    * MSB-first) and base-32 coding as [[graft.geom.Geohash.encode]], in
+    * plain integer SQL — the whole encoder is oracle-verified, not just
+    * spot vectors. */
+  val geohashOracleSql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor((((user_id % 1440) / 4.0 - 180.0) + 180.0) / 360.0 * 32768.0) AS BIGINT) AS li,
+      |         CAST(floor((((event_id % 720) / 4.0 - 90.0) + 90.0) / 180.0 * 32768.0) AS BIGINT) AS la
+      |  FROM events
+      |), iv AS (
+      |  SELECT (SELECT SUM((((li >> i) & 1) << (2*i+1)) + (((la >> i) & 1) << (2*i)))
+      |          FROM generate_series(0, 14) AS t(i)) AS c
+      |  FROM pts
+      |)
+      |SELECT concat(
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((c >> 25) & 31 AS INTEGER)+1, 1),
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((c >> 20) & 31 AS INTEGER)+1, 1),
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((c >> 15) & 31 AS INTEGER)+1, 1),
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((c >> 10) & 31 AS INTEGER)+1, 1),
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((c >> 5) & 31 AS INTEGER)+1, 1),
+      |    substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(c & 31 AS INTEGER)+1, 1)) AS cell,
+      |  count(*) AS n
+      |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Trajectory build + Douglas-Peucker thinning: per-user polyline from
+    * the event stream (st_makeline over the (ts, event_id)-ordered point
+    * array — one shuffle, on user_id), then st_simplify with a tolerance
+    * above any deviation, which provably keeps exactly the two endpoints —
+    * so vertex counts and the simplified length are closed-form for the
+    * oracle (partial-simplification geometry is covered by SpatialSqlSpec
+    * fixtures). Track coordinates are exact dyadic quarters/eighths:
+    * endpoint deltas, their squares and sums are exact doubles and sqrt is
+    * correctly rounded, so Spark (JTS Length.ofLine) and DuckDB compute
+    * bit-identical lengths. At scale this is the canonical trajectory
+    * compaction pass: grouped collect + per-row JTS kernel, no cross-key
+    * data movement beyond the one groupBy shuffle. */
+  def trajectorySimplify(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts")))
+    val x = (col("event_id") % 1000L) / lit(4.0)
+    val y = (col("event_id") % 640L) / lit(8.0)
+    val simplified = st_simplify(col("line"), lit(1.0e9))
+    ev.select(col("user_id"),
+        struct(col("ts"), col("event_id"), st_point(x, y).as("pt")).as("pt_ord"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("pt_ord"))).as("path"))
+      .where(size(col("path")) >= 2)
+      .select(col("user_id"),
+        st_makeline(transform(col("path"), p => p.getField("pt"))).as("line"))
+      .select(
+        col("user_id"),
+        st_npoints(col("line")).as("n_raw"),
+        st_npoints(simplified).as("n_simplified"),
+        st_length(simplified).as("len_simplified"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Closed form for the endpoint-only simplification: n_simplified = 2,
+    * length = Euclidean distance between the (ts, event_id)-first and
+    * -last track points. */
+  val trajectorySimplifyOracleSql: String =
+    """WITH pts AS (
+      |  SELECT user_id, ts, event_id,
+      |         (event_id % 1000) / 4.0 AS x, (event_id % 640) / 8.0 AS y
+      |  FROM events
+      |), agg AS (
+      |  SELECT user_id, count(*) AS n_pts,
+      |         first(x ORDER BY ts, event_id) AS x0, first(y ORDER BY ts, event_id) AS y0,
+      |         last(x ORDER BY ts, event_id) AS x1, last(y ORDER BY ts, event_id) AS y1
+      |  FROM pts GROUP BY user_id HAVING count(*) >= 2
+      |)
+      |SELECT user_id, CAST(n_pts AS INTEGER) AS n_raw,
+      |       CAST(2 AS INTEGER) AS n_simplified,
+      |       sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) AS len_simplified
+      |FROM agg ORDER BY user_id""".stripMargin
 }

@@ -145,4 +145,55 @@ class SpatialSqlSpec extends AnyFunSuite {
                           ngram_jaccard('abcdef', 'abcdef', 5) AS j""")
     assert(r.getInt(0) == 16 && r.getInt(1) == 4 && r.getInt(2) == 0 && r.getDouble(3) == 1.0)
   }
+
+  test("st_geohash: published vectors, null for non-points") {
+    val r = one("""SELECT st_geohash(st_point(-5.603D, 42.605D), 5) AS ez,
+                          st_geohash(st_point(-74.006D, 40.7128D), 7) AS nyc,
+                          st_geohash(st_point(-180.0D, -90.0D), 6) AS lo,
+                          st_geohash(st_point(179.999999D, 89.999999D), 8) AS hi,
+                          st_geohash(st_geomfromwkt('LINESTRING (0 0, 1 1)'), 6) AS nonpt,
+                          st_geohash(st_geomfromwkt('POINT EMPTY'), 6) AS empty""")
+    assert(r.getString(0) == "ezs42")     // classic published example
+    assert(r.getString(1) == "dr5regw")   // New York City
+    assert(r.getString(2) == "000000" && r.getString(3) == "zzzzzzzz")
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("st_makeline builds an ordered linestring; null under 2 points or non-points") {
+    val r = one("""SELECT st_astext(st_makeline(array(st_point(0D,0D), st_point(1D,1D), st_point(2D,0D)))) AS wkt,
+                          st_makeline(array(st_point(0D,0D))) AS single,
+                          st_makeline(array(st_point(0D,0D), st_geomfromwkt('LINESTRING (0 0, 1 1)'))) AS bad""")
+    assert(r.getString(0) == "LINESTRING (0 0, 1 1, 2 0)")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("st_simplify: Douglas-Peucker keeps deviations above tolerance, drops those below") {
+    // zigzag: ±0.25 wiggles plus one spike to y=2. After the first split
+    // at the spike, the wiggles deviate ≤1.317 from their sub-segments:
+    // tol=1.4 drops them and keeps the spike; tol=10 keeps endpoints only.
+    val line = "st_geomfromwkt('LINESTRING (0 0, 1 0.25, 2 -0.25, 3 2, 4 0.25, 5 0)')"
+    val r = one(s"""SELECT st_npoints(st_simplify($line, 1.4D)) AS mid,
+                           st_astext(st_simplify($line, 10.0D)) AS ends,
+                           st_npoints($line) AS raw""")
+    assert(r.getInt(0) == 3, s"tol=1.4 should keep (0 0, 3 2, 5 0): $r") // spike survives
+    assert(r.getString(1) == "LINESTRING (0 0, 5 0)")
+    assert(r.getInt(2) == 6)
+  }
+
+  test("st_simplify keeps two endpoints even on a degenerate closed track") {
+    // first == last coordinate: the q_traj_simplify closed form relies on
+    // the simplified line still having exactly 2 points, length 0
+    val r = one("""SELECT st_npoints(st_simplify(g, 1e9D)) AS n, st_length(st_simplify(g, 1e9D)) AS l
+                   FROM (SELECT st_makeline(array(st_point(1D,1D), st_point(5D,3D), st_point(1D,1D))) AS g)""")
+    assert(r.getInt(0) == 2 && r.getDouble(1) == 0.0)
+  }
+
+  test("st_convexhull: hull of a concave polygon is its convex closure") {
+    val r = one("""SELECT st_area(st_convexhull(g)) AS a, st_npoints(st_convexhull(g)) AS n
+                   FROM (SELECT st_geomfromwkt(
+                     'POLYGON ((0 0, 4 0, 4 3, 0 3, 2 1, 0 0))') AS g)""")
+    // hull of the rectangle-with-a-bite is the full 4x3 rectangle
+    assert(r.getDouble(0) == 12.0)
+    assert(r.getInt(1) == 5) // closed ring: 4 corners + repeated start
+  }
 }
