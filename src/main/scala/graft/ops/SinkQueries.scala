@@ -272,6 +272,43 @@ object SinkQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Small-files compaction — the 100 TB housekeeping operator (streaming
+    * ingest and over-parallel writers fragment a table into files far
+    * below the scan-efficient size; every serious lakehouse runs this
+    * pass). Stage 1 simulates the fragmentation: documents written as 32
+    * tiny parquet files. Stage 2 compacts: read back, rewrite with the
+    * file count derived from MEASURED bytes over a target file size (a
+    * driver-side FS metadata read, same class as the reference's bounds
+    * collect — process_geodata.py:70-71), `maxRecordsPerFile` bounding
+    * the other direction. The returned rollup of the compacted table
+    * equals the source rollup iff no row was lost or duplicated;
+    * CompactionSpec asserts the file count actually collapses. At scale
+    * the same pass runs per partition-directory with `repartition(n)`
+    * sized by that partition's bytes. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+                        targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val fragPath = s"$OutBase/frag_docs"
+    val compactPath = s"$OutBase/compact_docs"
+    documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(fragPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(fragPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(fragPath)
+      .repartition(nFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", "5000000")
+      .parquet(compactPath)
+    spark.read.parquet(compactPath)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -280,9 +317,15 @@ object SinkQueries {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_zorder" -> (zorderRoundtrip _),
     "q_schema_evolution" -> (schemaEvolution _),
+    "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_compact_files" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_schema_evolution" ->
       """WITH unioned AS (
         |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars FROM documents

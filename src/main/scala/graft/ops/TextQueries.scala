@@ -595,6 +595,51 @@ object TextQueries {
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Denylist redaction — the PII/content-scrubbing pass of a training
+    * pipeline (emails, phone numbers, banned terms get masked before the
+    * corpus ships). On the synthetic vocabulary the denylist is two corpus
+    * terms; in production it is the same replace-chain over regex classes.
+    * Occurrence counts come from exact length arithmetic (the
+    * replace-and-measure identity), so the oracle mirrors every value.
+    * Scale shape: pure per-row projection + one map-side-partial rollup —
+    * nothing here changes between 500 rows and 100 TB. */
+  def redactDenylist(spark: SparkSession, dir: String): DataFrame = {
+    val red = expr("replace(replace(text, 'customer', '<MASKED>'), 'vector', '<MASKED>')")
+    val hits = expr(
+      "(length(text) - length(replace(text, 'customer', ''))) DIV 8" +
+      " + (length(text) - length(replace(text, 'vector', ''))) DIV 6").cast("long")
+    documents(spark, dir)
+      .withColumn("red", red)
+      .withColumn("hits", hits)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("hits") > 0, lit(1))).as("docs_hit"),
+        sum(col("hits")).as("total_hits"),
+        sum(length(col("red"))).as("sum_chars_redacted"))
+      .orderBy(col("source"))
+  }
+
+  /** Sliding-window document chunking — the context-budget splitter every
+    * embedding/RAG/training pipeline runs (chunk 50 tokens, stride 40 →
+    * 10-token overlap). Chunk starts come from an explicit integer
+    * `sequence(0, n-1, stride)` explode, so Spark and the oracle enumerate
+    * identical chunk sets; the rollup checks chunk counts, full-chunk
+    * counts and total chunk tokens per source. Scale shape: per-row
+    * explode (fan-out factor n/stride, bounded by document length) then
+    * one rollup with map-side partials — no shuffle carries text. */
+  def chunkDocs(spark: SparkSession, dir: String, chunk: Int = 50, stride: Int = 40): DataFrame =
+    Par.fanOut(documents(spark, dir))
+      .withColumn("n", size(split(col("text"), " ")))
+      .select(col("source"), col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .withColumn("chunk_tokens", least(lit(chunk), col("n") - col("start")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        count(when(col("chunk_tokens") === chunk, lit(1))).as("n_full"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"))
+      .orderBy(col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
@@ -615,6 +660,8 @@ object TextQueries {
     "q_pack_sequences_sharded" -> ((s, d) => packSequencesSharded(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_redact_denylist" -> (redactDenylist _),
+    "q_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -645,6 +692,30 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_redact_denylist" ->
+      """WITH r AS (
+        |  SELECT source,
+        |         replace(replace(text, 'customer', '<MASKED>'), 'vector', '<MASKED>') AS red,
+        |         (length(text) - length(replace(text, 'customer', ''))) // 8
+        |           + (length(text) - length(replace(text, 'vector', ''))) // 6 AS hits
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       count(CASE WHEN hits > 0 THEN 1 END) AS docs_hit,
+        |       CAST(sum(hits) AS BIGINT) AS total_hits,
+        |       CAST(sum(length(red)) AS BIGINT) AS sum_chars_redacted
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, n, unnest(generate_series(0, n - 1, 40)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT source, doc_id, least(50, n - start) AS chunk_tokens FROM s)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |       count(CASE WHEN chunk_tokens = 50 THEN 1 END) AS n_full,
+        |       CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // Full DuckDB mirror of the SimHash pipeline — the FNV-1a shingle
     // hash is replayed in SQL with HUGEINT mod-2^64 arithmetic (xor only
     // ever touches the low byte, so it lowers to BIGINT xor on h % 256),

@@ -182,11 +182,42 @@ object StreamQueries {
     }
   }
 
+  /** Stream-static broadcast join: the streaming fact enriches against a
+    * static dimension (nation, keyed by user_id % 25) read as a plain
+    * batch relation, then a watermarked tumbling window counts per nation
+    * name. The static side holds NO streaming state — every micro-batch
+    * re-plans it as a broadcast hash join against the batch table, which
+    * is exactly how a 100 TB/day stream joins its dimension tables (the
+    * streaming analogue of J1: dimension broadcasts, fact never
+    * shuffles for the join; the only stateful operator is the window
+    * aggregate). Emission follows the same append-mode watermark rule as
+    * [[streamWindowCounts]], so the batch mirror is deterministic. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val joined = stream
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("nk", col("user_id") % lit(25L))
+      .join(broadcast(dim), "nk")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n_name"), col("n"))
+    runBounded(spark, joined, "graft_stream_static") {
+      _.select(unix_millis(col("w_start")).as("w_start_ms"), col("n_name"), col("n"))
+        .orderBy(col("w_start_ms"), col("n_name"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_static_join" -> (streamStaticJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,5 +284,22 @@ object StreamQueries {
       """SELECT user_id,
         |       count(DISTINCT (CAST(epoch_ns(ts) // 1000000 AS BIGINT)) // 3600000) AS n_active_hours
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch mirror of the stream-static join + windowed rollup: plain
+    // equi join to nation, same tumbling-window emission rule as
+    // q_stream_window
+    "q_stream_static_join" ->
+      s"""WITH e AS (
+         |  SELECT CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms,
+         |         user_id % 25 AS nk
+         |  FROM events),
+         |j AS (
+         |  SELECT e.tms, n.n_name FROM e JOIN nation n ON e.nk = n.n_nationkey),
+         |w AS (
+         |  SELECT (tms // $WindowMs) * $WindowMs AS w_start_ms, n_name,
+         |         count(*) AS n
+         |  FROM j GROUP BY 1, 2)
+         |SELECT w_start_ms, n_name, n FROM w
+         |WHERE w_start_ms + $WindowMs <= (SELECT max(tms) FROM e) - $WatermarkMs
+         |ORDER BY w_start_ms, n_name""".stripMargin,
   )
 }
