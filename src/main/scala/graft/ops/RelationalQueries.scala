@@ -384,6 +384,26 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), max(col("vname")).as("max_vname"))
       .orderBy(col("yr"), col("mo"))
 
+  /** Semi-structured JSON extraction: parse the events `props` JSON column
+    * with a declared schema (`from_json` — schema'd parse, stays inside
+    * whole-stage codegen) and aggregate the extracted field. The
+    * semi-structured-column pass of an event pipeline: per-row projection,
+    * one map-side-partial rollup; at scale the parse cost is the operator
+    * and nothing shuffles but the group keys. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    events(spark, dir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -421,6 +441,7 @@ object RelationalQueries {
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
     "q_merge_upsert" -> (mergeUpsert _),
+    "q_json_extract" -> (jsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -582,5 +603,12 @@ object RelationalQueries {
         |       CAST(regexp_extract(vname, '([0-9]{4})_([0-9]{2})_([0-9]{2})', 2) AS INTEGER) AS mo,
         |       count(*) AS n, max(vname) AS max_vname
         |FROM v GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -305,10 +305,27 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** ANN quality evaluation — recall@k of the sign-LSH index against the
+    * exact brute-force ranking, the acceptance metric every approximate
+    * index ships with. Both top-k relations are k rows by construction, so
+    * the comparison join is trivially small; the heavy lifting is the two
+    * underlying scans, each already scale-shaped (see [[simTopK]] /
+    * [[annLsh]]). Recall is hits/k over identical integer counts in both
+    * engines. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = simTopK(spark, dir, k).select(col("vec_id"))
+    val ann = annLsh(spark, dir, k).select(col("vec_id").as("ann_id"))
+    exact.join(ann, col("vec_id") === col("ann_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("ann_id")).as("n_hits"))
+      .select(lit(k).as("k"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_emb_norms" -> (embNorms _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_ann_ivf" -> ((s, d) => annIvf(s, d)),
@@ -357,6 +374,33 @@ object VectorQueries {
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId),
+         |exact5 AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 5),
+         |bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
+         |     CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
+         |     CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END +
+         |     CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END +
+         |     CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END +
+         |     CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END +
+         |     CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END +
+         |     CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+         |  FROM embeddings),
+         |qb AS (SELECT bucket AS qbucket FROM bucketed WHERE vec_id = $QueryVecId),
+         |annscored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM bucketed e, q, qb
+         |  WHERE e.bucket = qb.qbucket AND e.vec_id <> $QueryVecId),
+         |ann5 AS (SELECT vec_id FROM annscored ORDER BY sim DESC, vec_id LIMIT 5)
+         |SELECT CAST(5 AS INTEGER) AS k, count(*) AS n_exact,
+         |       count(a.vec_id) AS n_hits,
+         |       count(a.vec_id) / 5.0 AS recall
+         |FROM exact5 e LEFT JOIN ann5 a ON e.vec_id = a.vec_id""".stripMargin,
     // identical IEEE op chain in both engines (cast, abs, /, floor, *,
     // sequential fold) — no rounding anywhere, like q_quality_score
     "q_emb_quantize" ->
