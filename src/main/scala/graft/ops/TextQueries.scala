@@ -640,6 +640,108 @@ object TextQueries {
         sum(col("chunk_tokens")).as("sum_chunk_tokens"))
       .orderBy(col("source"))
 
+  /** TF-IDF keyword extraction: the single highest-scoring term per
+    * document — the metadata-tagging pass that labels each training
+    * document with its most distinctive token. IDF enters as the exact
+    * integer `(n_docs * 1e6) DIV df` (monotone in the real idf, so the
+    * argmax is the same keyword a float idf would pick, without either
+    * engine touching a logarithm), and ties break lexicographically.
+    *
+    * Scale shape: the tf and df aggregates both take map-side partials;
+    * the keyword pick is a row_number window partitioned by doc_id — fully
+    * parallel, no global sort; the corpus size joins in as a scalar
+    * subquery (never a driver read, never a 1-row BNLJ). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Par.fanOut(documents(spark, dir))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      docs.agg(countDistinct(col("doc_id")).as("n_docs")))
+    tf.join(dfreq, "term")
+      .withColumn("n_docs", nDocs)
+      // integer DIV keeps both engines in exact arithmetic; the argmax is
+      // unchanged vs the float idf because x -> (C*1e6) DIV x is monotone
+      .withColumn("idf_micro", expr("(n_docs * 1000000) DIV df"))
+      .withColumn("score", col("tf") * col("idf_micro"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") === 1)
+      .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model document scoring — the fluency-style quality
+    * filter: train conditional bigram frequencies over the corpus itself,
+    * then score every document by the summed conditional probability of
+    * its bigrams. Probabilities stay in exact integer micros
+    * (`(1e6 * c(w1,w2)) DIV c(w1 as prefix)`), so Spark and DuckDB agree
+    * bit-for-bit with no logarithm or float division anywhere; the
+    * low-quality flag compares `sum_p_micros < threshold * n_bigrams` in
+    * integers (algebraically the mean-probability cut).
+    *
+    * Scale shape: bigrams come from a shuffle-free per-row array transform
+    * (no window, no self-join); the three aggregates (per-doc bigram
+    * counts, corpus bigram counts, corpus prefix counts) all take map-side
+    * partials; the LM lookup is a hash equi join on the bigram key. In
+    * production the LM table would be vocabulary-pruned and broadcast —
+    * the shuffle equi join here is the always-safe plan when it is not. */
+  def lmBigramScore(spark: SparkSession, dir: String,
+                    thresholdMicros: Long = 33000L): DataFrame = {
+    val bg = Par.fanOut(documents(spark, dir))
+      .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("b", expr(
+        "CASE WHEN size(l) >= 2 THEN " +
+          "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i+1] AS w2)) " +
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
+      .select(col("doc_id"), explode(col("b")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val perDoc = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val lm = cb.join(cu, "w1")
+      .withColumn("p_micro", expr("(1000000 * cb) DIV cu"))
+    perDoc.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("p_micro")).as("sum_p_micros"))
+      .withColumn("low_quality",
+        col("sum_p_micros") < col("n_bigrams") * lit(thresholdMicros))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quota-based source mixing — the fixed-budget companion to the
+    * rate-based [[stratifiedSample]]: take at most `quota` documents per
+    * source, chosen by a deterministic hash order (md5 of the doc id, a
+    * string both engines hash identically), and report what each source
+    * contributed to the mix. This is the op that assembles a training mix
+    * ("30 docs from every source") from an unbalanced corpus.
+    *
+    * Scale shape: one shuffle on source for the per-source ranking window;
+    * the hash order means no data-dependent skew in WHICH rows are kept.
+    * A pathologically hot source serializes its ranking partition exactly
+    * like any per-key top-k — the two-level salted top-k used by
+    * windowTopK applies verbatim when that matters. */
+  def sourceMix(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank") <= quota)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"),
+        sum(col("n_chars")).as("sum_chars_taken"),
+        min(col("h")).as("first_pick_hash"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
@@ -662,6 +764,9 @@ object TextQueries {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_redact_denylist" -> (redactDenylist _),
     "q_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
+    "q_tfidf_keywords" -> (tfidfKeywords _),
+    "q_lm_bigram_score" -> ((s, d) => lmBigramScore(s, d)),
+    "q_source_mix" -> ((s, d) => sourceMix(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -692,6 +797,55 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         tf.tf * ((n.n_docs * 1000000) // dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term AS keyword, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rank = 1 ORDER BY doc_id""".stripMargin,
+    "q_lm_bigram_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(l))) AS u(i)),
+        |per_doc AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        |lm AS (
+        |  SELECT cb.w1, cb.w2, (1000000 * cb.cb) // cu.cu AS p_micro
+        |  FROM cb JOIN cu USING (w1))
+        |SELECT per_doc.doc_id,
+        |       CAST(sum(per_doc.k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(per_doc.k * lm.p_micro) AS BIGINT) AS sum_p_micros,
+        |       CAST(sum(per_doc.k * lm.p_micro) AS BIGINT)
+        |         < CAST(sum(per_doc.k) AS BIGINT) * 33000 AS low_quality
+        |FROM per_doc JOIN lm USING (w1, w2)
+        |GROUP BY per_doc.doc_id ORDER BY per_doc.doc_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, count(*) AS n_taken,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars_taken,
+        |       min(h) AS first_pick_hash
+        |FROM ranked WHERE rank <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_redact_denylist" ->
       """WITH r AS (
         |  SELECT source,

@@ -97,6 +97,36 @@ class QueriesSpec extends AnyFunSuite {
       totals(TextQueries.packSequences(spark, dir)))
   }
 
+  test("tfidf keyword extraction yields exactly one keyword per document") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).count()
+    val kw = TextQueries.tfidfKeywords(spark, dir)
+    assert(kw.count() == docs)
+    assert(kw.select(countDistinct(col("doc_id"))).head().getLong(0) == docs)
+  }
+
+  test("bigram LM score counts every adjacent token pair exactly once") {
+    import org.apache.spark.sql.functions._
+    // sum over docs of n_bigrams == total tokens - n_docs (each doc with
+    // t tokens contributes t-1 bigrams; no empty docs in the corpus)
+    val docs = Tables.documents(spark, dir)
+      .select(size(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+    val expected = docs.agg(sum(col("t") - lit(1))).head().getLong(0)
+    val got = TextQueries.lmBigramScore(spark, dir)
+      .agg(sum(col("n_bigrams"))).head().getLong(0)
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("source mix takes min(quota, source size) docs from every source") {
+    import org.apache.spark.sql.functions._
+    val sizes = Tables.documents(spark, dir).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = TextQueries.sourceMix(spark, dir, quota = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(taken.keySet == sizes.keySet)
+    taken.foreach { case (s, n) => assert(n == math.min(10L, sizes(s)), s"$s: $n") }
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
