@@ -404,6 +404,70 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized aggregation — clip each group's values at its own exact
+    * discrete p05/p95 before summing (the outlier-robust rollup every
+    * metrics pipeline runs before a mean is trusted). Prices move in exact
+    * integer micros (`floor(p*1e6 + 0.5)` — bit-deterministic over
+    * identical doubles); the percentile is the DISCRETE rank statistic
+    * (value at 1-indexed rank `ceil(q*n)` in ascending order), which is a
+    * data value, so no interpolation float ever appears.
+    *
+    * Scale shape: the bounds come from a per-group window (rank + count
+    * reuse one (flag, status) shuffle) reduced to a 6-row relation that
+    * broadcast-joins back to the fact — the fact table is never sorted
+    * globally and shuffles once. The caveat is group COUNT, not size:
+    * with O(1) groups each window partition is a constant fraction of the
+    * table, so at 100 TB the exact rank statistic is replaced by
+    * [[winsorizeApprox]] (approx_percentile bounds, same clip), which
+    * needs no sort at all; QueriesSpec bounds its drift against this
+    * exact form. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+    val base = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)").as("micros"))
+    val ranked = base
+      .withColumn("rk", row_number().over(w.orderBy(col("micros"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val bounds = ranked
+      .filter(col("rk") === expr("(n + 19) DIV 20") ||
+              col("rk") === expr("(19 * n + 19) DIV 20"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(when(col("rk") === expr("(n + 19) DIV 20"), col("micros"))).as("lo"),
+        max(when(col("rk") === expr("(19 * n + 19) DIV 20"), col("micros"))).as("hi"))
+    base.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("micros"))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clipped")).as("sum_clipped_micros"),
+        count(when(col("micros") < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col("micros") > col("hi"), 1)).as("n_clipped_hi"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** The 100 TB path of [[winsorize]]: bounds from `approx_percentile`
+    * (one pass, mergeable sketch, no per-group sort), clip identical.
+    * Error-bounded rather than oracle-exact — QueriesSpec asserts its
+    * clipped sum stays within the sketch's accuracy of the exact form. */
+  def winsorizeApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val base = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)").as("micros"))
+    val bounds = base
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr(s"approx_percentile(micros, 0.05, $accuracy)").as("lo"),
+        expr(s"approx_percentile(micros, 0.95, $accuracy)").as("hi"))
+    base.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("micros"))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clipped")).as("sum_clipped_micros"),
+        count(when(col("micros") < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col("micros") > col("hi"), 1)).as("n_clipped_hi"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -442,9 +506,35 @@ object RelationalQueries {
     "q_date_ops" -> (dateOps _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_json_extract" -> (jsonExtract _),
+    "q_winsorize" -> (winsorize _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS micros
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                       ORDER BY micros) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM base),
+        |bounds AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         min(CASE WHEN rk = (n + 19) // 20 THEN micros END) AS lo,
+        |         max(CASE WHEN rk = (19 * n + 19) // 20 THEN micros END) AS hi
+        |  FROM ranked
+        |  WHERE rk = (n + 19) // 20 OR rk = (19 * n + 19) // 20
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(greatest(lo, least(hi, micros))) AS BIGINT)
+        |         AS sum_clipped_micros,
+        |       count(CASE WHEN micros < lo THEN 1 END) AS n_clipped_lo,
+        |       count(CASE WHEN micros > hi THEN 1 END) AS n_clipped_hi
+        |FROM base JOIN bounds USING (l_returnflag, l_linestatus)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_merge_upsert" ->
       """WITH changes AS (
         |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS c_text,

@@ -107,8 +107,46 @@ object SessionQueries {
           .cast("double").as("click_value"))
       .orderBy(col("user_id"))
 
+  /** SCD2 history build — collapse an event stream into
+    * slowly-changing-dimension type-2 intervals: per user, consecutive
+    * runs of the same event_type become one versioned row with
+    * `[valid_from, valid_to)` millisecond bounds, the last interval open
+    * (`valid_to` NULL) — the change-data-capture shape every warehouse
+    * dimension load runs. Change detection is lag(), interval numbering
+    * is the same running-sum trick as [[sessionize]], and valid_to is the
+    * next interval's valid_from via lead().
+    *
+    * Scale shape: ONE shuffle on user_id; the change-detection window,
+    * the running sum, and the final lead() all reuse that partitioning
+    * (the lead runs over the already-aggregated interval relation, which
+    * is strictly smaller). Ties break on event_id, so the history is
+    * deterministic under concurrent same-millisecond events. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val runner = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySeg = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    events(spark, dir)
+      .withColumn("tms", expr("ts DIV 1000000L"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(runner))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        // event_type is constant within a segment by construction
+        min(col("event_type")).as("state"),
+        min(col("tms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(bySeg))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_scd2" -> (scd2 _),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
@@ -116,6 +154,30 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tms,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |seg AS (
+        |  SELECT user_id, event_type, tms,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |         min(tms) AS valid_from_ms, count(*) AS n_events
+        |  FROM seg GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from_ms,
+        |       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version)
+        |         AS valid_to_ms,
+        |       CAST(n_events AS BIGINT) AS n_events
+        |FROM iv ORDER BY user_id, version""".stripMargin,
     "q_histogram" ->
       """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
         |b AS (

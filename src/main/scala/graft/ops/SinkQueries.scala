@@ -309,6 +309,39 @@ object SinkQueries {
       .orderBy(col("source"))
   }
 
+  /** Hive-partitioned sink + partition-pruned scan: write documents in
+    * the directory-per-value layout (`lang=en/`, `lang=fr/`, ...), read
+    * back through a predicate on the partition key, and aggregate. The
+    * point is WHERE the filter runs: partition pruning happens at
+    * planning from directory names alone — files of non-matching
+    * partitions are never opened, the dominant saving for any
+    * partition-key predicate at 100 TB (vs row-group pruning, which
+    * still reads every footer). The write repartitions BY the partition
+    * key first so each partition directory gets one writer (one file),
+    * not one file per (task × value) — the small-files explosion a naive
+    * partitioned write produces; at scale the same write salts hot
+    * partition values across several writers. PlanShapeSpec asserts the
+    * executed scan carries partition filters and lists only the two
+    * matching directories. */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame =
+    partitionPrunedScan(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+
+  /** The pruned scan itself, exposed for PlanShapeSpec's partition-count
+    * assertion on the executed plan. */
+  private[ops] def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/docs_by_lang"
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      .repartition(col("lang"))
+      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    spark.read.parquet(path).filter(col("lang").isin("en", "fr"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -318,9 +351,16 @@ object SinkQueries {
     "q_zorder" -> (zorderRoundtrip _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
+    "q_partition_prune" -> (partitionPrune _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_partition_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_compact_files" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

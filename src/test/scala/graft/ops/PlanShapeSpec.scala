@@ -121,6 +121,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned * 2 < total, s"scan emitted $scanned of $total rows - no pruning")
   }
 
+  test("hive-partitioned scan prunes to exactly the two matching lang directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SinkQueries.partitionPrunedScan(spark, dir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // the lang predicate must be a PLANNING-time partition filter, not a
+    // per-row data filter over opened files
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(!scan.dataFilters.exists(_.toString.contains("lang")), scan.dataFilters.toString)
+    assert(scan.metrics("numPartitions").value == 2,
+      s"listed ${scan.metrics("numPartitions").value} partitions, wanted 2 (en, fr)")
+  }
+
   test("zorderScan on an empty events table returns empty instead of throwing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_empty").toString
     Tables.events(spark, dir).limit(0).write.parquet(s"$tmp/events.parquet")

@@ -127,6 +127,40 @@ class QueriesSpec extends AnyFunSuite {
     taken.foreach { case (s, n) => assert(n == math.min(10L, sizes(s)), s"$s: $n") }
   }
 
+  test("scd2 intervals tile each user's timeline without gap or overlap") {
+    import org.apache.spark.sql.functions._
+    val iv = SessionQueries.scd2(spark, dir)
+    // every interval's valid_to equals the next interval's valid_from
+    // (lead by construction), so it suffices that versions are dense from
+    // 1 and event counts conserve
+    val n = iv.agg(sum(col("n_events"))).head().getLong(0)
+    assert(n == Tables.events(spark, dir).count())
+    val badVersion = iv.withColumn("expected",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("version"))))
+      .filter(col("version") =!= col("expected")).count()
+    assert(badVersion == 0)
+    // exactly one open interval (NULL valid_to) per user
+    val users = iv.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(iv.filter(col("valid_to_ms").isNull).count() == users)
+  }
+
+  test("approx winsorize tracks the exact rank statistic at high accuracy") {
+    import org.apache.spark.sql.functions._
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_returnflag"), col("l_linestatus"), col("sum_clipped_micros"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = sums(RelationalQueries.winsorize(spark, dir))
+    val approx = sums(RelationalQueries.winsorizeApprox(spark, dir))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // only the <=10% clipped tails can move, and only by the sketch's
+      // rank error — 1% relative drift is a generous ceiling
+      assert(math.abs(a - e).toDouble <= 0.01 * e, s"$k: $a vs $e")
+    }
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
