@@ -61,6 +61,13 @@ object Materialize {
   def current(spark: SparkSession, base: String, table: String): DataFrame =
     spark.read.parquet(Files.readString(pointer(base, table)).trim)
 
+  /** Time-travel read: a specific retained version, independent of the
+    * pointer — the rollback/debugging read path that versioned
+    * materialization exists to provide (any version gc kept is readable;
+    * the pointer only names the DEFAULT one). */
+  def version(spark: SparkSession, base: String, table: String, v: String): DataFrame =
+    spark.read.parquet(tableDir(base, table).resolve("versions").resolve(v).toString)
+
   /** Drop all but the `keep` most recently written versions (and never the
     * pointed-to one) — the reference's min-dated-table GC
     * (load_to_postgres.py:269-291). Ordered by modification time, not

@@ -309,6 +309,31 @@ object SinkQueries {
       .orderBy(col("source"))
   }
 
+  /** Versioned time-travel read: publish two different versions of a
+    * rollup, then read back the OLD one while the pointer names the new —
+    * the rollback path of the materialization protocol (a bad publish is
+    * undone by reading, or re-pointing to, any version gc retained).
+    * [[materializeRoundtrip]] proves the write→swap→read-current loop;
+    * this proves retained versions stay independently readable, which is
+    * the property an incident responder actually needs. The oracle is the
+    * v1 content recomputed from source — so the read provably served the
+    * OLD bytes, not the current pointer. */
+  def versionRollback(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(halfOnly: Boolean) = {
+      val o = orders(spark, dir)
+      val in = if (halfOnly) o.filter(pmod(col("o_orderkey"), lit(2L)) === 0) else o
+      in.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }
+    Materialize.publish(rollup(halfOnly = true), OutBase, "prio_rollup", "v1",
+      Seq("o_orderpriority"))
+    Materialize.publish(rollup(halfOnly = false), OutBase, "prio_rollup", "v2",
+      Seq("o_orderpriority"))
+    Materialize.version(spark, OutBase, "prio_rollup", "v1")
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hive-partitioned sink + partition-pruned scan: write documents in
     * the directory-per-value layout (`lang=en/`, `lang=fr/`, ...), read
     * back through a predicate on the partition key, and aggregate. The
@@ -352,9 +377,15 @@ object SinkQueries {
     "q_schema_evolution" -> (schemaEvolution _),
     "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
     "q_partition_prune" -> (partitionPrune _),
+    "q_version_rollback" -> (versionRollback _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_version_rollback" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_partition_prune" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

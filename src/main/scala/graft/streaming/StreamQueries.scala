@@ -212,8 +212,45 @@ object StreamQueries {
     }
   }
 
+  /** Streaming parquet FILE sink with exactly-once semantics: the stream
+    * writes partition files plus a `_spark_metadata` commit log, and a
+    * batch read of the directory trusts ONLY committed files — a crashed
+    * or duplicated micro-batch can never surface uncommitted data. That
+    * commit protocol (not the projection) is the capability under test:
+    * it is how a 100 TB/day stream lands in a lake other engines read.
+    * The query is stateless (projection only — file sinks are append-only
+    * and need no watermark), then the committed directory is read back and
+    * rolled up; the oracle aggregates the source table, so equality proves
+    * no row was lost or doubled across the stream → files → batch loop. */
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = "/root/repo/target/graft_store/stream_file_sink"
+    // a file sink's commit log is append-only: a fresh run clears the
+    // data directory and its checkpoint TOGETHER (one without the other
+    // would desync sink offsets from the log)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val shaped = stream.select(col("event_id"), col("event_type"), col("user_id"),
+      expr("ts DIV 1000000L").as("tms"), col("value"))
+    val q = shaped.writeStream.format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("tms")).as("max_tms"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
+    "q_stream_file_sink" -> (streamFileSink _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -221,6 +258,12 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_file_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       CAST(max(epoch_ns(ts) // 1000000) AS BIGINT) AS max_tms
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // batch mirror of the append-mode emission rule: tumbling windows are
     // epoch-aligned; a window is emitted iff its end <= final watermark
     // (max event-time ms − delay). DuckDB truncates the parquet ns

@@ -21,6 +21,16 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.current(spark, base, "t").count() == 3)
   }
 
+  test("version() time-travels to the old bytes while current serves the new") {
+    import spark.implicits._
+    val base = freshBase()
+    Materialize.publish(Seq((1L, "a")).toDF("k", "v"), base, "t", "v1", Seq("k"))
+    Materialize.publish(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), base, "t", "v2", Seq("k"))
+    assert(Materialize.version(spark, base, "t", "v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    assert(Materialize.current(spark, base, "t").count() == 2)
+  }
+
   test("duplicate keys refuse the publish, delete the version dir, keep the pointer") {
     import spark.implicits._
     val base = freshBase()
