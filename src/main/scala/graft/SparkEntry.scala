@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, JdbcQueries, Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, TextQueries, VectorQueries}
+import graft.ops.{AsofJoin, AuditQueries, GraphQueries, JdbcQueries, Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, TextQueries, VectorQueries}
 import graft.streaming.StreamQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
     SessionQueries.all ++ SinkQueries.all ++ Multimodal.all ++ AsofJoin.all ++
-    StreamQueries.all ++ JdbcQueries.all ++
+    StreamQueries.all ++ JdbcQueries.all ++ AuditQueries.all ++ GraphQueries.all ++
     Map[String, (SparkSession, String) => DataFrame](
       // A1+F1-F8: the full spatial pipeline, closed-form-area variant
       // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
@@ -57,7 +57,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
     SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles ++
-    Multimodal.oracles ++ StreamQueries.oracles ++ JdbcQueries.oracles +
+    Multimodal.oracles ++ StreamQueries.oracles ++ JdbcQueries.oracles ++
+    AuditQueries.oracles ++ GraphQueries.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +

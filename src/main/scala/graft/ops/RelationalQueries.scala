@@ -468,6 +468,31 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The ranking-function family over one deterministic window — rank,
+    * dense_rank, ntile (equi-depth quartile binning, the feature-
+    * quantization primitive), percent_rank and cume_dist. The ORDER BY is
+    * total (price micros, then the unique line key), so every function is
+    * engine-independent; the two relative ranks are single IEEE divisions
+    * of exact integers, bit-identical across engines. Scale shape: one
+    * shuffle on the partition key; each group's window streams sorted. */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("micros").desc, col("l_orderkey"), col("l_linenumber"))
+    lineitem(spark, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)").as("micros"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("rnk"), col("drnk"), col("quartile"), col("pct_rank"), col("cdist"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -507,9 +532,25 @@ object RelationalQueries {
     "q_merge_upsert" -> (mergeUpsert _),
     "q_json_extract" -> (jsonExtract _),
     "q_winsorize" -> (winsorize _),
+    "q_rank_family" -> (rankFamily _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank_family" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS micros
+        |  FROM lineitem WHERE l_orderkey < 500)
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        |       CAST(rank() OVER w AS INTEGER) AS rnk,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cdist
+        |FROM base
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY micros DESC, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "q_winsorize" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,

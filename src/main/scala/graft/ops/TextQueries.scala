@@ -658,7 +658,10 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df cascades from tf (each (doc, term) row is one containing doc) —
+    // the token explode runs ONCE and every later aggregate reads a
+    // strictly smaller relation
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
       docs.agg(countDistinct(col("doc_id")).as("n_docs")))
     tf.join(dfreq, "term")
@@ -692,18 +695,24 @@ object TextQueries {
     * the shuffle equi join here is the always-safe plan when it is not. */
   def lmBigramScore(spark: SparkSession, dir: String,
                     thresholdMicros: Long = 33000L): DataFrame = {
+    // zip_with over two shifted slices, NOT transform(sequence(...),
+    // i -> l[i]): the indexed-lambda form re-evaluates the array operand
+    // per element access (O(tokens²) per document — measured 10× slower
+    // at sf0.1); the slice/zip form walks each array once. Empty/1-token
+    // docs need no guard: slice length greatest(n-1, 0) is already [].
     val bg = Par.fanOut(documents(spark, dir))
       .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
-      .withColumn("b", expr(
-        "CASE WHEN size(l) >= 2 THEN " +
-          "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i+1] AS w2)) " +
-        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
-      .select(col("doc_id"), explode(col("b")).as("b"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)), " +
+        "slice(l, 2, greatest(size(l) - 1, 0)), (x, y) -> struct(x AS w1, y AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val perDoc = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // the corpus counts CASCADE from perDoc (cb = Σk, cu = Σcb): the
+    // expensive array-transform explode runs ONCE, and each subsequent
+    // aggregate reads a strictly smaller relation
+    val cb = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("cb"))
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val lm = cb.join(cu, "w1")
       .withColumn("p_micro", expr("(1000000 * cb) DIV cu"))
     perDoc.join(lm, Seq("w1", "w2"))
@@ -742,8 +751,38 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Blocked fuzzy join — the entity-resolution/record-linkage shape:
+    * candidate pairs form ONLY inside a blocking key (language ×
+    * token-count decile), then exact Levenshtein distance over a fixed
+    * 60-char prefix decides the match. Complements the set-based
+    * near-dup family (minhash/simhash/Jaccard) with the EDIT-distance
+    * metric those cannot express (transpositions, small in-word edits).
+    *
+    * Scale shape: one hash equi join on the blocking key — never an
+    * all-pairs join; candidate volume is Σ block², controlled by the
+    * block granularity exactly like the LSH bucket caps. The Levenshtein
+    * kernel (O(60²) ints) runs only on candidates. Rollup per language:
+    * pairs checked, matches, closest distance. */
+  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 15): DataFrame = {
+    val d = Par.fanOut(documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 60).as("pre"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT) DIV 10").as("tb"))
+    val a = d.select(col("lang"), col("tb"), col("doc_id").as("a_id"), col("pre").as("a_pre"))
+    val b = d.select(col("lang"), col("tb"), col("doc_id").as("b_id"), col("pre").as("b_pre"))
+    a.join(b, Seq("lang", "tb"))
+      .filter(col("b_id") > col("a_id"))
+      .withColumn("dist", levenshtein(col("a_pre"), col("b_pre")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("dist") <= maxDist, 1)).as("n_matches"),
+        min(col("dist")).as("min_dist"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_fuzzy_join" -> ((s, d) => fuzzyJoin(s, d)),
     "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "q_jaccard_tokens" -> (jaccardTokens _),
@@ -797,6 +836,19 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 60) AS pre,
+        |         len(string_split(text, ' ')) // 10 AS tb
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.tb = b.tb AND b.doc_id > a.doc_id)
+        |SELECT lang, count(*) AS n_pairs,
+        |       count(CASE WHEN dist <= 15 THEN 1 END) AS n_matches,
+        |       CAST(min(dist) AS INTEGER) AS min_dist
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -161,6 +161,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank covers every node with at least the damping floor") {
+    import org.apache.spark.sql.functions._
+    val pr = GraphQueries.pagerank(spark, dir)
+    val nodes = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("n"))
+      .union(Tables.lineitem(spark, dir).select(pmod(col("l_suppkey"), lit(100L))))
+      .distinct().count()
+    assert(pr.count() == nodes)
+    assert(pr.filter(col("rank_micros") < 150000L).count() == 0)
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
