@@ -144,9 +144,37 @@ object SessionQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Funnel analysis — the ordered-event conversion measure: of the users
+    * whose stream contains a `view`, how many performed a `click` within
+    * one hour AFTER their first view. Reported per user-id bucket so the
+    * funnel segments like a real dashboard.
+    *
+    * Scale shape: the first-view relation is one filtered aggregate
+    * (map-side partials); conversion is a hash equi join of the click
+    * stream against it on user_id followed by the time-window predicate —
+    * no self-join of the full event table, no window sort. All time math
+    * is integer ms. */
+  def funnel(spark: SparkSession, dir: String, windowMs: Long = 3600000L): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000000L").as("tms"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("v"))
+    val converted = ev.filter(col("event_type") === "click")
+      .join(firstView, "user_id")
+      .filter(col("tms") > col("v") && col("tms") <= col("v") + windowMs)
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    firstView.join(converted, Seq("user_id"), "left")
+      .groupBy(pmod(col("user_id"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
+    "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
@@ -154,6 +182,22 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, min(tms) AS v FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT DISTINCT e.user_id FROM e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND e.tms > fv.v AND e.tms <= fv.v + 3600000)
+        |SELECT fv.user_id % 10 AS bucket, count(*) AS n_viewers,
+        |       CAST(count(conv.user_id) AS BIGINT) AS n_converted
+        |FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -780,8 +780,78 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Corpus drift detection — the distribution-shift gate between an
+    * incoming source and a reference corpus (here `src0`): each source's
+    * term distribution is quantized to exact integer micro-frequencies
+    * (`(tf·1e6) DIV N_source` — scale-invariant, so counts never overflow
+    * however large the corpus) and the drift score is the L1 distance
+    * Σ|p_s − p_ref| over the term union. 0 ⇒ identical distribution
+    * (src0 scores 0 against itself — the built-in sanity row);
+    * 2,000,000 ⇒ disjoint vocabularies.
+    *
+    * Scale shape: one token explode → (source, term) aggregate with
+    * partials; the reference distribution is a vocabulary-sized relation
+    * that broadcast-joins; terms present only in the reference contribute
+    * through one subtraction (1e6·Σp_ref(shared) tracked in the same
+    * aggregate), so no anti-join materializes the missing-term set. */
+  def corpusDrift(spark: SparkSession, dir: String, refSource: String = "src0"): DataFrame = {
+    val toks = Par.fanOut(documents(spark, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val p = tf.join(totals, "source")
+      .select(col("source"), col("term"), expr("(c * 1000000) DIV n").as("p"))
+    val ref = p.filter(col("source") === refSource)
+      .select(col("term"), col("p").as("p_ref"))
+    val refMass = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      ref.agg(sum(col("p_ref")).as("m")))
+    p.join(broadcast(ref), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        count(col("p_ref")).as("shared_terms"),
+        sum(abs(col("p") - coalesce(col("p_ref"), lit(0L)))).as("l1_shared"),
+        sum(coalesce(col("p_ref"), lit(0L))).as("ref_mass_shared"))
+      // ref-only terms contribute their full reference mass
+      .withColumn("drift_micros",
+        col("l1_shared") + (refMass - col("ref_mass_shared")))
+      .select(col("source"), col("n_terms"), col("shared_terms"), col("drift_micros"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary coverage — the tokenizer-prep audit: rank terms by corpus
+    * frequency and report each of the top-V terms' cumulative share of
+    * all tokens in exact integer micros (`(cum·1e6) DIV N`). Answers "how
+    * big must the vocab be for X% coverage" before a BPE train pass.
+    *
+    * Scale shape: the explode feeds ONE aggregate with partials; the
+    * ranking window runs over the aggregated vocabulary relation —
+    * bounded by |vocab|, not corpus size (the single-partition window is
+    * over thousands of rows at any corpus scale; a truly huge vocab
+    * would swap in the salted two-level top-k of windowTopK). */
+  def vocabCoverage(spark: SparkSession, dir: String, topV: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Par.fanOut(documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTotal = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      tf.agg(sum(col("c")).as("n")))
+    val byFreq = Window.orderBy(col("c").desc, col("term"))
+    tf.withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= topV)
+      .withColumn("n_total", nTotal)
+      .withColumn("cum_cover_micros", expr("(cum * 1000000) DIV n_total"))
+      .select(col("rank"), col("term"), col("c"), col("cum_cover_micros"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_corpus_drift" -> ((s, d) => corpusDrift(s, d)),
+    "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_fuzzy_join" -> ((s, d) => fuzzyJoin(s, d)),
     "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
@@ -836,6 +906,40 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT source, term FROM toks WHERE term <> ''),
+        |tf AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+        |totals AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1),
+        |p AS (
+        |  SELECT tf.source, tf.term, (tf.c * 1000000) // totals.n AS p
+        |  FROM tf JOIN totals USING (source)),
+        |ref AS (SELECT term, p AS p_ref FROM p WHERE source = 'src0'),
+        |m AS (SELECT sum(p_ref) AS refmass FROM ref)
+        |SELECT p.source, count(*) AS n_terms,
+        |       count(ref.p_ref) AS shared_terms,
+        |       CAST(sum(abs(p.p - coalesce(ref.p_ref, 0)))
+        |            + (SELECT refmass FROM m)
+        |            - sum(coalesce(ref.p_ref, 0)) AS BIGINT) AS drift_micros
+        |FROM p LEFT JOIN ref USING (term)
+        |GROUP BY p.source ORDER BY p.source""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY 1),
+        |n AS (SELECT sum(c) AS n_total FROM tf),
+        |r AS (
+        |  SELECT term, c,
+        |         row_number() OVER (ORDER BY c DESC, term) AS rank,
+        |         sum(c) OVER (ORDER BY c DESC, term
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tf)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, CAST(c AS BIGINT) AS c,
+        |       CAST((cum * 1000000) // (SELECT n_total FROM n) AS BIGINT)
+        |         AS cum_cover_micros
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_fuzzy_join" ->
       """WITH d AS (
         |  SELECT doc_id, lang, substr(text, 1, 60) AS pre,

@@ -248,9 +248,62 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** foreachBatch upsert — the custom-sink escape hatch: each micro-batch
+    * aggregates its rows and MERGES them into a keyed store (additive
+    * counts + exact DECIMAL sums, so the result is identical however the
+    * engine splits batches), published through the versioned Materialize
+    * protocol (write new version → atomic pointer swap — readers never
+    * see a half-merged state). This is how Structured Streaming upserts
+    * into any store without a native connector, and the merge associativity
+    * is what makes AvailableNow replay, restart, and batch-boundary
+    * changes all converge to the same table.
+    *
+    * Scale shape: per batch, one aggregate with map-side partials + one
+    * keyed merge (hash equi union-agg against the store — at scale the
+    * store is bucketed on the key so the merge is shuffle-free on the
+    * store side). The oracle aggregates the source directly: equality
+    * proves the incremental merges composed to the batch answer. */
+  def streamForeachUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = "/root/repo/target/graft_store/stream_upsert"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val shaped = stream.select(col("user_id"), col("value"))
+    val q = shaped.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).as("sum_value_dec"))
+        val sp = batch.sparkSession
+        val hasPrev = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(base, "state", "current"))
+        val merged =
+          if (!hasPrev) agg
+          else graft.ops.Materialize.current(sp, base, "state")
+            .unionByName(agg)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("sum_value_dec")).as("sum_value_dec"))
+        graft.ops.Materialize.publish(merged, base, "state", s"b$batchId",
+          Seq("user_id"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.ops.Materialize.current(spark, base, "state")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_file_sink" -> (streamFileSink _),
+    "q_stream_foreach_upsert" -> (streamForeachUpsert _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -258,6 +311,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_foreach_upsert" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_file_sink" ->
       """SELECT event_type, count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,

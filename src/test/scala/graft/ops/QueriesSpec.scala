@@ -172,6 +172,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(pr.filter(col("rank_micros") < 150000L).count() == 0)
   }
 
+  test("corpus drift scores the reference source as exactly zero") {
+    import org.apache.spark.sql.functions._
+    val ref = TextQueries.corpusDrift(spark, dir)
+      .filter(col("source") === "src0").head()
+    assert(ref.getAs[Long]("drift_micros") == 0L, ref.toString)
+    // and every source shares its full vocabulary with itself
+    assert(ref.getAs[Long]("n_terms") == ref.getAs[Long]("shared_terms"))
+  }
+
   test("sessionize nanos->ms uses integer division (2^53 regression)") {
     import spark.implicits._
     // 1704067207179575175 ns: double division would round the low ms
