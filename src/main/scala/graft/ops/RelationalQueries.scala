@@ -493,6 +493,45 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Multiway star join — the canonical OLAP shape (TPC-H Q3 family):
+    * fact (lineitem) ⋈ orders ⋈ customer with a selective dimension
+    * filter, rolled up by segment. What's under test is the PLANNER:
+    * Catalyst pushes the segment filter below the joins, broadcasts both
+    * dimension sides (customer after the filter, orders after its join —
+    * AQE re-plans from runtime sizes at scale), and the fact table never
+    * shuffles for either join. PlanShapeSpec asserts no sort-merge join
+    * appears at test scale. */
+  def multiwayJoin(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Correlated scalar subqueries — each order compared against ITS
+    * customer's average spend (the classic decorrelation case: Catalyst
+    * rewrites the per-row subqueries into one aggregate + join, never a
+    * per-row re-scan). `price > avg` is stated as the integer cross-
+    * multiplication `price_cents · n > sum_cents` so neither engine ever
+    * divides — an avg that lands exactly on a price cannot split the
+    * engines on float rounding. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("graft_orders_corr")
+    orders(spark, dir).sparkSession.sql(
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM graft_orders_corr o
+        |WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+        |      * (SELECT count(*) FROM graft_orders_corr i
+        |         WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+        |         FROM graft_orders_corr i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Union (unionByName) of per-table counts. */
   def unionAllCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir).agg(count(lit(1)).as("n")).select(lit("orders").as("src"), col("n"))
@@ -533,9 +572,32 @@ object RelationalQueries {
     "q_json_extract" -> (jsonExtract _),
     "q_winsorize" -> (winsorize _),
     "q_rank_family" -> (rankFamily _),
+    "q_multiway_join" -> (multiwayJoin _),
+    "q_correlated_subquery" -> (correlatedSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multiway_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_correlated_subquery" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_custkey, count(*) AS n, sum(cents) AS total
+        |  FROM o GROUP BY o_custkey)
+        |SELECT o.o_orderpriority, count(*) AS n_above
+        |FROM o JOIN s USING (o_custkey)
+        |WHERE o.cents * s.n > s.total
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q_rank_family" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,

@@ -121,6 +121,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scanned * 2 < total, s"scan emitted $scanned of $total rows - no pruning")
   }
 
+  test("multiway star join broadcasts both dimensions; fact never sort-merges") {
+    val qe = SparkEntry.queries("q_multiway_join")(spark, dir).queryExecution
+    qe.executedPlan
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the segment filter must sit below the joins, at the customer scan
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(2000))
+  }
+
   test("hive-partitioned scan prunes to exactly the two matching lang directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SinkQueries.partitionPrunedScan(spark, dir)
