@@ -30,7 +30,10 @@ object AuditQueries {
   def profile(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
     val aggs = ProfileCols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      // coalesce: sum over an EMPTY table is NULL, but "zero nulls" is the
+      // correct profile of an empty column (count/countDistinct already
+      // return 0 there)
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_distinct"))
     }
     val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -58,7 +61,8 @@ object AuditQueries {
       "price_below_cap" -> "o_totalprice <= 400000")
     val o = orders(spark, dir)
     val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(expr(pred), 0L).otherwise(1L)).as(s"v$i")
+      // coalesce: an empty table violates nothing (sum over empty is NULL)
+      coalesce(sum(when(expr(pred), 0L).otherwise(1L)), lit(0L)).as(s"v$i")
     }
     val one = o.agg(count(lit(1)).as("n_checked"), aggs: _*)
     val stackExpr = rules.indices

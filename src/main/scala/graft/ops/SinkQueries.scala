@@ -360,11 +360,17 @@ object SinkQueries {
     * assertion on the executed plan. */
   private[ops] def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$OutBase/docs_by_lang"
-    documents(spark, dir)
+    val base = documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"), col("lang"))
-      .repartition(col("lang"))
-      .write.partitionBy("lang").mode("overwrite").parquet(path)
-    spark.read.parquet(path).filter(col("lang").isin("en", "fr"))
+    // a partitioned write of ZERO rows creates no data files and the
+    // read-back cannot infer a schema — return the (empty) projection
+    // directly (same guard class as zorderScan's empty-bounds path)
+    if (base.isEmpty) base.filter(col("lang").isin("en", "fr"))
+    else {
+      base.repartition(col("lang"))
+        .write.partitionBy("lang").mode("overwrite").parquet(path)
+      spark.read.parquet(path).filter(col("lang").isin("en", "fr"))
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

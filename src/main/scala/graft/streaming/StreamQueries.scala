@@ -294,10 +294,19 @@ object StreamQueries {
       }
       .start()
     q.awaitTermination()
-    graft.ops.Materialize.current(spark, base, "state")
-      .select(col("user_id"), col("n_events"),
-        col("sum_value_dec").cast("double").as("sum_value"))
-      .orderBy(col("user_id"))
+    // an empty source runs zero data batches and never publishes — return
+    // the empty keyed table instead of failing the pointer read (same
+    // guard class as zorderScan's empty-bounds path)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "state", "current")))
+      spark.emptyDataFrame
+        .withColumn("user_id", lit(null).cast("long"))
+        .withColumn("n_events", lit(null).cast("long"))
+        .withColumn("sum_value", lit(null).cast("double"))
+    else
+      graft.ops.Materialize.current(spark, base, "state")
+        .select(col("user_id"), col("n_events"),
+          col("sum_value_dec").cast("double").as("sum_value"))
+        .orderBy(col("user_id"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
