@@ -490,7 +490,12 @@ object RelationalQueries {
       .withColumn("cdist", cume_dist().over(w))
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("rnk"), col("drnk"), col("quartile"), col("pct_rank"), col("cdist"))
-      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      // rnk joins the sort key: (flag, orderkey, linenumber) alone is NOT
+      // total — the synthetic corpus carries duplicate (orderkey,
+      // linenumber) pairs with different prices, and the two engines would
+      // interleave those rows differently (caught by the sf0.1 oracle
+      // replay; invisible at sf0.01)
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("rnk"))
   }
 
   /** Multiway star join — the canonical OLAP shape (TPC-H Q3 family):
@@ -612,7 +617,7 @@ object RelationalQueries {
         |FROM base
         |WINDOW w AS (PARTITION BY l_returnflag
         |             ORDER BY micros DESC, l_orderkey, l_linenumber)
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, rnk""".stripMargin,
     "q_winsorize" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,
