@@ -494,8 +494,12 @@ object RelationalQueries {
       // total — the synthetic corpus carries duplicate (orderkey,
       // linenumber) pairs with different prices, and the two engines would
       // interleave those rows differently (caught by the sf0.1 oracle
-      // replay; invisible at sf0.01)
-      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("rnk"))
+      // replay; invisible at sf0.01). quartile closes the last gap: a
+      // FULL-duplicate row pair ties rank() (equal rnk) yet ntile() splits
+      // it across bucket boundaries arbitrarily — no such pair exists in
+      // the seed-42 corpus, but the sort must not rely on that
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("rnk"), col("quartile"))
   }
 
   /** Multiway star join — the canonical OLAP shape (TPC-H Q3 family):
@@ -526,7 +530,9 @@ object RelationalQueries {
     * engines on float rounding. */
   def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
     orders(spark, dir).createOrReplaceTempView("graft_orders_corr")
-    orders(spark, dir).sparkSession.sql(
+    // spark.sql analyzes eagerly, so the resolved plan survives the view
+    // drop — no session-global catalog state leaks past this call
+    val out = spark.sql(
       """SELECT o_orderpriority, count(*) AS n_above
         |FROM graft_orders_corr o
         |WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
@@ -535,6 +541,8 @@ object RelationalQueries {
         |      > (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
         |         FROM graft_orders_corr i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    spark.catalog.dropTempView("graft_orders_corr")
+    out
   }
 
   /** Union (unionByName) of per-table counts. */
@@ -617,7 +625,7 @@ object RelationalQueries {
         |FROM base
         |WINDOW w AS (PARTITION BY l_returnflag
         |             ORDER BY micros DESC, l_orderkey, l_linenumber)
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber, rnk""".stripMargin,
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, rnk, quartile""".stripMargin,
     "q_winsorize" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,

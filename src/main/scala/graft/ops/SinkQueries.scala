@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object SinkQueries {
   import Tables._
 
-  private[ops] val OutBase = "/root/repo/target/graft_store"
+  private[graft] val OutBase = "/root/repo/target/graft_store"
 
   /** S4+S5: write lineitem projection as headerless comma CSV with the
     * reference's exact layout knobs — repartition(10),

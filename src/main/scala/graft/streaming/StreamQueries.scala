@@ -223,7 +223,7 @@ object StreamQueries {
     * rolled up; the oracle aggregates the source table, so equality proves
     * no row was lost or doubled across the stream → files → batch loop. */
   def streamFileSink(spark: SparkSession, dir: String): DataFrame = {
-    val base = "/root/repo/target/graft_store/stream_file_sink"
+    val base = s"${graft.ops.SinkQueries.OutBase}/stream_file_sink"
     // a file sink's commit log is append-only: a fresh run clears the
     // data directory and its checkpoint TOGETHER (one without the other
     // would desync sink offsets from the log)
@@ -264,7 +264,7 @@ object StreamQueries {
     * store side). The oracle aggregates the source directly: equality
     * proves the incremental merges composed to the batch answer. */
   def streamForeachUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val base = "/root/repo/target/graft_store/stream_upsert"
+    val base = s"${graft.ops.SinkQueries.OutBase}/stream_upsert"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val schema = Tables.events(spark, dir).schema
@@ -279,11 +279,18 @@ object StreamQueries {
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(18,6)")).as("sum_value_dec"))
         val sp = batch.sparkSession
-        val hasPrev = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(base, "state", "current"))
+        // merge against the PREVIOUS BATCH's version, not `current`: the
+        // engine commits the checkpoint offset AFTER foreachBatch returns,
+        // so a crash between publish and commit re-executes this batch —
+        // merging b(N-1) ∪ batch(N) and overwrite-publishing bN is
+        // idempotent under that replay, where merging `current` (already
+        // bN) would double-count every key
+        val prev = s"b${batchId - 1}"
+        val hasPrev = batchId > 0 && java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(base, "state", "versions", prev))
         val merged =
           if (!hasPrev) agg
-          else graft.ops.Materialize.current(sp, base, "state")
+          else graft.ops.Materialize.version(sp, base, "state", prev)
             .unionByName(agg)
             .groupBy(col("user_id"))
             .agg(sum(col("n_events")).as("n_events"),

@@ -127,9 +127,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = qe.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
-    // the segment filter must sit below the joins, at the customer scan
-    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
-      p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(2000))
+    // the segment filter must sit below the joins, at the customer scan —
+    // specifically inside the scan's PushedFilters list, not as a post-scan
+    // Filter node
+    // no closing bracket: the final plan's customer scan appends the join
+    // key's IsNotNull to the same list
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
   test("hive-partitioned scan prunes to exactly the two matching lang directories") {
