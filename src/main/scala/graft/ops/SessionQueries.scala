@@ -171,10 +171,45 @@ object SessionQueries {
       .orderBy(col("bucket"))
   }
 
+  /** LOCF resampling — regularize an irregular event series onto an
+    * hourly grid with last-observation-carried-forward (the gap-fill
+    * every feature-engineering pipeline runs before a model sees time
+    * series). Per user: sample each hour (order-free MAX of the hour's
+    * integer-micro values — deterministic without a tie rule), densify to
+    * the user's [first, last] hour via an integer `sequence` explode,
+    * then carry the last non-null sample forward with an
+    * ignoreNulls last() window.
+    *
+    * Scale shape: one (user, hour) aggregate with partials, one per-user
+    * bounds aggregate, the grid explode (bounded by span/step), and a
+    * user-partitioned window that reuses the user shuffle. All time and
+    * value math is integer. */
+  def resampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("user_id"),
+        expr("ts DIV 1000000L DIV 3600000L").as("hour"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v_micros"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(max(col("v_micros")).as("sample"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val filled = grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("locf", last(col("sample"), ignoreNulls = true).over(
+        Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("sample")).as("n_observed"),
+        sum(col("locf")).as("sum_filled_micros"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
+    "q_resample_locf" -> (resampleLocf _),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
@@ -182,6 +217,27 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_resample_locf" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |         (epoch_ns(ts) // 1000000) // 3600000 AS hour,
+        |         max(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sample
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM bounds),
+        |filled AS (
+        |  SELECT g.user_id, g.hour, h.sample,
+        |         last_value(h.sample IGNORE NULLS) OVER (
+        |           PARTITION BY g.user_id ORDER BY g.hour
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |  FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+        |SELECT user_id, count(*) AS n_points,
+        |       CAST(count(sample) AS BIGINT) AS n_observed,
+        |       CAST(sum(locf) AS BIGINT) AS sum_filled_micros
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
