@@ -334,6 +334,42 @@ object SinkQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Version diff — the change-data-feed read between two retained
+    * versions of a materialized table (the Delta CDF analogue): full
+    * outer join on the unique key classifies every row as inserted /
+    * deleted / updated / unchanged, and the rollup is the per-class count
+    * plus the net price delta in exact cents. Composes with
+    * [[versionRollback]]: v1 is the half-corpus rollup, v2 the full one,
+    * so the diff is closed-form from the source and the oracle recomputes
+    * it without ever reading the store.
+    *
+    * Scale shape: one full-outer hash equi join on the published key —
+    * both sides are materialized aggregates (dimension-sized); at fact
+    * scale the join co-locates for free when versions are bucket-written
+    * on the key. */
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    versionRollback(spark, dir) // publishes v1 (half) and v2 (full)
+    val v1 = Materialize.version(spark, OutBase, "prio_rollup", "v1")
+      .select(col("o_orderpriority"),
+        col("n_orders").as("n1"),
+        expr("CAST(floor(sum_price * 100 + 0.5) AS BIGINT)").as("c1"))
+    val v2 = Materialize.version(spark, OutBase, "prio_rollup", "v2")
+      .select(col("o_orderpriority"),
+        col("n_orders").as("n2"),
+        expr("CAST(floor(sum_price * 100 + 0.5) AS BIGINT)").as("c2"))
+    v1.join(v2, Seq("o_orderpriority"), "full_outer")
+      .withColumn("change",
+        when(col("n1").isNull, lit("inserted"))
+          .when(col("n2").isNull, lit("deleted"))
+          .when(col("n1") === col("n2") && col("c1") === col("c2"), lit("unchanged"))
+          .otherwise(lit("updated")))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+          .as("net_cents"))
+      .orderBy(col("change"))
+  }
+
   /** Hive-partitioned sink + partition-pruned scan: write documents in
     * the directory-per-value layout (`lang=en/`, `lang=fr/`, ...), read
     * back through a predicate on the partition key, and aggregate. The
@@ -384,9 +420,31 @@ object SinkQueries {
     "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
     "q_partition_prune" -> (partitionPrune _),
     "q_version_rollback" -> (versionRollback _),
+    "q_version_diff" -> (versionDiff _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_version_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderpriority, count(*) AS n1,
+        |         CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                    * 100 + 0.5) AS BIGINT) AS c1
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_orderpriority, count(*) AS n2,
+        |         CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                    * 100 + 0.5) AS BIGINT) AS c2
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT n1, c1, n2, c2,
+        |    CASE WHEN n1 IS NULL THEN 'inserted'
+        |         WHEN n2 IS NULL THEN 'deleted'
+        |         WHEN n1 = n2 AND c1 = c2 THEN 'unchanged'
+        |         ELSE 'updated' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 USING (o_orderpriority))
+        |SELECT change, count(*) AS n_keys,
+        |       CAST(sum(coalesce(c2, 0) - coalesce(c1, 0)) AS BIGINT) AS net_cents
+        |FROM d GROUP BY change ORDER BY change""".stripMargin,
     "q_version_rollback" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
