@@ -205,11 +205,46 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Interval union — total COVERED time per user when each event opens a
+    * 30-minute activity interval and intervals overlap (the
+    * watch-time/uptime measure naive sum-of-durations double-counts).
+    * The classic sweep: order intervals by start, a new segment begins
+    * where an interval starts past the running max end (window max over
+    * the preceding frame), segments number by running sum, and each
+    * merged segment contributes `max(end) − min(start)`.
+    *
+    * Scale shape: ONE shuffle on user_id; both windows and the segment
+    * aggregate reuse it (same contract as [[sessionize]]). Integer ms
+    * everywhere; the window order (tms, event_id) is total so the
+    * preceding-frame max is engine-independent. */
+  def intervalUnion(spark: SparkSession, dir: String, spanMs: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val runner = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preceding = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000L").as("tms"))
+      .withColumn("end_ms", col("tms") + spanMs)
+      .withColumn("prev_max_end", max(col("end_ms")).over(preceding))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("tms") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("is_new")).over(runner))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("end_ms")) - min(col("tms"))).as("covered_ms"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_segments"),
+        sum(col("covered_ms")).as("covered_ms"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_resample_locf" -> (resampleLocf _),
+    "q_interval_union" -> ((s, d) => intervalUnion(s, d)),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
@@ -217,6 +252,35 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) + 1800000 AS end_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tms, end_ms,
+        |    max(end_ms) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tms, end_ms,
+        |    CASE WHEN prev_max_end IS NULL OR tms > prev_max_end
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, tms, end_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM f),
+        |seg AS (
+        |  SELECT user_id, seg, count(*) AS n_events,
+        |         max(end_ms) - min(tms) AS covered_ms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       count(*) AS n_segments,
+        |       CAST(sum(covered_ms) AS BIGINT) AS covered_ms
+        |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_resample_locf" ->
       """WITH hourly AS (
         |  SELECT user_id,
