@@ -239,12 +239,31 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention (D1) — for each activity day, how many of its
+    * active users return the NEXT day. The standard growth metric,
+    * computed as one distinct (user, day) relation self-joined on
+    * (user, day+1) — a hash equi join, never a window over the full
+    * event table; day arithmetic is integer epoch-days. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val active = events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000L DIV 86400000L").as("day"))
+      .distinct()
+    val next = active.select(col("user_id"), (col("day") - 1L).as("day"),
+      lit(1L).as("returned"))
+    active.join(next, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("returned"), lit(0L))).as("n_retained"))
+      .orderBy(col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_resample_locf" -> (resampleLocf _),
     "q_interval_union" -> ((s, d) => intervalUnion(s, d)),
+    "q_retention" -> (retention _),
     "q_event_type_agg" -> (eventTypeAgg _),
     "q_window_range" -> (windowRange _),
     "q_sliding_window" -> (slidingWindow _),
@@ -252,6 +271,16 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_ns(ts) // 1000000) // 86400000 AS day
+        |  FROM events)
+        |SELECT a.day, count(*) AS n_active,
+        |       CAST(count(b.user_id) AS BIGINT) AS n_retained
+        |FROM active a
+        |LEFT JOIN active b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
     "q_interval_union" ->
       """WITH e AS (
         |  SELECT user_id, event_id,
