@@ -53,11 +53,83 @@ object GraphQueries {
     ranks.select(col("node"), col("r").as("rank_micros")).orderBy(col("node"))
   }
 
+  /** Per-node triangle participation — the local clustering signal used
+    * for community/spam structure in link graphs. Exact enumeration via
+    * DEGREE-ORDERED edge orientation (the standard scale trick): rank
+    * every node by (degree, id), orient each undirected edge toward the
+    * higher rank, and count wedges only at each triangle's lowest-rank
+    * corner. Orientation bounds every node's out-degree by O(√|E|) on any
+    * graph, so the wedge join — the quadratic step of naive triangle
+    * counting — is Σ outdeg² ≤ |E|^1.5 instead of Σ deg² (which a hub
+    * node makes catastrophic at link-graph scale). The plan is three
+    * hash equi joins + one aggregate: wedges pair oriented edges on their
+    * low corner, the closing edge joins on the (high, highest) pair, and
+    * the three corners of each found triangle unpivot into one count per
+    * node. Rank packs as `degree·1000 + node` (injective while node ids
+    * < 1000 — guarded) so the order is one integer both engines compare
+    * identically. */
+  def triangles(spark: SparkSession, dir: String, buckets: Int = 300): DataFrame = {
+    require(buckets <= 1000, s"rank packing needs node ids < 1000, got $buckets")
+    val raw = lineitem(spark, dir).select(
+      pmod(col("l_partkey"), lit(buckets.toLong)).as("x"),
+      pmod(col("l_suppkey"), lit(buckets.toLong)).as("y"))
+      .filter(col("x") =!= col("y"))
+    val und = raw.select(least(col("x"), col("y")).as("u"),
+      greatest(col("x"), col("y")).as("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val rank = deg.select(col("node"), (col("d") * 1000L + col("node")).as("rk"))
+    val withRanks = und
+      .join(rank.select(col("node").as("u"), col("rk").as("rku")), "u")
+      .join(rank.select(col("node").as("v"), col("rk").as("rkv")), "v")
+    val oriented = withRanks.select(
+      when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("b"),
+      when(col("rku") < col("rkv"), col("rkv")).otherwise(col("rku")).as("rb"))
+    val e1 = oriented.select(col("a"), col("b").as("b1"), col("rb").as("rb1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"), col("rb").as("rb2"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("rb1") < col("rb2"))
+    val closing = oriented.select(col("a").as("b1"), col("b").as("b2"))
+    val tri = wedges.join(closing, Seq("b1", "b2"))
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b1").as("node")))
+      .union(tri.select(col("b2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
+    "q_triangles" -> ((s, d) => triangles(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT l_partkey % 300 AS x, l_suppkey % 300 AS y FROM lineitem
+        |  WHERE l_partkey % 300 <> l_suppkey % 300),
+        |und AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM raw),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |rk AS (SELECT node, d * 1000 + node AS rk FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN ru.rk < rv.rk THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN ru.rk < rv.rk THEN und.v ELSE und.u END AS b,
+        |         CASE WHEN ru.rk < rv.rk THEN rv.rk ELSE ru.rk END AS rb
+        |  FROM und JOIN rk ru ON und.u = ru.node JOIN rk rv ON und.v = rv.node),
+        |tri AS (
+        |  SELECT e1.a, e1.b AS b1, e2.b AS b2
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.rb < e2.rb
+        |  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b1 FROM tri
+        |  UNION ALL SELECT b2 FROM tri)
+        |SELECT node, count(*) AS n_tri FROM corners
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst

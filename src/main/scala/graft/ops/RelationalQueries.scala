@@ -241,6 +241,38 @@ object RelationalQueries {
         sum(col("pv")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Salt-replicated skew JOIN — the join-side twin of
+    * [[skewSaltedAgg]]. A shuffle join on a hot key (5 event_type values
+    * carry ALL fact rows) hashes every row of a hot key to ONE reducer;
+    * at 100 TB that single task runs for hours while 999 executors idle.
+    * The classic fix when the build side is too large to broadcast:
+    * replicate each build row across 16 salt values (16× a SMALL side —
+    * cheap) and split the fact's hot keys over those salts with a
+    * deterministic per-row salt, so the join key becomes
+    * (event_type, salt) and each hot key spreads over 16 reducers.
+    * The `merge` hint pins the shuffle-join path the pattern exists for
+    * (a broadcastable dim would make salting moot — same device as
+    * [[bloomJoin]]); AQE's skew-join split is the runtime alternative,
+    * this operator is the explicit-plan form. Results are identical to
+    * the unsalted join (the oracle computes exactly that): salting only
+    * refines the partitioning, never the match predicate. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 16
+    val dim = events(spark, dir)
+      .select(col("event_type")).distinct()
+      .withColumn("weight", (length(col("event_type")) * 10).cast("long"))
+    val dimSalted = dim.withColumn("salt",
+      explode(expr(s"sequence(0, ${nSalts - 1})")))
+    val fact = events(spark, dir)
+      .withColumn("salt", pmod(coalesce(col("event_id"), lit(0L)), lit(nSalts)).cast("int"))
+    fact.join(dimSalted.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)") * col("weight"))
+          .cast("double").as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Range (non-equi interval) join via bucket expansion: the right side's
     * intervals explode into fixed-width integer buckets, the join runs as
     * an equi join on the bucket, and the exact interval predicate
@@ -575,6 +607,7 @@ object RelationalQueries {
     "q_setop_mix" -> (setopMix _),
     "q_union_all_counts" -> (unionAllCounts _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
+    "q_skew_join" -> (skewJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
@@ -590,6 +623,16 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(length(event_type) * 10 AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,6)) * d.weight) AS DOUBLE)
+        |         AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_multiway_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |       count(DISTINCT o_orderkey) AS n_orders,

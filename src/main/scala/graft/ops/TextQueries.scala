@@ -430,6 +430,59 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Misra-Gries streaming summary with k counters: one pass, O(k)
+    * memory, and the classic guarantee — every item with true frequency
+    * > n/(k+1) survives in the counter set (undercounts are bounded by
+    * n/(k+1), which is all [[heavyHitters]] needs: it recounts exactly).
+    * The decrement-all step runs only when a new item arrives with all k
+    * counters occupied, amortized O(1) per input via the eviction. */
+  private[ops] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new java.util.HashMap[String, Long](k * 2)
+    it.foreach { t =>
+      val cur = counters.getOrDefault(t, 0L)
+      if (cur > 0L) counters.put(t, cur + 1L)
+      else if (counters.size < k) counters.put(t, 1L)
+      else {
+        val e = counters.entrySet().iterator()
+        while (e.hasNext) {
+          val c = e.next()
+          if (c.getValue == 1L) e.remove() else c.setValue(c.getValue - 1L)
+        }
+      }
+    }
+    counters.keySet().toArray(Array.empty[String]).iterator
+  }
+
+  /** EXACT heavy hitters (frequency > n/k) in two passes — the
+    * high-cardinality frequency analysis a vocabulary/abuse audit needs
+    * when a full groupBy over every distinct key would itself be the
+    * bottleneck. Pass 1 runs [[misraGries]] per partition (k counters
+    * each, no shuffle) and unions the survivors: by averaging, a global
+    * heavy hitter is a local one (freq_p > n_p/k) in at least one
+    * partition, and MG with k counters retains everything above
+    * n_p/(k+1) — so the union is a guaranteed superset of the answer.
+    * Pass 2 recounts ONLY the candidates exactly (broadcast hash
+    * semi-reduction before the aggregate) and applies the exact
+    * threshold, so the output is identical to the brute-force groupBy
+    * the oracle computes. At 100 TB the aggregate's key space shrinks
+    * from |vocab| to ≤ partitions·k candidates; the property spec
+    * (MisraGriesProps) checks the superset law on arbitrary streams. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val toks = Par.fanOut(documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val candidates = toks.as[String]
+      .mapPartitions(misraGries(_, k))
+      .toDF("term").distinct()
+    val total = Bridge.scalarSubquery(toks.agg(count(lit(1)).as("n")))
+    toks.join(broadcast(candidates), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > total)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Document-frequency-filtered top terms per source: tokenize, compute
     * corpus df per term, drop terms in more than half the corpus (the
     * integer-exact form of an IDF floor), rank the rest by tf within each
@@ -867,6 +920,7 @@ object TextQueries {
     "q_train_split" -> (trainSplit _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
+    "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_pack_sequences_sharded" -> ((s, d) => packSequencesSharded(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -1262,6 +1316,15 @@ object TextQueries {
         |       CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT * FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |n AS (SELECT count(*) AS total FROM toks)
+        |SELECT term, count(*) AS cnt FROM toks
+        |GROUP BY term HAVING count(*) * 30 > (SELECT total FROM n)
+        |ORDER BY cnt DESC, term""".stripMargin,
     "q_top_terms" ->
       """WITH toks AS (
         |  SELECT * FROM (

@@ -69,6 +69,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom filter should sit below the fact exchange (ex=$exIdx bloom=$bloomIdx):\n${p.take(2500)}")
   }
 
+  test("skew join shuffles on the SALTED key pair, as a sort-merge join") {
+    val df = RelationalQueries.skewJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the SMJ keys must be the (event_type, salt) PAIR: the salt in the
+    // shuffle key is the whole point — each hot event_type spreads over
+    // 16 reducers instead of hashing to one
+    val smjLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(smjLine.contains("event_type") && smjLine.contains("salt"),
+      s"SMJ not keyed on the salted pair:\n${p.take(2500)}")
+    // and both join inputs exchange on that pair (the plan also has
+    // single-key exchanges for the final aggregate and the dim distinct —
+    // those are not the join's)
+    val saltedExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("salt")).toSeq
+    assert(saltedExchanges.size >= 2,
+      s"expected a salted exchange per join input:\n${p.take(2500)}")
+  }
+
   test("generation filter prunes partition directories at planning time") {
     import org.apache.spark.sql.functions.col
     // build the two-generation layout, then scan only gen=2: the partition
