@@ -257,8 +257,79 @@ object SessionQueries {
       .orderBy(col("day"))
   }
 
+  /** Robust per-group outlier detection: median + MAD (median absolute
+    * deviation), the estimator that survives the outliers it hunts
+    * (mean/stddev get dragged by the very tail being flagged). All
+    * arithmetic is engine-exact: values quantize to integer micros, so
+    * every interpolated median is either an integer or an exact .5 —
+    * both engines compute `a + (b-a)/2` identically — and the flag
+    * threshold `|v - med| > 3 · 1.4826 · mad` is one double multiply and
+    * compare of identical operands.
+    *
+    * Scale shape: two grouped EXACT percentile aggregates (state is the
+    * per-group distinct-value map — bounded here; approx_percentile is
+    * the knob when value cardinality explodes), each result a ≤|groups|
+    * relation that broadcast-joins back to the fact; the final pass is a
+    * per-row compare + one aggregate with map-side partials. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("micros"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(micros, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("micros") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"), min(col("med")).as("med"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("absdev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"),
+        min(col("med")).as("median_micros"),
+        min(col("mad")).as("mad_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-type co-occurrence (2-itemset support + lift) — the
+    * market-basket audit over user behavior: for every unordered pair of
+    * event types, how many users did both, and the lift vs independence.
+    * The pair space is the DISTINCT (user, type) relation self-joined on
+    * user with an ordering predicate — per-user fanout is bounded by the
+    * type vocabulary (tiny), so the join output is |users|·O(vocab²),
+    * never |events|²; the user-count denominators enter as one broadcast
+    * dimension and a scalar subquery, no driver reads. */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // NULL keys: a null user can't join-match and a null type can't pair,
+    // but both WOULD skew the distinct-user denominator — drop them in
+    // both engines identically
+    val ut = events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val nUsers = Bridge.scalarSubquery(
+      ut.select(col("user_id")).distinct().agg(count(lit(1)).as("n")))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("support"),
+        ((col("support") * nUsers).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_mad_outliers" -> (madOutliers _),
+    "q_cooccurrence" -> (cooccurrence _),
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_resample_locf" -> (resampleLocf _),
@@ -271,6 +342,45 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micros
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_cont(micros, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |dev AS (
+        |  SELECT ev.event_type, abs(ev.micros - med.med) AS absdev, med.med
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad, min(med) AS med
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |       count(*) FILTER (WHERE d.absdev > 3.0 * 1.4826 * m.mad)
+        |         AS n_outliers,
+        |       min(m.med) AS median_micros, min(m.mad) AS mad_micros
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |pt AS (SELECT event_type, count(*) AS n_type FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS support
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.support,
+        |       CAST(p.support * (SELECT n FROM nu) AS DOUBLE) /
+        |         CAST(pa.n_type * pb.n_type AS DOUBLE) AS lift
+        |FROM pairs p
+        |JOIN pt pa ON p.type_a = pa.event_type
+        |JOIN pt pb ON p.type_b = pb.event_type
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
     "q_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id,
