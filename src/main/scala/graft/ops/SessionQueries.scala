@@ -326,8 +326,32 @@ object SessionQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Behavioral path mining: the most frequent 3-step event-type
+    * sequences (consecutive per user, in event order) — the "what do
+    * users do next" product-analytics staple, and the event-stream twin
+    * of token n-gram counting. Trigrams form with two lead() calls over
+    * ONE user shuffle (both windows share the (user, ts, event_id)
+    * ordering, which is total — event_id breaks timestamp ties), then a
+    * count aggregate with map-side partials over the tiny path vocabulary
+    * and a TakeOrderedAndProject top-k. No self-joins: a join-based
+    * trigram build would shuffle the event table three times. */
+  def pathMining(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t2", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_path_mining" -> ((s, d) => pathMining(s, d)),
     "q_mad_outliers" -> (madOutliers _),
     "q_cooccurrence" -> (cooccurrence _),
     "q_scd2" -> (scd2 _),
@@ -342,6 +366,16 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_path_mining" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM events WHERE event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT concat_ws('>', event_type, t1, t2) AS path, count(*) AS cnt
+        |FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -430,6 +430,33 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Importance-weighted deterministic sampling: each document keeps with
+    * probability proportional to its OWN weight (token count here; a
+    * quality score in production) — the continuous-weight complement of
+    * [[stratifiedSample]]'s per-stratum rates, i.e. the quality-weighted
+    * mix step of corpus curation. RNG-free: the keep decision compares
+    * the shared multiplicative doc_id hash (same kernel as
+    * [[trainSplit]], modulus 10^6 for ppm resolution) against the row's
+    * weight in ppm, so membership is reproducible, join-free, and a pure
+    * per-row projection ahead of the one audit aggregate — at 100 TB the
+    * sample materializes in the same scan that reads the corpus. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .withColumn("n_tokens",
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      // 8000 ppm per token ≈ 8%-79% keep over this corpus's 10-99 token
+      // range; least() guards the law p ≤ 1 for arbitrarily long docs
+      .withColumn("keep_ppm", least(col("n_tokens") * 8000L, lit(1000000L)))
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000L)))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("bucket") < col("keep_ppm"), 1)).as("n_kept"),
+        sum(when(col("bucket") < col("keep_ppm"), col("n_tokens"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Misra-Gries streaming summary with k counters: one pass, O(k)
     * memory, and the classic guarantee — every item with true frequency
     * > n/(k+1) survives in the counter set (undercounts are bounded by
@@ -921,6 +948,7 @@ object TextQueries {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "q_weighted_sample" -> (weightedSample _),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_pack_sequences_sharded" -> ((s, d) => packSequencesSharded(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -1316,6 +1344,20 @@ object TextQueries {
         |       CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, seq_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761)
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |w AS (SELECT lang, n_tokens, bucket,
+        |        least(n_tokens * 8000, 1000000) AS keep_ppm FROM d)
+        |SELECT lang, count(*) AS n_total,
+        |       count(CASE WHEN bucket < keep_ppm THEN 1 END) AS n_kept,
+        |       CAST(sum(CASE WHEN bucket < keep_ppm THEN n_tokens ELSE 0 END)
+        |         AS BIGINT) AS kept_tokens
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT * FROM (
