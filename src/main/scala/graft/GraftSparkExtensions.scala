@@ -64,6 +64,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_convexhull", 1)(es => StConvexHull(es.head))
     inject("st_npoints", 1)(es => StNPoints(es.head))
     inject("st_union_agg", 1)(es => StUnionAgg(es.head))
+    inject("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
     inject("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     inject("minhash_bands", 4)(es => MinHashBands(es))
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))

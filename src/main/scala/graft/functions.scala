@@ -70,6 +70,15 @@ object functions {
   def st_union_agg(g: Column): Column =
     col(StUnionAgg(ex(g)).toAggregateExpression())
 
+  /** Bounded-state grouped top-k: the k (key, score) pairs with the
+    * highest score per group (score desc, key asc). Map-side partials
+    * carry ≤2k pairs per group — the aggregate form of
+    * TakeOrderedAndProject, for when a window would sort the world. */
+  def topk_agg(key: Column, score: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(TopKAgg(ex(key), ex(score), Literal(k)).toAggregateExpression())
+  }
+
   // ---- runtime-filter surface (semi-join reduction) ----
   /** Bloom filter built over `xxhash64(key)` values — the build side of an
     * explicit semi-join reduction (Spark's own InjectRuntimeFilter shape,
@@ -155,6 +164,7 @@ object functions {
     r1("st_convexhull", StConvexHull)
     r1("st_npoints", StNPoints)
     rn("st_union_agg", 1)(es => StUnionAgg(es.head))
+    rn("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))
     r2("simhash64", SimHash64)

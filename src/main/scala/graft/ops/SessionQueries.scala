@@ -349,8 +349,31 @@ object SessionQueries {
       .limit(k)
   }
 
+  /** Grouped top-k via the custom bounded-state aggregate
+    * ([[graft.exprs.TopKAgg]]): per event type, the 5 most active users.
+    * The window formulation ([[graft.ops.RelationalQueries.windowTopK]])
+    * shuffles and sorts the whole per-key relation; `topk_agg` carries at
+    * most 2k pairs of state per group through map-side partials, so the
+    * final exchange ships |groups|·k fixed-width pairs. posexplode
+    * unnests the result back to rank rows, which is also what makes the
+    * operator oracle-mirrorable (row_number window in DuckDB). */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.topk_agg
+    val counts = events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("event_type"))
+      .agg(topk_agg(col("user_id"), col("cnt"), 5).as("topk"))
+      .select(col("event_type"), posexplode(col("topk")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.key").as("user_id"), col("col.score").as("cnt"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
     "q_mad_outliers" -> (madOutliers _),
     "q_cooccurrence" -> (cooccurrence _),
@@ -366,6 +389,18 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_agg" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT event_type, rank, user_id, cnt FROM r
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "q_path_mining" ->
       """WITH seq AS (
         |  SELECT event_type,
