@@ -371,8 +371,42 @@ object SessionQueries {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Typed multi-input per-key merge via `KeyValueGroupedDataset.cogroup`
+    * — the Dataset escape hatch for per-key logic over TWO relations at
+    * once that SQL can't express (custom reconciliation, ordered merges,
+    * per-key state machines over both sides). The profile computed here
+    * IS SQL-expressible on purpose — that's what makes it
+    * oracle-mirrorable (two grouped aggregates full-outer-joined); the
+    * operator surface under test is the typed cogroup itself. Scale
+    * shape: both sides shuffle once on the key (same cost as the join
+    * formulation) and each key's two iterators stream — per-key memory is
+    * O(1) here because the merge folds; nothing materializes a group.
+    * FP→integer quantization happens in SQL expressions BEFORE the typed
+    * boundary, so both engines share the exact arithmetic. */
+  def cogroupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("k"),
+        expr("CAST(floor(coalesce(value, 0) * 1000000 + 0.5) AS BIGINT)").as("v"))
+      .as[(Long, Long)]
+    val cust = Tables.customer(spark, dir)
+      .select(pmod(col("c_custkey"), lit(150L)).as("k"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1).cogroup(cust.groupByKey(_._1)) { (k, evs, cs) =>
+      var ne = 0L; var sv = 0L
+      evs.foreach { e => ne += 1; sv += e._2 }
+      var nc = 0L; var sb = 0L
+      cs.foreach { c => nc += 1; sb += c._2 }
+      Iterator((k, ne, sv, nc, sb))
+    }.toDF("user_id", "n_events", "sum_value_micros", "n_customers", "sum_acctbal_cents")
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
     "q_mad_outliers" -> (madOutliers _),
@@ -389,6 +423,24 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cogroup" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, count(*) AS n_events,
+        |         CAST(sum(CAST(floor(coalesce(value, 0) * 1000000 + 0.5)
+        |           AS BIGINT)) AS BIGINT) AS sum_value_micros
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |c AS (
+        |  SELECT c_custkey % 150 AS k, count(*) AS n_customers,
+        |         CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS sum_acctbal_cents
+        |  FROM customer GROUP BY c_custkey % 150)
+        |SELECT coalesce(e.k, c.k) AS user_id,
+        |       coalesce(e.n_events, 0) AS n_events,
+        |       coalesce(e.sum_value_micros, 0) AS sum_value_micros,
+        |       coalesce(c.n_customers, 0) AS n_customers,
+        |       coalesce(c.sum_acctbal_cents, 0) AS sum_acctbal_cents
+        |FROM e FULL OUTER JOIN c ON e.k = c.k
+        |ORDER BY user_id""".stripMargin,
     "q_topk_agg" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events
