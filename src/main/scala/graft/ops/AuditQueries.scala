@@ -74,9 +74,50 @@ object AuditQueries {
       .orderBy(col("rule"))
   }
 
+  /** Referential-integrity audit across the star schema, both directions:
+    * forward (fact keys that miss their dimension — orphans, a broken
+    * ingest) and reverse (dimension rows no fact references — dead
+    * entries, a stale dimension load). One row per declared relationship
+    * with the checked row count and the violation count.
+    *
+    * Scale shape: each check is `fact LEFT JOIN (SELECT DISTINCT key FROM
+    * other)` + one conditional count — a hash equi join on the key (the
+    * distinct key set broadcasts when the dimension is small; at 100 TB
+    * fact-vs-fact checks shuffle both sides on the key, the scalable
+    * form). The union glues seven ~1-row aggregates — no data-side union
+    * of the facts themselves. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val li = lineitem(spark, dir)
+    val cu = customer(spark, dir)
+    val pa = part(spark, dir)
+    val su = supplier(spark, dir)
+    def check(rule: String, fact: DataFrame, fk: String,
+              other: DataFrame, pk: String): DataFrame = {
+      val keys = other.select(col(pk)).distinct()
+      fact.join(keys, fact(fk) === keys(pk), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          coalesce(sum(when(keys(pk).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    }
+    Seq(
+      check("orders_custkey_orphan", o, "o_custkey", cu, "c_custkey"),
+      check("lineitem_orderkey_orphan", li, "l_orderkey", o, "o_orderkey"),
+      check("lineitem_partkey_orphan", li, "l_partkey", pa, "p_partkey"),
+      check("lineitem_suppkey_orphan", li, "l_suppkey", su, "s_suppkey"),
+      check("customer_no_orders", cu, "c_custkey", o, "o_custkey"),
+      check("part_unreferenced", pa, "p_partkey", li, "l_partkey"),
+      check("supplier_unreferenced", su, "s_suppkey", li, "l_suppkey"),
+    ).reduce(_ union _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("rule"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (profile _),
     "q_expectations" -> (expectations _),
+    "q_ref_integrity" -> (refIntegrity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +147,23 @@ object AuditQueries {
         |  ('custkey_present', CAST(v3 AS BIGINT)),
         |  ('price_below_cap', CAST(v4 AS BIGINT))) AS r(rule, n_violations)
         |ORDER BY r.rule""".stripMargin,
+    "q_ref_integrity" -> {
+      val checks = Seq(
+        ("orders_custkey_orphan", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_orderkey_orphan", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_partkey_orphan", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_suppkey_orphan", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer_no_orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("part_unreferenced", "part", "p_partkey", "lineitem", "l_partkey"),
+        ("supplier_unreferenced", "supplier", "s_suppkey", "lineitem", "l_suppkey"))
+      val branches = checks.map { case (rule, fact, fk, other, pk) =>
+        s"""SELECT '$rule' AS rule, count(*) AS n_checked,
+           |  CAST(count(*) FILTER (WHERE k.$pk IS NULL) AS BIGINT) AS n_violations,
+           |  count(*) FILTER (WHERE k.$pk IS NULL) = 0 AS pass
+           |FROM $fact f LEFT JOIN (SELECT DISTINCT $pk FROM $other) k
+           |  ON f.$fk = k.$pk""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    },
   )
 }

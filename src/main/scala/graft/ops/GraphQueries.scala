@@ -99,12 +99,59 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** K-hop neighborhood size (k=2): per node, how many distinct nodes a
+    * directed path of length 1 and of length 2 reaches — the local
+    * influence/expansion measure behind graph features (friend-of-friend
+    * counts, citation reach) and sampling fan-out estimation.
+    *
+    * Scale shape: `n_1hop` is one aggregate over the edge list. The 2-hop
+    * relation is edges self-joined on the middle node — a hash equi join
+    * whose output is Σ_mid indeg·outdeg rows, then a distinct on
+    * (src, dst2). That product term is the honest cost of EXACT distinct
+    * reach on any engine; at link-graph scale the standard mitigations
+    * compose here unchanged — cap hub mid-nodes (drop mids above a degree
+    * bound, as [[triangles]] does with orientation) or swap the distinct
+    * count for an HLL sketch merged over mids ([[RelationalQueries]]'s
+    * approx_count_distinct) when ±2% is acceptable. The bucket modulus
+    * keeps |V| fixed so both engines replay the same graph. */
+  def khopReach(spark: SparkSession, dir: String, buckets: Int = 300): DataFrame = {
+    val e = lineitem(spark, dir).select(
+        pmod(col("l_partkey"), lit(buckets.toLong)).as("src"),
+        pmod(col("l_suppkey"), lit(buckets.toLong)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val hop1 = e.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+    val two = e.select(col("src"), col("dst").as("mid"))
+      .join(e.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .filter(col("dst2") =!= col("src"))
+      .select(col("src"), col("dst2")).distinct()
+    val hop2 = two.groupBy(col("src")).agg(count(lit(1)).as("n_2hop"))
+    hop1.join(hop2, Seq("src"), "left")
+      .select(col("src").as("node"), col("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
+    "q_khop" -> ((s, d) => khopReach(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_khop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |  FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300),
+        |h1 AS (SELECT src, count(*) AS n_1hop FROM e GROUP BY src),
+        |e2 AS (
+        |  SELECT DISTINCT a.src, b.dst AS dst2
+        |  FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src),
+        |h2 AS (SELECT src, count(*) AS n_2hop FROM e2 GROUP BY src)
+        |SELECT h1.src AS node, h1.n_1hop,
+        |       CAST(coalesce(h2.n_2hop, 0) AS BIGINT) AS n_2hop
+        |FROM h1 LEFT JOIN h2 ON h1.src = h2.src
+        |ORDER BY node""".stripMargin,
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT l_partkey % 300 AS x, l_suppkey % 300 AS y FROM lineitem

@@ -404,8 +404,40 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Volume-burst detection: per (event_type, day), today's event count
+    * against the trailing-7-day sum — the monitoring primitive behind
+    * traffic-anomaly and data-freshness alerts. A day spikes when its
+    * count exceeds 1.2× the trailing daily average; the comparison is the
+    * integer cross-multiplication `35·n > 6·trail7` (n > (6/35)·trail7 ⇔
+    * n > 1.2·trail7/7), so no division or float ever enters and both
+    * engines decide boundaries identically. `n_trail_days` reports how
+    * much history backs the flag (early days have a partial window).
+    *
+    * Scale shape: one aggregate to the (type, day) matrix — map-side
+    * partials collapse the raw stream, so the window input is |types|·|days|
+    * rows, NOT |events| — then a RANGE frame over day numbers inside each
+    * type. The window partitions by event_type; its input is already tiny,
+    * and at 100 TB nothing but the daily matrix ever shuffles twice. */
+  def spikeDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts DIV 86400000000000L"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("trail7", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("n_trail_days", count(col("n")).over(trail))
+      .withColumn("is_spike",
+        col("n_trail_days") === 7L && col("n") * 35L > col("trail7") * 6L)
+      .select(col("event_type"), col("day"), col("n"), col("trail7"),
+        col("n_trail_days"), col("is_spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
+    "q_spike_days" -> (spikeDays _),
     "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
@@ -423,6 +455,21 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_spike_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS trail7,
+        |    count(n) OVER tw AS n_trail_days
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, trail7, n_trail_days,
+        |       n_trail_days = 7 AND n * 35 > trail7 * 6 AS is_spike
+        |FROM w ORDER BY event_type, day""".stripMargin,
     "q_cogroup" ->
       """WITH e AS (
         |  SELECT user_id AS k, count(*) AS n_events,

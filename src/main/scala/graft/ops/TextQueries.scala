@@ -430,6 +430,36 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-source document cap — "at most N documents from any one domain",
+    * the anti-over-representation gate every web-corpus recipe applies
+    * (a single giant domain must not dominate the training mix). Selection
+    * is deterministic: the per-source rank orders by the shared RNG-free
+    * multiplicative doc_id hash (ppm resolution, [[trainSplit]]'s kernel),
+    * so the kept set is reproducible run over run and shards by hash, not
+    * by arrival order.
+    *
+    * Scale shape: the salted two-phase top-k ([[RelationalQueries
+    * .windowTopK]]'s pattern) — a local rank inside (source, salt) cuts
+    * every 100 TB-scale source down to 32·cap candidate rows BEFORE the
+    * per-source shuffle, so a mega-domain with 10^9 documents never
+    * serializes one window partition; the global rank then runs on
+    * ≤ 32·cap rows per source. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000L)))
+    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(32L)))
+      .orderBy(col("h"), col("doc_id"))
+    val global = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= cap)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -958,6 +988,7 @@ object TextQueries {
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_lm_bigram_score" -> ((s, d) => lmBigramScore(s, d)),
     "q_source_mix" -> ((s, d) => sourceMix(s, d)),
+    "q_domain_cap" -> ((s, d) => domainCap(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -988,6 +1019,18 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ((doc_id % 1000000007) * 2654435761) % 1000000 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |              AS INTEGER) AS rk
+        |  FROM h)
+        |SELECT source, rk, doc_id, n_chars FROM r
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "q_corpus_drift" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -33,6 +33,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracleSql keys without queries: $unknown")
   }
 
+  test("domain cap: at most 10 docs per source; salted two-phase equals the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = TextQueries.domainCap(spark, dir).collect()
+    val perSource = got.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= 10))
+    // reference: single global window, no salting — same kept set
+    val plain = Tables.documents(spark, dir)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .collect()
+    assert(got.map(_.toSeq).toSet == plain.map(_.toSeq).toSet)
+  }
+
   test("flagship closed-form area: every group area is a multiple of 160000 m^2") {
     val bad = Pipelines.flagship(spark, dir, to5880 = false)
       .filter(org.apache.spark.sql.functions.expr("area % 160000.0 != 0"))
