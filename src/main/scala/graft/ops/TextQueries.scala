@@ -460,6 +460,107 @@ object TextQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Corpus-internal duplicated-span measurement: per document, how many
+    * of its distinct token trigrams occur in at least one OTHER document —
+    * the span-level duplication profile (the signal behind substring-level
+    * train-set dedup, which removes repeated boilerplate that
+    * document-level dedup can't see). `dup_ppm` is the duplicated fraction
+    * at ppm resolution in integer arithmetic.
+    *
+    * Scale shape: trigram build is the one-walk zip_with kernel (the
+    * indexed-lambda form is O(tokens²) — see [[lmBigramScore]]); only
+    * (doc_id, trigram) pairs ever shuffle. Corpus doc-frequencies
+    * aggregate from the per-doc DISTINCT relation with map-side partials,
+    * and the join back is a hash equi join on the trigram — both sides
+    * partition by the same key, no all-pairs anything. At 100 TB the
+    * trigram strings would hash to 8-byte keys first (as [[dedupExact]]
+    * hashes text); kept as strings here so the oracle shares the exact
+    * key. */
+  def spanDup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Par.fanOut(documents(spark, dir))
+      .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
+        "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
+        "slice(l, 3, greatest(size(l) - 2, 0)), " +
+        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz))")))
+        .as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs_with"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("n_docs_with") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact set-similarity join via PREFIX FILTERING (the AllPairs/PPJoin
+    * family): every document pair whose token-TRIGRAM-set Jaccard is
+    * >= 0.7. Where banded MinHash is probabilistic (it can miss a true
+    * pair), prefix filtering is LOSSLESS: order the universe
+    * rarest-gram-first, keep each document's (|S| - ceil(t·|S|) + 1)-
+    * prefix, and any pair with J >= t provably shares a prefix gram — so
+    * candidates = docs sharing a prefix gram, and the exact verify loses
+    * nothing.
+    *
+    * The set element is the token trigram, not the char shingle, by
+    * design: prefix filtering's candidate bound is Σ_gram (docs whose
+    * PREFIX holds that gram)², which is small exactly when the element
+    * universe is large relative to the corpus (trigram dfs are near 1).
+    * A tiny shared universe (char 5-grams here: ~2k distinct) defeats
+    * every lossless blocking scheme — measured 4.7M candidates of 12.5M
+    * possible pairs at sf0.1 — and is the regime MinHash exists for; the
+    * two operators cover the two regimes.
+    *
+    * Scale shape: doc-frequency ranking is one aggregate over exploded
+    * (doc, gram) pairs; the per-doc prefix selection window partitions
+    * by doc_id (bounded by grams-per-doc, never by corpus size).
+    * Candidate generation joins prefixes on the gram; the size filter
+    * `least >= ceil(t·greatest)` prunes length-incompatible pairs before
+    * the verify. Verification joins the gram arrays back by id — hash
+    * joins all the way down, no cartesian anywhere. */
+  def setsimJoin(spark: SparkSession, dir: String,
+                 threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = Par.fanOut(documents(spark, dir))
+      .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
+        "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
+        "slice(l, 3, greatest(size(l) - 2, 0)), " +
+        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz))"))
+        .as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val freq = sets.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefixes = sets
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("s"), col("doc_id"), col("sz"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"), Seq("s"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.sz"), col("b.sz")) >=
+        ceil(greatest(col("a.sz"), col("b.sz")) * threshold))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("sz").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("sz").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -989,6 +1090,8 @@ object TextQueries {
     "q_lm_bigram_score" -> ((s, d) => lmBigramScore(s, d)),
     "q_source_mix" -> ((s, d) => sourceMix(s, d)),
     "q_domain_cap" -> ((s, d) => domainCap(s, d)),
+    "q_span_dup" -> (spanDup _),
+    "q_setsim_join" -> ((s, d) => setsimJoin(s, d)),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -1223,6 +1326,49 @@ object TextQueries {
       (pairsCteSql + "\n" +
         """SELECT a_id, b_id, jaccard FROM pairs
           |ORDER BY a_id, b_id""".stripMargin),
+    // Prefix filtering is lossless, so the oracle is the exact
+    // brute-forced >= 0.7 token-trigram relation (hashed grams — Jaccard
+    // over distinct sets is hash-invariant; same trick as pairsCteSql),
+    // with the identical size-ratio prefilter and ROUND(j,4) boundary law.
+    "q_setsim_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(l) - 2, 0)),
+        |    i -> hash(l[CAST(i + 1 AS INT)] || ' ' || l[CAST(i + 2 AS INT)]
+        |              || ' ' || l[CAST(i + 3 AS INT)]))) AS sh
+        |  FROM t WHERE len(l) >= 3),
+        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |         len(list_intersect(a.sh, b.sh)) AS inter
+        |  FROM s a JOIN s b ON b.doc_id > a.doc_id
+        |    AND least(a.n, b.n) >= CAST(ceil(0.7 * greatest(a.n, b.n)) AS BIGINT))
+        |SELECT a_id, b_id,
+        |       ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4)
+        |         AS jaccard
+        |FROM p
+        |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_span_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(l) - 2, 0)),
+        |    i -> l[CAST(i + 1 AS INT)] || ' ' || l[CAST(i + 2 AS INT)]
+        |         || ' ' || l[CAST(i + 3 AS INT)]))) AS g
+        |  FROM toks),
+        |df AS (SELECT g, count(*) AS n_docs_with FROM grams GROUP BY g)
+        |SELECT grams.doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE df.n_docs_with >= 2) AS n_dup,
+        |  (1000000 * count(*) FILTER (WHERE df.n_docs_with >= 2)) // count(*)
+        |    AS dup_ppm
+        |FROM grams JOIN df ON grams.g = df.g
+        |GROUP BY grams.doc_id ORDER BY grams.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -14,7 +14,8 @@ class QueriesSpec extends AnyFunSuite {
 
   // near-dup searches may legitimately find nothing at tiny scale
   private val mayBeEmpty =
-    Set("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding", "q_dedup_clusters")
+    Set("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding", "q_dedup_clusters",
+      "q_setsim_join")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
