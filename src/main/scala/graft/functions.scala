@@ -79,6 +79,17 @@ object functions {
     col(TopKAgg(ex(key), ex(score), Literal(k)).toAggregateExpression())
   }
 
+  /** Count-min sketch over a STRING key stream: 4×256 Long cells, fixed
+    * 8 KiB state through map-side partials (see [[graft.exprs.CmsKernel]]).
+    * Probe with [[cms_estimate]]; estimates only ever over-count. */
+  def cms_agg(key: Column): Column =
+    col(CmsAgg(ex(key)).toAggregateExpression())
+
+  /** Point frequency estimate from a [[cms_agg]] sketch: min over rows of
+    * the key's cell. Pure projection — pair with a scalar-subquery sketch. */
+  def cms_estimate(sketch: Column, key: Column): Column =
+    col(CmsEstimate(ex(sketch), ex(key)))
+
   // ---- runtime-filter surface (semi-join reduction) ----
   /** Bloom filter built over `xxhash64(key)` values — the build side of an
     * explicit semi-join reduction (Spark's own InjectRuntimeFilter shape,
@@ -165,6 +176,8 @@ object functions {
     r1("st_npoints", StNPoints)
     rn("st_union_agg", 1)(es => StUnionAgg(es.head))
     rn("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
+    rn("cms_agg", 1)(es => CmsAgg(es.head))
+    rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))
     r2("simhash64", SimHash64)

@@ -435,9 +435,36 @@ object SessionQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Count-min sketch frequency estimation: build one CMS over the
+    * event_type stream ([[graft.functions.cms_agg]] — fixed 8 KiB state
+    * through map-side partials), then probe every distinct type and put
+    * the estimate next to the exact count. CMS guarantees cms_n >=
+    * exact_n; with 5 keys in 4×256 cells the estimates are exact unless a
+    * key collides in ALL four rows (probability ~(5/256)^4).
+    *
+    * Scale shape: this is the sketch whose point is 100 TB — the build
+    * aggregates to ONE 1024-cell array with elementwise-add merges (vs the
+    * exact groupBy's |keys|-sized shuffle), and the sketch reaches the
+    * probe projection as a scalar subquery (one extra stage, shipped like
+    * a broadcast variable; a 1-row join would plan BNLJ, which the plan
+    * guardrails ban). The exact side here exists only as the oracle's
+    * measuring stick. The hash family is integer-replayable in SQL — the
+    * oracle recomputes every cell from the exact counts and takes the same
+    * min, so the sketch arithmetic itself is value-checked, not just
+    * bounded. */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val sk = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      ev.agg(graft.functions.cms_agg(col("event_type")).as("sk")))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("cms_n", graft.functions.cms_estimate(sk, col("event_type")))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
+    "q_cms_frequency" -> (cmsFrequency _),
     "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
@@ -455,6 +482,39 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full kernel replay: FNV-1a over UTF-16 bytes in HUGEINT (the
+    // simhash-oracle device), then per sketch row j: bucket = top byte of
+    // (h + j·golden)·fnv_prime mod 2^64; every cell is the sum of exact
+    // counts of the keys landing in it, and the estimate is the min over
+    // rows — bit-identical to CmsKernel by construction.
+    "q_cms_frequency" ->
+      """WITH keys AS (
+        |  SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT event_type, exact_n,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        flatten(list_transform(range(CAST(length(event_type) AS BIGINT)),
+        |          k -> [ascii(substr(event_type, CAST(k+1 AS INT), 1)) % 256,
+        |                ascii(substr(event_type, CAST(k+1 AS INT), 1)) // 256]))),
+        |      (h, c) -> ((h - h % 256 +
+        |                  CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM keys),
+        |b AS (
+        |  SELECT event_type, exact_n, j.j,
+        |    ((((h + j.j * 11400714819323198485::HUGEINT)
+        |        % 18446744073709551616::HUGEINT)
+        |       * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |      // 72057594037927936::HUGEINT AS bucket
+        |  FROM h, (SELECT unnest(range(4)) AS j) j),
+        |cell AS (SELECT j, bucket, sum(exact_n) AS c FROM b GROUP BY 1, 2),
+        |est AS (
+        |  SELECT b.event_type, b.exact_n, min(cell.c) AS cms_n
+        |  FROM b JOIN cell ON b.j = cell.j AND b.bucket = cell.bucket
+        |  GROUP BY 1, 2)
+        |SELECT event_type, exact_n, CAST(cms_n AS BIGINT) AS cms_n
+        |FROM est ORDER BY event_type""".stripMargin,
     "q_spike_days" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
