@@ -461,10 +461,39 @@ object SessionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Recency-weighted (exponentially decayed) event counts per type:
+    * each event contributes 2^(-age_days) relative to the newest day in
+    * the corpus — the freshness-weighting primitive behind trending
+    * topics, decayed feature counts, and recency-biased sampling.
+    *
+    * Determinism without integers, by construction: every term is a
+    * DYADIC rational 2^-k with k in [0, 30] (ages are whole days, bounded
+    * by the corpus span), so each term is exact in an IEEE double and
+    * every partial sum stays exact — the full sum needs < 44 mantissa
+    * bits (2^13 span above, 2^-30 lsb below) against the 53 available.
+    * Aggregation order therefore CANNOT change the value; both engines
+    * produce bit-identical doubles with no decimal casts and no
+    * quantization. (Contrast with the decimal-cast discipline float SUMs
+    * need elsewhere — this operator chooses weights whose arithmetic is
+    * closed under summation.)
+    *
+    * Scale shape: the newest day enters as a scalar subquery; the rest is
+    * one map-side-partial aggregate over a per-row projection. */
+  def decayCount(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("day", expr("ts DIV 86400000000000L"))
+    val maxDay = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      ev.agg(max(col("day"))))
+    ev.withColumn("w", pow(lit(2.0), (col("day") - maxDay).cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("decayed_n"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
+    "q_decay_count" -> (decayCount _),
     "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
@@ -482,6 +511,14 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decay_count" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |m AS (SELECT max(day) AS md FROM d)
+        |SELECT event_type, count(*) AS n,
+        |       sum(power(2.0, CAST(day - (SELECT md FROM m) AS DOUBLE)))
+        |         AS decayed_n
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Full kernel replay: FNV-1a over UTF-16 bytes in HUGEINT (the
     // simhash-oracle device), then per sketch row j: bucket = top byte of
     // (h + j·golden)·fnv_prime mod 2^64; every cell is the sum of exact

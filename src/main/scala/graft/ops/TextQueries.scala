@@ -561,6 +561,76 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Per-source token-distribution diversity as GINI IMPURITY (1 − Σp²)
+    * in ppm — the degenerate-source detector (a crawler stuck on one
+    * boilerplate page collapses toward 0; a healthy natural-language mix
+    * sits high). Gini is chosen over Shannon entropy deliberately: it
+    * ranks distributions the same way for this purpose but is pure
+    * integer cross-multiplication — `(10^6·(N² − Σn²)) DIV N²` — where
+    * entropy's log would hang engine-identical floats on libm rounding.
+    *
+    * Scale shape: one token explode → (source, term) counts with map-side
+    * partials → per-source second-moment aggregate. N² here is BIGINT-safe
+    * through ~3·10^6 tokens per source; the 100 TB form swaps the ppm
+    * projection to DECIMAL(38,0) — same expression, wider lanes. */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Par.fanOut(documents(spark, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("n")).as("sq"))
+      .withColumn("gini_ppm",
+        expr("(1000000 * (n_tokens * n_tokens - sq)) DIV (n_tokens * n_tokens)"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"), col("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** BM25 relevance scoring of every document against a fixed probe term
+    * set (k1=1.2, b=0.75) — the retrieval-grade ranking primitive behind
+    * corpus search and RAG candidate generation, as one declarative plan.
+    *
+    * Float discipline: idf's ln() is unavoidable in canonical BM25, so
+    * every input reaching it is EXACT (integer-valued doubles ± 0.5), the
+    * remaining ops are single correctly-rounded IEEE divisions, and the
+    * emitted score is ROUND(·,4) — the same boundary law the Jaccard
+    * oracles use, leaving at most 1-ulp libm slack against four decimal
+    * digits. Term-at-a-time arithmetic sums per-term DOUBLEs per doc; the
+    * per-doc term count is ≤ |probe set|, so summation-order drift cannot
+    * accumulate (5 exact-input terms).
+    *
+    * Scale shape: tf explodes tokens but filters to the probe set BEFORE
+    * aggregation (the explode's output is |matches|, not |tokens|); df and
+    * corpus stats enter as scalar subqueries / a broadcast-sized term dim;
+    * scoring is one hash join of per-doc tfs with the 5-row term relation
+    * + a per-doc aggregate. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val probes = Seq("spark", "join", "merge", "window", "data")
+    val docs = Par.fanOut(documents(spark, dir))
+      .withColumn("dl", size(expr("filter(split(text, ' '), x -> x != '')")))
+    val toks = docs
+      .select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(probes: _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = scalarSubquery(docs.agg(count(lit(1))))
+    val sumDl = scalarSubquery(docs.agg(sum(col("dl"))))
+    val avgdl = sumDl.cast("double") / nDocs.cast("double")
+    tf.join(broadcast(dfreq), "t")
+      .withColumn("idf", log(lit(1.0) +
+        (nDocs.cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), round(sum(col("part")), 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -1092,6 +1162,8 @@ object TextQueries {
     "q_domain_cap" -> ((s, d) => domainCap(s, d)),
     "q_span_dup" -> (spanDup _),
     "q_setsim_join" -> ((s, d) => setsimJoin(s, d)),
+    "q_token_diversity" -> (tokenDiversity _),
+    "q_bm25" -> (bm25 _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -1122,6 +1194,43 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_token_diversity" ->
+      """WITH c AS (
+        |  SELECT source, t, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t != '' GROUP BY source, t),
+        |agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct, CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, n_tokens, n_distinct,
+        |  CAST((1000000 * (n_tokens * n_tokens - sq))
+        |       // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x != '')) AS dl,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM d),
+        |tok AS (
+        |  SELECT doc_id, dl, unnest(toks) AS t FROM d),
+        |hit AS (
+        |  SELECT doc_id, dl, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'join', 'merge', 'window', 'data')
+        |  GROUP BY doc_id, dl, t),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM hit GROUP BY t),
+        |scored AS (
+        |  SELECT h.doc_id,
+        |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - f.df + 0.5)
+        |             / (f.df + 0.5))
+        |    * (h.tf * 2.2)
+        |    / (h.tf + 1.2 * (0.25 + 0.75 * h.dl /
+        |        (CAST((SELECT sdl FROM stats) AS DOUBLE)
+        |         / CAST((SELECT n FROM stats) AS DOUBLE)))) AS part
+        |  FROM hit h JOIN dfreq f ON h.t = f.t)
+        |SELECT doc_id, count(*) AS n_terms_hit, round(sum(part), 4) AS bm25
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_domain_cap" ->
       """WITH h AS (
         |  SELECT doc_id, source, n_chars,
