@@ -374,6 +374,47 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate-percentile CONTRACT audit: Spark's `percentile_approx`
+    * (Greenwald-Khanna) against its own rank-error guarantee, emitted as
+    * booleans. The sketch VALUE is not oracle-replayable — GK merge is
+    * order-sensitive, so the value may legally differ between runs — but
+    * the CONTRACT is invariant: the returned quantile's rank must land in
+    * [(p−ε)·n, (p+ε)·n]. The query measures each approx value's true rank
+    * with one exact counting pass and emits (p, n, rank bounds, holds);
+    * the oracle replays n and the bounds (pure arithmetic) and pins
+    * `holds` to true. Same device as q_ann_recall: when the artifact is
+    * legitimately nondeterministic, gate the guarantee, not the bits.
+    * ε is 4/accuracy — the documented bound is 1/accuracy per sketch,
+    * degraded by partial merges; 4× covers the merge ensemble.
+    *
+    * Scale shape: the sketch aggregate ships fixed-size GK summaries
+    * through map-side partials (the point of the sketch at 100 TB); the
+    * rank check is one conditional-count pass with the approx values
+    * arriving as a scalar subquery. */
+  def approxPercentileAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val accuracy = 1000
+    val v = lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val ap = scalarSubquery(v.agg(percentile_approx(col("x"),
+      array(ps.map(lit): _*), lit(accuracy))))
+    val rankAggs = ps.indices.map { i =>
+      sum(when(col("x") <= element_at(ap, i + 1), 1L).otherwise(0L)).as(s"r$i")
+    }
+    val one = v.agg(count(lit(1)).as("n"), rankAggs: _*)
+    val stackExpr = ps.indices
+      .map(i => s"'p${(ps(i) * 100).toInt}', ${ps(i)}D, r$i")
+      .mkString(s"stack(${ps.size}, ", ", ", ")")
+    one.select(col("n"), expr(s"$stackExpr AS (p_label, p, r)"))
+      .withColumn("lo_rank",
+        floor((col("p") - lit(4.0 / accuracy)) * col("n")).cast("long"))
+      .withColumn("hi_rank",
+        ceil((col("p") + lit(4.0 / accuracy)) * col("n")).cast("long"))
+      .select(col("p_label"), col("n"), col("lo_rank"), col("hi_rank"),
+        (col("r") >= col("lo_rank") && col("r") <= col("hi_rank")).as("holds"))
+      .orderBy(col("p_label"))
+  }
+
   /** Pivot: grouped aggregation spread across fixed pivot-column values
     * (§2.4 family; explicit value list keeps the plan single-pass — no
     * distinct-values pre-query). */
@@ -611,6 +652,7 @@ object RelationalQueries {
     "q_range_join" -> (rangeJoin _),
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
+    "q_approx_pct_audit" -> (approxPercentileAudit _),
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
@@ -623,6 +665,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The contract mirror: n and the rank bounds are pure arithmetic; the
+    // sketch's guarantee pins `holds` to true (see approxPercentileAudit).
+    "q_approx_pct_audit" -> {
+      val rows = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      val branches = rows.map { case (p, label) =>
+        s"""SELECT '$label' AS p_label, count(*) AS n,
+           |  CAST(floor(($p - 0.004) * count(*)) AS BIGINT) AS lo_rank,
+           |  CAST(ceil(($p + 0.004) * count(*)) AS BIGINT) AS hi_rank,
+           |  true AS holds
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY p_label")
+    },
     "q_skew_join" ->
       """WITH dim AS (
         |  SELECT DISTINCT event_type,

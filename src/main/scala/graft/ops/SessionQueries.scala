@@ -489,11 +489,67 @@ object SessionQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Rolling 7-day active users (WAU) per day — THE engagement metric, as
+    * an exact distinct count over a sliding window. Sliding exact distinct
+    * can't reuse a running aggregate (distinct doesn't subtract), so the
+    * scalable form is contribution explode: each distinct (user, day)
+    * pair fans out to the ≤7 window-end days it supports, then one
+    * distinct + count per day. Work is 7·|distinct (user,day)| narrow
+    * rows — linear in activity, independent of events-per-user skew
+    * (the per-user dedup collapses hot users FIRST).
+    *
+    * Days come from the corpus's own [min_day+6, max_day] closed range so
+    * every emitted day has a full window (the grid-fill operator handles
+    * empty days; here absent days mean zero actives and are absent in
+    * both engines). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(expr("ts DIV 86400000000000L").as("day"), col("user_id"))
+      .distinct()
+    val contrib = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6L)")).as("d"))
+      .distinct()
+    val bounds = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      ud.agg(max(col("day"))))
+    val lo = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      ud.agg(min(col("day")) + lit(6L)))
+    contrib.filter(col("d") <= bounds && col("d") >= lo)
+      .groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** Dense calendar scaffold: the complete (day × event_type) grid over
+    * the corpus span with explicit zero counts — the gap-exposing fill
+    * every monitoring/reporting layer needs (a day with NO events is the
+    * most important day on the chart, and a plain groupBy can never emit
+    * it). The grid builds from a sequence-explode over the scalar span ×
+    * the distinct type dim — |days|·|types| rows from a one-row source,
+    * NO cartesian/BNLJ node — then the daily counts LEFT-join in and
+    * coalesce to zero.
+    *
+    * Scale: the grid is dimension-sized (days × types), the fact side
+    * aggregates before joining; at 100 TB the join is grid-broadcast. */
+  def gridFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("day", expr("ts DIV 86400000000000L"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val lo = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(ev.agg(min(col("day"))))
+    val hi = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(ev.agg(max(col("day"))))
+    val gridDf = ev.select(col("event_type")).distinct()
+      .withColumn("day", explode(sequence(lo, hi)))
+    gridDf.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
     "q_decay_count" -> (decayCount _),
+    "q_active_users" -> (activeUsers _),
+    "q_grid_fill" -> (gridFill _),
     "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
@@ -511,6 +567,31 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) + 6 AS lo, max(day) AS hi FROM ud),
+        |c AS (
+        |  SELECT DISTINCT user_id, day + o.o AS d
+        |  FROM ud, (SELECT unnest(range(7)) AS o) o)
+        |SELECT d AS day, count(*) AS wau FROM c
+        |WHERE d BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+        |GROUP BY d ORDER BY day""".stripMargin,
+    "q_grid_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |daily AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |grid AS (
+        |  SELECT t.event_type, (SELECT lo FROM span) + g.g AS day
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |       (SELECT unnest(range((SELECT hi - lo + 1 FROM span))) AS g) g)
+        |SELECT grid.event_type, grid.day,
+        |       CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+        |FROM grid LEFT JOIN daily
+        |  ON grid.event_type = daily.event_type AND grid.day = daily.day
+        |ORDER BY grid.event_type, grid.day""".stripMargin,
     "q_decay_count" ->
       """WITH d AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day FROM events),
