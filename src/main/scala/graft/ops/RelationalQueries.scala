@@ -415,6 +415,66 @@ object RelationalQueries {
       .orderBy(col("p_label"))
   }
 
+  /** Pareto-frontier (skyline) selection per group: the lineitems no other
+    * lineitem dominates on (price ↓, quantity ↑) — the data-curation
+    * frontier shape ("cheapest document at every quality level"). The 2-D
+    * skyline needs no pairwise dominance join: sorted by (price asc, qty
+    * desc), a point is on the frontier iff its quantity strictly exceeds
+    * the running max over all STRICTLY PRECEDING rows — one window pass.
+    * Equal-price-higher-qty and cheaper-equal-qty dominators both land in
+    * the preceding frame, so the test is exactly the dominance rule;
+    * exact integer cents/centi-units keep the order engine-identical.
+    *
+    * Scale shape: distinct first (collapses duplicates before the sort),
+    * then ONE range-partitioned sort per group — the window's running max
+    * is the textbook distributed-skyline split (per-range local frontier
+    * + prefix max across ranges, which is what Spark's window exec over a
+    * range shuffle computes). No self-join, no |n|² dominance checks. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_cents"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("qty_c"))
+      .distinct()
+    val prev = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents"), col("qty_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_prev", max(col("qty_c")).over(prev))
+      .filter(col("best_prev").isNull || col("qty_c") > col("best_prev"))
+      .select(col("l_returnflag"), col("price_cents"), col("qty_c"))
+      .orderBy(col("l_returnflag"), col("price_cents"))
+  }
+
+  /** Chi-square 2×2 independence test (the A/B-test significance gate) in
+    * EXACT integer arithmetic: treatment = user bucket parity, outcome =
+    * purchase event. χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) compared to
+    * the 3.841 critical value (α=0.05, df=1) by cross-multiplication —
+    * `1000·N·(ad−bc)² > 3841·denom` — through DECIMAL(38,0) lanes, so no
+    * division or float touches the decision and both engines agree on the
+    * boundary exactly.
+    *
+    * Scale shape: ONE conditional-aggregate pass over events (map-side
+    * partials) to the 4 cells; the test itself is arithmetic on one row. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select((pmod(col("user_id"), lit(2L)) === 0L).as("treat"),
+        (col("event_type") === "purchase").as("hit"))
+      .agg(
+        sum(when(col("treat") && col("hit"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("treat") && !col("hit"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("treat") && col("hit"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("treat") && !col("hit"), 1L).otherwise(0L)).as("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"))
+      .withColumn("num",
+        expr("CAST(1000 AS DECIMAL(38,0)) * n * (a*d - b*c) * (a*d - b*c)"))
+      .withColumn("den",
+        expr("CAST(3841 AS DECIMAL(38,0)) * (a+b) * (c+d) * (a+c) * (b+d)"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        (col("num") > col("den")).as("significant"))
+  }
+
   /** Pivot: grouped aggregation spread across fixed pivot-column values
     * (§2.4 family; explicit value list keeps the plan single-pass — no
     * distinct-values pre-query). */
@@ -653,6 +713,8 @@ object RelationalQueries {
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
     "q_approx_pct_audit" -> (approxPercentileAudit _),
+    "q_skyline" -> (skyline _),
+    "q_chi_square" -> (chiSquare _),
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
@@ -678,6 +740,34 @@ object RelationalQueries {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY p_label")
     },
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag, price_cents, qty_c,
+        |    max(qty_c) OVER (PARTITION BY l_returnflag
+        |                     ORDER BY price_cents, qty_c DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_prev
+        |  FROM pts)
+        |SELECT l_returnflag, price_cents, qty_c FROM w
+        |WHERE best_prev IS NULL OR qty_c > best_prev
+        |ORDER BY l_returnflag, price_cents""".stripMargin,
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type = 'purchase') AS BIGINT) AS a,
+        |    CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND event_type != 'purchase') AS BIGINT) AS b,
+        |    CAST(count(*) FILTER (WHERE user_id % 2 != 0 AND event_type = 'purchase') AS BIGINT) AS c,
+        |    CAST(count(*) FILTER (WHERE user_id % 2 != 0 AND event_type != 'purchase') AS BIGINT) AS d
+        |  FROM events)
+        |SELECT a, b, c, d, a + b + c + d AS n,
+        |  1000::HUGEINT * (a + b + c + d) * (a*d - b*c) * (a*d - b*c)
+        |    > 3841::HUGEINT * (a+b) * (c+d) * (a+c) * (b+d) AS significant
+        |FROM cells""".stripMargin,
     "q_skew_join" ->
       """WITH dim AS (
         |  SELECT DISTINCT event_type,
