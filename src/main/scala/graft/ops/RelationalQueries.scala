@@ -475,6 +475,29 @@ object RelationalQueries {
         (col("num") > col("den")).as("significant"))
   }
 
+  /** Ordered group-concat export: per group, the member list serialized
+    * in a deterministic order (`collect_list` → `array_sort` →
+    * `concat_ws`) — the denormalized-export shape feeds, reports, and
+    * LLM-prompt assembly all need. Sort-then-serialize makes the string
+    * independent of aggregation order (collect_list alone is
+    * arrival-ordered and nondeterministic); duplicate elements are
+    * order-equal so ties can't split engines.
+    *
+    * Scale note: an ordered collect materializes the GROUP — use it on
+    * bounded groups (this one prefilters to a key range); unbounded
+    * groups pre-prune through [[graft.functions.topk_agg]] first, which
+    * is the same aggregate with a bound. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("l_orderkey"), col("l_linenumber")))),
+          x => concat(x.getField("l_orderkey").cast("string"), lit(":"),
+            x.getField("l_linenumber").cast("string")))).as("items"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot: grouped aggregation spread across fixed pivot-column values
     * (§2.4 family; explicit value list keeps the plan single-pass — no
     * distinct-values pre-query). */
@@ -715,6 +738,7 @@ object RelationalQueries {
     "q_approx_pct_audit" -> (approxPercentileAudit _),
     "q_skyline" -> (skyline _),
     "q_chi_square" -> (chiSquare _),
+    "q_string_agg" -> (stringAgg _),
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
@@ -740,6 +764,12 @@ object RelationalQueries {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY p_label")
     },
+    "q_string_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  string_agg(l_orderkey || ':' || l_linenumber, ','
+        |             ORDER BY l_orderkey, l_linenumber) AS items
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_skyline" ->
       """WITH pts AS (
         |  SELECT DISTINCT l_returnflag,

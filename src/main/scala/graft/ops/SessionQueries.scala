@@ -543,6 +543,44 @@ object SessionQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Point-in-time (PIT) join against the [[scd2]] versioned dimension:
+    * each probe (user, t) resolves to the state version whose
+    * `[valid_from, valid_to)` interval covers t — the feature-store
+    * lookup that makes training labels leakage-free ("what did we know
+    * about this user AT example time", never after). Probes here are the
+    * event stream shifted +30 min (state half an hour later); probes
+    * before a user's first interval legitimately resolve to no version
+    * and report version −1.
+    *
+    * Scale shape: ONE hash equi join on user_id — the interval predicate
+    * is a post-filter, and per-user interval counts are bounded by that
+    * user's own change history, so the join fanout is |probes| ·
+    * |covering intervals| = |probes| (intervals are disjoint by
+    * construction; at most one covers t). The SCD2 build itself reuses
+    * [[scd2]]'s one-shuffle plan. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2(spark, dir)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    val probes = events(spark, dir)
+      .select(col("user_id").as("p_user"),
+        (expr("ts DIV 1000000L") + lit(1800000L)).as("t"))
+    // the covering predicate lives IN the join condition (hash join on the
+    // equi key, interval test as the join filter): a probe no interval
+    // covers survives as a left-null row and reports version -1 — a
+    // post-join filter would silently drop it instead
+    probes.join(dim,
+        col("p_user") === dim("user_id") &&
+          dim("valid_from_ms") <= col("t") &&
+          (dim("valid_to_ms").isNull || col("t") < dim("valid_to_ms")),
+        "left")
+      .groupBy(col("p_user").as("user_id"),
+        coalesce(col("version"), lit(-1L)).as("version"),
+        coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_probes"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
@@ -550,6 +588,7 @@ object SessionQueries {
     "q_decay_count" -> (decayCount _),
     "q_active_users" -> (activeUsers _),
     "q_grid_fill" -> (gridFill _),
+    "q_pit_join" -> (pitJoin _),
     "q_cogroup" -> (cogroupProfile _),
     "q_topk_agg" -> (topkAgg _),
     "q_path_mining" -> ((s, d) => pathMining(s, d)),
@@ -567,6 +606,42 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pit_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tms,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |seg AS (
+        |  SELECT user_id, event_type, tms,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |         min(tms) AS valid_from_ms
+        |  FROM seg GROUP BY user_id, version),
+        |dim AS MATERIALIZED (
+        |  SELECT user_id, version, state, valid_from_ms,
+        |         lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version)
+        |           AS valid_to_ms
+        |  FROM iv),
+        |probes AS (
+        |  SELECT user_id AS p_user,
+        |         CAST(epoch_ns(ts) // 1000000 + 1800000 AS BIGINT) AS t
+        |  FROM events)
+        |SELECT p.p_user AS user_id,
+        |       CAST(coalesce(d.version, -1) AS BIGINT) AS version,
+        |       coalesce(d.state, 'none') AS state,
+        |       count(*) AS n_probes
+        |FROM probes p LEFT JOIN dim d
+        |  ON p.p_user = d.user_id AND d.valid_from_ms <= p.t
+        |     AND (d.valid_to_ms IS NULL OR p.t < d.valid_to_ms)
+        |GROUP BY 1, 2, 3 ORDER BY user_id, version""".stripMargin,
     "q_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
