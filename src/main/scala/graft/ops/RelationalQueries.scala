@@ -461,10 +461,12 @@ object RelationalQueries {
       .select((pmod(col("user_id"), lit(2L)) === 0L).as("treat"),
         (col("event_type") === "purchase").as("hit"))
       .agg(
-        sum(when(col("treat") && col("hit"), 1L).otherwise(0L)).as("a"),
-        sum(when(col("treat") && !col("hit"), 1L).otherwise(0L)).as("b"),
-        sum(when(!col("treat") && col("hit"), 1L).otherwise(0L)).as("c"),
-        sum(when(!col("treat") && !col("hit"), 1L).otherwise(0L)).as("d"))
+        // coalesce: an empty stream is 4 zero cells (sum over empty is
+        // NULL), matching the oracle's FILTER counts
+        coalesce(sum(when(col("treat") && col("hit"), 1L).otherwise(0L)), lit(0L)).as("a"),
+        coalesce(sum(when(col("treat") && !col("hit"), 1L).otherwise(0L)), lit(0L)).as("b"),
+        coalesce(sum(when(!col("treat") && col("hit"), 1L).otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(!col("treat") && !col("hit"), 1L).otherwise(0L)), lit(0L)).as("d"))
     cells.select(col("a"), col("b"), col("c"), col("d"),
         (col("a") + col("b") + col("c") + col("d")).as("n"))
       .withColumn("num",
