@@ -347,6 +347,39 @@ object SinkQueries {
     * both sides are materialized aggregates (dimension-sized); at fact
     * scale the join co-locates for free when versions are bucket-written
     * on the key. */
+  /** Incremental materialized-view maintenance (IVM): publish the
+    * aggregate over the BASE data, then maintain it with the DELTA alone —
+    * merge the stored partials with the delta's partials additively and
+    * publish v2 through the same unique-key-gated atomic-swap protocol.
+    * The law under test: incrementally-maintained == full recompute (the
+    * oracle IS the full recompute from source). count/sum are
+    * self-maintainable aggregates — the merge is a sum of partials, so
+    * correctness is merge associativity, the same law the streaming
+    * foreachBatch upsert leans on.
+    *
+    * Scale shape — the whole point of IVM at 100 TB: only the delta (here
+    * 1/10th of orders; in production, today's partition) ever aggregates
+    * from raw data. The stored view and the delta aggregate are both
+    * |keys|-sized; their merge is one dimension-scale shuffle, and the
+    * base's 9/10ths are never rescanned. */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    def agg(df: DataFrame) = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+    val base = o.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0L)
+    val delta = o.filter(pmod(col("o_orderkey"), lit(10L)) === 0L)
+    Materialize.publish(agg(base), OutBase, "ivm_cust", "v1", Seq("o_custkey"))
+    val stored = Materialize.version(spark, OutBase, "ivm_cust", "v1")
+      .select(col("o_custkey"), col("n_orders"), col("cents"))
+    val maintained = stored.unionByName(agg(delta))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+    Materialize.publish(maintained, OutBase, "ivm_cust", "v2", Seq("o_custkey"))
+    Materialize.version(spark, OutBase, "ivm_cust", "v2")
+      .orderBy(col("o_custkey"))
+  }
+
   def versionDiff(spark: SparkSession, dir: String): DataFrame = {
     versionRollback(spark, dir) // publishes v1 (half) and v2 (full)
     val v1 = Materialize.version(spark, OutBase, "prio_rollup", "v1")
@@ -421,6 +454,7 @@ object SinkQueries {
     "q_partition_prune" -> (partitionPrune _),
     "q_version_rollback" -> (versionRollback _),
     "q_version_diff" -> (versionDiff _),
+    "q_incremental_view" -> (incrementalView _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,6 +484,12 @@ object SinkQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The IVM law: delta-maintained view == full recompute from source.
+    "q_incremental_view" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_partition_prune" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
