@@ -70,6 +70,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))
     inject("hamming64", 2)(es => Hamming64(es.head, es(1)))
     inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
+    inject("cms_agg", 1)(es => CmsAgg(es.head))
+    inject("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),

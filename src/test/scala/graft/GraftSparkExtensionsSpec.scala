@@ -64,6 +64,17 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
           |  might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(50) t(x)),
           |                xxhash64(CAST(7 AS BIGINT))) AS hit""".stripMargin).head()
       assert(parity.getBoolean(0) && parity.getBoolean(1))
+      // a corpus pipeline in PURE SQL text: build the count-min sketch in
+      // a scalar subquery, probe it per key, check the one-sided contract
+      // against exact counts — no Column API anywhere
+      graft.ops.Tables.events(s, "/root/testdata/sf0.001")
+        .createOrReplaceTempView("ev_sql")
+      val cms = s.sql(
+        """SELECT event_type, count(*) AS n,
+          |  cms_estimate((SELECT cms_agg(event_type) FROM ev_sql), event_type) AS est
+          |FROM ev_sql GROUP BY event_type""".stripMargin).collect()
+      assert(cms.nonEmpty && cms.forall(r => r.getLong(2) >= r.getLong(1)))
+      s.catalog.dropTempView("ev_sql")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
