@@ -24,10 +24,18 @@ object VectorQueries {
   private val QueryVecId = 0L
   private val SignBits = 8
 
-  /** Driver-side 1-row read of the query vector. */
-  private def queryVector(spark: SparkSession, dir: String): Seq[Double] =
+  /** Driver-side 1-row read of the query vector; None when the corpus has
+    * no query row (e.g. an empty daily partition) — callers return their
+    * empty result instead of throwing (same hardening law as zorderScan's
+    * bounds guard). */
+  private def queryVectorOpt(spark: SparkSession, dir: String): Option[Seq[Double]] =
     embeddings(spark, dir).filter(col("vec_id") === QueryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toSeq.map(_.toDouble)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toSeq.map(_.toDouble))
+
+  /** Dummy stand-in used only to keep the plan well-typed on the
+    * no-query-vector path (the result is force-emptied regardless). */
+  private def dummyVec: Seq[Double] = Seq.fill(SignBits)(0.0)
 
   /** Sequential-fold sum over an array column (deterministic order — the
     * same left-to-right double accumulation DuckDB's list_sum performs, so
@@ -46,14 +54,16 @@ object VectorQueries {
 
   /** Exact brute-force cosine top-10 against the query vector. */
   def simTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qOpt = queryVectorOpt(spark, dir)
     val sims = Par.fanOut(embeddings(spark, dir))
       .filter(col("vec_id") =!= QueryVecId)
-      .withColumn("sim", cosineAgainst(queryVector(spark, dir)))
+      .withColumn("sim", cosineAgainst(qOpt.getOrElse(dummyVec)))
     val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    top.withColumn("rank",
+    val out = top.withColumn("rank",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
       .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("rank"))
+    if (qOpt.isDefined) out else out.filter(lit(false))
   }
 
   /** Sign bucket: bit i set iff embedding[i] >= 0 (random-hyperplane LSH
@@ -67,17 +77,19 @@ object VectorQueries {
     * bucket column is a partition/cluster key and non-matching buckets are
     * pruned at the scan. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q = queryVector(spark, dir)
+    val qOpt = queryVectorOpt(spark, dir)
+    val q = qOpt.getOrElse(dummyVec)
     val qBucket = (0 until SignBits).map(i => if (q(i) >= 0) 1 << i else 0).sum
     val sims = Par.fanOut(embeddings(spark, dir))
       .withColumn("bucket", signBucket(col("embedding")))
       .filter(col("bucket") === qBucket && col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(q))
     val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    top.withColumn("rank",
+    val out = top.withColumn("rank",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
       .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("rank"))
+    if (qOpt.isDefined) out else out.filter(lit(false))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
@@ -90,11 +102,15 @@ object VectorQueries {
     * scan. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
              nprobe: Int = 2, nlist: Int = 8): DataFrame = {
-    val centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
+    val realCentroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
       .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
-    val q = queryVector(spark, dir)
+    val qOpt = queryVectorOpt(spark, dir)
+    val present = qOpt.isDefined && realCentroids.nonEmpty
+    val centroids = if (realCentroids.nonEmpty) realCentroids
+      else Array((0, dummyVec))
+    val q = qOpt.getOrElse(dummyVec)
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val probed = centroids.map { case (cid, cv) => (cid, l2(q, cv)) }
@@ -111,10 +127,11 @@ object VectorQueries {
       .filter(col("list_id").isin(probed.map(Int.box): _*) && col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(q))
     val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    top.withColumn("rank",
+    val out = top.withColumn("rank",
         row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
       .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("rank"))
+    if (present) out else out.filter(lit(false))
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing a sign-LSH
@@ -221,6 +238,18 @@ object VectorQueries {
       .filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
+    if (centroids.isEmpty) {
+      // no seed vectors (empty partition): the k-means result is the empty
+      // cluster relation, with the schema the non-empty path produces
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cluster_id", IntegerType),
+          StructField("n", LongType, nullable = false),
+          StructField("inertia_micros", LongType),
+          StructField("c_first", DoubleType))))
+    }
 
     // one Lloyd update round (assign -> decimal-exact means -> new centroids)
     val means = assign(centroids)

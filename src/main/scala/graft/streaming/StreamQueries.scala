@@ -240,7 +240,10 @@ object StreamQueries {
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(s"$base/data")
+    // explicit schema on the read-back: a zero-row stream commits NO data
+    // files, and schema inference over the empty sink directory throws —
+    // the shaped schema is known either way
+    spark.read.schema(shaped.schema).parquet(s"$base/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
