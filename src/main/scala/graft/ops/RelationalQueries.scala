@@ -398,20 +398,32 @@ object RelationalQueries {
     val v = lineitem(spark, dir).select(col("l_extendedprice").as("x"))
     val ap = scalarSubquery(v.agg(percentile_approx(col("x"),
       array(ps.map(lit): _*), lit(accuracy))))
-    val rankAggs = ps.indices.map { i =>
-      sum(when(col("x") <= element_at(ap, i + 1), 1L).otherwise(0L)).as(s"r$i")
+    // both strict and non-strict ranks: with a heavily-duplicated quantile
+    // value, the guarantee is that SOME rank position of the returned
+    // element lies in the window — i.e. its rank INTERVAL
+    // [count(x < v) + 1, count(x <= v)] intersects [lo, hi]; testing
+    // count(x <= v) alone can overshoot hi and flag a false violation.
+    // coalesce: an empty relation vacuously holds (sum over empty is NULL).
+    val rankAggs = ps.indices.flatMap { i =>
+      Seq(
+        coalesce(sum(when(col("x") < element_at(ap, i + 1), 1L).otherwise(0L)),
+          lit(0L)).as(s"rlt$i"),
+        coalesce(sum(when(col("x") <= element_at(ap, i + 1), 1L).otherwise(0L)),
+          lit(0L)).as(s"rle$i"))
     }
     val one = v.agg(count(lit(1)).as("n"), rankAggs: _*)
     val stackExpr = ps.indices
-      .map(i => s"'p${(ps(i) * 100).toInt}', ${ps(i)}D, r$i")
+      .map(i => s"'p${(ps(i) * 100).toInt}', ${ps(i)}D, rlt$i, rle$i")
       .mkString(s"stack(${ps.size}, ", ", ", ")")
-    one.select(col("n"), expr(s"$stackExpr AS (p_label, p, r)"))
+    one.select(col("n"), expr(s"$stackExpr AS (p_label, p, r_lt, r_le)"))
       .withColumn("lo_rank",
         floor((col("p") - lit(4.0 / accuracy)) * col("n")).cast("long"))
       .withColumn("hi_rank",
         ceil((col("p") + lit(4.0 / accuracy)) * col("n")).cast("long"))
       .select(col("p_label"), col("n"), col("lo_rank"), col("hi_rank"),
-        (col("r") >= col("lo_rank") && col("r") <= col("hi_rank")).as("holds"))
+        (col("n") === 0L ||
+          (col("r_lt") < col("hi_rank") && col("r_le") >= col("lo_rank")))
+          .as("holds"))
       .orderBy(col("p_label"))
   }
 
@@ -469,8 +481,16 @@ object RelationalQueries {
         coalesce(sum(when(!col("treat") && !col("hit"), 1L).otherwise(0L)), lit(0L)).as("d"))
     cells.select(col("a"), col("b"), col("c"), col("d"),
         (col("a") + col("b") + col("c") + col("d")).as("n"))
+      // the cross term promotes to DECIMAL BEFORE multiplying: a*d in
+      // BIGINT wraps/throws once cells pass ~3e9. DECIMAL(38) lanes are
+      // exact to N ≈ 10^7 per cell (1000·N·diff² ≤ 10^38); beyond that,
+      // pre-aggregate per shard and test on proportions, or accept the
+      // double-precision χ² — the exact-boundary contract is for the
+      // dimension-scale rollups this operator audits
       .withColumn("num",
-        expr("CAST(1000 AS DECIMAL(38,0)) * n * (a*d - b*c) * (a*d - b*c)"))
+        expr("CAST(1000 AS DECIMAL(38,0)) * n * " +
+          "(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) * " +
+          "(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"))
       .withColumn("den",
         expr("CAST(3841 AS DECIMAL(38,0)) * (a+b) * (c+d) * (a+c) * (b+d)"))
       .select(col("a"), col("b"), col("c"), col("d"), col("n"),
@@ -797,7 +817,9 @@ object RelationalQueries {
         |    CAST(count(*) FILTER (WHERE user_id % 2 != 0 AND event_type != 'purchase') AS BIGINT) AS d
         |  FROM events)
         |SELECT a, b, c, d, a + b + c + d AS n,
-        |  1000::HUGEINT * (a + b + c + d) * (a*d - b*c) * (a*d - b*c)
+        |  1000::HUGEINT * (a + b + c + d)
+        |    * (a::HUGEINT * d - b::HUGEINT * c)
+        |    * (a::HUGEINT * d - b::HUGEINT * c)
         |    > 3841::HUGEINT * (a+b) * (c+d) * (a+c) * (b+d) AS significant
         |FROM cells""".stripMargin,
     "q_skew_join" ->

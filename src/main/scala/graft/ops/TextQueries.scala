@@ -476,14 +476,20 @@ object TextQueries {
     * trigram strings would hash to 8-byte keys first (as [[dedupExact]]
     * hashes text); kept as strings here so the oracle shares the exact
     * key. */
+  /** One-walk token-trigram array over the tokenized column `l` (the
+    * zip_with form — the indexed-lambda form is O(tokens²), see
+    * [[lmBigramScore]]). ONE definition shared by [[spanDup]] and
+    * [[setsimJoin]] so the gram law cannot drift between them. */
+  private val trigramArrayExpr: String =
+    "zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
+    "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
+    "slice(l, 3, greatest(size(l) - 2, 0)), " +
+    "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz))"
+
   def spanDup(spark: SparkSession, dir: String): DataFrame = {
     val grams = Par.fanOut(documents(spark, dir))
       .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
-        "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
-        "slice(l, 3, greatest(size(l) - 2, 0)), " +
-        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz))")))
+      .select(col("doc_id"), explode(array_distinct(expr(trigramArrayExpr)))
         .as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs_with"))
     grams.join(df, "g")
@@ -526,15 +532,16 @@ object TextQueries {
     // hash-invariant (the oracle plays the same trick with its own hash),
     // and 8-byte keys make every downstream shuffle, sort, and intersect
     // long-typed instead of string-typed
+    // `sets` is referenced by four downstream subtrees (freq, prefixes,
+    // and both verify joins) and is deliberately NOT persisted: operators
+    // return declarative plans (no side-effecting cache/checkpoint —
+    // topTerms documents the same convention), and a pipeline running
+    // this at corpus scale persists the set relation explicitly.
     val sets = Par.fanOut(documents(spark, dir))
       .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("l")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
-        "transform(zip_with(slice(l, 1, greatest(size(l) - 2, 0)), " +
-        "zip_with(slice(l, 2, greatest(size(l) - 2, 0)), " +
-        "slice(l, 3, greatest(size(l) - 2, 0)), " +
-        "(y, z) -> concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz)), " +
-        "g -> xxhash64(g))"))
+        s"transform($trigramArrayExpr, g -> xxhash64(g))"))
         .as("sh"))
       .withColumn("sz", size(col("sh")))
     val freq = sets.select(explode(col("sh")).as("s"))

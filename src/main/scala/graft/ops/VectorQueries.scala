@@ -33,9 +33,29 @@ object VectorQueries {
       .select(col("embedding")).head(1).headOption
       .map(_.getSeq[Float](0).toSeq.map(_.toDouble))
 
-  /** Dummy stand-in used only to keep the plan well-typed on the
-    * no-query-vector path (the result is force-emptied regardless). */
-  private def dummyVec: Seq[Double] = Seq.fill(SignBits)(0.0)
+  /** The ranked top-k projection every ANN/topk query shares. */
+  private def rankTop(sims: DataFrame, k: Int): DataFrame = {
+    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("rank"))
+  }
+
+  /** The empty (rank, vec_id, sim) result for the no-query-vector path —
+    * an EARLY RETURN, never a dummy-vector plan: a zero query vector
+    * would put 0.0 in cosine's denominator, which throws DIVIDE_BY_ZERO
+    * under ANSI mode for every surviving row of a partially-populated
+    * partition. */
+  private def emptyRanked(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("vec_id", LongType),
+        StructField("sim", DoubleType))))
+  }
 
   /** Sequential-fold sum over an array column (deterministic order — the
     * same left-to-right double accumulation DuckDB's list_sum performs, so
@@ -53,18 +73,14 @@ object VectorQueries {
   }
 
   /** Exact brute-force cosine top-10 against the query vector. */
-  def simTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val qOpt = queryVectorOpt(spark, dir)
-    val sims = Par.fanOut(embeddings(spark, dir))
-      .filter(col("vec_id") =!= QueryVecId)
-      .withColumn("sim", cosineAgainst(qOpt.getOrElse(dummyVec)))
-    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    val out = top.withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
-      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("rank"))
-    if (qOpt.isDefined) out else out.filter(lit(false))
-  }
+  def simTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    queryVectorOpt(spark, dir) match {
+      case None => emptyRanked(spark)
+      case Some(q) =>
+        rankTop(Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+          .withColumn("sim", cosineAgainst(q)), k)
+    }
 
   /** Sign bucket: bit i set iff embedding[i] >= 0 (random-hyperplane LSH
     * with axis-aligned planes — deterministic, so DuckDB can mirror it). */
@@ -76,21 +92,16 @@ object VectorQueries {
   /** ANN: score only the query's sign-LSH bucket, then top-5. At 100 TB the
     * bucket column is a partition/cluster key and non-matching buckets are
     * pruned at the scan. */
-  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val qOpt = queryVectorOpt(spark, dir)
-    val q = qOpt.getOrElse(dummyVec)
-    val qBucket = (0 until SignBits).map(i => if (q(i) >= 0) 1 << i else 0).sum
-    val sims = Par.fanOut(embeddings(spark, dir))
-      .withColumn("bucket", signBucket(col("embedding")))
-      .filter(col("bucket") === qBucket && col("vec_id") =!= QueryVecId)
-      .withColumn("sim", cosineAgainst(q))
-    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    val out = top.withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
-      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("rank"))
-    if (qOpt.isDefined) out else out.filter(lit(false))
-  }
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    queryVectorOpt(spark, dir) match {
+      case None => emptyRanked(spark)
+      case Some(q) =>
+        val qBucket = (0 until SignBits).map(i => if (q(i) >= 0) 1 << i else 0).sum
+        rankTop(Par.fanOut(embeddings(spark, dir))
+          .withColumn("bucket", signBucket(col("embedding")))
+          .filter(col("bucket") === qBucket && col("vec_id") =!= QueryVecId)
+          .withColumn("sim", cosineAgainst(q)), k)
+    }
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
     * vectors stand in for trained centroids), every vector assigned to its
@@ -102,15 +113,13 @@ object VectorQueries {
     * scan. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
              nprobe: Int = 2, nlist: Int = 8): DataFrame = {
-    val realCentroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
+    val centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
       .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
     val qOpt = queryVectorOpt(spark, dir)
-    val present = qOpt.isDefined && realCentroids.nonEmpty
-    val centroids = if (realCentroids.nonEmpty) realCentroids
-      else Array((0, dummyVec))
-    val q = qOpt.getOrElse(dummyVec)
+    if (qOpt.isEmpty || centroids.isEmpty) return emptyRanked(spark)
+    val q = qOpt.get
     def l2(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val probed = centroids.map { case (cid, cv) => (cid, l2(q, cv)) }
@@ -126,12 +135,7 @@ object VectorQueries {
         (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
       .filter(col("list_id").isin(probed.map(Int.box): _*) && col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(q))
-    val top = sims.orderBy(col("sim").desc, col("vec_id")).limit(k)
-    val out = top.withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
-      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("rank"))
-    if (present) out else out.filter(lit(false))
+    rankTop(sims, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing a sign-LSH

@@ -23,6 +23,25 @@ class EmptyCorpusSpec extends AnyFunSuite {
     d
   }
 
+  test("vector queries degrade to empty on a corpus WITH rows but NO query vector") {
+    // the sharper case than all-empty: rows exist, so any dummy-vector
+    // fallback would actually evaluate per row — cosine against a zero
+    // vector divides by zero, which ANSI mode turns into a crash. The
+    // guards must early-return instead.
+    import org.apache.spark.sql.functions._
+    val d = "/root/repo/target/fixtures/no_query_vec"
+    val kept = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") >= 100)
+    assert(kept.count() > 0, "fixture must keep rows for the crash path to evaluate")
+    kept.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    Seq("q_sim_topk", "q_ann_lsh", "q_ann_ivf").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, d).count() == 0L, s"$q not empty")
+    }
+    // the recall audit is a global agg: it reports one row with zero hits
+    val recall = SparkEntry.queries("q_ann_recall")(spark, d).head
+    assert(recall.getLong(1) == 0L && recall.getLong(2) == 0L)
+  }
+
   test("every registered query runs on an all-empty corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); None }
