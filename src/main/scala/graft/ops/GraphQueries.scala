@@ -132,13 +132,68 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Community detection by synchronous MIN-label propagation, two
+    * unrolled rounds: every node starts as its own label and repeatedly
+    * adopts the minimum label over itself and its neighbors — after k
+    * rounds, labels have flooded k hops, and connected regions converge
+    * toward their minimum node id (the deterministic variant of LPA;
+    * frequency-based LPA tie-breaks randomly, which no oracle could
+    * mirror). The same kernel [[TextQueries.dedupClusters]] iterates to a
+    * fixpoint for exact components; exposed here as the bounded-round
+    * graph operator, useful when "roughly-communities after k hops" is
+    * the product (feature hashing, partition hinting) and a fixpoint
+    * isn't worth its extra rounds.
+    *
+    * Scale shape per round: one hash equi join of the bidirectional edge
+    * list against the |V|-row label relation + a min-aggregate — both
+    * partition by the same key at scale; iterations unroll declaratively
+    * so Catalyst sees one plan. */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 2,
+                buckets: Int = 300): DataFrame = {
+    val und = lineitem(spark, dir).select(
+        pmod(col("l_partkey"), lit(buckets.toLong)).as("x"),
+        pmod(col("l_suppkey"), lit(buckets.toLong)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val bidir = und.select(col("x").as("src"), col("y").as("dst"))
+      .union(und.select(col("y").as("src"), col("x").as("dst")))
+    val nodes = bidir.select(col("src").as("node")).distinct()
+    val init = nodes.withColumn("lbl", col("node"))
+    val done = (1 to rounds).foldLeft(init) { (cur, _) =>
+      bidir.join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .union(cur)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    done.orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_khop" -> ((s, d) => khopReach(s, d)),
+    "q_label_prop" -> ((s, d) => labelProp(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_label_prop" ->
+      """WITH und AS (
+        |  SELECT DISTINCT l_partkey % 300 AS x, l_suppkey % 300 AS y
+        |  FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300),
+        |bidir AS (
+        |  SELECT x AS src, y AS dst FROM und
+        |  UNION ALL SELECT y, x FROM und),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bidir),
+        |l1 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT b.dst AS node, l0.lbl FROM bidir b JOIN l0 ON b.src = l0.node
+        |    UNION ALL SELECT node, lbl FROM l0)
+        |  GROUP BY node),
+        |l2 AS (
+        |  SELECT node, min(lbl) AS lbl FROM (
+        |    SELECT b.dst AS node, l1.lbl FROM bidir b JOIN l1 ON b.src = l1.node
+        |    UNION ALL SELECT node, lbl FROM l1)
+        |  GROUP BY node)
+        |SELECT node, lbl FROM l2 ORDER BY node""".stripMargin,
     "q_khop" ->
       """WITH e AS (
         |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst

@@ -581,7 +581,37 @@ object SessionQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | current type) in exact integer micros — the
+    * user-behavior model behind next-action prediction, anomaly scoring
+    * (improbable transitions), and simulation. Consecutive pairs come
+    * from ONE lead() over the per-user time order (the same single
+    * shuffle [[pathMining]] uses, not an event self-join); the
+    * denominator cascades from the pair counts, so the stream is read
+    * once. Probabilities are `(10^6·n) DIV n_from` — both engines divide
+    * identically, no floats.
+    *
+    * Scale shape: one shuffle on user_id for the window, then an
+    * aggregate over the |types|² transition vocabulary with map-side
+    * partials. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(fromTotals, "from_type")
+      .withColumn("p_micro", expr("(1000000 * n) DIV n_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        col("p_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov" -> (markovTransitions _),
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
@@ -606,6 +636,24 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) AS tns
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY tns, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |       (1000000 * c.n) // t.n_from AS p_micro
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "q_pit_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
