@@ -610,8 +610,35 @@ object SessionQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** 2-D histogram (heat map): hour-of-day × equal-width value bucket —
+    * the seasonality-vs-magnitude profile a monitoring dashboard bins
+    * before rendering. The hour axis is intrinsic integer arithmetic on
+    * the nanos epoch; the value axis reuses [[histogram]]'s bounds law
+    * (driver-read min/max — the reference's own bounds-collect shape —
+    * fixed width, top bucket closed via least()). One aggregate with
+    * map-side partials; output is ≤ 24·ybins rows regardless of input
+    * size. Same empty-input guard as the 1-D histogram. */
+  def histogram2d(spark: SparkSession, dir: String, ybins: Int = 10): DataFrame = {
+    val ev = events(spark, dir).select(col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+    val b = ev.agg(min(col("value")), max(col("value"))).head()
+    if (b.isNullAt(0))
+      return ev.limit(0).select(lit(0).as("hour"), lit(0).as("vbucket"),
+        lit(0L).as("n"))
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val w = if (hi == lo) 1.0 else (hi - lo) / ybins
+    ev.withColumn("hour", expr("(ts DIV 3600000000000L) % 24").cast("int"))
+      .withColumn("vbucket",
+        least(floor((col("value") - lit(lo)) / lit(w)), lit((ybins - 1).toDouble))
+          .cast("int"))
+      .groupBy(col("hour"), col("vbucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour"), col("vbucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_markov" -> (markovTransitions _),
+    "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
@@ -636,6 +663,17 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram2d" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) AS tns, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+        |w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0
+        |                      ELSE (hi - lo) / 10 END AS w FROM b)
+        |SELECT CAST((tns // 3600000000000) % 24 AS INTEGER) AS hour,
+        |  CAST(least(floor((value - (SELECT lo FROM w)) / (SELECT w FROM w)),
+        |             9) AS INTEGER) AS vbucket,
+        |  count(*) AS n
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_markov" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

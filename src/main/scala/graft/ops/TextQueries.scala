@@ -643,6 +643,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hapax legomena audit: per source, how many of its distinct terms
+    * occur exactly once in the WHOLE corpus (corpus tf = 1) — the
+    * vocabulary-tail health signal (OCR noise and mojibake inflate the
+    * hapax share; template spam collapses it), complementing
+    * [[tokenDiversity]]'s distribution shape and [[vocabCoverage]]'s
+    * head. Rate in ppm integers.
+    *
+    * Scale shape: corpus term frequencies CASCADE from the per-source
+    * counts (the [[lmBigramScore]] device) so the token explode runs
+    * once; the join back is a hash equi join on the term, both sides
+    * partitioned by it. */
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Par.fanOut(documents(spark, dir))
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n_in_source"))
+    val corpusTf = perSource.groupBy(col("t")).agg(sum(col("n_in_source")).as("tf"))
+    perSource.join(corpusTf, "t")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        count(when(col("tf") === 1L, lit(1))).as("n_hapax"))
+      .withColumn("hapax_ppm", expr("(1000000 * n_hapax) DIV n_terms"))
+      .orderBy(col("source"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -1176,6 +1201,7 @@ object TextQueries {
     "q_setsim_join" -> ((s, d) => setsimJoin(s, d)),
     "q_token_diversity" -> (tokenDiversity _),
     "q_bm25" -> (bm25 _),
+    "q_hapax" -> (hapaxRate _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -1206,6 +1232,17 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hapax" ->
+      """WITH ps AS (
+        |  SELECT source, t, count(*) AS n_in_source FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t != '' GROUP BY source, t),
+        |ctf AS (SELECT t, CAST(sum(n_in_source) AS BIGINT) AS tf FROM ps GROUP BY t)
+        |SELECT ps.source, count(*) AS n_terms,
+        |  count(*) FILTER (WHERE ctf.tf = 1) AS n_hapax,
+        |  (1000000 * count(*) FILTER (WHERE ctf.tf = 1)) // count(*) AS hapax_ppm
+        |FROM ps JOIN ctf ON ps.t = ctf.t
+        |GROUP BY ps.source ORDER BY ps.source""".stripMargin,
     "q_token_diversity" ->
       """WITH c AS (
         |  SELECT source, t, count(*) AS n FROM (
