@@ -42,7 +42,26 @@ object CmsKernel {
   def bucket(h: Long, j: Int): Int =
     (((h + j * Golden) * FnvPrime) >>> 56).toInt
 
-  def keyHash(s: String): Long = TextHash.fnv1a(s, 0, s.length)
+  /** Key hash of the replayable family (see [[TextHash.fnv1a]]'s BMP
+    * contract). Keys are short categorical strings, so the surrogate scan
+    * is a handful of compares per row; a supplementary character would
+    * make the engine's sketch silently disagree with the oracle's HUGEINT
+    * replay, so it is rejected loudly instead. */
+  def keyHash(s: String): Long = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i)))
+        throw new org.apache.spark.SparkException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("cms_agg/cms_estimate keys must contain only Basic-Multilingual-" +
+              "Plane characters (the oracle-replayable FNV-1a contract); got a " +
+              s"supplementary character at index $i of ${s.take(40)}")),
+          null)
+      i += 1
+    }
+    TextHash.fnv1a(s, 0, s.length)
+  }
 }
 
 /** `cms_agg(key)` — build a count-min sketch over a STRING key stream;
@@ -137,8 +156,18 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sketch: Any, key: Any): Any = {
     val arr = sketch.asInstanceOf[ArrayData]
-    require(arr.numElements() == CmsKernel.Cells,
-      s"$prettyName sketch must have ${CmsKernel.Cells} cells, got ${arr.numElements()}")
+    // wrong-sized sketches are reachable from the injected SQL surface
+    // (any ARRAY<BIGINT> type-checks), so misuse must surface as a clear
+    // SparkThrowable query error — the same discipline raise_error() uses —
+    // not a bare IllegalArgumentException retried inside the task loop
+    if (arr.numElements() != CmsKernel.Cells)
+      throw new org.apache.spark.SparkException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"$prettyName: sketch must be the ${CmsKernel.Cells}-cell array " +
+            s"produced by cms_agg (${CmsKernel.Depth} rows x ${CmsKernel.Width} " +
+            s"buckets, row-major); got ${arr.numElements()} cells")),
+        null)
     val h = CmsKernel.keyHash(key.asInstanceOf[UTF8String].toString)
     var min = Long.MaxValue
     var j = 0

@@ -83,7 +83,19 @@ object TextHash {
     }
   }
 
-  /** FNV-1a 64-bit over a char window (chars folded as 2 bytes each). */
+  /** FNV-1a 64-bit over a char window (chars folded as 2 bytes each).
+    *
+    * REPLAYABLE-HASH CONTRACT (BMP-only): the DuckDB oracles replay this
+    * fold as `ascii(c) % 256` / `ascii(c) // 256` per character, and
+    * SQL's `substr`/`ascii` walk Unicode CODE POINTS while this loop
+    * walks UTF-16 CODE UNITS. The two decompositions agree exactly for
+    * every code point <= 0xFFFF (the BMP, a superset of the corpus's
+    * ASCII) and diverge for supplementary characters, which surrogate-pair
+    * here but arrive as one >0xFFFF value under `ascii`. Callers feeding
+    * oracle-replayed sketches (CMS keys — enforced in
+    * [[graft.exprs.CmsKernel.keyHash]] — and simhash shingles) own the
+    * BMP restriction; hashes used only engine-side (LSH bands, shingle
+    * sets, bloom) are unaffected — any injective byte fold works there. */
   def fnv1a(s: String, from: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -110,12 +110,30 @@ object RelationalQueries {
         countDistinct(col("c_custkey")).as("n_cust"))
       .orderBy(col("c_nationkey"))
 
-  /** HLL++ sketch cardinality (§2.4 note). No SQL oracle: DuckDB's
-    * approx_distinct is a different sketch; the spec bounds the error. */
+  /** HLL++ sketch cardinality (§2.4 note) as a CONTRACT AUDIT — the
+    * q_approx_pct_audit device. The sketch value itself is
+    * engine-specific (DuckDB's approx_distinct is a different sketch), so
+    * the emitted row carries what IS cross-engine checkable: the exact
+    * distinct counts plus a bounded-error boolean per column,
+    * `|est − exact| <= 5·rsd·exact` (rsd = 0.01; 5 standard errors —
+    * far outside any plausible HLL++ deviation, so the boolean is pinned
+    * true and the oracle mirrors it as a literal). A sketch drifting out
+    * of spec flips the boolean and fails the hash gate — the audit is the
+    * oracle. The exact countDistinct is the AUDIT's cost, not the
+    * operator's: production use reads the estimate alone (one fixed-size
+    * HLL register array per partition in the shuffle); the audit shape
+    * exists to make the sketch's contract falsifiable per round. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), 0.01).as("est_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("est_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("est_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.05)).as("parts_in_spec"),
+        (abs(col("est_orders") - col("exact_orders"))
+          <= col("exact_orders") * lit(0.05)).as("orders_in_spec"))
 
   /** Full outer join of two derived sides with non-overlapping keys. */
   def j5FullOuter(spark: SparkSession, dir: String): DataFrame = {
@@ -437,24 +455,47 @@ object RelationalQueries {
     * the preceding frame, so the test is exactly the dominance rule;
     * exact integer cents/centi-units keep the order engine-identical.
     *
-    * Scale shape: distinct first (collapses duplicates before the sort),
-    * then ONE range-partitioned sort per group — the window's running max
-    * is the textbook distributed-skyline split (per-range local frontier
-    * + prefix max across ranges, which is what Spark's window exec over a
-    * range shuffle computes). No self-join, no |n|² dominance checks. */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    * TWO-PHASE frontier (the salted-top-k device `domainCap` uses): a
+    * plain `partitionBy(group)` window serializes each group's whole
+    * distinct relation into ONE task's sort — with 3 return flags that is
+    * 3 tasks doing all the work. Instead phase 1 salts the rows to
+    * (group, shard) with a deterministic arithmetic shard and runs the
+    * SAME running-max window kernel per shard; a global-frontier point is
+    * dominated by nobody, so it survives its shard, and dominance is
+    * transitive, so any phase-1 survivor that is not on the global
+    * frontier is still dominated by a frontier point in the phase-2 input.
+    * Phase 2 re-runs the identical kernel per group over only the UNION OF
+    * SHARD FRONTIERS — for natural (correlated) data that is frontier-sized
+    * per shard, orders of magnitude below the input; for fully
+    * anticorrelated data the frontier IS the data and no algorithm
+    * shrinks it, which is the honest worst case of every skyline split.
+    *
+    * Scale shape: distinct first (collapses duplicates before any sort),
+    * phase-1 window over `shards`-way salted partitions — parallelism is
+    * `groups · shards`, sized to the cluster, independent of group
+    * cardinality — then the phase-2 window over the shard-frontier union.
+    * No self-join, no |n|² dominance checks. */
+  def skyline(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = lineitem(spark, dir)
       .select(col("l_returnflag"),
         expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_cents"),
         expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("qty_c"))
       .distinct()
-    val prev = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("price_cents"), col("qty_c").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pts.withColumn("best_prev", max(col("qty_c")).over(prev))
-      .filter(col("best_prev").isNull || col("qty_c") > col("best_prev"))
-      .select(col("l_returnflag"), col("price_cents"), col("qty_c"))
+    def frontier(in: DataFrame, part: Seq[Column]): DataFrame = {
+      val prev = Window.partitionBy(part: _*)
+        .orderBy(col("price_cents"), col("qty_c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("best_prev", max(col("qty_c")).over(prev))
+        .filter(col("best_prev").isNull || col("qty_c") > col("best_prev"))
+        .select(col("l_returnflag"), col("price_cents"), col("qty_c"))
+    }
+    // deterministic arithmetic shard (no engine-specific hash in the
+    // lineage): any assignment works — sharding only splits the sort
+    val salted = pts.withColumn("shard",
+      pmod(col("price_cents") * 31 + col("qty_c"), lit(shards.toLong)))
+    val local = frontier(salted, Seq(col("l_returnflag"), col("shard")))
+    frontier(local, Seq(col("l_returnflag")))
       .orderBy(col("l_returnflag"), col("price_cents"))
   }
 
@@ -758,7 +799,7 @@ object RelationalQueries {
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
     "q_approx_pct_audit" -> (approxPercentileAudit _),
-    "q_skyline" -> (skyline _),
+    "q_skyline" -> ((s: SparkSession, d: String) => skyline(s, d)),
     "q_chi_square" -> (chiSquare _),
     "q_string_agg" -> (stringAgg _),
     "q_pivot" -> (pivotQ _),
@@ -773,6 +814,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Contract mirror (see approxDistinct): exact counts are plain SQL,
+    // the 5-sigma error bound pins the in-spec booleans to true.
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       true AS parts_in_spec, true AS orders_in_spec
+        |FROM lineitem""".stripMargin,
     // The contract mirror: n and the rank bounds are pure arithmetic; the
     // sketch's guarantee pins `holds` to true (see approxPercentileAudit).
     "q_approx_pct_audit" -> {

@@ -582,9 +582,12 @@ object TextQueries {
     * entropy's log would hang engine-identical floats on libm rounding.
     *
     * Scale shape: one token explode → (source, term) counts with map-side
-    * partials → per-source second-moment aggregate. N² here is BIGINT-safe
-    * through ~3·10^6 tokens per source; the 100 TB form swaps the ppm
-    * projection to DECIMAL(38,0) — same expression, wider lanes. */
+    * partials → per-source second-moment aggregate. The ppm projection
+    * runs in DECIMAL(38,0) lanes (the chiSquare device): `10^6·N²` in
+    * BIGINT would overflow past ~3·10^6 tokens per source, and the 100 TB
+    * contract is that the expression runs unchanged. The quotient is still
+    * integral division, so the emitted gini_ppm stays an exact BIGINT and
+    * the oracle's HUGEINT arithmetic agrees bit-for-bit. */
   def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Par.fanOut(documents(spark, dir))
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
@@ -595,7 +598,8 @@ object TextQueries {
         count(lit(1)).as("n_distinct"),
         sum(col("n") * col("n")).as("sq"))
       .withColumn("gini_ppm",
-        expr("(1000000 * (n_tokens * n_tokens - sq)) DIV (n_tokens * n_tokens)"))
+        expr("""CAST((1000000 * (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens - sq))
+               |     DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""".stripMargin))
       .select(col("source"), col("n_tokens"), col("n_distinct"), col("gini_ppm"))
       .orderBy(col("source"))
   }

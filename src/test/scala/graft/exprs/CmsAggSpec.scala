@@ -59,4 +59,25 @@ class CmsAggSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
     spark.catalog.dropTempView("cms_in")
   }
+
+  test("misuse fails loudly: wrong-sized sketch and non-BMP key raise clear SparkThrowables") {
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    // wrong-sized sketch: any ARRAY<BIGINT> type-checks, so the size
+    // contract must surface as a query error, not a bare require
+    val eSize = intercept[Exception] {
+      spark.sql("SELECT cms_estimate(array(1L, 2L, 3L), 'k')").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(eSize).exists(c => c.isInstanceOf[org.apache.spark.SparkThrowable] &&
+      c.getMessage.contains("1024-cell")), s"got: $eSize")
+    // non-BMP key: the replayable-hash contract rejects supplementary chars
+    val eKey = intercept[Exception] {
+      Seq("ok", "😀").toDF("k")
+        .agg(graft.functions.cms_agg($"k")).collect()
+    }
+    assert(chain(eKey).exists(c => c.isInstanceOf[org.apache.spark.SparkThrowable] &&
+      c.getMessage.contains("Basic-Multilingual-Plane")), s"got: $eKey")
+  }
 }

@@ -88,4 +88,34 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(got == model, s"got=$got model=$model")
     assert(got == Set(("A", 100L, 700L), ("A", 300L, 900L), ("B", 1000L, 100L)))
   }
+
+  test("two-phase sharded skyline equals the plain single-window frontier at every shard count") {
+    import spark.implicits._
+    // deterministic pseudo-random cloud, big enough that every shard of a
+    // 16-way salt is non-trivially populated and shard frontiers overlap
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 2000).map { i =>
+      val f = if (rnd.nextBoolean()) "A" else "B"
+      (f, (rnd.nextInt(500) + 1) / 100.0 * 100, rnd.nextInt(300) / 10.0, i.toLong)
+    }
+    val dir = fixtureDir("skyline_sharded")
+    pts.toDF("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val cents = pts.map { case (f, p, q, _) =>
+      (f, math.floor(p * 100 + 0.5).toLong, math.floor(q * 100 + 0.5).toLong)
+    }.distinct
+    val model = cents.filter { case (f, p, q) =>
+      !cents.exists { case (f2, p2, q2) =>
+        f2 == f && (p2 <= p && q2 >= q) && (p2 < p || q2 > q)
+      }
+    }.toSet
+    // sharded == plain: shards = 1 IS the plain single-window frontier, so
+    // equality across shard counts is the sharded==plain property
+    for (shards <- Seq(1, 3, 16)) {
+      val got = RelationalQueries.skyline(spark, dir, shards).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == model, s"shards=$shards got=${got.size} model=${model.size}")
+    }
+  }
 }

@@ -96,12 +96,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(worst <= 0.11, s"worst group-area divergence $worst m^2")
   }
 
-  test("approx_count_distinct is within its 1% rsd of the exact count") {
+  test("approx_count_distinct audit row: exact counts match and both booleans hold") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, dir)
-    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
-    val approx = RelationalQueries.approxDistinct(spark, dir).head().getLong(1)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    val exactOrders = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val row = RelationalQueries.approxDistinct(spark, dir).head()
+    assert(row.getLong(1) == exactOrders, s"exact_orders ${row.getLong(1)} vs $exactOrders")
+    assert(row.getBoolean(2) && row.getBoolean(3), s"in-spec booleans: $row")
+    // independent tighter check: the raw estimate itself sits within 5 rsd
+    val est = li.agg(approx_count_distinct(col("l_orderkey"), 0.01)).head().getLong(0)
+    assert(math.abs(est - exactOrders).toDouble / exactOrders < 0.05, s"$est vs $exactOrders")
   }
 
   test("sharded packing conserves per-source docs and tokens") {
