@@ -66,7 +66,13 @@ object Bench {
     val results = selected.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond resolution on the per-query map: the driver's stdout
+    // capture keeps only a ~2 KiB TAIL, so every byte of map payload
+    // pushes entries off the cliff; 3 decimals is far below host-noise
+    // resolution and roughly halves the map
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def jstr(s: String): String =
@@ -74,16 +80,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    // field order is deliberate: the bulky per-query map FIRST, the
-    // load-bearing summary (total/n/errors) LAST — the driver's capture
-    // has truncated from the HEAD before (BENCH_r06), and a tail-anchored
-    // summary survives that. JSON object order is semantically free.
-    val json = s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson,"metric":"total","unit":"sec","value":$total}"""
-    // belt and braces: the full line also lands on disk, immune to
-    // stdout-capture truncation
+    // the COMPLETE artifact lives at a stable repo path the round process
+    // commits, so a truncated stdout capture can always be reconstituted
+    val fullFile = "/root/repo/BENCH_FULL_LATEST.json"
+    // field order is deliberate: the bulky per-query map FIRST, then the
+    // pointer to the complete on-disk artifact, then the load-bearing
+    // summary (total/n/errors) LAST — the driver's capture truncates from
+    // the HEAD (BENCH_r06/r07), so the tail must be self-sufficient:
+    // pointer + summary parse even when the map is cut.
+    val json = s"""{"queries":$qs,"queries_file":"$fullFile","sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson,"metric":"total","unit":"sec","value":$total}"""
+    // belt and braces: the full line also lands on disk twice — the env
+    // override for dev loops, the stable path for the round artifact
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_local.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullFile), json + "\n")
     println(json)
     spark.stop()
   }
