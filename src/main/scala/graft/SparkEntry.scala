@@ -47,6 +47,9 @@ object SparkEntry {
       // st_geohash cell rollup (the prefix-partitionable spatial bucket
       // key; DuckDB replays the full integer encoder).
       "q_geohash" -> ((s, dir) => Pipelines.geohashBuckets(s, dir)),
+      // st_distance_sphere: haversine meters on raw lon/lat, verbatim
+      // arithmetic mirror in the oracle (ROUND(.,1) boundary law).
+      "q_distance_sphere" -> (Pipelines.distanceSphereRollup _),
       // st_makeline + st_simplify + st_npoints: per-user trajectory
       // build and Douglas-Peucker thinning with a closed-form oracle.
       "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
@@ -66,5 +69,6 @@ object SparkEntry {
     ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
     ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +
     ("q_geohash" -> Pipelines.geohashOracleSql) +
+    ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -278,6 +278,51 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_distance_sphere(a, b) — great-circle distance in METERS between two
+  * lon/lat POINTs (EPSG:4326 axis order x=lon, y=lat), via the haversine
+  * formula on the GRS80 mean radius R1 = (2a+b)/3 = 6 371 008.7714 m —
+  * the native spherical measure Sedona's GeoTools stack provides as
+  * `ST_DistanceSphere` (reference: docker/Dockerfile:7-10). Without it,
+  * raw 4326 data through planar [[StDistance]] silently yields DEGREES;
+  * with it, lon/lat points get meters with no projection round-trip.
+  * Haversine is numerically stable at small angles (the sin²(Δ/2) form
+  * never cancels) and within 0.56% of the ellipsoidal geodesic anywhere.
+  *
+  * Non-point or empty-point input returns null (the ST_X/ST_Y
+  * precedent); the sqrt argument is clamped to 1 so antipodal rounding
+  * can never NaN the asin. The operation order below is mirrored
+  * verbatim by the DuckDB oracle arithmetic — last-ulp libm drift is
+  * absorbed by the ROUND(·,1) boundary law at the query layer. */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distance_sphere"
+  override protected def nullSafeEval(a: Any, b: Any): Any = (geom(a), geom(b)) match {
+    case (p: org.locationtech.jts.geom.Point, q: org.locationtech.jts.geom.Point)
+        if !p.isEmpty && !q.isEmpty =>
+      StDistanceSphere.haversineMeters(p.getX, p.getY, q.getX, q.getY)
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistanceSphere =
+    copy(left = l, right = r)
+}
+
+object StDistanceSphere {
+  /** GRS80 mean radius R1 = (2a + b)/3; PostGIS's sphere radius agrees
+    * to the same 4 decimals. */
+  val MeanRadiusM: Double = 6371008.7714
+
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val sLat = Math.sin(Math.toRadians(lat2 - lat1) / 2)
+    val sLon = Math.sin(Math.toRadians(lon2 - lon1) / 2)
+    val a = sLat * sLat +
+      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) * sLon * sLon
+    2 * MeanRadiusM * Math.asin(Math.min(1.0, Math.sqrt(a)))
+  }
+}
+
 /** st_dwithin(a, b, d) — true iff distance(a, b) <= d. A first-class
   * predicate (not sugar for st_distance(a,b) <= d) so
   * SpatialJoinStrategy can recognize it as an index-accelerable join

@@ -40,6 +40,8 @@ object functions {
   def st_contains(a: Column, b: Column): Column = col(StContains(ex(a), ex(b)))
   def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
+  def st_distance_sphere(a: Column, b: Column): Column =
+    col(StDistanceSphere(ex(a), ex(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -167,6 +169,7 @@ object functions {
     r2("st_contains", StContains)
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
+    r2("st_distance_sphere", StDistanceSphere)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

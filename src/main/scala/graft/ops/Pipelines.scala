@@ -355,6 +355,62 @@ object Pipelines {
       |  count(*) AS n
       |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Great-circle distance rollup (Sedona/PostGIS `ST_DistanceSphere`
+    * analogue, [[graft.exprs.StDistanceSphere]]): events synthesize a
+    * full-globe lon/lat point on an exact 10° integer grid, and each
+    * OCCUPIED cell's haversine distance to a fixed Brazil-ish anchor
+    * (−56 E, −17 S) is emitted in meters alongside the cell's event count.
+    *
+    * Float discipline: the trig runs per DISTINCT CELL (≤ 648 rows at any
+    * input size), never per event — the per-event work is two integer
+    * mods and one counting shuffle with map-side partials; distances are
+    * ROUND(·,1)-collapsed into DECIMAL(12,1) so the last-ulp libm
+    * differences between JVM and DuckDB trig vanish (the established
+    * ROUND boundary law; haversine's sin²-form keeps the pre-round values
+    * within ~1e-7 m of each other, far inside the 0.05 m guard).
+    *
+    * Scale shape: groupBy on the dense integer cell key is the ONLY
+    * shuffle; the spherical math is a scalar projection over the
+    * bounded-cardinality cell relation. At 100 TB the cell grid is the
+    * partition key and the anchor distance is free column math. */
+  def distanceSphereRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon = col("gx").cast("double") * 10.0 - 175.0
+    val lat = col("gy").cast("double") * 10.0 - 85.0
+    cells
+      .withColumn("d_m", st_distance_sphere(
+        st_point(lon, lat), st_point(lit(-56.0), lit(-17.0))))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("d_m"), 1).cast("decimal(12,1)").as("dist_m"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Verbatim haversine mirror — same operation order as
+    * [[graft.exprs.StDistanceSphere.haversineMeters]] (sin²(Δ/2) form,
+    * clamped asin, GRS80 mean radius), rounded through the same
+    * DECIMAL(12,1) funnel. */
+  val distanceSphereOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT gx, gy, n,
+      |    2 * 6371008.7714 * asin(least(1.0, sqrt(
+      |      sin(radians(-17.0 - (gy * 10.0 - 85.0)) / 2)
+      |        * sin(radians(-17.0 - (gy * 10.0 - 85.0)) / 2)
+      |      + cos(radians(gy * 10.0 - 85.0)) * cos(radians(-17.0))
+      |        * sin(radians(-56.0 - (gx * 10.0 - 175.0)) / 2)
+      |        * sin(radians(-56.0 - (gx * 10.0 - 175.0)) / 2)))) AS d_m
+      |  FROM g)
+      |SELECT gx, gy, n, CAST(round(d_m, 1) AS DECIMAL(12,1)) AS dist_m
+      |FROM d ORDER BY gx, gy""".stripMargin
+
   /** Trajectory build + Douglas-Peucker thinning: per-user polyline from
     * the event stream (st_makeline over the (ts, event_id)-ordered point
     * array — one shuffle, on user_id), then st_simplify with a tolerance

@@ -82,6 +82,33 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.hypot(r.getDouble(2) - -5193566.0, r.getDouble(3) - -2698813.0) < 1.0)
   }
 
+  test("st_distance_sphere: closed-form and published great-circle anchors") {
+    val R = StDistanceSphere.MeanRadiusM
+    // 1 degree of longitude on the equator = R * 1°-in-radians
+    val eq1 = one("SELECT st_distance_sphere(st_point(0.0D, 0.0D), st_point(1.0D, 0.0D)) AS d").getDouble(0)
+    assert(math.abs(eq1 - R * math.toRadians(1.0)) < 1e-6, s"equator degree: $eq1")
+    // pole to equator = quarter circumference
+    val quarter = one("SELECT st_distance_sphere(st_point(0.0D, 0.0D), st_point(0.0D, 90.0D)) AS d").getDouble(0)
+    assert(math.abs(quarter - R * math.Pi / 2) < 1e-6, s"quarter: $quarter")
+    // antipodal: half circumference, asin clamp must not NaN
+    val anti = one("SELECT st_distance_sphere(st_point(0.0D, 0.0D), st_point(180.0D, 0.0D)) AS d").getDouble(0)
+    assert(math.abs(anti - R * math.Pi) < 1e-6, s"antipodal: $anti")
+    // Paris (2.3522 E, 48.8566 N) - London (-0.1276 E, 51.5072 N): published
+    // great-circle distance ~343.5 km (haversine; geodesic ~344.0 km)
+    val pl = one("""SELECT st_distance_sphere(st_point(2.3522D, 48.8566D),
+                                              st_point(-0.1276D, 51.5072D)) AS d""").getDouble(0)
+    assert(math.abs(pl - 343500.0) < 1500.0, s"Paris-London: $pl")
+    // SQL surface == kernel, symmetric
+    assert(pl == StDistanceSphere.haversineMeters(2.3522, 48.8566, -0.1276, 51.5072))
+    assert(pl == StDistanceSphere.haversineMeters(-0.1276, 51.5072, 2.3522, 48.8566))
+    // non-point and empty input -> null (the ST_X/ST_Y convention)
+    val nulls = one("""SELECT st_distance_sphere(st_geomfromwkt('LINESTRING (0 0, 1 1)'),
+                                                 st_point(0.0D, 0.0D)) AS a,
+                              st_distance_sphere(st_geomfromwkt('POINT EMPTY'),
+                                                 st_point(0.0D, 0.0D)) AS b""")
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("st_union_agg unions a group, ignores empties and nulls") {
     val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
                      SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
