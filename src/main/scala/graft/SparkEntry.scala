@@ -44,6 +44,9 @@ object SparkEntry {
       // Spatial k-nearest-neighbour join (broadcast R-tree, exact
       // branch-and-bound kNN; tie-invariant integer-d² rollup).
       "q_knn_join" -> ((s, dir) => Pipelines.spatialKnnRollup(s, dir)),
+      // Partitioned large-large spatial kNN join (reference-cell build
+      // side, histogram-derived per-probe bound, hash join + rank).
+      "q_knn_join_partitioned" -> ((s, dir) => Pipelines.spatialKnnPartitionedRollup(s, dir)),
       // st_geohash cell rollup (the prefix-partitionable spatial bucket
       // key; DuckDB replays the full integer encoder).
       "q_geohash" -> ((s, dir) => Pipelines.geohashBuckets(s, dir)),
@@ -68,6 +71,7 @@ object SparkEntry {
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
     ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
     ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +
+    ("q_knn_join_partitioned" -> Pipelines.spatialKnnPartitionedOracleSql) +
     ("q_geohash" -> Pipelines.geohashOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)

@@ -228,12 +228,34 @@ object Pipelines {
     * per-probe top-k multiset sum is identical under any tie break.
     * Ordering by JTS double distance equals ordering by integer d²:
     * sqrt is strictly monotone and injective at these magnitudes. */
-  def spatialKnnRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import GeoFixtures._
-    val pairs = SpatialJoin.broadcastKnn(
+  def spatialKnnRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnPairsRollup(SpatialJoin.broadcastKnn(
       parcelRelation(spark, dir), regionRelation(spark, dir),
       "parcel_geom", "region_geom", k,
-      outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0"))
+      outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0")))
+
+  /** The same k=3 kNN join through [[SpatialJoin.gridKnn]] — neither side
+    * broadcasts; the build side shuffles once on its reference cell and
+    * each probe derives its candidate cells from the broadcast per-cell
+    * histogram. Cell pitch 60 km = the fixture's region step, so every
+    * region owns one reference cell, the per-probe prefix is 1-3 cells,
+    * and the candidate neighborhoods stay tiny while ring-walking across
+    * empty cells is still exercised (region cells cover only 25 of the
+    * probe-reachable grid). Same tie-invariant integer-d² rollup, same
+    * closed-form oracle as the broadcast variant: same result, different
+    * physical plan — that is the point (the device of
+    * q_spatial_join_partitioned). */
+  def spatialKnnPartitionedRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnPairsRollup(SpatialJoin.gridKnn(
+      parcelRelation(spark, dir), regionRelation(spark, dir),
+      "parcel_geom", "region_geom", k, cellSize = 60000.0,
+      outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0")))
+
+  /** Tie-invariant aggregate over kNN pairs (see [[spatialKnnRollup]]'s
+    * exactness argument): per-pair SQUARED rectangle distance in exact
+    * BIGINT from the fixture coordinates, summed per region. */
+  private def knnPairsRollup(pairs: DataFrame): DataFrame = {
+    import GeoFixtures._
     val dx = greatest(lit(0L), col("rx0") - (col("px0") + lit(ParcelSize)),
       col("px0") - (col("rx0") + lit(RegionSize)))
     val dy = greatest(lit(0L), col("ry0") - (col("py0") + lit(ParcelSize)),
@@ -244,6 +266,10 @@ object Pipelines {
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
       .orderBy(col("own_region"))
   }
+
+  // def, not val: spatialKnnOracleSql is declared later in this object and
+  // a val here would capture its pre-init null
+  def spatialKnnPartitionedOracleSql: String = spatialKnnOracleSql
 
   /** Mirror of the k=3 kNN rollup: every (parcel slot, region) distance is
     * closed-form rectangle arithmetic; rank per distinct parcel slot by d²

@@ -173,6 +173,158 @@ object SpatialJoin {
     }(Encoders.row(outSchema))
   }
 
+  /** Partitioned large-large spatial kNN join — the Sedona `ST_KNN`
+    * capability for two sides that BOTH exceed the broadcast threshold
+    * (the one join [[broadcastKnn]] cannot serve: its build side is a
+    * driver collect). Semantics match broadcastKnn: for each left row the
+    * k nearest right rows by exact JTS distance, ties broken arbitrarily,
+    * null-geometry probes emit nothing, `min(k, |right|)` when the build
+    * side is short.
+    *
+    * Plan: one cheap driver statistic, then ONE hash equi join + ONE
+    * per-probe window — no nested loop, no all-pairs:
+    *
+    *   1. each build geometry gets a single REFERENCE CELL (the fixed
+    *      grid cell of its envelope min corner — no explode, the build
+    *      side is never duplicated, so a (probe, build) pair meets at most
+    *      once and needs no dedup);
+    *   2. the per-cell histogram (occupied cell → count, plus the global
+    *      max envelope extent) is collected and broadcast — the same
+    *      bounded driver-read class as the bounds probes: its size is the
+    *      OCCUPIED cell count, governed by `cellSize`, not the data;
+    *   3. each probe derives, from the histogram alone, a distance bound
+    *      `ub` guaranteed to contain ≥ k build geometries — cells are
+    *      ranked by U(cell) = maxDist(probeEnv, cell) + maxDiag (an upper
+    *      bound on the distance to anything referenced there, since a
+    *      geometry touches its envelope's edges and the envelope's min
+    *      corner lies in the cell) and ub is the U of the smallest prefix
+    *      whose counts reach k — then emits exactly the occupied cells
+    *      whose lower bound L(cell) = minDist(probeEnv, cell ⊕ maxExtent)
+    *      is ≤ ub. Every true neighbor's reference cell satisfies
+    *      L ≤ distance ≤ ub, so the candidate set is complete; the prefix
+    *      cells alone guarantee ≥ k candidates, so the rank below never
+    *      starves. Sparse regions need no iterative ring-widening: the
+    *      ranking walks occupied cells directly, however far.
+    *   4. probes explode to those candidate cell keys and hash-join the
+    *      build side on the ONE packed BIGINT cell key; exact JTS
+    *      distance + a row_number window per probe id keep the k nearest.
+    *
+    * Scale shape: the shuffles are the cell-key equi join and the
+    * probe-id window — both key-partitioned, both AQE-splittable; the
+    * per-probe histogram scan is O(C log C) with C = occupied cells, so
+    * size `cellSize` to keep C in the thousands (expected per-cell build
+    * count ≈ k makes the prefix 1-2 cells and the candidate set a small
+    * neighborhood). Cell indices must fit in 32 bits
+    * (|coord| / cellSize < 2³¹ — any sane pitch). Column names must be
+    * disjoint between the sides (standard join caveat). */
+  def gridKnn(left: DataFrame, right: DataFrame,
+              leftGeomCol: String, rightGeomCol: String, k: Int,
+              cellSize: Double,
+              outputCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(cellSize > 0.0 && java.lang.Double.isFinite(cellSize),
+      s"cellSize must be positive and finite, got $cellSize")
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit,
+      max, monotonically_increasing_id, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{st_distance, st_envelope_bounds}
+    val spark = left.sparkSession
+
+    val build = right.filter(col(rightGeomCol).isNotNull)
+      .withColumn("gr_env", st_envelope_bounds(col(rightGeomCol)))
+      .withColumn("gr_cell", expr(
+        s"""(CAST(floor(gr_env.xmin / ${cellSize}D) AS BIGINT) << 32)
+           | | (CAST(floor(gr_env.ymin / ${cellSize}D) AS BIGINT) & 4294967295)""".stripMargin))
+    // driver statistic (the bounds-probe class): one row per OCCUPIED cell
+    val hist = build.groupBy(col("gr_cell")).agg(
+      count(lit(1)).as("cnt"),
+      max(col("gr_env.xmax") - col("gr_env.xmin")).as("w"),
+      max(col("gr_env.ymax") - col("gr_env.ymin")).as("h")).collect()
+
+    val outCols =
+      if (outputCols.nonEmpty) outputCols
+      else (left.schema.fieldNames ++ right.schema.fieldNames).toSeq
+    val total = hist.map(_.getLong(1)).sum
+    val kk = math.min(k.toLong, total)
+    if (kk == 0L) {
+      // empty build side: empty result with the joined schema
+      val fields = outCols.map { c =>
+        left.schema.fieldNames.indexOf(c) match {
+          case -1 => right.schema(right.schema.fieldIndex(c))
+          case i => left.schema.fields(i)
+        }
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType(fields.toArray))
+    }
+
+    val cellKeys = hist.map(_.getLong(0))
+    val cellCnts = hist.map(_.getLong(1))
+    val maxW = hist.map(_.getDouble(2)).max
+    val maxH = hist.map(_.getDouble(3)).max
+    val maxDiag = math.hypot(maxW, maxH)
+    val bHist = spark.sparkContext.broadcast((cellKeys, cellCnts))
+    val cs = cellSize
+    val kkNeeded = kk
+
+    // candidate cells of one probe envelope: rank occupied cells by the
+    // per-cell distance UPPER bound, take the smallest prefix holding >= k
+    // build rows, emit every cell whose LOWER bound beats that prefix's U
+    val candidateCells = org.apache.spark.sql.functions.udf(
+      (xmin: java.lang.Double, ymin: java.lang.Double,
+       xmax: java.lang.Double, ymax: java.lang.Double) => {
+        if (xmin == null || ymin == null || xmax == null || ymax == null)
+          Array.empty[Long]
+        else {
+          val (keys, cnts) = bHist.value
+          val c = keys.length
+          val lo = new Array[Double](c)
+          val up = new Array[Double](c)
+          var i = 0
+          while (i < c) {
+            val cx0 = (keys(i) >> 32).toDouble * cs
+            val cy0 = keys(i).toInt.toDouble * cs
+            // L: min distance probeEnv -> cell rect grown by the max build
+            // extent on the +x/+y sides (where a referenced envelope can
+            // reach beyond its min-corner cell)
+            val ldx = math.max(0.0, math.max(cx0 - xmax, xmin - (cx0 + cs + maxW)))
+            val ldy = math.max(0.0, math.max(cy0 - ymax, ymin - (cy0 + cs + maxH)))
+            lo(i) = math.hypot(ldx, ldy)
+            // U: max distance probeEnv -> cell rect, plus the max envelope
+            // diagonal (a geometry has a point within that of its min corner)
+            val udx = math.max((cx0 + cs) - xmin, xmax - cx0)
+            val udy = math.max((cy0 + cs) - ymin, ymax - cy0)
+            up(i) = math.hypot(udx, udy) + maxDiag
+            i += 1
+          }
+          val order = Array.range(0, c).sortBy(i => up(i))
+          var acc = 0L
+          var ub = Double.PositiveInfinity
+          var b = 0
+          while (b < c && acc < kkNeeded) {
+            acc += cnts(order(b))
+            if (acc >= kkNeeded) ub = up(order(b))
+            b += 1
+          }
+          keys.indices.collect { case i if lo(i) <= ub => keys(i) }.toArray
+        }
+      })
+
+    val probe = Par.fanOut(left)
+      .withColumn("g_pid", monotonically_increasing_id())
+      .withColumn("gl_env", st_envelope_bounds(col(leftGeomCol)))
+      .withColumn("gl_cell", explode(candidateCells(
+        col("gl_env.xmin"), col("gl_env.ymin"),
+        col("gl_env.xmax"), col("gl_env.ymax"))))
+
+    val perProbe = Window.partitionBy(col("g_pid")).orderBy(col("g_dist"))
+    probe.join(build, col("gl_cell") === col("gr_cell"), "inner")
+      .withColumn("g_dist", st_distance(col(leftGeomCol), col(rightGeomCol)))
+      .withColumn("g_rn", row_number().over(perProbe))
+      .filter(col("g_rn") <= lit(kkNeeded))
+      .select(outCols.map(col): _*)
+  }
+
   /** Output projection shared by the broadcast operators: (isLeft, ordinal)
     * per emitted column, plus the emitted schema. */
   private def outputPicks(leftSchema: StructType, rightSchema: StructType,

@@ -89,6 +89,66 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(got == Set(("A", 100L, 700L), ("A", 300L, 900L), ("B", 1000L, 100L)))
   }
 
+  test("grid kNN equals brute force on sparse cells, short build sides, nulls, and fat geometries") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{st_makeenvelope, st_point}
+    import spark.implicits._
+    // build: a dense cluster inside one 10-unit cell, far-flung singletons
+    // (probes must ring-walk over many empty cells), one FAT rectangle
+    // spanning several cells (drives the maxW/maxH envelope slack), and a
+    // null geometry (must be ignored). Coordinates are pseudo-random reals
+    // so all pairwise distances are distinct and identity compare is sound.
+    val rnd = new scala.util.Random(7)
+    val clustered = (0 until 8).map(i => (i, rnd.nextDouble() * 9, rnd.nextDouble() * 9))
+    val singletons = Seq((8, 143.7, -221.3), (9, -387.1, 55.9), (10, 961.4, 702.2))
+    val ptBuild = (clustered ++ singletons).toDF("b_id", "bx", "by")
+      .select(col("b_id"), st_point(col("bx"), col("by")).as("b_geom"))
+    val fat = Seq(11).toDF("b_id")
+      .select(col("b_id"), st_makeenvelope(lit(50.0), lit(50.0), lit(85.0), lit(95.0)).as("b_geom"))
+    val nullRow = Seq(12).toDF("b_id")
+      .select(col("b_id"), lit(null).cast("binary").as("b_geom"))
+    val build = ptBuild.unionByName(fat).unionByName(nullRow)
+
+    val probes = (0 until 40).map(i =>
+      (i, rnd.nextDouble() * 2200 - 600, rnd.nextDouble() * 1600 - 700))
+    val probeDf = probes.toDF("p_id", "px", "py")
+      .select(col("p_id"), st_point(col("px"), col("py")).as("p_geom"))
+
+    // brute-force truth via JTS on the same geometries
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def fatDist(px: Double, py: Double): Double = {
+      val dx = math.max(0.0, math.max(50.0 - px, px - 85.0))
+      val dy = math.max(0.0, math.max(50.0 - py, py - 95.0))
+      math.hypot(dx, dy)
+    }
+    val buildPts = (clustered ++ singletons).map { case (id, x, y) => (id, (px: Double, py: Double) => math.hypot(px - x, py - y)) } :+
+      ((11, (px: Double, py: Double) => fatDist(px, py)))
+    for (k <- Seq(3, 20)) { // k=20 > |build|: every non-null build row matches
+      val got = SpatialJoin.gridKnn(probeDf, build, "p_geom", "b_geom", k,
+          cellSize = 10.0, outputCols = Seq("p_id", "b_id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = probes.map { case (pid, px, py) =>
+        pid -> buildPts.sortBy { case (_, d) => d(px, py) }.take(k).map(_._1).toSet
+      }.toMap
+      assert(got == want, s"k=$k")
+      // and the broadcast operator agrees
+      val bc = SpatialJoin.broadcastKnn(probeDf, build, "p_geom", "b_geom", k,
+          outputCols = Seq("p_id", "b_id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(bc == want, s"broadcast k=$k")
+    }
+    // null probe emits nothing; empty build side yields an empty frame
+    val nullProbe = Seq(99).toDF("p_id").select(col("p_id"), lit(null).cast("binary").as("p_geom"))
+    assert(SpatialJoin.gridKnn(nullProbe, build, "p_geom", "b_geom", 2,
+      cellSize = 10.0, outputCols = Seq("p_id", "b_id")).count() == 0)
+    val emptyBuild = build.filter(col("b_id") < 0)
+    val empty = SpatialJoin.gridKnn(probeDf, emptyBuild, "p_geom", "b_geom", 2,
+      cellSize = 10.0, outputCols = Seq("p_id", "b_id"))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("p_id", "b_id"))
+  }
+
   test("two-phase sharded skyline equals the plain single-window frontier at every shard count") {
     import spark.implicits._
     // deterministic pseudo-random cloud, big enough that every shard of a

@@ -356,6 +356,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("grid kNN join plans a hash equi join on the cell key - no nested loop - and matches broadcast kNN") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // neither side may broadcast: the condition under which a naive kNN
+      // formulation would need a nested-loop distance join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q_knn_join_partitioned")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+      // identical tie-invariant rollup as the broadcast-R-tree variant
+      val grid = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val bcast = SparkEntry.queries("q_knn_join")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(grid == bcast)
+      assert(grid.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grid join reference-point rule: multi-cell pairs emit exactly once") {
     import org.apache.spark.sql.functions._
     import graft.functions.st_makeenvelope
