@@ -57,6 +57,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_within", 2)(es => StWithin(es.head, es(1)))
     inject("st_distance", 2)(es => StDistance(es.head, es(1)))
     inject("st_distance_sphere", 2)(es => StDistanceSphere(es.head, es(1)))
+    inject("st_area_sphere", 1)(es => StAreaSphere(es.head))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))

@@ -53,6 +53,9 @@ object SparkEntry {
       // st_distance_sphere: haversine meters on raw lon/lat, verbatim
       // arithmetic mirror in the oracle (ROUND(.,1) boundary law).
       "q_distance_sphere" -> (Pipelines.distanceSphereRollup _),
+      // st_area_sphere: Chamberlain-Duquette spherical polygon area,
+      // exact on graticule cells; oracle mirrors the edge terms.
+      "q_area_sphere" -> (Pipelines.areaSphereRollup _),
       // st_makeline + st_simplify + st_npoints: per-user trajectory
       // build and Douglas-Peucker thinning with a closed-form oracle.
       "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
@@ -74,5 +77,6 @@ object SparkEntry {
     ("q_knn_join_partitioned" -> Pipelines.spatialKnnPartitionedOracleSql) +
     ("q_geohash" -> Pipelines.geohashOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
+    ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -323,6 +323,71 @@ object StDistanceSphere {
   }
 }
 
+/** st_area_sphere(g) — area in m² of a lon/lat POLYGON / MULTIPOLYGON on
+  * the GRS80 mean-radius sphere, completing the geodesic measures next to
+  * [[StDistanceSphere]] (planar [[StArea]] on EPSG:4326 yields degrees²).
+  * Uses the Chamberlain–Duquette line-integral (JPL Publication 07-3; the
+  * same public algorithm turf.js and many GIS stacks ship):
+  * `R²/2 · |Σ_edges (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|` per ring, holes
+  * subtracted. The integral is EXACT for graticule-aligned rings
+  * (meridian edges contribute 0; a parallel edge integrates to
+  * Δλ·(1+sin φ), giving the textbook band area R²·Δλ·(sinφ₂−sinφ₁) — the
+  * anchors in SpatialSqlSpec pin this closed form up to a full
+  * hemisphere); general small-edge polygons carry the same
+  * edge-chord approximation every C-D consumer accepts. Non-areal or
+  * empty input returns null. Operation order is mirrored verbatim by the
+  * DuckDB oracle under the ROUND(·,1) boundary law. */
+case class StAreaSphere(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_area_sphere"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Polygon if !p.isEmpty =>
+      StAreaSphere.polygonAreaM2(p)
+    case mp: org.locationtech.jts.geom.MultiPolygon if !mp.isEmpty =>
+      var a = 0.0
+      var i = 0
+      while (i < mp.getNumGeometries) {
+        a += StAreaSphere.polygonAreaM2(
+          mp.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon])
+        i += 1
+      }
+      a
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StAreaSphere = copy(child = c)
+}
+
+object StAreaSphere {
+  private def ringAreaM2(ring: org.locationtech.jts.geom.LineString): Double = {
+    val cs = ring.getCoordinateSequence
+    var total = 0.0
+    var i = 0
+    val n = cs.size - 1 // closed ring: last == first
+    while (i < n) {
+      val lon1 = cs.getX(i); val lat1 = cs.getY(i)
+      val lon2 = cs.getX(i + 1); val lat2 = cs.getY(i + 1)
+      total += Math.toRadians(lon2 - lon1) *
+        (2 + Math.sin(Math.toRadians(lat1)) + Math.sin(Math.toRadians(lat2)))
+      i += 1
+    }
+    val r = StDistanceSphere.MeanRadiusM
+    Math.abs(total) * r * r / 2
+  }
+
+  def polygonAreaM2(p: org.locationtech.jts.geom.Polygon): Double = {
+    var a = ringAreaM2(p.getExteriorRing)
+    var i = 0
+    while (i < p.getNumInteriorRing) {
+      a -= ringAreaM2(p.getInteriorRingN(i))
+      i += 1
+    }
+    a
+  }
+}
+
 /** st_dwithin(a, b, d) — true iff distance(a, b) <= d. A first-class
   * predicate (not sugar for st_distance(a,b) <= d) so
   * SpatialJoinStrategy can recognize it as an index-accelerable join

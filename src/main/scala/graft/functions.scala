@@ -42,6 +42,7 @@ object functions {
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
+  def st_area_sphere(g: Column): Column = col(StAreaSphere(ex(g)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -170,6 +171,7 @@ object functions {
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
     r2("st_distance_sphere", StDistanceSphere)
+    r1("st_area_sphere", StAreaSphere)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

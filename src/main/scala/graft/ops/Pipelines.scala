@@ -437,6 +437,51 @@ object Pipelines {
       |SELECT gx, gy, n, CAST(round(d_m, 1) AS DECIMAL(12,1)) AS dist_m
       |FROM d ORDER BY gx, gy""".stripMargin
 
+  /** Spherical polygon area rollup ([[graft.exprs.StAreaSphere]], the
+    * Sedona/PostGIS spheroid-area analogue): each occupied 10° graticule
+    * cell of the event grid is built as an exact-integer WKT rectangle and
+    * measured on the GRS80 mean-radius sphere — the Chamberlain–Duquette
+    * integral is EXACT for graticule rings, so the oracle mirrors the
+    * same four edge terms verbatim. Same float discipline and scale shape
+    * as [[distanceSphereRollup]]: integer grid keys per event, ONE
+    * counting shuffle, all geometry/trig on the ≤648-row cell relation,
+    * ROUND(·,1) into DECIMAL(18,1) to absorb last-ulp libm drift. */
+  def areaSphereRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon0 = (col("gx") * 10 - 180).cast("long")
+    val lat0 = (col("gy") * 10 - 90).cast("long")
+    cells
+      .withColumn("a_m2", st_area_sphere(st_geomfromwkt(
+        GeoFixtures.rectWkt(lon0, lat0, 10L, 10L))))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("a_m2"), 1).cast("decimal(18,1)").as("area_m2"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Verbatim Chamberlain–Duquette mirror for the 10° cell rectangle:
+    * the two meridian edges contribute exact zeros, leaving the two
+    * parallel-edge terms in the engine's summation order. */
+  val areaSphereOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT gx, gy, n,
+      |    abs(radians(10.0)
+      |          * (2 + sin(radians(gy * 10.0 - 90.0)) + sin(radians(gy * 10.0 - 90.0)))
+      |        + radians(-10.0)
+      |          * (2 + sin(radians(gy * 10.0 - 80.0)) + sin(radians(gy * 10.0 - 80.0))))
+      |      * 6371008.7714 * 6371008.7714 / 2 AS am
+      |  FROM g)
+      |SELECT gx, gy, n, CAST(round(am, 1) AS DECIMAL(18,1)) AS area_m2
+      |FROM a ORDER BY gx, gy""".stripMargin
+
   /** Trajectory build + Douglas-Peucker thinning: per-user polyline from
     * the event stream (st_makeline over the (ts, event_id)-ordered point
     * array — one shuffle, on user_id), then st_simplify with a tolerance

@@ -109,6 +109,34 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("st_area_sphere: graticule closed forms up to the full sphere, holes, multipolygons") {
+    val R = StDistanceSphere.MeanRadiusM
+    def area(wkt: String): Double =
+      one(s"SELECT st_area_sphere(st_geomfromwkt('$wkt')) AS a").getDouble(0)
+    // 10-degree equatorial cell: exact band closed form R^2 * dLambda * (sin 10 - sin 0)
+    val cell = area("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val cellWant = R * R * math.toRadians(10) * (math.sin(math.toRadians(10)) - 0.0)
+    assert(math.abs(cell - cellWant) / cellWant < 1e-12, s"cell: $cell vs $cellWant")
+    // hemisphere: 2*pi*R^2; full sphere rectangle: 4*pi*R^2
+    val hemi = area("POLYGON ((-180 0, 180 0, 180 90, -180 90, -180 0))")
+    assert(math.abs(hemi - 2 * math.Pi * R * R) / hemi < 1e-12, s"hemisphere: $hemi")
+    val sphere = area("POLYGON ((-180 -90, 180 -90, 180 90, -180 90, -180 -90))")
+    assert(math.abs(sphere - 4 * math.Pi * R * R) / sphere < 1e-12, s"sphere: $sphere")
+    // hole subtracts; multipolygon sums; winding direction is irrelevant
+    val holed = area("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0), (10 10, 20 10, 20 20, 10 20, 10 10))")
+    val inner = area("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+    val outer = area("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")
+    assert(math.abs(holed - (outer - inner)) < 1e-3)
+    val multi = area("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((40 0, 50 0, 50 10, 40 10, 40 0)))")
+    assert(math.abs(multi - 2 * cell) < 1e-3)
+    val cw = area("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    assert(cw == cell)
+    // non-areal and empty input -> null
+    val nulls = one("""SELECT st_area_sphere(st_geomfromwkt('LINESTRING (0 0, 1 1)')) AS a,
+                              st_area_sphere(st_geomfromwkt('POLYGON EMPTY')) AS b""")
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("st_union_agg unions a group, ignores empties and nulls") {
     val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
                      SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
