@@ -56,6 +56,12 @@ object SparkEntry {
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
+      // Conic st_transform family (EPSG:2154 LCC + EPSG:5070 Albers)
+      // with the full Snyder closed forms replayed in the oracle.
+      "q_transform_conic" -> (Pipelines.transformConicRollup _),
+      // st_difference / st_symdifference / st_intersection overlay
+      // algebra: per-row rectangle-pair overlay areas, exact-integer sums.
+      "q_overlay" -> (Pipelines.overlayRollup _),
       // st_makeline + st_simplify + st_npoints: per-user trajectory
       // build and Douglas-Peucker thinning with a closed-form oracle.
       "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
@@ -78,5 +84,7 @@ object SparkEntry {
     ("q_geohash" -> Pipelines.geohashOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
+    ("q_overlay" -> Pipelines.overlayOracleSql) +
+    ("q_transform_conic" -> Pipelines.transformConicOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -132,6 +132,31 @@ case class StIntersection(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Geometric difference A \ B (same defensive repair ladder as
+  * intersection — Sedona ST_Difference). */
+case class StDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_difference"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    wkb(Geom.safeDifference(geom(a), geom(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDifference =
+    copy(left = l, right = r)
+}
+
+/** Symmetric difference (A \ B) ∪ (B \ A) — Sedona ST_SymDifference. */
+case class StSymDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_symdifference"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    wkb(Geom.safeSymDifference(geom(a), geom(b)))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSymDifference =
+    copy(left = l, right = r)
+}
+
 /** Binary geometric union. */
 case class StUnion(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

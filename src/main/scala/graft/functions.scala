@@ -28,6 +28,8 @@ object functions {
   def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
+  def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
+  def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(ex(a), ex(b)))
   def st_area(g: Column): Column = col(StArea(ex(g)))
   def st_length(g: Column): Column = col(StLength(ex(g)))
   def st_centroid(g: Column): Column = col(StCentroid(ex(g)))
@@ -158,6 +160,8 @@ object functions {
     r2("st_buffer", StBuffer)
     r2("st_intersection", StIntersection)
     r2("st_union", StUnion)
+    r2("st_difference", StDifference)
+    r2("st_symdifference", StSymDifference)
     r1("st_area", StArea)
     r1("st_length", StLength)
     r1("st_centroid", StCentroid)

@@ -19,6 +19,11 @@ import org.locationtech.jts.geom.CoordinateSequenceFilter
   *     (SIRGAS 2000 / UTM): ellipsoidal Transverse Mercator,
   *     eqs. 8-9…8-13, resolved BY PATTERN — the whole 120-zone UTM family
   *     comes from one parameterized projection, constructed on first use.
+  *   - EPSG:5070 (NAD83 / Conus Albers): ellipsoidal Albers Equal-Area
+  *     Conic, ch. 14 — the equal-area workhorse for area statistics.
+  *   - EPSG:2154 (RGF93 / Lambert-93): ellipsoidal Lambert Conformal
+  *     Conic 2SP, ch. 15. Both conic families are parameterized, so any
+  *     other Albers/LCC CRS plugs in via [[Crs.register]].
   * SIRGAS 2000 is realized identically to WGS84 at this precision, so the
   * lon/lat hub needs no datum shift (EPSG:4674 is the same identity hub
   * as EPSG:4326).
@@ -197,6 +202,95 @@ object Crs {
     }
   }
 
+  /** Authalic q (Snyder eq. 3-12) — the equal-area latitude kernel shared
+    * by every equal-area projection. q(90°) = q_p gives the authalic
+    * radius R_q = a·√(q_p/2); the ellipsoidal area of a lon/lat quad is
+    * a²·Δλ·(q(φ₂)−q(φ₁))/2 (the closed form CrsSpec audits against). */
+  def authalicQ(e2: Double, phi: Double): Double = {
+    val s = math.sin(phi)
+    if (e2 < 1e-15) 2.0 * s
+    else {
+      val e = math.sqrt(e2)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+  }
+
+  /** Ellipsoidal Albers Equal-Area Conic (Snyder ch. 14,
+    * eqs. 14-3/14-4/14-12…14-15 forward). The planar map preserves
+    * ellipsoidal area exactly — the property CrsSpec pins against the
+    * closed-form quad area; the e→0 limit reproduces the independent
+    * spherical closed form (n = (sinφ₁+sinφ₂)/2) bit-for-bit. */
+  final class AlbersEqualArea(a: Double, e2: Double, lat0Deg: Double,
+                              sp1Deg: Double, sp2Deg: Double, lon0Deg: Double,
+                              fe: Double, fn: Double)
+      extends Projection with NewtonInverse {
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val phi1 = sp1Deg * DegToRad
+    private val phi2 = sp2Deg * DegToRad
+    private val n =
+      if (math.abs(phi1 - phi2) < 1e-12) math.sin(phi1) // one-parallel cone
+      else {
+        val m1 = m(phi1); val m2 = m(phi2)
+        (m1 * m1 - m2 * m2) / (authalicQ(e2, phi2) - authalicQ(e2, phi1))
+      }
+    private val bigC = { val m1 = m(phi1); m1 * m1 + n * authalicQ(e2, phi1) }
+    private def rho(phi: Double): Double =
+      a * math.sqrt(math.max(0.0, bigC - n * authalicQ(e2, phi))) / n
+    private val rho0 = rho(lat0Deg * DegToRad)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val theta = n * (lonDeg - lon0Deg) * DegToRad
+      val r = rho(latDeg * DegToRad)
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+    protected def inverseGuess(xIn: Double, yIn: Double): (Double, Double) =
+      (lon0Deg + (xIn - fe) / (a * math.max(0.2, math.cos(lat0Deg * DegToRad))) * RadToDeg,
+       math.max(-89.0, math.min(89.0, lat0Deg + (yIn - fn) / a * RadToDeg)))
+  }
+
+  /** Ellipsoidal Lambert Conformal Conic, 2SP (Snyder ch. 15,
+    * eqs. 15-1…15-10 forward). Conformal with true scale on both standard
+    * parallels — the two properties CrsSpec audits by finite differences;
+    * the e→0 limit reproduces the independent spherical closed form. */
+  final class LambertConformalConic(a: Double, e2: Double, lat0Deg: Double,
+                                    sp1Deg: Double, sp2Deg: Double, lon0Deg: Double,
+                                    fe: Double, fn: Double)
+      extends Projection with NewtonInverse {
+    private val e = math.sqrt(e2)
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    /** Snyder eq. 15-9: t = tan(π/4 − φ/2) / ((1−e·sinφ)/(1+e·sinφ))^(e/2). */
+    private def t(phi: Double): Double = {
+      val s = math.sin(phi)
+      val esCorr = if (e < 1e-15) 1.0
+        else math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+      math.tan(math.Pi / 4.0 - phi / 2.0) / esCorr
+    }
+    private val phi1 = sp1Deg * DegToRad
+    private val phi2 = sp2Deg * DegToRad
+    private val n =
+      if (math.abs(phi1 - phi2) < 1e-12) math.sin(phi1) // tangent cone
+      else math.log(m(phi1) / m(phi2)) / math.log(t(phi1) / t(phi2))
+    private val bigF = m(phi1) / (n * math.pow(t(phi1), n))
+    private def rho(phi: Double): Double = a * bigF * math.pow(t(phi), n)
+    private val rho0 = rho(lat0Deg * DegToRad)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val theta = n * (lonDeg - lon0Deg) * DegToRad
+      val r = rho(latDeg * DegToRad)
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+    protected def inverseGuess(xIn: Double, yIn: Double): (Double, Double) =
+      (lon0Deg + (xIn - fe) / (a * math.max(0.2, math.cos(lat0Deg * DegToRad))) * RadToDeg,
+       math.max(-89.0, math.min(89.0, lat0Deg + (yIn - fn) / a * RadToDeg)))
+  }
+
   // GRS80 ellipsoid (EPSG:7019): a = 6378137, 1/f = 298.257222101
   private val Grs80A = 6378137.0
   private val Grs80F = 1.0 / 298.257222101
@@ -209,6 +303,18 @@ object Crs {
   /** EPSG:5880 — SIRGAS 2000 / Brazil Polyconic
     * (lat0=0, lon0=-54, FE=5 000 000 m, FN=10 000 000 m). */
   val BrazilPolyconic = new Polyconic(Grs80A, Grs80E2, 0.0, -54.0, 5000000.0, 10000000.0)
+
+  /** EPSG:5070 — NAD83 / Conus Albers (GRS80; lat0=23, sp 29.5/45.5,
+    * lon0=-96, FE=FN=0). NAD83 is treated as the same lon/lat hub as
+    * WGS84 — the realizations differ by up to ~2 m, beyond this
+    * registry's stated precision for cross-datum work (same stance as
+    * SIRGAS 2000 above); the projection math itself is exact. */
+  val ConusAlbers = new AlbersEqualArea(Grs80A, Grs80E2, 23.0, 29.5, 45.5, -96.0, 0.0, 0.0)
+
+  /** EPSG:2154 — RGF93 / Lambert-93 (GRS80; lat0=46.5, sp 44/49, lon0=3,
+    * FE=700 000, FN=6 600 000). RGF93 is a WGS84-equivalent realization. */
+  val Lambert93 = new LambertConformalConic(Grs80A, Grs80E2, 46.5, 44.0, 49.0, 3.0,
+    700000.0, 6600000.0)
 
   /** UTM zone: lon0 = 6°·zone − 183, k0 = 0.9996, FE = 500 km,
     * FN = 0 (north) / 10 000 km (south). */
@@ -223,6 +329,8 @@ object Crs {
   projections.put("EPSG:4674", LonLat) // SIRGAS 2000 geographic — same hub
   projections.put("EPSG:3857", WebMercator)
   projections.put("EPSG:5880", BrazilPolyconic)
+  projections.put("EPSG:5070", ConusAlbers)
+  projections.put("EPSG:2154", Lambert93)
 
   /** Plug in a CRS at runtime. `st_transform` resolves codes per call, so
     * a registration is visible to already-built plans (executors resolve

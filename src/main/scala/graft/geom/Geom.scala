@@ -58,14 +58,28 @@ object Geom {
     * retry, then fall back to zero-buffer normalization — reproducing the
     * reference's defensive nesting (process_geodata.py:125-133). */
   def safeIntersection(a: Geometry, b: Geometry): Geometry =
-    try a.intersection(b)
+    safeOverlay(a, b)(_.intersection(_))
+
+  /** Defensive overlay ladder shared by difference/symDifference — the
+    * same TopologyException nesting as [[safeIntersection]]. */
+  private def safeOverlay(a: Geometry, b: Geometry)
+                         (op: (Geometry, Geometry) => Geometry): Geometry =
+    try op(a, b)
     catch {
       case _: TopologyException =>
-        try makeValid(a).intersection(makeValid(b))
+        try op(makeValid(a), makeValid(b))
         catch {
-          case _: TopologyException => a.buffer(0).intersection(b.buffer(0))
+          case _: TopologyException => op(a.buffer(0), b.buffer(0))
         }
     }
+
+  /** Defensive A \ B. */
+  def safeDifference(a: Geometry, b: Geometry): Geometry =
+    safeOverlay(a, b)(_.difference(_))
+
+  /** Defensive (A \ B) ∪ (B \ A). */
+  def safeSymDifference(a: Geometry, b: Geometry): Geometry =
+    safeOverlay(a, b)(_.symDifference(_))
 
   /** Union of many geometries (UnaryUnionOp = cascaded union for polygons). */
   def unionAll(gs: java.util.Collection[Geometry]): Geometry =

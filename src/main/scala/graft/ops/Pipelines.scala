@@ -482,6 +482,177 @@ object Pipelines {
       |SELECT gx, gy, n, CAST(round(am, 1) AS DECIMAL(18,1)) AS area_m2
       |FROM a ORDER BY gx, gy""".stripMargin
 
+  /** Overlay-algebra rollup (st_difference / st_symdifference /
+    * st_intersection — the Sedona overlay family the flagship's
+    * intersection only half-covers): each event derives a deterministic
+    * PAIR of integer-cornered rectangles whose relative offset sweeps
+    * every overlay regime — disjoint, partial overlap, edge-aligned and
+    * contained — and the three overlay areas are measured per row with
+    * the full defensive JTS overlay ladder, then summed per bucket.
+    * Integer corners keep every JTS shoelace area an exact double
+    * (products < 2^53), so the BIGINT sums match DuckDB's pure-integer
+    * interval arithmetic exactly: for axis-aligned rectangles
+    * inter = ow·oh, diff = |A|−inter, symdiff = |A|+|B|−2·inter.
+    *
+    * Scale shape: the overlay is map-side scalar work per row — no data
+    * movement, embarrassingly parallel — and the ONLY shuffle is the
+    * final bounded-key (25-bucket) partial-aggregated sum, whose
+    * exchange carries 25 rows of longs per task at any input size. */
+  def overlayRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id")))
+    val ax0 = (col("event_id") % 100L).cast("double")
+    val ay0 = (col("user_id") % 100L).cast("double")
+    val aw = (col("event_id") % 7L + 10L).cast("double")
+    val ah = (col("user_id") % 5L + 10L).cast("double")
+    val bx0 = ax0 + (col("event_id") % 41L).cast("double") - 20.0
+    val by0 = ay0 + (col("user_id") % 31L).cast("double") - 15.0
+    val bw = (col("event_id") % 6L + 8L).cast("double")
+    val bh = (col("user_id") % 9L + 8L).cast("double")
+    val ra = st_makeenvelope(ax0, ay0, ax0 + aw, ay0 + ah)
+    val rb = st_makeenvelope(bx0, by0, bx0 + bw, by0 + bh)
+    ev.select((col("event_id") % 25L).cast("int").as("bucket"),
+        st_area(st_difference(ra, rb)).cast("long").as("d"),
+        st_area(st_symdifference(ra, rb)).cast("long").as("s"),
+        st_area(st_intersection(ra, rb)).cast("long").as("i"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).as("diff_area"),
+        sum(col("s")).as("symdiff_area"),
+        sum(col("i")).as("inter_area"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Integer interval-arithmetic mirror of [[overlayRollup]] — the
+    * rectangle overlap closed form replaces the JTS overlay. */
+  val overlayOracleSql: String =
+    """WITH p AS (
+      |  SELECT CAST(event_id % 25 AS INTEGER) AS bucket,
+      |         event_id % 100 AS ax0, user_id % 100 AS ay0,
+      |         event_id % 7 + 10 AS aw, user_id % 5 + 10 AS ah,
+      |         (event_id % 100) + (event_id % 41) - 20 AS bx0,
+      |         (user_id % 100) + (user_id % 31) - 15 AS by0,
+      |         event_id % 6 + 8 AS bw, user_id % 9 + 8 AS bh
+      |  FROM events),
+      |o AS (
+      |  SELECT bucket, aw * ah AS area_a, bw * bh AS area_b,
+      |    greatest(0, least(ax0 + aw, bx0 + bw) - greatest(ax0, bx0))
+      |      * greatest(0, least(ay0 + ah, by0 + bh) - greatest(ay0, by0)) AS inter
+      |  FROM p)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(sum(area_a - inter) AS BIGINT) AS diff_area,
+      |  CAST(sum(area_a + area_b - 2 * inter) AS BIGINT) AS symdiff_area,
+      |  CAST(sum(inter) AS BIGINT) AS inter_area
+      |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Conic-reprojection rollup: each occupied event cell yields one
+    * integer-degree anchor point inside each conic's service area —
+    * France for EPSG:2154 (RGF93 / Lambert-93, conformal) and CONUS for
+    * EPSG:5070 (NAD83 / Conus Albers, equal-area) — pushed through
+    * st_transform and read back with st_x/st_y. The DuckDB oracle
+    * replays BOTH projections from their Snyder closed forms (ch. 15
+    * t/m/n/F/ρ for the LCC, ch. 14 authalic-q/m/n/C/ρ for the Albers)
+    * in SQL; the ROUND(·,1) m funnel absorbs last-ulp libm drift
+    * (values ~1e6 m, double agreement ~1e-8 m — seven orders inside).
+    *
+    * Scale shape: same as [[distanceSphereRollup]] — ONE counting
+    * shuffle on the dense integer cell key; the projection trig runs on
+    * the ≤108-row cell relation, never per fact row. */
+  def transformConicRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 12L).cast("int").as("gx"),
+        (col("event_id") % 9L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lonF = (col("gx") - 4).cast("double")           // -4 .. 7 °E
+    val latF = (col("gy") + 42).cast("double")          // 42 .. 50 °N
+    val lonU = (col("gx") * 4 - 124).cast("double")     // -124 .. -80 °E
+    val latU = (col("gy") * 2 + 25).cast("double")      // 25 .. 41 °N
+    cells
+      .withColumn("p93", st_transform(st_point(lonF, latF), "EPSG:4326", "EPSG:2154"))
+      .withColumn("alb", st_transform(st_point(lonU, latU), "EPSG:4326", "EPSG:5070"))
+      .select(col("gx"), col("gy"), col("n"),
+        round(st_x(col("p93")), 1).cast("decimal(12,1)").as("l93_e"),
+        round(st_y(col("p93")), 1).cast("decimal(12,1)").as("l93_n"),
+        round(st_x(col("alb")), 1).cast("decimal(12,1)").as("alb_x"),
+        round(st_y(col("alb")), 1).cast("decimal(12,1)").as("alb_y"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Snyder closed-form mirror of both conics (same parameters as
+    * `Crs.Lambert93` / `Crs.ConusAlbers`), computed entirely in DuckDB
+    * scalar SQL. */
+  val transformConicOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 12 AS INTEGER) AS gx,
+      |         CAST(event_id % 9 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |k AS (
+      |  SELECT 6378137.0 AS a,
+      |         (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2,
+      |         sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e),
+      |lc AS ( -- EPSG:2154 cone constants (Snyder ch. 15)
+      |  SELECT a, e2, e,
+      |    ln( (cos(radians(44.0))/sqrt(1 - e2*sin(radians(44.0))*sin(radians(44.0))))
+      |      / (cos(radians(49.0))/sqrt(1 - e2*sin(radians(49.0))*sin(radians(49.0)))) )
+      |    / ln( (tan(pi()/4 - radians(44.0)/2) / pow((1 - e*sin(radians(44.0)))/(1 + e*sin(radians(44.0))), e/2))
+      |        / (tan(pi()/4 - radians(49.0)/2) / pow((1 - e*sin(radians(49.0)))/(1 + e*sin(radians(49.0))), e/2)) ) AS cn
+      |  FROM k),
+      |lc2 AS (
+      |  SELECT a, e2, e, cn,
+      |    (cos(radians(44.0))/sqrt(1 - e2*sin(radians(44.0))*sin(radians(44.0))))
+      |      / (cn * pow(tan(pi()/4 - radians(44.0)/2) / pow((1 - e*sin(radians(44.0)))/(1 + e*sin(radians(44.0))), e/2), cn)) AS cf
+      |  FROM lc),
+      |lc3 AS (
+      |  SELECT a, e2, e, cn, cf,
+      |    a * cf * pow(tan(pi()/4 - radians(46.5)/2) / pow((1 - e*sin(radians(46.5)))/(1 + e*sin(radians(46.5))), e/2), cn) AS rho0
+      |  FROM lc2),
+      |al AS ( -- EPSG:5070 cone constants (Snyder ch. 14, authalic q)
+      |  SELECT a, e2, e,
+      |    ( pow(cos(radians(29.5)), 2)/(1 - e2*sin(radians(29.5))*sin(radians(29.5)))
+      |    - pow(cos(radians(45.5)), 2)/(1 - e2*sin(radians(45.5))*sin(radians(45.5))) )
+      |    / ( (1 - e2) * (sin(radians(45.5))/(1 - e2*sin(radians(45.5))*sin(radians(45.5)))
+      |          - (1/(2*e)) * ln((1 - e*sin(radians(45.5)))/(1 + e*sin(radians(45.5)))))
+      |      - (1 - e2) * (sin(radians(29.5))/(1 - e2*sin(radians(29.5))*sin(radians(29.5)))
+      |          - (1/(2*e)) * ln((1 - e*sin(radians(29.5)))/(1 + e*sin(radians(29.5))))) ) AS an
+      |  FROM k),
+      |al2 AS (
+      |  SELECT a, e2, e, an,
+      |    pow(cos(radians(29.5)), 2)/(1 - e2*sin(radians(29.5))*sin(radians(29.5)))
+      |      + an * (1 - e2) * (sin(radians(29.5))/(1 - e2*sin(radians(29.5))*sin(radians(29.5)))
+      |          - (1/(2*e)) * ln((1 - e*sin(radians(29.5)))/(1 + e*sin(radians(29.5))))) AS ac
+      |  FROM al),
+      |al3 AS (
+      |  SELECT a, e2, e, an, ac,
+      |    a * sqrt(ac - an * (1 - e2) * (sin(radians(23.0))/(1 - e2*sin(radians(23.0))*sin(radians(23.0)))
+      |          - (1/(2*e)) * ln((1 - e*sin(radians(23.0)))/(1 + e*sin(radians(23.0)))))) / an AS arho0
+      |  FROM al2),
+      |pt AS (
+      |  SELECT gx, gy, n,
+      |    radians(CAST(gy + 42 AS DOUBLE)) AS phiF, CAST(gx - 4 AS DOUBLE) AS lonF,
+      |    radians(CAST(gy * 2 + 25 AS DOUBLE)) AS phiU, CAST(gx * 4 - 124 AS DOUBLE) AS lonU
+      |  FROM g),
+      |prj AS (
+      |  SELECT pt.gx, pt.gy, pt.n,
+      |    700000 + (lc3.a * lc3.cf * pow(tan(pi()/4 - phiF/2) / pow((1 - lc3.e*sin(phiF))/(1 + lc3.e*sin(phiF)), lc3.e/2), lc3.cn))
+      |      * sin(lc3.cn * radians(lonF - 3.0)) AS l93_e,
+      |    6600000 + lc3.rho0 - (lc3.a * lc3.cf * pow(tan(pi()/4 - phiF/2) / pow((1 - lc3.e*sin(phiF))/(1 + lc3.e*sin(phiF)), lc3.e/2), lc3.cn))
+      |      * cos(lc3.cn * radians(lonF - 3.0)) AS l93_n,
+      |    (al3.a * sqrt(al3.ac - al3.an * (1 - al3.e2) * (sin(phiU)/(1 - al3.e2*sin(phiU)*sin(phiU))
+      |          - (1/(2*al3.e)) * ln((1 - al3.e*sin(phiU))/(1 + al3.e*sin(phiU))))) / al3.an)
+      |      * sin(al3.an * radians(lonU + 96.0)) AS alb_x,
+      |    al3.arho0 - (al3.a * sqrt(al3.ac - al3.an * (1 - al3.e2) * (sin(phiU)/(1 - al3.e2*sin(phiU)*sin(phiU))
+      |          - (1/(2*al3.e)) * ln((1 - al3.e*sin(phiU))/(1 + al3.e*sin(phiU))))) / al3.an)
+      |      * cos(al3.an * radians(lonU + 96.0)) AS alb_y
+      |  FROM pt, lc3, al3)
+      |SELECT gx, gy, n,
+      |  CAST(round(l93_e, 1) AS DECIMAL(12,1)) AS l93_e,
+      |  CAST(round(l93_n, 1) AS DECIMAL(12,1)) AS l93_n,
+      |  CAST(round(alb_x, 1) AS DECIMAL(12,1)) AS alb_x,
+      |  CAST(round(alb_y, 1) AS DECIMAL(12,1)) AS alb_y
+      |FROM prj ORDER BY gx, gy""".stripMargin
+
   /** Trajectory build + Douglas-Peucker thinning: per-user polyline from
     * the event stream (st_makeline over the (ts, event_id)-ordered point
     * array — one shuffle, on user_id), then st_simplify with a tolerance

@@ -49,6 +49,32 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 3.0)
   }
 
+  test("st_difference / st_symdifference overlay algebra") {
+    // A = [0,2]², B = [1,3]² overlap in a unit square:
+    // |A\B| = 3, |B\A| = 3, |AΔB| = 6; identical operands cancel;
+    // disjoint operands pass through (difference = A, symdiff = A∪B).
+    val r = one("""SELECT st_area(st_difference(a, b)) AS dab,
+                          st_area(st_difference(b, a)) AS dba,
+                          st_area(st_symdifference(a, b)) AS sd,
+                          st_area(st_symdifference(a, a)) AS zero,
+                          st_area(st_difference(a, far)) AS whole,
+                          st_area(st_symdifference(a, far)) AS both
+                   FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS a,
+                                st_geomfromwkt('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))') AS b,
+                                st_geomfromwkt('POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))') AS far)""")
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 3.0 && r.getDouble(2) == 6.0)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 5.0)
+  }
+
+  test("overlay identity: area(AΔB) = area(A) + area(B) - 2·area(A∩B)") {
+    val r = one("""SELECT st_area(st_symdifference(a, b)) AS sd,
+                          st_area(a) + st_area(b) - 2 * st_area(st_intersection(a, b)) AS rhs
+                   FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))') AS a,
+                                st_geomfromwkt('POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))') AS b)""")
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("st_makeenvelope builds the rectangle directly from numbers") {
     val r = one("""SELECT st_area(st_makeenvelope(0.0D, 0.0D, 3.0D, 2.0D)) AS a,
                           st_astext(st_makeenvelope(1.0D, 1.0D, 2.0D, 2.0D)) AS t""")

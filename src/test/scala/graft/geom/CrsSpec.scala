@@ -133,6 +133,153 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lat - -15.7939) < 1e-10)
   }
 
+  test("Albers e→0 limit matches the independent spherical closed form") {
+    // Snyder ch. 14 spherical Albers (eqs. 14-3…14-6) written out inline —
+    // a DIFFERENT formula path (no authalic q, no m): n = (sinφ₁+sinφ₂)/2,
+    // C = cos²φ₁ + 2n·sinφ₁, ρ = a√(C − 2n·sinφ)/n. The ellipsoidal class
+    // at e² = 0 must reproduce it to FP noise.
+    val a = 6370997.0
+    val alb = new Crs.AlbersEqualArea(a, 0.0, 23.0, 29.5, 45.5, -96.0, 0.0, 0.0)
+    val d2r = math.Pi / 180.0
+    val n = (math.sin(29.5 * d2r) + math.sin(45.5 * d2r)) / 2.0
+    val c = math.cos(29.5 * d2r) * math.cos(29.5 * d2r) + 2.0 * n * math.sin(29.5 * d2r)
+    def rhoS(latDeg: Double) = a * math.sqrt(c - 2.0 * n * math.sin(latDeg * d2r)) / n
+    for ((lon, lat) <- Seq((-75.0, 35.0), (-120.0, 48.0), (-96.0, 23.0), (-85.0, 30.25))) {
+      val (x, y) = alb.forward(lon, lat)
+      val theta = n * (lon - -96.0) * d2r
+      val xs = rhoS(lat) * math.sin(theta)
+      val ys = rhoS(23.0) - rhoS(lat) * math.cos(theta)
+      assert(math.abs(x - xs) < 1e-6, s"x $x vs spherical $xs at ($lon,$lat)")
+      assert(math.abs(y - ys) < 1e-6, s"y $y vs spherical $ys at ($lon,$lat)")
+    }
+  }
+
+  test("LCC e→0 limit matches the independent spherical closed form") {
+    // Snyder ch. 15 spherical LCC (eqs. 15-1…15-4) inline — again a
+    // different path (cones of tan(π/4+φ/2), no isometric correction):
+    // n = ln(cosφ₁/cosφ₂)/ln(tan(π/4+φ₂/2)/tan(π/4+φ₁/2)),
+    // F = cosφ₁·tanⁿ(π/4+φ₁/2)/n, ρ = a·F/tanⁿ(π/4+φ/2).
+    val a = 6370997.0
+    val lcc = new Crs.LambertConformalConic(a, 0.0, 46.5, 44.0, 49.0, 3.0, 0.0, 0.0)
+    val d2r = math.Pi / 180.0
+    def tanHalf(latDeg: Double) = math.tan(math.Pi / 4.0 + latDeg * d2r / 2.0)
+    val n = math.log(math.cos(44.0 * d2r) / math.cos(49.0 * d2r)) /
+      math.log(tanHalf(49.0) / tanHalf(44.0))
+    val f = math.cos(44.0 * d2r) * math.pow(tanHalf(44.0), n) / n
+    def rhoS(latDeg: Double) = a * f / math.pow(tanHalf(latDeg), n)
+    for ((lon, lat) <- Seq((2.3522, 48.8566), (-4.5, 48.0), (7.75, 43.5), (3.0, 46.5))) {
+      val (x, y) = lcc.forward(lon, lat)
+      val theta = n * (lon - 3.0) * d2r
+      val xs = rhoS(lat) * math.sin(theta)
+      val ys = rhoS(46.5) - rhoS(lat) * math.cos(theta)
+      assert(math.abs(x - xs) < 1e-6, s"x $x vs spherical $xs at ($lon,$lat)")
+      assert(math.abs(y - ys) < 1e-6, s"y $y vs spherical $ys at ($lon,$lat)")
+    }
+  }
+
+  test("EPSG:5070 preserves ellipsoidal area (the equal-area contract)") {
+    // Project a 10°×10° CONUS graticule quad with edges densified to 0.05°
+    // and take the planar shoelace area; Albers must reproduce the
+    // closed-form ellipsoidal quad area a²·Δλ·(q(φ₂)−q(φ₁))/2 (Snyder
+    // eq. 3-12) to the chord-sagitta error of the densification (<1e-6).
+    val (lon0, lon1, lat0, lat1) = (-110.0, -100.0, 30.0, 40.0)
+    val step = 0.05
+    val ring = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val nSteps = math.round((lon1 - lon0) / step).toInt
+    val mSteps = math.round((lat1 - lat0) / step).toInt
+    for (i <- 0 until nSteps) ring += ((lon0 + i * step, lat0))
+    for (j <- 0 until mSteps) ring += ((lon1, lat0 + j * step))
+    for (i <- 0 until nSteps) ring += ((lon1 - i * step, lat1))
+    for (j <- 0 until mSteps) ring += ((lon0, lat1 - j * step))
+    val pts = ring.map { case (lon, lat) => Crs.ConusAlbers.forward(lon, lat) }
+    var shoelace = 0.0
+    for (i <- pts.indices) {
+      val (x1, y1) = pts(i)
+      val (x2, y2) = pts((i + 1) % pts.length)
+      shoelace += x1 * y2 - x2 * y1
+    }
+    val planar = math.abs(shoelace) / 2.0
+    val a = 6378137.0
+    val e2 = (1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101)
+    val d2r = math.Pi / 180.0
+    val ellipsoidal = a * a * ((lon1 - lon0) * d2r) *
+      (Crs.authalicQ(e2, lat1 * d2r) - Crs.authalicQ(e2, lat0 * d2r)) / 2.0
+    assert(math.abs(planar - ellipsoidal) / ellipsoidal < 1e-6,
+      s"planar $planar vs ellipsoidal $ellipsoidal")
+  }
+
+  test("EPSG:2154 has true scale on both standard parallels, k>1 outside") {
+    // Conformal-conic contract: the local scale factor k = (chord length
+    // on the map) / (ellipsoidal parallel arc a·cosφ/√(1−e²sin²φ)·Δλ)
+    // is exactly 1 on φ=44 and φ=49, and >1 outside the parallel band,
+    // <1 strictly between them.
+    val a = 6378137.0
+    val e2 = (1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101)
+    val d2r = math.Pi / 180.0
+    def k(latDeg: Double): Double = {
+      val dLon = 1e-4
+      val (x1, y1) = Crs.Lambert93.forward(3.0, latDeg)
+      val (x2, y2) = Crs.Lambert93.forward(3.0 + dLon, latDeg)
+      val phi = latDeg * d2r
+      val arc = a * math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi)) *
+        dLon * d2r
+      math.hypot(x2 - x1, y2 - y1) / arc
+    }
+    assert(math.abs(k(44.0) - 1.0) < 1e-8, s"k(44)=${k(44.0)}")
+    assert(math.abs(k(49.0) - 1.0) < 1e-8, s"k(49)=${k(49.0)}")
+    assert(k(42.0) > 1.0 && k(51.0) > 1.0, "scale must exceed 1 outside the parallels")
+    assert(k(46.5) < 1.0, "scale must dip below 1 between the parallels")
+  }
+
+  test("EPSG:2154 is conformal: meridian and parallel scales agree") {
+    // Finite-difference h (north) vs k (east) scale at a non-special
+    // point; conformality means they're equal to discretization error.
+    val a = 6378137.0
+    val e2 = (1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101)
+    val d2r = math.Pi / 180.0
+    val (lon, lat) = (5.5, 47.25)
+    val d = 1e-5
+    val (x0, y0) = Crs.Lambert93.forward(lon, lat)
+    val (xe, ye) = Crs.Lambert93.forward(lon + d, lat)
+    val (xn, yn) = Crs.Lambert93.forward(lon, lat + d)
+    val phi = lat * d2r
+    val sin2 = math.sin(phi) * math.sin(phi)
+    val parallelArc = a * math.cos(phi) / math.sqrt(1.0 - e2 * sin2) * d * d2r
+    val meridianArc = a * (1.0 - e2) / math.pow(1.0 - e2 * sin2, 1.5) * d * d2r
+    val kEast = math.hypot(xe - x0, ye - y0) / parallelArc
+    val hNorth = math.hypot(xn - x0, yn - y0) / meridianArc
+    assert(math.abs(kEast - hNorth) / kEast < 1e-6, s"k=$kEast h=$hNorth")
+  }
+
+  test("EPSG:2154 projection origin maps to the false origin; 5070 to (0,0)") {
+    val (x, y) = Crs.Lambert93.forward(3.0, 46.5)
+    assert(math.abs(x - 700000.0) < 1e-6 && math.abs(y - 6600000.0) < 1e-6)
+    val (ax, ay) = Crs.ConusAlbers.forward(-96.0, 23.0)
+    assert(math.abs(ax) < 1e-6 && math.abs(ay) < 1e-6)
+  }
+
+  test("Albers and LCC inverses round-trip their service areas to < 1 mm") {
+    for (lonI <- -124 to -68 by 4; latI <- 24 to 49 by 5) {
+      val (x, y) = Crs.ConusAlbers.forward(lonI, latI)
+      val (lon2, lat2) = Crs.ConusAlbers.inverse(x, y)
+      assert(math.abs(lon2 - lonI) < 1e-8 && math.abs(lat2 - latI) < 1e-8,
+        s"albers ($lonI,$latI) -> ($lon2,$lat2)")
+    }
+    for (lonI <- -5 to 9 by 2; latI <- 41 to 51 by 2) {
+      val (x, y) = Crs.Lambert93.forward(lonI, latI)
+      val (lon2, lat2) = Crs.Lambert93.inverse(x, y)
+      assert(math.abs(lon2 - lonI) < 1e-8 && math.abs(lat2 - latI) < 1e-8,
+        s"lcc ($lonI,$latI) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("EPSG:5070 and EPSG:2154 resolve through the registry surface") {
+    val (ax, ay) = Crs.pointTransform("EPSG:4326", "EPSG:5070")(-96.0, 23.0)
+    assert(math.abs(ax) < 1e-6 && math.abs(ay) < 1e-6)
+    val (lx, ly) = Crs.pointTransform("EPSG:4326", "EPSG:2154")(3.0, 46.5)
+    assert(math.abs(lx - 700000.0) < 1e-6 && math.abs(ly - 6600000.0) < 1e-6)
+  }
+
   test("unknown CRS fails fast") {
     assertThrows[IllegalArgumentException](Crs.pointTransform("EPSG:9999", "EPSG:5880"))
   }
