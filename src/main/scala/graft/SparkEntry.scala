@@ -56,9 +56,9 @@ object SparkEntry {
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
-      // Conic st_transform family (EPSG:2154 LCC + EPSG:5070 Albers)
-      // with the full Snyder closed forms replayed in the oracle.
-      "q_transform_conic" -> (Pipelines.transformConicRollup _),
+      // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
+      // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
+      "q_transform_crs" -> (Pipelines.transformCrsRollup _),
       // st_difference / st_symdifference / st_intersection overlay
       // algebra: per-row rectangle-pair overlay areas, exact-integer sums.
       "q_overlay" -> (Pipelines.overlayRollup _),
@@ -85,6 +85,6 @@ object SparkEntry {
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
-    ("q_transform_conic" -> Pipelines.transformConicOracleSql) +
+    ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -22,8 +22,10 @@ import org.locationtech.jts.geom.CoordinateSequenceFilter
   *   - EPSG:5070 (NAD83 / Conus Albers): ellipsoidal Albers Equal-Area
   *     Conic, ch. 14 — the equal-area workhorse for area statistics.
   *   - EPSG:2154 (RGF93 / Lambert-93): ellipsoidal Lambert Conformal
-  *     Conic 2SP, ch. 15. Both conic families are parameterized, so any
-  *     other Albers/LCC CRS plugs in via [[Crs.register]].
+  *     Conic 2SP, ch. 15.
+  *   - EPSG:3035 (ETRS89 / LAEA Europe): ellipsoidal Lambert Azimuthal
+  *     Equal-Area, ch. 24. All three families are parameterized, so any
+  *     other Albers/LCC/LAEA CRS plugs in via [[Crs.register]].
   * SIRGAS 2000 is realized identically to WGS84 at this precision, so the
   * lon/lat hub needs no datum shift (EPSG:4674 is the same identity hub
   * as EPSG:4326).
@@ -291,6 +293,46 @@ object Crs {
        math.max(-89.0, math.min(89.0, lat0Deg + (yIn - fn) / a * RadToDeg)))
   }
 
+  /** Ellipsoidal Lambert Azimuthal Equal-Area, oblique aspect (Snyder
+    * ch. 24, eqs. 24-2/3-11/3-12/24-17…24-19 forward): the projection
+    * behind EPSG:3035 (ETRS89 / LAEA Europe), the EU's statistical
+    * standard grid. Equal-area like Albers — same authalic-q kernel, so
+    * the same CrsSpec area audit applies — but azimuthal, so it has no
+    * standard parallels; scale is true at the projection center only. */
+  final class LambertAzimuthalEqualArea(a: Double, e2: Double, lat0Deg: Double,
+                                        lon0Deg: Double, fe: Double, fn: Double)
+      extends Projection with NewtonInverse {
+    private val qp = authalicQ(e2, math.Pi / 2.0)
+    private val rq = a * math.sqrt(qp / 2.0)
+    private val phi0 = lat0Deg * DegToRad
+    private val beta0 = math.asin(math.min(1.0, math.max(-1.0, authalicQ(e2, phi0) / qp)))
+    private val sinB0 = math.sin(beta0)
+    private val cosB0 = math.cos(beta0)
+    // D (eq. 24-20): stretches the azimuthal map so area stays true on
+    // the ellipsoid; m(φ0) = cosφ0/√(1−e²sin²φ0).
+    private val d = {
+      val s = math.sin(phi0)
+      val m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * s * s)
+      a * m0 / (rq * cosB0)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val beta = math.asin(math.min(1.0, math.max(-1.0,
+        authalicQ(e2, latDeg * DegToRad) / qp)))
+      val dLam = (lonDeg - lon0Deg) * DegToRad
+      val sinB = math.sin(beta)
+      val cosB = math.cos(beta)
+      // B (eq. 24-19); the radicand vanishes only at the antipode
+      val b = rq * math.sqrt(2.0 / (1.0 + sinB0 * sinB + cosB0 * cosB * math.cos(dLam)))
+      val x = b * d * cosB * math.sin(dLam)
+      val y = (b / d) * (cosB0 * sinB - sinB0 * cosB * math.cos(dLam))
+      (fe + x, fn + y)
+    }
+    protected def inverseGuess(xIn: Double, yIn: Double): (Double, Double) =
+      (lon0Deg + (xIn - fe) / (a * math.max(0.2, math.cos(phi0))) * RadToDeg,
+       math.max(-89.0, math.min(89.0, lat0Deg + (yIn - fn) / a * RadToDeg)))
+  }
+
   // GRS80 ellipsoid (EPSG:7019): a = 6378137, 1/f = 298.257222101
   private val Grs80A = 6378137.0
   private val Grs80F = 1.0 / 298.257222101
@@ -316,6 +358,12 @@ object Crs {
   val Lambert93 = new LambertConformalConic(Grs80A, Grs80E2, 46.5, 44.0, 49.0, 3.0,
     700000.0, 6600000.0)
 
+  /** EPSG:3035 — ETRS89 / LAEA Europe (GRS80; lat0=52, lon0=10,
+    * FE=4 321 000, FN=3 210 000) — the EU statistical grid. ETRS89 is a
+    * WGS84-equivalent realization at this registry's precision. */
+  val LaeaEurope = new LambertAzimuthalEqualArea(Grs80A, Grs80E2, 52.0, 10.0,
+    4321000.0, 3210000.0)
+
   /** UTM zone: lon0 = 6°·zone − 183, k0 = 0.9996, FE = 500 km,
     * FN = 0 (north) / 10 000 km (south). */
   def utm(zone: Int, south: Boolean, a: Double, e2: Double): TransverseMercator = {
@@ -331,6 +379,7 @@ object Crs {
   projections.put("EPSG:5880", BrazilPolyconic)
   projections.put("EPSG:5070", ConusAlbers)
   projections.put("EPSG:2154", Lambert93)
+  projections.put("EPSG:3035", LaeaEurope)
 
   /** Plug in a CRS at runtime. `st_transform` resolves codes per call, so
     * a registration is visible to already-built plans (executors resolve

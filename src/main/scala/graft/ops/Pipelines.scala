@@ -545,20 +545,21 @@ object Pipelines {
       |  CAST(sum(inter) AS BIGINT) AS inter_area
       |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** Conic-reprojection rollup: each occupied event cell yields one
-    * integer-degree anchor point inside each conic's service area —
-    * France for EPSG:2154 (RGF93 / Lambert-93, conformal) and CONUS for
-    * EPSG:5070 (NAD83 / Conus Albers, equal-area) — pushed through
+  /** CRS-breadth reprojection rollup: each occupied event cell yields one
+    * integer-degree anchor point inside each projection's service area —
+    * France for EPSG:2154 (RGF93 / Lambert-93, conformal conic), CONUS
+    * for EPSG:5070 (NAD83 / Conus Albers, equal-area conic), Europe for
+    * EPSG:3035 (ETRS89 / LAEA, equal-area azimuthal) — pushed through
     * st_transform and read back with st_x/st_y. The DuckDB oracle
-    * replays BOTH projections from their Snyder closed forms (ch. 15
-    * t/m/n/F/ρ for the LCC, ch. 14 authalic-q/m/n/C/ρ for the Albers)
-    * in SQL; the ROUND(·,1) m funnel absorbs last-ulp libm drift
-    * (values ~1e6 m, double agreement ~1e-8 m — seven orders inside).
+    * replays ALL THREE projections from their Snyder closed forms
+    * (ch. 15 t/m/n/F/ρ, ch. 14 authalic-q/m/n/C/ρ, ch. 24 β/B/D) in
+    * SQL; the ROUND(·,1) m funnel absorbs last-ulp libm drift (values
+    * ~1e6 m, double agreement ~1e-8 m — seven orders inside).
     *
     * Scale shape: same as [[distanceSphereRollup]] — ONE counting
     * shuffle on the dense integer cell key; the projection trig runs on
     * the ≤108-row cell relation, never per fact row. */
-  def transformConicRollup(spark: SparkSession, dir: String): DataFrame = {
+  def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))
       .select((col("user_id") % 12L).cast("int").as("gx"),
@@ -569,21 +570,26 @@ object Pipelines {
     val latF = (col("gy") + 42).cast("double")          // 42 .. 50 °N
     val lonU = (col("gx") * 4 - 124).cast("double")     // -124 .. -80 °E
     val latU = (col("gy") * 2 + 25).cast("double")      // 25 .. 41 °N
+    val lonE = col("gx").cast("double")                 // 0 .. 11 °E
+    val latE = (col("gy") + 40).cast("double")          // 40 .. 48 °N
     cells
       .withColumn("p93", st_transform(st_point(lonF, latF), "EPSG:4326", "EPSG:2154"))
       .withColumn("alb", st_transform(st_point(lonU, latU), "EPSG:4326", "EPSG:5070"))
+      .withColumn("lae", st_transform(st_point(lonE, latE), "EPSG:4326", "EPSG:3035"))
       .select(col("gx"), col("gy"), col("n"),
         round(st_x(col("p93")), 1).cast("decimal(12,1)").as("l93_e"),
         round(st_y(col("p93")), 1).cast("decimal(12,1)").as("l93_n"),
         round(st_x(col("alb")), 1).cast("decimal(12,1)").as("alb_x"),
-        round(st_y(col("alb")), 1).cast("decimal(12,1)").as("alb_y"))
+        round(st_y(col("alb")), 1).cast("decimal(12,1)").as("alb_y"),
+        round(st_x(col("lae")), 1).cast("decimal(12,1)").as("laea_x"),
+        round(st_y(col("lae")), 1).cast("decimal(12,1)").as("laea_y"))
       .orderBy(col("gx"), col("gy"))
   }
 
-  /** Snyder closed-form mirror of both conics (same parameters as
-    * `Crs.Lambert93` / `Crs.ConusAlbers`), computed entirely in DuckDB
-    * scalar SQL. */
-  val transformConicOracleSql: String =
+  /** Snyder closed-form mirror of all three projections (same parameters
+    * as `Crs.Lambert93` / `Crs.ConusAlbers` / `Crs.LaeaEurope`),
+    * computed entirely in DuckDB scalar SQL. */
+  val transformCrsOracleSql: String =
     """WITH g AS (
       |  SELECT CAST(user_id % 12 AS INTEGER) AS gx,
       |         CAST(event_id % 9 AS INTEGER) AS gy, count(*) AS n
@@ -628,13 +634,41 @@ object Pipelines {
       |    a * sqrt(ac - an * (1 - e2) * (sin(radians(23.0))/(1 - e2*sin(radians(23.0))*sin(radians(23.0)))
       |          - (1/(2*e)) * ln((1 - e*sin(radians(23.0)))/(1 + e*sin(radians(23.0)))))) / an AS arho0
       |  FROM al2),
+      |la1 AS ( -- EPSG:3035 authalic constants (Snyder ch. 24)
+      |  SELECT a, e2, e,
+      |    (1 - e2) * (1/(1 - e2) - (1/(2*e)) * ln((1 - e)/(1 + e))) AS qp
+      |  FROM k),
+      |la2 AS (
+      |  SELECT a, e2, e, qp,
+      |    a * sqrt(qp/2) AS rq,
+      |    asin( (1 - e2) * (sin(radians(52.0))/(1 - e2*sin(radians(52.0))*sin(radians(52.0)))
+      |          - (1/(2*e)) * ln((1 - e*sin(radians(52.0)))/(1 + e*sin(radians(52.0))))) / qp ) AS b0
+      |  FROM la1),
+      |la3 AS (
+      |  SELECT a, e2, e, qp, rq, b0,
+      |    a * (cos(radians(52.0))/sqrt(1 - e2*sin(radians(52.0))*sin(radians(52.0))))
+      |      / (rq * cos(b0)) AS dd
+      |  FROM la2),
       |pt AS (
       |  SELECT gx, gy, n,
       |    radians(CAST(gy + 42 AS DOUBLE)) AS phiF, CAST(gx - 4 AS DOUBLE) AS lonF,
-      |    radians(CAST(gy * 2 + 25 AS DOUBLE)) AS phiU, CAST(gx * 4 - 124 AS DOUBLE) AS lonU
+      |    radians(CAST(gy * 2 + 25 AS DOUBLE)) AS phiU, CAST(gx * 4 - 124 AS DOUBLE) AS lonU,
+      |    radians(CAST(gy + 40 AS DOUBLE)) AS phiE, CAST(gx AS DOUBLE) AS lonE
       |  FROM g),
+      |lb AS ( -- per-point LAEA authalic latitude + B radius
+      |  SELECT pt.gx, pt.gy, pt.lonE, la3.rq, la3.b0, la3.dd,
+      |    asin( (1 - la3.e2) * (sin(phiE)/(1 - la3.e2*sin(phiE)*sin(phiE))
+      |          - (1/(2*la3.e)) * ln((1 - la3.e*sin(phiE))/(1 + la3.e*sin(phiE)))) / la3.qp ) AS beta
+      |  FROM pt, la3),
+      |lb2 AS (
+      |  SELECT lb.gx, lb.gy, lb.b0, lb.dd, lb.beta,
+      |    rq * sqrt(2 / (1 + sin(b0)*sin(beta) + cos(b0)*cos(beta)*cos(radians(lonE - 10.0)))) AS bb
+      |  FROM lb),
       |prj AS (
       |  SELECT pt.gx, pt.gy, pt.n,
+      |    4321000 + lb2.bb * lb2.dd * cos(lb2.beta) * sin(radians(pt.lonE - 10.0)) AS laea_x,
+      |    3210000 + (lb2.bb / lb2.dd) * (cos(lb2.b0) * sin(lb2.beta)
+      |      - sin(lb2.b0) * cos(lb2.beta) * cos(radians(pt.lonE - 10.0))) AS laea_y,
       |    700000 + (lc3.a * lc3.cf * pow(tan(pi()/4 - phiF/2) / pow((1 - lc3.e*sin(phiF))/(1 + lc3.e*sin(phiF)), lc3.e/2), lc3.cn))
       |      * sin(lc3.cn * radians(lonF - 3.0)) AS l93_e,
       |    6600000 + lc3.rho0 - (lc3.a * lc3.cf * pow(tan(pi()/4 - phiF/2) / pow((1 - lc3.e*sin(phiF))/(1 + lc3.e*sin(phiF)), lc3.e/2), lc3.cn))
@@ -645,12 +679,15 @@ object Pipelines {
       |    al3.arho0 - (al3.a * sqrt(al3.ac - al3.an * (1 - al3.e2) * (sin(phiU)/(1 - al3.e2*sin(phiU)*sin(phiU))
       |          - (1/(2*al3.e)) * ln((1 - al3.e*sin(phiU))/(1 + al3.e*sin(phiU))))) / al3.an)
       |      * cos(al3.an * radians(lonU + 96.0)) AS alb_y
-      |  FROM pt, lc3, al3)
+      |  FROM pt, lc3, al3, lb2
+      |  WHERE pt.gx = lb2.gx AND pt.gy = lb2.gy)
       |SELECT gx, gy, n,
       |  CAST(round(l93_e, 1) AS DECIMAL(12,1)) AS l93_e,
       |  CAST(round(l93_n, 1) AS DECIMAL(12,1)) AS l93_n,
       |  CAST(round(alb_x, 1) AS DECIMAL(12,1)) AS alb_x,
-      |  CAST(round(alb_y, 1) AS DECIMAL(12,1)) AS alb_y
+      |  CAST(round(alb_y, 1) AS DECIMAL(12,1)) AS alb_y,
+      |  CAST(round(laea_x, 1) AS DECIMAL(12,1)) AS laea_x,
+      |  CAST(round(laea_y, 1) AS DECIMAL(12,1)) AS laea_y
       |FROM prj ORDER BY gx, gy""".stripMargin
 
   /** Trajectory build + Douglas-Peucker thinning: per-user polyline from

@@ -251,6 +251,66 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(kEast - hNorth) / kEast < 1e-6, s"k=$kEast h=$hNorth")
   }
 
+  test("LAEA e→0 limit matches the independent spherical closed form") {
+    // Snyder eq. 24-2 spherical oblique LAEA inline — no authalic machinery:
+    // k' = √(2/(1+sinφ₁sinφ+cosφ₁cosφcosΔλ)), x = R·k'·cosφ·sinΔλ,
+    // y = R·k'·(cosφ₁sinφ − sinφ₁cosφcosΔλ).
+    val a = 6370997.0
+    val laea = new Crs.LambertAzimuthalEqualArea(a, 0.0, 52.0, 10.0, 0.0, 0.0)
+    val d2r = math.Pi / 180.0
+    for ((lon, lat) <- Seq((10.0, 52.0), (-8.0, 38.0), (25.0, 60.0), (14.5, 41.0))) {
+      val (x, y) = laea.forward(lon, lat)
+      val dl = (lon - 10.0) * d2r
+      val (s0, c0) = (math.sin(52.0 * d2r), math.cos(52.0 * d2r))
+      val (s, c) = (math.sin(lat * d2r), math.cos(lat * d2r))
+      val kp = math.sqrt(2.0 / (1.0 + s0 * s + c0 * c * math.cos(dl)))
+      val xs = a * kp * c * math.sin(dl)
+      val ys = a * kp * (c0 * s - s0 * c * math.cos(dl))
+      assert(math.abs(x - xs) < 1e-6, s"x $x vs spherical $xs at ($lon,$lat)")
+      assert(math.abs(y - ys) < 1e-6, s"y $y vs spherical $ys at ($lon,$lat)")
+    }
+  }
+
+  test("EPSG:3035 preserves ellipsoidal area (the equal-area contract)") {
+    // Same audit as EPSG:5070: densified 10°×8° European quad, planar
+    // shoelace vs the closed-form a²·Δλ·(q(φ₂)−q(φ₁))/2.
+    val (lon0, lon1, lat0, lat1) = (5.0, 15.0, 44.0, 52.0)
+    val step = 0.05
+    val ring = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val nSteps = math.round((lon1 - lon0) / step).toInt
+    val mSteps = math.round((lat1 - lat0) / step).toInt
+    for (i <- 0 until nSteps) ring += ((lon0 + i * step, lat0))
+    for (j <- 0 until mSteps) ring += ((lon1, lat0 + j * step))
+    for (i <- 0 until nSteps) ring += ((lon1 - i * step, lat1))
+    for (j <- 0 until mSteps) ring += ((lon0, lat1 - j * step))
+    val pts = ring.map { case (lon, lat) => Crs.LaeaEurope.forward(lon, lat) }
+    var shoelace = 0.0
+    for (i <- pts.indices) {
+      val (x1, y1) = pts(i)
+      val (x2, y2) = pts((i + 1) % pts.length)
+      shoelace += x1 * y2 - x2 * y1
+    }
+    val planar = math.abs(shoelace) / 2.0
+    val a = 6378137.0
+    val e2 = (1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101)
+    val d2r = math.Pi / 180.0
+    val ellipsoidal = a * a * ((lon1 - lon0) * d2r) *
+      (Crs.authalicQ(e2, lat1 * d2r) - Crs.authalicQ(e2, lat0 * d2r)) / 2.0
+    assert(math.abs(planar - ellipsoidal) / ellipsoidal < 1e-6,
+      s"planar $planar vs ellipsoidal $ellipsoidal")
+  }
+
+  test("EPSG:3035 round-trips a Europe-wide grid to < 1 mm; origin at false origin") {
+    val (x0, y0) = Crs.LaeaEurope.forward(10.0, 52.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    for (lonI <- -10 to 30 by 4; latI <- 35 to 70 by 5) {
+      val (x, y) = Crs.LaeaEurope.forward(lonI, latI)
+      val (lon2, lat2) = Crs.LaeaEurope.inverse(x, y)
+      assert(math.abs(lon2 - lonI) < 1e-8 && math.abs(lat2 - latI) < 1e-8,
+        s"laea ($lonI,$latI) -> ($lon2,$lat2)")
+    }
+  }
+
   test("EPSG:2154 projection origin maps to the false origin; 5070 to (0,0)") {
     val (x, y) = Crs.Lambert93.forward(3.0, 46.5)
     assert(math.abs(x - 700000.0) < 1e-6 && math.abs(y - 6600000.0) < 1e-6)
