@@ -47,6 +47,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_union", 2)(es => StUnion(es.head, es(1)))
     inject("st_difference", 2)(es => StDifference(es.head, es(1)))
     inject("st_symdifference", 2)(es => StSymDifference(es.head, es(1)))
+    inject("st_azimuth", 2)(es => StAzimuth(es.head, es(1)))
     inject("st_area", 1)(es => StArea(es.head))
     inject("st_length", 1)(es => StLength(es.head))
     inject("st_centroid", 1)(es => StCentroid(es.head))

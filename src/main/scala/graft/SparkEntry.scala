@@ -56,6 +56,8 @@ object SparkEntry {
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
+      // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
+      "q_azimuth" -> (Pipelines.azimuthRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -86,5 +88,6 @@ object SparkEntry {
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
+    ("q_azimuth" -> Pipelines.azimuthOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
 }

@@ -132,6 +132,33 @@ case class StIntersection(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Planar azimuth from point A to point B — radians clockwise from north
+  * in [0, 2π), PostGIS/Sedona ST_Azimuth semantics: atan2(Δx, Δy), NULL
+  * for coincident points or non-point inputs. */
+case class StAzimuth(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_azimuth"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    (geom(a), geom(b)) match {
+      case (p1: org.locationtech.jts.geom.Point, p2: org.locationtech.jts.geom.Point)
+          if !p1.isEmpty && !p2.isEmpty =>
+        val dx = p2.getX - p1.getX
+        val dy = p2.getY - p1.getY
+        if (dx == 0.0 && dy == 0.0) null
+        else {
+          val az = math.atan2(dx, dy)
+          if (az < 0.0) az + 2.0 * math.Pi else az
+        }
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StAzimuth =
+    copy(left = l, right = r)
+}
+
 /** Geometric difference A \ B (same defensive repair ladder as
   * intersection — Sedona ST_Difference). */
 case class StDifference(left: Expression, right: Expression)

@@ -30,6 +30,7 @@ object functions {
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
   def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(ex(a), ex(b)))
+  def st_azimuth(a: Column, b: Column): Column = col(StAzimuth(ex(a), ex(b)))
   def st_area(g: Column): Column = col(StArea(ex(g)))
   def st_length(g: Column): Column = col(StLength(ex(g)))
   def st_centroid(g: Column): Column = col(StCentroid(ex(g)))
@@ -162,6 +163,7 @@ object functions {
     r2("st_union", StUnion)
     r2("st_difference", StDifference)
     r2("st_symdifference", StSymDifference)
+    r2("st_azimuth", StAzimuth)
     r1("st_area", StArea)
     r1("st_length", StLength)
     r1("st_centroid", StCentroid)

@@ -545,6 +545,49 @@ object Pipelines {
       |  CAST(sum(inter) AS BIGINT) AS inter_area
       |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Planar-azimuth rollup (st_azimuth, PostGIS/Sedona semantics:
+    * radians clockwise from north in [0, 2π)): forward and reverse
+    * bearings between each occupied grid-cell anchor and a fixed survey
+    * point. The oracle replays atan2(Δx, Δy) + the negative-branch wrap
+    * verbatim; ROUND(·,6) rad absorbs last-ulp atan2 drift. Scale shape:
+    * identical to [[distanceSphereRollup]] — one counting shuffle, trig
+    * on the bounded cell relation only. */
+  def azimuthRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon = col("gx").cast("double") * 10.0 - 175.0
+    val lat = col("gy").cast("double") * 10.0 - 85.0
+    val anchor = st_point(lit(-56.0), lit(-17.0))
+    cells
+      .withColumn("az_fwd", st_azimuth(st_point(lon, lat), anchor))
+      .withColumn("az_rev", st_azimuth(anchor, st_point(lon, lat)))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("az_fwd"), 6).cast("decimal(8,6)").as("az_fwd"),
+        round(col("az_rev"), 6).cast("decimal(8,6)").as("az_rev"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Verbatim atan2 mirror of [[azimuthRollup]] with the same
+    * negative-branch normalization. */
+  val azimuthOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT gx, gy, n,
+      |    atan2(-56.0 - (gx * 10.0 - 175.0), -17.0 - (gy * 10.0 - 85.0)) AS f,
+      |    atan2((gx * 10.0 - 175.0) - -56.0, (gy * 10.0 - 85.0) - -17.0) AS r
+      |  FROM g)
+      |SELECT gx, gy, n,
+      |  CAST(round(CASE WHEN f < 0 THEN f + 2 * pi() ELSE f END, 6) AS DECIMAL(8,6)) AS az_fwd,
+      |  CAST(round(CASE WHEN r < 0 THEN r + 2 * pi() ELSE r END, 6) AS DECIMAL(8,6)) AS az_rev
+      |FROM d ORDER BY gx, gy""".stripMargin
+
   /** CRS-breadth reprojection rollup: each occupied event cell yields one
     * integer-degree anchor point inside each projection's service area —
     * France for EPSG:2154 (RGF93 / Lambert-93, conformal conic), CONUS

@@ -67,6 +67,22 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 5.0)
   }
 
+  test("st_azimuth: cardinal bearings, quadrant wrap, null on coincident/non-point") {
+    val r = one("""SELECT st_azimuth(st_point(0D,0D), st_point(0D,5D))  AS north,
+                          st_azimuth(st_point(0D,0D), st_point(5D,0D))  AS east,
+                          st_azimuth(st_point(0D,0D), st_point(0D,-5D)) AS south,
+                          st_azimuth(st_point(0D,0D), st_point(-5D,0D)) AS west,
+                          st_azimuth(st_point(0D,0D), st_point(-1D,1D)) AS nw,
+                          st_azimuth(st_point(3D,4D), st_point(3D,4D))  AS same,
+                          st_azimuth(st_geomfromwkt('LINESTRING (0 0, 1 1)'), st_point(0D,0D)) AS notpt""")
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == math.Pi / 2.0)
+    assert(r.getDouble(2) == math.Pi)
+    assert(r.getDouble(3) == 3.0 * math.Pi / 2.0)
+    assert(math.abs(r.getDouble(4) - 7.0 * math.Pi / 4.0) < 1e-12)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
   test("overlay identity: area(AΔB) = area(A) + area(B) - 2·area(A∩B)") {
     val r = one("""SELECT st_area(st_symdifference(a, b)) AS sd,
                           st_area(a) + st_area(b) - 2 * st_area(st_intersection(a, b)) AS rhs
