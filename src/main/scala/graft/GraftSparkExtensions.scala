@@ -83,7 +83,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", null, "bloom_filter_agg", null,
         "", "", "", "", "", "", "scala_udf"),
       es => graft.functions.bloomFilterAggBuilder(es)))
-    inject("might_contain", 2)(es =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
+    inject("might_contain", 2)(es => GraftMightContain(es.head, es(1)))
   }
 }

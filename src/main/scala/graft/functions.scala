@@ -112,10 +112,8 @@ object functions {
     * `xxhash64(key)` in a [[bloom_filter_agg]]-built filter. No false
     * negatives, so `fact.where(might_contain(bloom, xxhash64(k)))` never
     * changes join results — it only drops most non-matching rows early. */
-  def might_contain(bloom: Column, keyHash: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    col(BloomFilterMightContain(ex(bloom), ex(keyHash)))
-  }
+  def might_contain(bloom: Column, keyHash: Column): Column =
+    col(GraftMightContain(ex(bloom), ex(keyHash)))
 
   /** SQL-text builder for `bloom_filter_agg`, matching the 1-3 arg arity
     * of Spark's builtin of the same name: (key [, estimatedItems
@@ -201,7 +199,6 @@ object functions {
     // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
     reg.createOrReplaceTempFunction("bloom_filter_agg",
       es => bloomFilterAggBuilder(es), "scala_udf")
-    rn("might_contain", 2)(es =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1)))
+    rn("might_contain", 2)(es => GraftMightContain(es.head, es(1)))
   }
 }

@@ -222,6 +222,28 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
   }
 
+  test("might_contain stays inside codegen for a constant-folded NEGATIVE key") {
+    // Spark's own BloomFilterMightContain emits `(Long)-123L`, which Janino
+    // parses as `TypeName - literal` and rejects — the stage then silently
+    // falls back to interpreted eval. GraftMightContain probes with the
+    // primitive long directly. With fallback disabled, a codegen regression
+    // here fails the query instead of hiding in the logs.
+    // (xxhash64 of a constant folds to a negative literal: that exact shape.)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(50) t(x)),
+          |                     xxhash64(CAST(7 AS BIGINT))) AS hit""".stripMargin).head()
+      assert(r.getBoolean(0))
+      // null sketch and null key both yield null, under codegen as well
+      val n = spark.sql(
+        """SELECT might_contain(CAST(NULL AS BINARY), xxhash64(CAST(7 AS BIGINT))) AS a,
+          |       might_contain((SELECT bloom_filter_agg(xxhash64(x)) FROM range(50) t(x)),
+          |                     CAST(NULL AS BIGINT)) AS b""".stripMargin).head()
+      assert(n.isNullAt(0) && n.isNullAt(1))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("bloom_filter_agg accepts 1-3 args in SQL text, like Spark's builtin") {
     val r = spark.sql(
       """SELECT
