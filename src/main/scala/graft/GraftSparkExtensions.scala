@@ -61,6 +61,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_distance", 2)(es => StDistance(es.head, es(1)))
     inject("st_distance_sphere", 2)(es => StDistanceSphere(es.head, es(1)))
     inject("st_area_sphere", 1)(es => StAreaSphere(es.head))
+    inject("st_length_sphere", 1)(es => StLengthSphere(es.head))
+    inject("st_geometrytype", 1)(es => StGeometryType(es.head))
+    inject("st_numgeometries", 1)(es => StNumGeometries(es.head))
+    inject("st_boundary", 1)(es => StBoundary(es.head))
+    inject("st_pointonsurface", 1)(es => StPointOnSurface(es.head))
+    inject("st_closestpoint", 2)(es => StClosestPoint(es.head, es(1)))
+    inject("st_perimeter", 1)(es => StPerimeter(es.head))
+    inject("st_flipcoordinates", 1)(es => StFlipCoordinates(es.head))
+    inject("st_reverse", 1)(es => StReverse(es.head))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))

@@ -56,8 +56,14 @@ object SparkEntry {
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
+      // st_length_sphere: per-cell great-circle polyline length, both
+      // segment haversines replayed verbatim in the oracle.
+      "q_length_sphere" -> (Pipelines.lengthSphereRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
+      // geometry-accessor family (type/parts/boundary/pointonsurface/
+      // closestpoint/perimeter/flip), all closed-form integer oracles.
+      "q_geom_accessors" -> (Pipelines.geomAccessorsRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -86,6 +92,8 @@ object SparkEntry {
     ("q_geohash" -> Pipelines.geohashOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
+    ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
+    ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_azimuth" -> Pipelines.azimuthOracleSql) +

@@ -440,6 +440,55 @@ object StAreaSphere {
   }
 }
 
+/** st_length_sphere(g) — great-circle length in meters of a lon/lat
+  * LINESTRING / MULTILINESTRING, completing the geodesic measure family
+  * ([[StDistanceSphere]] for point pairs, [[StAreaSphere]] for polygons):
+  * the sum of [[StDistanceSphere.haversineMeters]] over consecutive
+  * vertex pairs, i.e. the length of the piecewise-great-circle path
+  * through the line's vertices (the same chord-path contract PostGIS's
+  * sphere length uses — each segment is measured as a great-circle arc).
+  * Points measure 0 like planar `getLength`; areal or empty input
+  * returns null (use [[StAreaSphere]] for areal measure). Summation
+  * order is vertex order, mirrored verbatim by the DuckDB oracle under
+  * the ROUND boundary law. */
+case class StLengthSphere(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_length_sphere"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case l: org.locationtech.jts.geom.LineString if !l.isEmpty =>
+      StLengthSphere.lineLengthM(l)
+    case ml: org.locationtech.jts.geom.MultiLineString if !ml.isEmpty =>
+      var total = 0.0
+      var i = 0
+      while (i < ml.getNumGeometries) {
+        total += StLengthSphere.lineLengthM(
+          ml.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.LineString])
+        i += 1
+      }
+      total
+    case p: org.locationtech.jts.geom.Point if !p.isEmpty => 0.0
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StLengthSphere = copy(child = c)
+}
+
+object StLengthSphere {
+  def lineLengthM(l: org.locationtech.jts.geom.LineString): Double = {
+    val cs = l.getCoordinateSequence
+    var total = 0.0
+    var i = 0
+    while (i < cs.size - 1) {
+      total += StDistanceSphere.haversineMeters(
+        cs.getX(i), cs.getY(i), cs.getX(i + 1), cs.getY(i + 1))
+      i += 1
+    }
+    total
+  }
+}
+
 /** st_dwithin(a, b, d) — true iff distance(a, b) <= d. A first-class
   * predicate (not sugar for st_distance(a,b) <= d) so
   * SpatialJoinStrategy can recognize it as an index-accelerable join
@@ -579,4 +628,126 @@ case class StNPoints(child: Expression)
   override def prettyName: String = "st_npoints"
   override protected def nullSafeEval(v: Any): Any = geom(v).getNumPoints
   override protected def withNewChildInternal(c: Expression): StNPoints = copy(child = c)
+}
+
+/** st_geometrytype(geom) — `"ST_Polygon"`-style type tag (Sedona/PostGIS
+  * `ST_GeometryType` convention: the `ST_` prefix on the JTS type name). */
+case class StGeometryType(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_geometrytype"
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString("ST_" + geom(v).getGeometryType)
+  override protected def withNewChildInternal(c: Expression): StGeometryType = copy(child = c)
+}
+
+/** st_numgeometries(geom) — component count (1 for atomic geometries,
+  * part count for multi-geometries/collections — Sedona `ST_NumGeometries`). */
+case class StNumGeometries(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_numgeometries"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getNumGeometries
+  override protected def withNewChildInternal(c: Expression): StNumGeometries = copy(child = c)
+}
+
+/** st_boundary(geom) — topological boundary (Sedona/PostGIS `ST_Boundary`):
+  * polygon -> ring linework, linestring -> endpoint multipoint, point ->
+  * empty. Composes with [[StLength]] for ring-length audits. */
+case class StBoundary(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_boundary"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getBoundary)
+  override protected def withNewChildInternal(c: Expression): StBoundary = copy(child = c)
+}
+
+/** st_pointonsurface(geom) — a point GUARANTEED interior to the input
+  * (Sedona/PostGIS `ST_PointOnSurface`; unlike st_centroid, which can fall
+  * outside a concave polygon). JTS interior-point: for an axis-aligned
+  * rectangle this is its center, which is what the closed-form oracle
+  * replays. */
+case class StPointOnSurface(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_pointonsurface"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).getInteriorPoint)
+  override protected def withNewChildInternal(c: Expression): StPointOnSurface = copy(child = c)
+}
+
+/** st_closestpoint(a, b) — the point ON `a` nearest to `b` (Sedona/PostGIS
+  * `ST_ClosestPoint`): the first element of the JTS nearest-points pair.
+  * For an axis-aligned rectangle vs an outside point this is the clamp of
+  * the point to the rectangle — the closed form the oracle replays. */
+case class StClosestPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_closestpoint"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ga, gb) = (geom(a), geom(b))
+    if (ga.isEmpty || gb.isEmpty) null
+    else wkb(Geom.factory.createPoint(
+      org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(ga, gb)(0)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StClosestPoint =
+    copy(left = l, right = r)
+}
+
+/** st_perimeter(geom) — boundary length of an AREAL geometry (Sedona/
+  * PostGIS `ST_Perimeter`): exterior + interior rings for polygons, summed
+  * over multipolygon parts; 0 for points and lines (the PostGIS contract —
+  * use st_length for linear measure). */
+case class StPerimeter(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_perimeter"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Polygon => p.getLength
+    case mp: org.locationtech.jts.geom.MultiPolygon => mp.getLength
+    case _ => 0.0
+  }
+  override protected def withNewChildInternal(c: Expression): StPerimeter = copy(child = c)
+}
+
+/** st_flipcoordinates(geom) — swap x/y on every vertex (Sedona
+  * `ST_FlipCoordinates`, the standard lat/lon-vs-lon/lat repair). */
+case class StFlipCoordinates(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_flipcoordinates"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val x = seq.getX(i)
+        seq.setOrdinate(i, 0, seq.getY(i))
+        seq.setOrdinate(i, 1, x)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    g.geometryChanged()
+    wkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): StFlipCoordinates = copy(child = c)
+}
+
+/** st_reverse(geom) — reverse vertex order of every component (Sedona
+  * `ST_Reverse`; orientation-sensitive consumers like st_azimuth paths
+  * and ring-winding conventions need it). */
+case class StReverse(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_reverse"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v).reverse())
+  override protected def withNewChildInternal(c: Expression): StReverse = copy(child = c)
 }

@@ -46,6 +46,15 @@ object functions {
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
   def st_area_sphere(g: Column): Column = col(StAreaSphere(ex(g)))
+  def st_length_sphere(g: Column): Column = col(StLengthSphere(ex(g)))
+  def st_geometrytype(g: Column): Column = col(StGeometryType(ex(g)))
+  def st_numgeometries(g: Column): Column = col(StNumGeometries(ex(g)))
+  def st_boundary(g: Column): Column = col(StBoundary(ex(g)))
+  def st_pointonsurface(g: Column): Column = col(StPointOnSurface(ex(g)))
+  def st_closestpoint(a: Column, b: Column): Column = col(StClosestPoint(ex(a), ex(b)))
+  def st_perimeter(g: Column): Column = col(StPerimeter(ex(g)))
+  def st_flipcoordinates(g: Column): Column = col(StFlipCoordinates(ex(g)))
+  def st_reverse(g: Column): Column = col(StReverse(ex(g)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -176,6 +185,15 @@ object functions {
     r2("st_distance", StDistance)
     r2("st_distance_sphere", StDistanceSphere)
     r1("st_area_sphere", StAreaSphere)
+    r1("st_length_sphere", StLengthSphere)
+    r1("st_geometrytype", StGeometryType)
+    r1("st_numgeometries", StNumGeometries)
+    r1("st_boundary", StBoundary)
+    r1("st_pointonsurface", StPointOnSurface)
+    r2("st_closestpoint", StClosestPoint)
+    r1("st_perimeter", StPerimeter)
+    r1("st_flipcoordinates", StFlipCoordinates)
+    r1("st_reverse", StReverse)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

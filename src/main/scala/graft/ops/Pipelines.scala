@@ -482,6 +482,63 @@ object Pipelines {
       |SELECT gx, gy, n, CAST(round(am, 1) AS DECIMAL(18,1)) AS area_m2
       |FROM a ORDER BY gx, gy""".stripMargin
 
+  /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
+    * last of the three geodesic measures): each occupied 10° cell of the
+    * event grid is traced as an L-shaped two-segment lon/lat polyline —
+    * along the cell's south parallel, then up its east meridian — and
+    * measured in meters on the GRS80 mean-radius sphere. The engine sums
+    * per-segment haversines in vertex order; the oracle replays both
+    * segment haversines verbatim (the parallel segment keeps its exact-zero
+    * sin²(Δφ/2) term, the meridian segment its exact-zero sin²(Δλ/2) term)
+    * through the same ROUND(·,1)/DECIMAL(12,1) funnel that absorbs
+    * last-ulp libm drift.
+    *
+    * Scale shape: identical to [[distanceSphereRollup]] — the ONLY
+    * shuffle is the counting groupBy on the dense integer cell key; WKT
+    * build, parse and spherical trig run on the ≤648-row cell relation. */
+  def lengthSphereRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon0 = (col("gx") * 10 - 180).cast("long").cast("string")
+    val lat0 = (col("gy") * 10 - 90).cast("long").cast("string")
+    val lon1 = (col("gx") * 10 - 170).cast("long").cast("string")
+    val lat1 = (col("gy") * 10 - 80).cast("long").cast("string")
+    val pathWkt = concat(
+      lit("LINESTRING ("), lon0, lit(" "), lat0, lit(", "),
+      lon1, lit(" "), lat0, lit(", "), lon1, lit(" "), lat1, lit(")"))
+    cells
+      .withColumn("l_m", st_length_sphere(st_geomfromwkt(pathWkt)))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("l_m"), 1).cast("decimal(12,1)").as("len_m"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Verbatim two-segment haversine mirror in the engine's summation
+    * order: parallel segment (Δφ = 0) first, meridian segment (Δλ = 0)
+    * second, each in the sin²-form with clamped asin. */
+  val lengthSphereOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT gx, gy, n,
+      |    2 * 6371008.7714 * asin(least(1.0, sqrt(
+      |      sin(radians(0.0) / 2) * sin(radians(0.0) / 2)
+      |      + cos(radians(gy * 10.0 - 90.0)) * cos(radians(gy * 10.0 - 90.0))
+      |        * sin(radians(10.0) / 2) * sin(radians(10.0) / 2))))
+      |    + 2 * 6371008.7714 * asin(least(1.0, sqrt(
+      |        sin(radians(10.0) / 2) * sin(radians(10.0) / 2)
+      |        + cos(radians(gy * 10.0 - 90.0)) * cos(radians(gy * 10.0 - 80.0))
+      |          * sin(radians(0.0) / 2) * sin(radians(0.0) / 2)))) AS l_m
+      |  FROM g)
+      |SELECT gx, gy, n, CAST(round(l_m, 1) AS DECIMAL(12,1)) AS len_m
+      |FROM l ORDER BY gx, gy""".stripMargin
+
   /** Overlay-algebra rollup (st_difference / st_symdifference /
     * st_intersection — the Sedona overlay family the flagship's
     * intersection only half-covers): each event derives a deterministic
@@ -602,6 +659,69 @@ object Pipelines {
     * Scale shape: same as [[distanceSphereRollup]] — ONE counting
     * shuffle on the dense integer cell key; the projection trig runs on
     * the ≤108-row cell relation, never per fact row. */
+  /** Geometry-accessor family rollup (st_geometrytype / st_numgeometries /
+    * st_boundary / st_pointonsurface / st_closestpoint / st_perimeter /
+    * st_flipcoordinates — the Sedona inspection surface): each occupied
+    * region cell (key = user_id % 25) is built as its 50 km fixture
+    * rectangle plus an outside probe point 10 km west of it, and every
+    * accessor is measured in closed form — perimeter 2(w+h), boundary
+    * length via st_length∘st_boundary, interior point = rectangle center
+    * (JTS interior-point scanline midpoint, exact on integer corners),
+    * closest point = the probe clamped to the rectangle, flip = the
+    * probe's own y. All values are exact integer-valued doubles, emitted
+    * as BIGINT so the oracle compares them with pure integer arithmetic.
+    *
+    * Scale shape: identical to [[distanceSphereRollup]] — ONE counting
+    * shuffle on the dense integer key; all geometry on the ≤25-row cell
+    * relation. The accessors themselves are per-row scalar projections
+    * (no data movement) at any scale. */
+  def geomAccessorsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    val rect = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    val px = (GeoFixtures.regionX0(col("r")) - 10000L).cast("double")
+    val py = (GeoFixtures.regionY0(col("r")) + col("r").cast("long") * 3000L).cast("double")
+    val probe = st_point(px, py)
+    cells
+      .withColumn("pos", st_pointonsurface(rect))
+      .withColumn("cp", st_closestpoint(rect, probe))
+      .select(col("r"), col("n"),
+        st_geometrytype(rect).as("gtype"),
+        st_numgeometries(rect).as("nparts"),
+        st_perimeter(rect).cast("bigint").as("perim_m"),
+        st_length(st_boundary(rect)).cast("bigint").as("blen_m"),
+        st_x(col("pos")).cast("bigint").as("pos_x"),
+        st_y(col("pos")).cast("bigint").as("pos_y"),
+        st_x(col("cp")).cast("bigint").as("cp_x"),
+        st_y(col("cp")).cast("bigint").as("cp_y"),
+        st_x(st_flipcoordinates(probe)).cast("bigint").as("flip_x"))
+      .orderBy(col("r"))
+  }
+
+  /** Pure-integer closed forms of every accessor on the fixture grid:
+    * x0/y0 from the region key, perimeter and boundary length 200000,
+    * interior point the center, closest point the clamp, flip the probe y. */
+  val geomAccessorsOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM g)
+      |SELECT r, n,
+      |  'ST_Polygon' AS gtype, 1 AS nparts,
+      |  CAST(200000 AS BIGINT) AS perim_m, CAST(200000 AS BIGINT) AS blen_m,
+      |  CAST(x0 + 25000 AS BIGINT) AS pos_x, CAST(y0 + 25000 AS BIGINT) AS pos_y,
+      |  CAST(x0 AS BIGINT) AS cp_x,
+      |  CAST(least(y0 + r * 3000, y0 + 50000) AS BIGINT) AS cp_y,
+      |  CAST(y0 + r * 3000 AS BIGINT) AS flip_x
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -179,6 +179,87 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("st_length_sphere: segment sums, closed forms, multilines, null discipline") {
+    val R = StDistanceSphere.MeanRadiusM
+    def len(wkt: String): Double =
+      one(s"SELECT st_length_sphere(st_geomfromwkt('$wkt')) AS l").getDouble(0)
+    // meridian arc equator->pole = quarter circumference, split across
+    // vertices it must sum to the same (vertices on one great circle)
+    val quarter = len("LINESTRING (0 0, 0 90)")
+    assert(math.abs(quarter - R * math.Pi / 2) < 1e-6, s"quarter: $quarter")
+    val split = len("LINESTRING (0 0, 0 30, 0 60, 0 90)")
+    assert(math.abs(split - quarter) < 1e-6, s"split: $split vs $quarter")
+    // a parallel at 60N is NOT a great circle: the polyline measures the
+    // great-circle chords through its vertices, so one 90-degree chord is
+    // shorter than the parallel arc but longer than half of it
+    val chord60 = len("LINESTRING (0 60, 90 60)")
+    val parallelArc = R * math.Pi / 2 * math.cos(math.toRadians(60))
+    assert(chord60 < parallelArc && chord60 > parallelArc / 2, s"chord: $chord60 vs $parallelArc")
+    // each segment is exactly the haversine distance of its endpoints
+    val two = len("LINESTRING (10 10, 20 20, 35 5)")
+    val want = StDistanceSphere.haversineMeters(10, 10, 20, 20) +
+      StDistanceSphere.haversineMeters(20, 20, 35, 5)
+    assert(two == want, s"$two vs $want")
+    // multiline sums parts; points measure zero; areal/empty -> null
+    val multi = len("MULTILINESTRING ((0 0, 0 30), (0 30, 0 90))")
+    assert(math.abs(multi - quarter) < 1e-6)
+    assert(len("POINT (10 10)") == 0.0)
+    val nulls = one("""SELECT st_length_sphere(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS a,
+                              st_length_sphere(st_geomfromwkt('LINESTRING EMPTY')) AS b""")
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("geometry accessor family: type, parts, boundary, interior point, closest point, perimeter, flip, reverse") {
+    val r = one(
+      """SELECT st_geometrytype(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))')) AS t_poly,
+        |       st_geometrytype(st_point(1.0D, 2.0D)) AS t_pt,
+        |       st_numgeometries(st_geomfromwkt('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((4 0, 5 0, 5 1, 4 1, 4 0)))')) AS np,
+        |       st_numgeometries(st_point(0.0D, 0.0D)) AS np1,
+        |       st_perimeter(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))')) AS per,
+        |       st_perimeter(st_geomfromwkt('LINESTRING (0 0, 9 0)')) AS per_line,
+        |       st_length(st_boundary(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'))) AS blen,
+        |       st_astext(st_boundary(st_point(1.0D, 1.0D))) AS bpt""".stripMargin)
+    assert(r.getString(0) == "ST_Polygon" && r.getString(1) == "ST_Point")
+    assert(r.getInt(2) == 2 && r.getInt(3) == 1)
+    assert(r.getDouble(4) == 12.0 && r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 12.0)
+    assert(r.getString(7).contains("EMPTY"))
+    // hole perimeter counts interior rings (PostGIS contract)
+    val holed = one(
+      """SELECT st_perimeter(st_geomfromwkt(
+        |  'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')) AS p""".stripMargin)
+    assert(holed.getDouble(0) == 48.0)
+    // interior point of a concave C-shape stays inside (the st_centroid
+    // failure mode this function exists for)
+    val c = one(
+      """SELECT st_x(st_pointonsurface(g)) AS x, st_y(st_pointonsurface(g)) AS y,
+        |       st_contains(g, st_pointonsurface(g)) AS inside,
+        |       st_contains(g, st_centroid(g)) AS centroid_inside
+        |FROM (SELECT st_geomfromwkt(
+        |  'POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10, 0 0))') AS g)""".stripMargin)
+    assert(c.getBoolean(2), s"interior point (${c.getDouble(0)}, ${c.getDouble(1)}) outside")
+    assert(!c.getBoolean(3), "fixture flaw: centroid unexpectedly inside")
+    // closest point: clamp law on a rectangle, identity for a contained point
+    val cp = one(
+      """SELECT st_x(st_closestpoint(r, p)) AS x, st_y(st_closestpoint(r, p)) AS y,
+        |       st_astext(st_closestpoint(r, st_point(3.0D, 1.0D))) AS inside_cp
+        |FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))') AS r,
+        |             st_point(-3.0D, 7.0D) AS p)""".stripMargin)
+    assert(cp.getDouble(0) == 0.0 && cp.getDouble(1) == 2.0)
+    assert(cp.getString(2) == "POINT (3 1)")
+    // flip + reverse round-trips
+    val fr = one(
+      """SELECT st_astext(st_flipcoordinates(st_geomfromwkt('LINESTRING (1 2, 3 4)'))) AS f,
+        |       st_astext(st_flipcoordinates(st_flipcoordinates(st_geomfromwkt('LINESTRING (1 2, 3 4)')))) AS ff,
+        |       st_astext(st_reverse(st_geomfromwkt('LINESTRING (1 2, 3 4)'))) AS rev,
+        |       st_azimuth(st_point(0.0D, 0.0D), st_point(0.0D, 1.0D)) AS north,
+        |       st_azimuth(st_point(0.0D, 1.0D), st_point(0.0D, 0.0D)) AS south""".stripMargin)
+    assert(fr.getString(0) == "LINESTRING (2 1, 4 3)")
+    assert(fr.getString(1) == "LINESTRING (1 2, 3 4)")
+    assert(fr.getString(2) == "LINESTRING (3 4, 1 2)")
+    assert(fr.getDouble(3) == 0.0 && fr.getDouble(4) == math.Pi)
+  }
+
   test("st_union_agg unions a group, ignores empties and nulls") {
     val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
                      SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
