@@ -64,6 +64,9 @@ object SparkEntry {
       // geometry-accessor family (type/parts/boundary/pointonsurface/
       // closestpoint/perimeter/flip), all closed-form integer oracles.
       "q_geom_accessors" -> (Pipelines.geomAccessorsRollup _),
+      // linear referencing (st_lineinterpolatepoint/st_linesubstring),
+      // dyadic fractions -> exact-integer walk oracle.
+      "q_line_interpolate" -> (Pipelines.lineInterpolateRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -94,6 +97,7 @@ object SparkEntry {
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
+    ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_azimuth" -> Pipelines.azimuthOracleSql) +

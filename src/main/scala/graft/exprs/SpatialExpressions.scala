@@ -751,3 +751,52 @@ case class StReverse(child: Expression)
   override protected def nullSafeEval(v: Any): Any = wkb(geom(v).reverse())
   override protected def withNewChildInternal(c: Expression): StReverse = copy(child = c)
 }
+
+/** st_lineinterpolatepoint(line, f) — the point at fraction `f` of the
+  * line's length (Sedona/PostGIS `ST_LineInterpolatePoint`; linear
+  * referencing via the JTS length-indexed line — the trajectory
+  * resampling primitive). Null for non-LineString input or `f` outside
+  * [0, 1]. */
+case class StLineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_lineinterpolatepoint"
+  override protected def nullSafeEval(g: Any, fv: Any): Any = {
+    val f = fv.asInstanceOf[Double]
+    geom(g) match {
+      case l: org.locationtech.jts.geom.LineString
+          if !l.isEmpty && f >= 0.0 && f <= 1.0 =>
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        wkb(Geom.factory.createPoint(ix.extractPoint(f * l.getLength)))
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StLineInterpolatePoint =
+    copy(left = l, right = r)
+}
+
+/** st_linesubstring(line, f1, f2) — the sub-line between length fractions
+  * `f1 <= f2` (Sedona/PostGIS `ST_LineSubstring`). Null for non-LineString
+  * input or an invalid fraction pair. */
+case class StLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_linesubstring"
+  override protected def nullSafeEval(g: Any, f1v: Any, f2v: Any): Any = {
+    val f1 = f1v.asInstanceOf[Double]
+    val f2 = f2v.asInstanceOf[Double]
+    geom(g) match {
+      case l: org.locationtech.jts.geom.LineString
+          if !l.isEmpty && f1 >= 0.0 && f2 <= 1.0 && f1 <= f2 =>
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        wkb(ix.extractLine(f1 * l.getLength, f2 * l.getLength))
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StLineSubstring =
+    copy(first = a, second = b, third = c)
+}

@@ -722,6 +722,62 @@ object Pipelines {
       |  CAST(y0 + r * 3000 AS BIGINT) AS flip_x
       |FROM c ORDER BY r""".stripMargin
 
+  /** Linear-referencing rollup (st_lineinterpolatepoint / st_linesubstring
+    * — Sedona/PostGIS `ST_LineInterpolatePoint`/`ST_LineSubstring`, the
+    * trajectory resampling primitives): each occupied region cell carries
+    * an L-shaped 80 km path (40 km east, then 40 km north) from its fixture
+    * origin; the cell's point at length fraction (2r+1)/64 and the length
+    * of the [1/4, 3/4] sub-line are emitted.
+    *
+    * Exactness by construction: fractions are dyadic ((2r+1)/64 — exact
+    * doubles), segment lengths are powers-of-ten integers, so every
+    * interpolated ordinate is an EXACT integer in both engines (JTS's
+    * frac·seg arithmetic divides by the 40000 segment length and
+    * multiplies it back — lossless for dyadic fractions) and the odd
+    * numerator can never land on the corner (d = 1250·odd ≠ 40000). Cast
+    * to BIGINT, compared by pure integer arithmetic — no rounding funnel
+    * needed. Scale shape: identical to [[geomAccessorsRollup]]. */
+  def lineInterpolateRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    val sx0 = GeoFixtures.regionX0(col("r")).cast("string")
+    val sy0 = GeoFixtures.regionY0(col("r")).cast("string")
+    val sx1 = (GeoFixtures.regionX0(col("r")) + 40000L).cast("string")
+    val sy1 = (GeoFixtures.regionY0(col("r")) + 40000L).cast("string")
+    val path = st_geomfromwkt(concat(
+      lit("LINESTRING ("), sx0, lit(" "), sy0, lit(", "),
+      sx1, lit(" "), sy0, lit(", "), sx1, lit(" "), sy1, lit(")")))
+    val f = ((col("r") * 2 + 1).cast("double") / lit(64.0))
+    val ip = st_lineinterpolatepoint(path, f)
+    cells.select(col("r"), col("n"),
+        st_x(ip).cast("bigint").as("ip_x"),
+        st_y(ip).cast("bigint").as("ip_y"),
+        st_length(st_linesubstring(path, lit(0.25), lit(0.75)))
+          .cast("bigint").as("sub_len"))
+      .orderBy(col("r"))
+  }
+
+  /** Integer walk of the same L-path: d = 1250·(2r+1) meters along,
+    * branch on the 40 km corner; the centered half sub-line is 40 km. */
+  val lineInterpolateOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0,
+      |    (2 * r + 1) * 1250 AS d
+      |  FROM g)
+      |SELECT r, n,
+      |  CAST(CASE WHEN d <= 40000 THEN x0 + d ELSE x0 + 40000 END AS BIGINT) AS ip_x,
+      |  CAST(CASE WHEN d <= 40000 THEN y0 ELSE y0 + (d - 40000) END AS BIGINT) AS ip_y,
+      |  CAST(40000 AS BIGINT) AS sub_len
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -260,6 +260,32 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(fr.getDouble(3) == 0.0 && fr.getDouble(4) == math.Pi)
   }
 
+  test("st_lineinterpolatepoint / st_linesubstring: endpoints, midpoints, corners, null discipline") {
+    val r = one(
+      """SELECT st_astext(st_lineinterpolatepoint(l, 0.0D)) AS p0,
+        |       st_astext(st_lineinterpolatepoint(l, 0.5D)) AS pm,
+        |       st_astext(st_lineinterpolatepoint(l, 1.0D)) AS p1,
+        |       st_astext(st_lineinterpolatepoint(l, 0.25D)) AS pq,
+        |       st_astext(st_linesubstring(l, 0.25D, 0.75D)) AS sub,
+        |       st_length(st_linesubstring(l, 0.0D, 1.0D)) AS full_len
+        |FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 4 0, 4 4)') AS l)""".stripMargin)
+    assert(r.getString(0) == "POINT (0 0)")
+    assert(r.getString(1) == "POINT (4 0)")   // f=0.5 of length 8 lands on the corner
+    assert(r.getString(2) == "POINT (4 4)")
+    assert(r.getString(3) == "POINT (2 0)")
+    assert(r.getString(4) == "LINESTRING (2 0, 4 0, 4 2)")
+    assert(r.getDouble(5) == 8.0)
+    // out-of-range fraction, inverted pair, and non-line input -> null
+    val nulls = one(
+      """SELECT st_lineinterpolatepoint(l, 1.5D) AS a,
+        |       st_lineinterpolatepoint(l, -0.1D) AS b,
+        |       st_linesubstring(l, 0.75D, 0.25D) AS c,
+        |       st_lineinterpolatepoint(st_point(1.0D, 1.0D), 0.5D) AS d,
+        |       st_lineinterpolatepoint(st_geomfromwkt('LINESTRING EMPTY'), 0.5D) AS e
+        |FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 4 0)') AS l)""".stripMargin)
+    (0 to 4).foreach(i => assert(nulls.isNullAt(i), s"col $i should be null"))
+  }
+
   test("st_union_agg unions a group, ignores empties and nulls") {
     val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
                      SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
