@@ -800,3 +800,31 @@ case class StLineSubstring(first: Expression, second: Expression, third: Express
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StLineSubstring =
     copy(first = a, second = b, third = c)
 }
+
+/** st_collect(array<geometry>) — non-dissolving collect (PostGIS/Sedona
+  * `ST_Collect`): homogeneous inputs become the matching Multi-type,
+  * mixed inputs a GeometryCollection. Pair with `collect_list` for the
+  * cheap aggregate alternative to [[StUnionAgg]] when boundaries need no
+  * dissolving — it is pure concatenation, no overlay CPU, and keeps
+  * part provenance. Null elements are skipped; an empty or all-null
+  * array yields null. */
+case class StCollect(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_collect"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val gs = Array.newBuilder[Geometry]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) gs += geom(arr.getBinary(i))
+      i += 1
+    }
+    val parts = gs.result()
+    if (parts.isEmpty) null
+    else wkb(Geom.factory.buildGeometry(java.util.Arrays.asList(parts: _*)))
+  }
+  override protected def withNewChildInternal(c: Expression): StCollect = copy(child = c)
+}

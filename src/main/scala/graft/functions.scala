@@ -59,6 +59,7 @@ object functions {
     col(StLineInterpolatePoint(ex(l), ex(f)))
   def st_linesubstring(l: Column, f1: Column, f2: Column): Column =
     col(StLineSubstring(ex(l), ex(f1), ex(f2)))
+  def st_collect(gs: Column): Column = col(StCollect(ex(gs)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -200,6 +201,7 @@ object functions {
     r1("st_reverse", StReverse)
     r2("st_lineinterpolatepoint", StLineInterpolatePoint)
     rn("st_linesubstring", 3)(es => StLineSubstring(es.head, es(1), es(2)))
+    r1("st_collect", StCollect)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

@@ -286,6 +286,32 @@ class SpatialSqlSpec extends AnyFunSuite {
     (0 to 4).foreach(i => assert(nulls.isNullAt(i), s"col $i should be null"))
   }
 
+  test("st_collect: typed multi-geometries, mixed collections, null discipline") {
+    val r = one(
+      """SELECT st_geometrytype(st_collect(array(st_point(0.0D, 0.0D), st_point(1.0D, 1.0D)))) AS pts,
+        |       st_geometrytype(st_collect(array(
+        |         st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+        |         st_geomfromwkt('POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))')))) AS polys,
+        |       st_geometrytype(st_collect(array(st_point(0.0D, 0.0D),
+        |         st_geomfromwkt('LINESTRING (0 0, 1 1)')))) AS mixed,
+        |       st_numgeometries(st_collect(array(st_point(0.0D, 0.0D), NULL, st_point(1.0D, 1.0D)))) AS np,
+        |       st_collect(array(CAST(NULL AS BINARY))) AS allnull,
+        |       st_geometrytype(st_collect(array(st_point(5.0D, 5.0D)))) AS single""".stripMargin)
+    assert(r.getString(0) == "ST_MultiPoint")
+    assert(r.getString(1) == "ST_MultiPolygon")
+    assert(r.getString(2) == "ST_GeometryCollection")
+    assert(r.getInt(3) == 2)
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "ST_Point") // single part stays atomic (JTS buildGeometry)
+    // collect does NOT dissolve: two overlapping unit squares keep area 2·1,
+    // where st_union_agg would merge to 1.75
+    val a = one(
+      """SELECT st_area(st_collect(array(g1, g2))) AS collected, st_area(st_union(g1, g2)) AS dissolved
+        |FROM (SELECT st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS g1,
+        |             st_geomfromwkt('POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))') AS g2)""".stripMargin)
+    assert(a.getDouble(0) == 2.0 && a.getDouble(1) == 1.75)
+  }
+
   test("st_union_agg unions a group, ignores empties and nulls") {
     val r = one("""SELECT st_area(st_union_agg(g)) AS a FROM (
                      SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
