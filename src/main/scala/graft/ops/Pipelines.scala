@@ -606,9 +606,11 @@ object Pipelines {
     * radians clockwise from north in [0, 2π)): forward and reverse
     * bearings between each occupied grid-cell anchor and a fixed survey
     * point. The oracle replays atan2(Δx, Δy) + the negative-branch wrap
-    * verbatim; ROUND(·,6) rad absorbs last-ulp atan2 drift. Scale shape:
-    * identical to [[distanceSphereRollup]] — one counting shuffle, trig
-    * on the bounded cell relation only. */
+    * verbatim; the BIGINT microradian funnel (floor(az·1e6 + 0.5))
+    * absorbs last-ulp atan2 drift and hashes exactly on both sides (the
+    * q_overlay integer device — DECIMAL funnels proved hash-fragile).
+    * Scale shape: identical to [[distanceSphereRollup]] — one counting
+    * shuffle, trig on the bounded cell relation only. */
   def azimuthRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))
@@ -623,8 +625,8 @@ object Pipelines {
       .withColumn("az_fwd", st_azimuth(st_point(lon, lat), anchor))
       .withColumn("az_rev", st_azimuth(anchor, st_point(lon, lat)))
       .select(col("gx"), col("gy"), col("n"),
-        round(col("az_fwd"), 6).cast("decimal(8,6)").as("az_fwd"),
-        round(col("az_rev"), 6).cast("decimal(8,6)").as("az_rev"))
+        floor(col("az_fwd") * 1e6 + 0.5).cast("long").as("az_fwd_urad"),
+        floor(col("az_rev") * 1e6 + 0.5).cast("long").as("az_rev_urad"))
       .orderBy(col("gx"), col("gy"))
   }
 
@@ -641,8 +643,8 @@ object Pipelines {
       |    atan2((gx * 10.0 - 175.0) - -56.0, (gy * 10.0 - 85.0) - -17.0) AS r
       |  FROM g)
       |SELECT gx, gy, n,
-      |  CAST(round(CASE WHEN f < 0 THEN f + 2 * pi() ELSE f END, 6) AS DECIMAL(8,6)) AS az_fwd,
-      |  CAST(round(CASE WHEN r < 0 THEN r + 2 * pi() ELSE r END, 6) AS DECIMAL(8,6)) AS az_rev
+      |  CAST(floor((CASE WHEN f < 0 THEN f + 2 * pi() ELSE f END) * 1e6 + 0.5) AS BIGINT) AS az_fwd_urad,
+      |  CAST(floor((CASE WHEN r < 0 THEN r + 2 * pi() ELSE r END) * 1e6 + 0.5) AS BIGINT) AS az_rev_urad
       |FROM d ORDER BY gx, gy""".stripMargin
 
   /** CRS-breadth reprojection rollup: each occupied event cell yields one
