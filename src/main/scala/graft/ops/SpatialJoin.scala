@@ -269,46 +269,96 @@ object SpatialJoin {
 
     // candidate cells of one probe envelope: rank occupied cells by the
     // per-cell distance UPPER bound, take the smallest prefix holding >= k
-    // build rows, emit every cell whose LOWER bound beats that prefix's U
-    val candidateCells = org.apache.spark.sql.functions.udf(
-      (xmin: java.lang.Double, ymin: java.lang.Double,
-       xmax: java.lang.Double, ymax: java.lang.Double) => {
+    // build rows, emit every cell whose LOWER bound beats that prefix's U.
+    //
+    // Two per-row cost controls (the r09 profile showed this UDF as the
+    // suite's one true hot spot — it had re-sorted the full histogram per
+    // probe row, O(C log C) x |probes|):
+    //   * the prefix is found by weighted selection with a max-heap of
+    //     the current minimal prefix (O(C log m), m = prefix size, usually
+    //     1-2 cells), never a full sort;
+    //   * results are memoized per probe envelope QUANTIZED OUTWARD to its
+    //     covering cell-aligned box. The quantized box contains the true
+    //     envelope, so its L is never larger and its U never smaller —
+    //     the derived candidate set is a superset of the exact one and
+    //     stays complete; co-located probes (the common case: point
+    //     probes sharing a cell) then pay the O(C) walk once. The memo is
+    //     per-task deserialized closure state, capped to stay bounded.
+    val candidateFn = new ((java.lang.Double, java.lang.Double,
+        java.lang.Double, java.lang.Double) => Array[Long]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[(Long, Long), Array[Long]]()
+
+      private def compute(qxmin: Double, qymin: Double,
+                          qxmax: Double, qymax: Double): Array[Long] = {
+        val (keys, cnts) = bHist.value
+        val c = keys.length
+        val lo = new Array[Double](c)
+        val up = new Array[Double](c)
+        var i = 0
+        while (i < c) {
+          val cx0 = (keys(i) >> 32).toDouble * cs
+          val cy0 = keys(i).toInt.toDouble * cs
+          // L: min distance probeEnv -> cell rect grown by the max build
+          // extent on the +x/+y sides (where a referenced envelope can
+          // reach beyond its min-corner cell)
+          val ldx = math.max(0.0, math.max(cx0 - qxmax, qxmin - (cx0 + cs + maxW)))
+          val ldy = math.max(0.0, math.max(cy0 - qymax, qymin - (cy0 + cs + maxH)))
+          lo(i) = math.hypot(ldx, ldy)
+          // U: max distance probeEnv -> cell rect, plus the max envelope
+          // diagonal (a geometry has a point within that of its min corner)
+          val udx = math.max((cx0 + cs) - qxmin, qxmax - cx0)
+          val udy = math.max((cy0 + cs) - qymin, qymax - cy0)
+          up(i) = math.hypot(udx, udy) + maxDiag
+          i += 1
+        }
+        // weighted selection of the minimal prefix by U reaching kk: a
+        // max-heap (on U) of the running prefix, evicting its largest
+        // entries whenever the remainder still covers kk
+        val heap = new java.util.PriorityQueue[Integer](16,
+          (a: Integer, b: Integer) => java.lang.Double.compare(up(b), up(a)))
+        var acc = 0L
+        i = 0
+        while (i < c) {
+          if (acc < kkNeeded) { heap.add(i); acc += cnts(i) }
+          else if (up(i) < up(heap.peek())) {
+            heap.add(i); acc += cnts(i)
+            var trimming = true
+            while (trimming) {
+              val t = heap.peek()
+              if (acc - cnts(t) >= kkNeeded) { heap.poll(); acc -= cnts(t) }
+              else trimming = false
+            }
+          }
+          i += 1
+        }
+        val ub = up(heap.peek())
+        keys.indices.collect { case j if lo(j) <= ub => keys(j) }.toArray
+      }
+
+      def apply(xmin: java.lang.Double, ymin: java.lang.Double,
+                xmax: java.lang.Double, ymax: java.lang.Double): Array[Long] = {
         if (xmin == null || ymin == null || xmax == null || ymax == null)
           Array.empty[Long]
         else {
-          val (keys, cnts) = bHist.value
-          val c = keys.length
-          val lo = new Array[Double](c)
-          val up = new Array[Double](c)
-          var i = 0
-          while (i < c) {
-            val cx0 = (keys(i) >> 32).toDouble * cs
-            val cy0 = keys(i).toInt.toDouble * cs
-            // L: min distance probeEnv -> cell rect grown by the max build
-            // extent on the +x/+y sides (where a referenced envelope can
-            // reach beyond its min-corner cell)
-            val ldx = math.max(0.0, math.max(cx0 - xmax, xmin - (cx0 + cs + maxW)))
-            val ldy = math.max(0.0, math.max(cy0 - ymax, ymin - (cy0 + cs + maxH)))
-            lo(i) = math.hypot(ldx, ldy)
-            // U: max distance probeEnv -> cell rect, plus the max envelope
-            // diagonal (a geometry has a point within that of its min corner)
-            val udx = math.max((cx0 + cs) - xmin, xmax - cx0)
-            val udy = math.max((cy0 + cs) - ymin, ymax - cy0)
-            up(i) = math.hypot(udx, udy) + maxDiag
-            i += 1
+          val ix0 = math.floor(xmin / cs).toLong
+          val iy0 = math.floor(ymin / cs).toLong
+          val ix1 = math.floor(xmax / cs).toLong
+          val iy1 = math.floor(ymax / cs).toLong
+          val key = ((ix0 << 32) | (iy0 & 0xffffffffL),
+                     (ix1 << 32) | (iy1 & 0xffffffffL))
+          val hit = memo.get(key)
+          if (hit != null) hit
+          else {
+            if (memo.size >= 65536) memo.clear()
+            val r = compute(ix0 * cs, iy0 * cs, (ix1 + 1) * cs, (iy1 + 1) * cs)
+            memo.put(key, r)
+            r
           }
-          val order = Array.range(0, c).sortBy(i => up(i))
-          var acc = 0L
-          var ub = Double.PositiveInfinity
-          var b = 0
-          while (b < c && acc < kkNeeded) {
-            acc += cnts(order(b))
-            if (acc >= kkNeeded) ub = up(order(b))
-            b += 1
-          }
-          keys.indices.collect { case i if lo(i) <= ub => keys(i) }.toArray
         }
-      })
+      }
+    }
+    val candidateCells = org.apache.spark.sql.functions.udf(candidateFn)
 
     val probe = Par.fanOut(left)
       .withColumn("g_pid", monotonically_increasing_id())

@@ -21,6 +21,20 @@ object StreamQueries {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** The events table as a file-stream source with `ts` normalized to
+    * nanos-since-epoch BIGINT. A file stream source must be handed the
+    * PHYSICAL schema (it has no footer to infer from, and a mismatched
+    * user schema mis-reads the column), so the encoding-normalization
+    * (Tables.normalizeEventTs — BIGINT nanos pass-through vs TIMESTAMP
+    * micros × 1000) is applied to the streaming DataFrame after the read;
+    * downstream watermarks/windows see the same nanos BIGINT the batch
+    * mirrors do. pathGlobFilter narrows the directory listing to the
+    * events table within the shared corpus dir. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeEventTs(
+      spark.readStream.schema(Tables.eventsRawSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+
   val WatermarkMs: Long = 2 * 3600 * 1000L
   val WindowMs: Long = 3600 * 1000L
 
@@ -82,11 +96,7 @@ object StreamQueries {
     * that lets the final watermark close its windows). Output timestamps
     * are epoch-millis BIGINTs — integer math both engines share. */
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema // also sets nanosAsLong
-    // file stream sources take a directory; pathGlobFilter narrows the
-    // listing to the events table within the shared corpus dir
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     // ns → µs integer DIV (epoch-nanos exceed 2^53 — see SessionQueries)
     val withTs = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val counts = StreamOps.windowedCounts(withTs, "2 hours", "1 hour")
@@ -104,9 +114,7 @@ object StreamQueries {
     * per user; only key columns are output, since WHICH duplicate
     * survives is arrival-order-dependent but the key set is not. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val deduped = stream
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("hour_ms", expr("unix_millis(ts) DIV 3600000") * lit(3600000L))
@@ -128,10 +136,8 @@ object StreamQueries {
     * the plain interval join. Output is the per-user match count (the
     * pair set is order-independent; which micro-batch emitted it is not). */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
     def side(eventType: String, idAs: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      eventsStream(spark, dir)
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${idAs}_user"),
           col("event_id").as(s"${idAs}_id"),
@@ -169,9 +175,7 @@ object StreamQueries {
     * fully determine the sessionization, so nothing is lost). */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val ev = stream.select(col("user_id"),
         expr("ts DIV 1000000L").as("tms"), col("value"))
       .as[StreamOps.Event]
@@ -194,9 +198,7 @@ object StreamQueries {
     * aggregate). Emission follows the same append-mode watermark rule as
     * [[streamWindowCounts]], so the batch mirror is deterministic. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val dim = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
     val joined = stream
@@ -230,9 +232,7 @@ object StreamQueries {
     // would desync sink offsets from the log)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val shaped = stream.select(col("event_id"), col("event_type"), col("user_id"),
       expr("ts DIV 1000000L").as("tms"), col("value"))
     val q = shaped.writeStream.format("parquet")
@@ -271,9 +271,7 @@ object StreamQueries {
     val base = s"${graft.ops.SinkQueries.OutBase}/stream_upsert"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val shaped = stream.select(col("user_id"), col("value"))
     val q = shaped.writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -336,9 +334,7 @@ object StreamQueries {
     * cardinality, where a streaming groupBy count would grow state with
     * |keys|. */
   def streamCms(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = eventsStream(spark, dir)
     val sketch = stream.agg(graft.functions.cms_agg(col("event_type")).as("sk"))
     runBounded(spark, sketch, "graft_stream_cms",
       finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>

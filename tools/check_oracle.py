@@ -50,6 +50,9 @@ for q in sorted(os.listdir(out)):
         for c in ours.columns:
             a, b = ours[c], theirs[c]
             if str(a.dtype) != str(b.dtype):
+                # dtype drift is a FAILURE, not a note: round 9 proved a
+                # silent dtype pass lets corpus-encoding changes slip by
+                ok = False
                 msgs.append(f"dtype[{c}] {a.dtype} vs {b.dtype}")
             eq = (a == b) | (a.isna() & b.isna())
             if not eq.all():
