@@ -67,6 +67,9 @@ object SparkEntry {
       // linear referencing (st_lineinterpolatepoint/st_linesubstring),
       // dyadic fractions -> exact-integer walk oracle.
       "q_line_interpolate" -> (Pipelines.lineInterpolateRollup _),
+      // st_collect: homogeneous -> MULTIPOINT, mixed -> GEOMETRYCOLLECTION,
+      // part counts + integer envelope closed forms.
+      "q_collect" -> (Pipelines.collectRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -98,6 +101,7 @@ object SparkEntry {
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
+    ("q_collect" -> Pipelines.collectOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_azimuth" -> Pipelines.azimuthOracleSql) +

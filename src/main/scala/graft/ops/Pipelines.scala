@@ -780,6 +780,79 @@ object Pipelines {
       |  CAST(40000 AS BIGINT) AS sub_len
       |FROM c ORDER BY r""".stripMargin
 
+  /** st_collect rollup (Sedona/PostGIS `ST_Collect` — the non-dissolving
+    * collect): each occupied region cell (key = user_id % 25) gathers its
+    * distinct sub-keys s = (user_id DIV 25) % 4 as fixture points 1 km
+    * west of the cell rectangle, then collects them twice — points alone
+    * (homogeneous → MULTIPOINT with one part per distinct s) and points
+    * plus the cell rectangle (mixed → GEOMETRYCOLLECTION). Both the
+    * type-promotion rule and the part count are checked, plus the
+    * collection envelope: all fixture ordinates are exact integers, so
+    * the envelope corners are emitted as BIGINT and the oracle closed-form
+    * is pure integer arithmetic (points sit west of the rect, inside its
+    * y-span, so xmin comes from max(s) and the other corners from the
+    * rect).
+    *
+    * Scale shape: ONE distinct + ONE collect shuffle on the dense integer
+    * cell key; `collect_list` here gathers ≤4 fixture points per group —
+    * the general operator's per-group memory is the caller's contract,
+    * exactly as in Sedona. Part order in a collection is
+    * arrival-dependent; every measured accessor (type, count, envelope)
+    * is order-invariant. */
+  def collectRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"),
+        expr("CAST((user_id DIV 25) % 4 AS INT)").as("s"))
+      .distinct()
+    val pt = st_point(
+      (GeoFixtures.regionX0(col("r")) - (col("s") + 1).cast("long") * 1000L).cast("double"),
+      (GeoFixtures.regionY0(col("r")) + col("s").cast("long") * 2000L).cast("double"))
+    val perCell = pts
+      .withColumn("pt", pt)
+      .groupBy(col("r"))
+      .agg(collect_list(col("pt")).as("gs"), count(lit(1)).as("npts"))
+    val rect = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    val mp = st_collect(col("gs"))
+    val gc = st_collect(concat(col("gs"), array(rect)))
+    perCell
+      .withColumn("env", st_envelope_bounds(gc))
+      .select(col("r"), col("npts"),
+        st_geometrytype(mp).as("mp_type"),
+        st_numgeometries(mp).as("mp_n"),
+        st_geometrytype(gc).as("gc_type"),
+        st_numgeometries(gc).as("gc_n"),
+        col("env.xmin").cast("bigint").as("gc_xmin"),
+        col("env.ymin").cast("bigint").as("gc_ymin"),
+        col("env.xmax").cast("bigint").as("gc_xmax"),
+        col("env.ymax").cast("bigint").as("gc_ymax"))
+      .orderBy(col("r"))
+  }
+
+  /** Integer closed forms: parts count = distinct s per cell (+1 for the
+    * rect in the mixed collect); envelope xmin from the westmost point
+    * (max s), remaining corners from the 50 km fixture rectangle. */
+  val collectOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r,
+      |         CAST((user_id // 25) % 4 AS INTEGER) AS s
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT r, count(*) AS npts, max(s) AS smax FROM g GROUP BY r),
+      |o AS (
+      |  SELECT r, npts, smax,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM c)
+      |SELECT r, CAST(npts AS BIGINT) AS npts,
+      |  'ST_MultiPoint' AS mp_type, CAST(npts AS INTEGER) AS mp_n,
+      |  'ST_GeometryCollection' AS gc_type, CAST(npts + 1 AS INTEGER) AS gc_n,
+      |  CAST(x0 - (smax + 1) * 1000 AS BIGINT) AS gc_xmin,
+      |  CAST(y0 AS BIGINT) AS gc_ymin,
+      |  CAST(x0 + 50000 AS BIGINT) AS gc_xmax,
+      |  CAST(y0 + 50000 AS BIGINT) AS gc_ymax
+      |FROM o ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -533,10 +533,15 @@ object TextQueries {
     // and 8-byte keys make every downstream shuffle, sort, and intersect
     // long-typed instead of string-typed
     // `sets` is referenced by four downstream subtrees (freq, prefixes,
-    // and both verify joins) and is deliberately NOT persisted: operators
-    // return declarative plans (no side-effecting cache/checkpoint —
-    // topTerms documents the same convention), and a pipeline running
-    // this at corpus scale persists the set relation explicitly.
+    // and both verify joins); without materialization the tokenize →
+    // trigram → xxhash64 scan re-runs four times (~40% of the operator's
+    // measured cost at sf0.1). An eager local checkpoint computes it once
+    // into executor-local blocks — exactly what a corpus-scale run of
+    // PPJoin does with its set relation — at the price of one job at
+    // plan-construction time (the same trade StreamQueries.runBounded
+    // makes; blocks are freed by the ContextCleaner when the plan is
+    // dropped). This is the one deliberate exception to the
+    // no-side-effect convention topTerms documents.
     val sets = Par.fanOut(documents(spark, dir))
       .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("l")) >= 3)
@@ -544,6 +549,7 @@ object TextQueries {
         s"transform($trigramArrayExpr, g -> xxhash64(g))"))
         .as("sh"))
       .withColumn("sz", size(col("sh")))
+      .localCheckpoint(eager = true)
     val freq = sets.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
