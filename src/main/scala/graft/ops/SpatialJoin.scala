@@ -225,7 +225,7 @@ object SpatialJoin {
     require(cellSize > 0.0 && java.lang.Double.isFinite(cellSize),
       s"cellSize must be positive and finite, got $cellSize")
     import org.apache.spark.sql.functions.{col, count, explode, expr, lit,
-      max, monotonically_increasing_id, row_number}
+      max, min, monotonically_increasing_id, row_number}
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{st_distance, st_envelope_bounds}
     val spark = left.sparkSession
@@ -235,9 +235,16 @@ object SpatialJoin {
       .withColumn("gr_cell", expr(
         s"""(CAST(floor(gr_env.xmin / ${cellSize}D) AS BIGINT) << 32)
            | | (CAST(floor(gr_env.ymin / ${cellSize}D) AS BIGINT) & 4294967295)""".stripMargin))
-    // driver statistic (the bounds-probe class): one row per OCCUPIED cell
+    // driver statistic (the bounds-probe class): one row per OCCUPIED
+    // cell, carrying the TIGHT box of member envelope min corners plus
+    // the max member extents — far tighter per-cell distance bounds than
+    // the cell rectangle itself (a 50 km geometry in a 60 km cell makes
+    // rect-based bounds nearly vacuous; the min-corner box collapses to
+    // the members actually present)
     val hist = build.groupBy(col("gr_cell")).agg(
       count(lit(1)).as("cnt"),
+      min(col("gr_env.xmin")).as("bx0"), min(col("gr_env.ymin")).as("by0"),
+      max(col("gr_env.xmin")).as("bx1"), max(col("gr_env.ymin")).as("by1"),
       max(col("gr_env.xmax") - col("gr_env.xmin")).as("w"),
       max(col("gr_env.ymax") - col("gr_env.ymin")).as("h")).collect()
 
@@ -260,56 +267,59 @@ object SpatialJoin {
 
     val cellKeys = hist.map(_.getLong(0))
     val cellCnts = hist.map(_.getLong(1))
-    val maxW = hist.map(_.getDouble(2)).max
-    val maxH = hist.map(_.getDouble(3)).max
-    val maxDiag = math.hypot(maxW, maxH)
-    val bHist = spark.sparkContext.broadcast((cellKeys, cellCnts))
-    val cs = cellSize
+    val cellBx0 = hist.map(_.getDouble(2))
+    val cellBy0 = hist.map(_.getDouble(3))
+    val cellBx1 = hist.map(_.getDouble(4))
+    val cellBy1 = hist.map(_.getDouble(5))
+    val cellW = hist.map(_.getDouble(6))
+    val cellH = hist.map(_.getDouble(7))
+    val bHist = spark.sparkContext.broadcast(
+      (cellKeys, cellCnts, cellBx0, cellBy0, cellBx1, cellBy1, cellW, cellH))
     val kkNeeded = kk
 
     // candidate cells of one probe envelope: rank occupied cells by the
     // per-cell distance UPPER bound, take the smallest prefix holding >= k
     // build rows, emit every cell whose LOWER bound beats that prefix's U.
     //
-    // Two per-row cost controls (the r09 profile showed this UDF as the
-    // suite's one true hot spot — it had re-sorted the full histogram per
-    // probe row, O(C log C) x |probes|):
+    // Two per-row cost controls (the r09 profile showed this stage as the
+    // suite's one true hot spot — the candidate fan-out, O(|candidates|)
+    // exact distances + window rows per probe, plus a full histogram
+    // re-sort per probe row):
     //   * the prefix is found by weighted selection with a max-heap of
     //     the current minimal prefix (O(C log m), m = prefix size, usually
     //     1-2 cells), never a full sort;
-    //   * results are memoized per probe envelope QUANTIZED OUTWARD to its
-    //     covering cell-aligned box. The quantized box contains the true
-    //     envelope, so its L is never larger and its U never smaller —
-    //     the derived candidate set is a superset of the exact one and
-    //     stays complete; co-located probes (the common case: point
-    //     probes sharing a cell) then pay the O(C) walk once. The memo is
-    //     per-task deserialized closure state, capped to stay bounded.
+    //   * results are memoized per EXACT probe envelope — no bound
+    //     inflation, and real workloads (and the fixture: lineitem rows
+    //     share ~2.5k parcel positions per region) repeat probe
+    //     geometries heavily. The memo is per-task deserialized closure
+    //     state, capped to stay bounded.
     val candidateFn = new ((java.lang.Double, java.lang.Double,
         java.lang.Double, java.lang.Double) => Array[Long]) with Serializable {
       @transient private lazy val memo =
-        new java.util.HashMap[(Long, Long), Array[Long]]()
+        new java.util.HashMap[(Long, Long, Long, Long), Array[Long]]()
 
       private def compute(qxmin: Double, qymin: Double,
                           qxmax: Double, qymax: Double): Array[Long] = {
-        val (keys, cnts) = bHist.value
+        val (keys, cnts, bx0, by0, bx1, by1, ws, hs) = bHist.value
         val c = keys.length
         val lo = new Array[Double](c)
         val up = new Array[Double](c)
         var i = 0
         while (i < c) {
-          val cx0 = (keys(i) >> 32).toDouble * cs
-          val cy0 = keys(i).toInt.toDouble * cs
-          // L: min distance probeEnv -> cell rect grown by the max build
-          // extent on the +x/+y sides (where a referenced envelope can
-          // reach beyond its min-corner cell)
-          val ldx = math.max(0.0, math.max(cx0 - qxmax, qxmin - (cx0 + cs + maxW)))
-          val ldy = math.max(0.0, math.max(cy0 - qymax, qymin - (cy0 + cs + maxH)))
+          // the cell's members' envelopes: min corners inside the tight
+          // box [bx0,bx1]x[by0,by1], extending at most (w,h) past it on
+          // the +x/+y sides
+          // L: min distance probeEnv -> that grown box (<= distance to any
+          // member geometry, whose envelope lies inside it)
+          val ldx = math.max(0.0, math.max(bx0(i) - qxmax, qxmin - (bx1(i) + ws(i))))
+          val ldy = math.max(0.0, math.max(by0(i) - qymax, qymin - (by1(i) + hs(i))))
           lo(i) = math.hypot(ldx, ldy)
-          // U: max distance probeEnv -> cell rect, plus the max envelope
-          // diagonal (a geometry has a point within that of its min corner)
-          val udx = math.max((cx0 + cs) - qxmin, qxmax - cx0)
-          val udy = math.max((cy0 + cs) - qymin, qymax - cy0)
-          up(i) = math.hypot(udx, udy) + maxDiag
+          // U: max distance probeEnv -> the min-corner box, plus the max
+          // member diagonal (every member has a point — its envelope min
+          // corner — in the box, and extends at most diag beyond it)
+          val udx = math.max(bx1(i) - qxmin, qxmax - bx0(i))
+          val udy = math.max(by1(i) - qymin, qymax - by0(i))
+          up(i) = math.hypot(udx, udy) + math.hypot(ws(i), hs(i))
           i += 1
         }
         // weighted selection of the minimal prefix by U reaching kk: a
@@ -341,17 +351,15 @@ object SpatialJoin {
         if (xmin == null || ymin == null || xmax == null || ymax == null)
           Array.empty[Long]
         else {
-          val ix0 = math.floor(xmin / cs).toLong
-          val iy0 = math.floor(ymin / cs).toLong
-          val ix1 = math.floor(xmax / cs).toLong
-          val iy1 = math.floor(ymax / cs).toLong
-          val key = ((ix0 << 32) | (iy0 & 0xffffffffL),
-                     (ix1 << 32) | (iy1 & 0xffffffffL))
+          val key = (java.lang.Double.doubleToLongBits(xmin),
+                     java.lang.Double.doubleToLongBits(ymin),
+                     java.lang.Double.doubleToLongBits(xmax),
+                     java.lang.Double.doubleToLongBits(ymax))
           val hit = memo.get(key)
           if (hit != null) hit
           else {
             if (memo.size >= 65536) memo.clear()
-            val r = compute(ix0 * cs, iy0 * cs, (ix1 + 1) * cs, (iy1 + 1) * cs)
+            val r = compute(xmin, ymin, xmax, ymax)
             memo.put(key, r)
             r
           }
