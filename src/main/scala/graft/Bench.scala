@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Drift-canary query set: trivial, plan-frozen since round 7, spanning
+    * the main plan shapes (scan+agg, broadcast join, anti join, window
+    * top-k, iterative graph, text kernels, media decode, cube). Chosen in
+    * round 10 from the 3-round low-spread tail (BASELINE.md canary
+    * table); do not edit these queries without re-anchoring CanaryRefSec. */
+  val Canaries: Seq[String] = Seq(
+    "q_hapax", "q_mm_features", "q_quality_score", "q_date_ops",
+    "q_j1_broadcast_agg", "q_j4_anti_join", "q_sim_topk", "q_khop",
+    "q_lang_id", "q_cube")
+  /** Summed canary seconds at the round-7 quiet-host min-of-3 anchor
+    * (BENCH_LOCAL_r07.json). */
+  val CanaryRefSec: Double = 3.271
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -88,7 +101,21 @@ object Bench {
     // summary (total/n/errors) LAST — the driver's capture truncates from
     // the HEAD (BENCH_r06/r07), so the tail must be self-sufficient:
     // pointer + summary parse even when the map is cut.
-    val json = s"""{"queries":$qs,"queries_file":"$fullFile","sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson,"metric":"total","unit":"sec","value":$total}"""
+    // drift canary: 10 plan-frozen trivial queries (BASELINE.md table)
+    // whose summed min-time is compared against the round-7 quiet-host
+    // anchor. canary_ratio >> 1 with unchanged plans = host drift, and
+    // dividing the total by it attributes cross-round deltas in one step;
+    // a per-query regression shows up as total moving WITHOUT the canary.
+    val canaryRef = Bench.CanaryRefSec
+    val canaryMap = results.toMap
+    val canary =
+      if (Bench.Canaries.forall(canaryMap.contains)) {
+        val ct = Bench.Canaries.map(canaryMap).sum
+        val ratio = BigDecimal(ct / canaryRef)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        s""","canary_sec":${ms(ct)},"canary_ref_sec":$canaryRef,"canary_ratio":$ratio"""
+      } else ""
+    val json = s"""{"queries":$qs,"queries_file":"$fullFile","sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson$canary,"metric":"total","unit":"sec","value":$total}"""
     // belt and braces: the full line also lands on disk twice — the env
     // override for dev loops, the stable path for the round artifact
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
