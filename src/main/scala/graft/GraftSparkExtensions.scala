@@ -60,6 +60,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_within", 2)(es => StWithin(es.head, es(1)))
     inject("st_distance", 2)(es => StDistance(es.head, es(1)))
     inject("st_distance_sphere", 2)(es => StDistanceSphere(es.head, es(1)))
+    inject("st_distance_spheroid", 2)(es => StDistanceSpheroid(es.head, es(1)))
     inject("st_area_sphere", 1)(es => StAreaSphere(es.head))
     inject("st_length_sphere", 1)(es => StLengthSphere(es.head))
     inject("st_geometrytype", 1)(es => StGeometryType(es.head))

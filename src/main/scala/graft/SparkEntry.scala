@@ -53,6 +53,9 @@ object SparkEntry {
       // st_distance_sphere: haversine meters on raw lon/lat, verbatim
       // arithmetic mirror in the oracle (ROUND(.,1) boundary law).
       "q_distance_sphere" -> (Pipelines.distanceSphereRollup _),
+      // st_distance_spheroid: Andoyer-Lambert GRS80 geodesic, verbatim
+      // arithmetic mirror oracle through the ROUND(.,1) funnel.
+      "q_distance_spheroid" -> (Pipelines.distanceSpheroidRollup _),
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
@@ -97,6 +100,7 @@ object SparkEntry {
     ("q_knn_join_partitioned" -> Pipelines.spatialKnnPartitionedOracleSql) +
     ("q_geohash" -> Pipelines.geohashOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
+    ("q_distance_spheroid" -> Pipelines.distanceSpheroidOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +

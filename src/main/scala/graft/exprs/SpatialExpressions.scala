@@ -361,6 +361,74 @@ case class StDistanceSphere(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_distance_spheroid(a, b) — geodesic distance in METERS between two
+  * lon/lat POINTs on the GRS80 ELLIPSOID, completing the geodesic family
+  * next to the spherical [[StDistanceSphere]] (Sedona 1.7.1 ships
+  * `ST_DistanceSpheroid`; reference: docker/Dockerfile:7-10). Uses the
+  * Andoyer–Lambert first-order-in-flattening formula (Andoyer 1950; the
+  * closed form in Meeus, Astronomical Algorithms ch. 11): the spherical
+  * leg plus two f-weighted correction integrals. Accuracy is O(f²·a) —
+  * tens of meters on intercontinental lines, ~1000× tighter than the
+  * sphere's 0.56% — and, unlike iterative Vincenty/Karney, the operation
+  * sequence is branch-free and finite, so the DuckDB oracle mirrors it
+  * VERBATIM and last-ulp libm drift is absorbed by the query-layer ROUND
+  * funnel.
+  *
+  * Non-point or empty-point input returns null; coincident points short-
+  * circuit to 0 (the ω→0 limit, avoiding its 0/0). */
+case class StDistanceSpheroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distance_spheroid"
+  override protected def nullSafeEval(a: Any, b: Any): Any = (geom(a), geom(b)) match {
+    case (p: org.locationtech.jts.geom.Point, q: org.locationtech.jts.geom.Point)
+        if !p.isEmpty && !q.isEmpty =>
+      StDistanceSpheroid.andoyerMeters(p.getX, p.getY, q.getX, q.getY)
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistanceSpheroid =
+    copy(left = l, right = r)
+}
+
+object StDistanceSpheroid {
+  /** GRS80 semi-major axis and flattening — the same datum constants
+    * `geom/Crs.scala` projects with. */
+  val SemiMajorM: Double = 6378137.0
+  val Flattening: Double = 1.0 / 298.257222101
+
+  /** Andoyer–Lambert geodesic approximation (Meeus ch. 11 operation
+    * order, mirrored verbatim by the q_distance_spheroid oracle SQL —
+    * any change here must change that SQL identically):
+    * F/G the latitude mean/half-difference, λ the half lon-difference;
+    * S, C the split chord terms; ω the spherical leg; H1/H2 the
+    * first-order flattening corrections. Degenerate S·C = 0 (coincident
+    * or exactly-antipodal-axis inputs) falls back to the spherical leg. */
+  def andoyerMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val fF = Math.toRadians(lat1 + lat2) / 2
+    val fG = Math.toRadians(lat1 - lat2) / 2
+    val fL = Math.toRadians(lon1 - lon2) / 2
+    val sinG = Math.sin(fG); val cosG = Math.cos(fG)
+    val sinF = Math.sin(fF); val cosF = Math.cos(fF)
+    val sinL = Math.sin(fL); val cosL = Math.cos(fL)
+    val s = sinG * sinG * cosL * cosL + cosF * cosF * sinL * sinL
+    val c = cosG * cosG * cosL * cosL + sinF * sinF * sinL * sinL
+    if (s == 0.0) 0.0                       // coincident: ω = 0
+    else if (c == 0.0) Math.PI * SemiMajorM // antipodal split: ω = π/2,
+                                            // corrections 0/0 → spherical leg
+    else {
+      val om = Math.atan(Math.sqrt(s / c))
+      val r = Math.sqrt(s * c) / om
+      val d = 2 * om * SemiMajorM
+      val h1 = (3 * r - 1) / (2 * c)
+      val h2 = (3 * r + 1) / (2 * s)
+      d * (1 + Flattening * (h1 * sinF * sinF * cosG * cosG
+                           - h2 * cosF * cosF * sinG * sinG))
+    }
+  }
+}
+
 object StDistanceSphere {
   /** GRS80 mean radius R1 = (2a + b)/3; PostGIS's sphere radius agrees
     * to the same 4 decimals. */

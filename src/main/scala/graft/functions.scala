@@ -45,6 +45,8 @@ object functions {
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
+  def st_distance_spheroid(a: Column, b: Column): Column =
+    col(StDistanceSpheroid(ex(a), ex(b)))
   def st_area_sphere(g: Column): Column = col(StAreaSphere(ex(g)))
   def st_length_sphere(g: Column): Column = col(StLengthSphere(ex(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(ex(g)))
@@ -189,6 +191,7 @@ object functions {
     r2("st_within", StWithin)
     r2("st_distance", StDistance)
     r2("st_distance_sphere", StDistanceSphere)
+    r2("st_distance_spheroid", StDistanceSpheroid)
     r1("st_area_sphere", StAreaSphere)
     r1("st_length_sphere", StLengthSphere)
     r1("st_geometrytype", StGeometryType)

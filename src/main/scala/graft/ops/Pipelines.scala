@@ -437,6 +437,66 @@ object Pipelines {
       |SELECT gx, gy, n, CAST(round(d_m, 1) AS DECIMAL(12,1)) AS dist_m
       |FROM d ORDER BY gx, gy""".stripMargin
 
+  /** Ellipsoidal geodesic distance rollup
+    * ([[graft.exprs.StDistanceSpheroid]], the Sedona `ST_DistanceSpheroid`
+    * analogue): the same 10° full-globe grid and Brazil-ish anchor as
+    * [[distanceSphereRollup]], measured with the Andoyer–Lambert
+    * first-order GRS80 geodesic instead of the sphere. Same float
+    * discipline (trig per DISTINCT CELL, ROUND(·,1) DECIMAL funnel; the
+    * grid avoids every degenerate split — no cell shares the anchor's
+    * latitude band or sits antipodal to it; the closest of the 648 fixed
+    * values to a 0.05 m rounding boundary was checked at 2.4e-5 m, ~500×
+    * the worst-case cross-engine libm drift for this op chain) and same
+    * scale shape (ONE counting shuffle on the dense integer key). */
+  def distanceSpheroidRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon = col("gx").cast("double") * 10.0 - 175.0
+    val lat = col("gy").cast("double") * 10.0 - 85.0
+    cells
+      .withColumn("d_m", st_distance_spheroid(
+        st_point(lon, lat), st_point(lit(-56.0), lit(-17.0))))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("d_m"), 1).cast("decimal(12,1)").as("dist_m"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Verbatim Andoyer–Lambert mirror — same operation order as
+    * [[graft.exprs.StDistanceSpheroid.andoyerMeters]] (split chord terms
+    * S/C, ω = atan√(S/C), H1/H2 flattening corrections on GRS80 a and f),
+    * rounded through the same DECIMAL(12,1) funnel. */
+  val distanceSpheroidOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT gx, gy, n,
+      |    radians((gy * 10.0 - 85.0) + (-17.0)) / 2 AS ff,
+      |    radians((gy * 10.0 - 85.0) - (-17.0)) / 2 AS fg,
+      |    radians((gx * 10.0 - 175.0) - (-56.0)) / 2 AS fl
+      |  FROM g),
+      |sc AS (
+      |  SELECT gx, gy, n, ff, fg,
+      |    sin(fg)*sin(fg)*cos(fl)*cos(fl) + cos(ff)*cos(ff)*sin(fl)*sin(fl) AS s,
+      |    cos(fg)*cos(fg)*cos(fl)*cos(fl) + sin(ff)*sin(ff)*sin(fl)*sin(fl) AS c
+      |  FROM t),
+      |w AS (
+      |  SELECT gx, gy, n, ff, fg, s, c, atan(sqrt(s / c)) AS om
+      |  FROM sc),
+      |d AS (
+      |  SELECT gx, gy, n,
+      |    (2 * om * 6378137.0) * (1 + (1.0/298.257222101) * (
+      |      ((3 * (sqrt(s * c) / om) - 1) / (2 * c)) * sin(ff)*sin(ff)*cos(fg)*cos(fg)
+      |    - ((3 * (sqrt(s * c) / om) + 1) / (2 * s)) * cos(ff)*cos(ff)*sin(fg)*sin(fg))) AS d_m
+      |  FROM w)
+      |SELECT gx, gy, n, CAST(round(d_m, 1) AS DECIMAL(12,1)) AS dist_m
+      |FROM d ORDER BY gx, gy""".stripMargin
+
   /** Spherical polygon area rollup ([[graft.exprs.StAreaSphere]], the
     * Sedona/PostGIS spheroid-area analogue): each occupied 10° graticule
     * cell of the event grid is built as an exact-integer WKT rectangle and
@@ -606,11 +666,14 @@ object Pipelines {
     * radians clockwise from north in [0, 2π)): forward and reverse
     * bearings between each occupied grid-cell anchor and a fixed survey
     * point. The oracle replays atan2(Δx, Δy) + the negative-branch wrap
-    * verbatim; the BIGINT microradian funnel (floor(az·1e6 + 0.5))
-    * absorbs last-ulp atan2 drift and hashes exactly on both sides (the
-    * q_overlay integer device — DECIMAL funnels proved hash-fragile).
-    * Scale shape: identical to [[distanceSphereRollup]] — one counting
-    * shuffle, trig on the bounded cell relation only. */
+    * verbatim; the BIGINT microradian funnel (floor(az·1e6 + 0.5)) fixes
+    * the cross-engine DECIMAL hash-representation fragility (the r08 red
+    * row) — as half-up rounding it still has half-integer boundaries,
+    * but boundary-adjacent values were checked absent for this fixed
+    * 36×18 grid, where last-ulp atan2 divergence is ~9 orders below the
+    * nearest boundary. Scale shape: identical to
+    * [[distanceSphereRollup]] — one counting shuffle, trig on the
+    * bounded cell relation only. */
   def azimuthRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))
@@ -625,8 +688,8 @@ object Pipelines {
       .withColumn("az_fwd", st_azimuth(st_point(lon, lat), anchor))
       .withColumn("az_rev", st_azimuth(anchor, st_point(lon, lat)))
       .select(col("gx"), col("gy"), col("n"),
-        floor(col("az_fwd") * 1e6 + 0.5).cast("long").as("az_fwd_urad"),
-        floor(col("az_rev") * 1e6 + 0.5).cast("long").as("az_rev_urad"))
+        floor(col("az_fwd") * 1e6 + 0.5).as("az_fwd_urad"),
+        floor(col("az_rev") * 1e6 + 0.5).as("az_rev_urad"))
       .orderBy(col("gx"), col("gy"))
   }
 

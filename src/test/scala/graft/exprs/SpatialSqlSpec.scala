@@ -151,6 +151,40 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("st_distance_spheroid: published geodesic anchors within Andoyer tolerance") {
+    // Anchors are mm-grade Karney/GeographicLib WGS84 geodesics (GRS80
+    // differs below the mm); Andoyer-Lambert is first-order in f, good to
+    // tens of meters on intercontinental lines and ~cm regionally.
+    // 1 degree of longitude along the equator: a * 1 deg (exact on the
+    // ellipsoid - the equator is a geodesic of radius a)
+    val eq1 = one("SELECT st_distance_spheroid(st_point(0.0D, 0.0D), st_point(1.0D, 0.0D)) AS d").getDouble(0)
+    assert(math.abs(eq1 - 6378137.0 * math.toRadians(1.0)) < 0.5, s"equator degree: $eq1")
+    // equator to pole along a meridian: the quadrant arc 10001965.729 m
+    val quad = one("SELECT st_distance_spheroid(st_point(0.0D, 0.0D), st_point(0.0D, 90.0D)) AS d").getDouble(0)
+    assert(math.abs(quad - 10001965.729) < 40.0, s"meridian quadrant: $quad")
+    // Paris-London geodesic ~343.9 km (vs 343.5 km on the sphere - the
+    // flattening correction must move it the right way)
+    val pl = one("""SELECT st_distance_spheroid(st_point(2.3522D, 48.8566D),
+                                                st_point(-0.1276D, 51.5072D)) AS d""").getDouble(0)
+    assert(math.abs(pl - 343900.0) < 600.0, s"Paris-London: $pl")
+    val plSphere = one("""SELECT st_distance_sphere(st_point(2.3522D, 48.8566D),
+                                                    st_point(-0.1276D, 51.5072D)) AS d""").getDouble(0)
+    assert(pl > plSphere, s"spheroid $pl should exceed sphere $plSphere here")
+    // JFK-LHR: Vincenty/Karney geodesic at these coordinates 5555052.4 m
+    // (Andoyer lands within ~8 m of it)
+    val jfk = one("""SELECT st_distance_spheroid(st_point(-73.7787D, 40.6398D),
+                                                 st_point(-0.4543D, 51.4700D)) AS d""").getDouble(0)
+    assert(math.abs(jfk - 5555052.4) < 60.0, s"JFK-LHR: $jfk")
+    // symmetric, coincident-zero, SQL == kernel, null conventions
+    assert(jfk == StDistanceSpheroid.andoyerMeters(-0.4543, 51.4700, -73.7787, 40.6398))
+    assert(StDistanceSpheroid.andoyerMeters(12.5, -33.25, 12.5, -33.25) == 0.0)
+    val nulls2 = one("""SELECT st_distance_spheroid(st_geomfromwkt('LINESTRING (0 0, 1 1)'),
+                                                    st_point(0.0D, 0.0D)) AS a,
+                               st_distance_spheroid(st_geomfromwkt('POINT EMPTY'),
+                                                    st_point(0.0D, 0.0D)) AS b""")
+    assert(nulls2.isNullAt(0) && nulls2.isNullAt(1))
+  }
+
   test("st_area_sphere: graticule closed forms up to the full sphere, holes, multipolygons") {
     val R = StDistanceSphere.MeanRadiusM
     def area(wkt: String): Double =
