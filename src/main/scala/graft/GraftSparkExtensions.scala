@@ -58,6 +58,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_intersects", 2)(es => StIntersects(es.head, es(1)))
     inject("st_contains", 2)(es => StContains(es.head, es(1)))
     inject("st_within", 2)(es => StWithin(es.head, es(1)))
+    inject("st_touches", 2)(es => StTouches(es.head, es(1)))
+    inject("st_crosses", 2)(es => StCrosses(es.head, es(1)))
+    inject("st_overlaps", 2)(es => StOverlaps(es.head, es(1)))
+    inject("st_disjoint", 2)(es => StDisjoint(es.head, es(1)))
+    inject("st_equals", 2)(es => StEquals(es.head, es(1)))
+    inject("st_covers", 2)(es => StCovers(es.head, es(1)))
+    inject("st_coveredby", 2)(es => StCoveredBy(es.head, es(1)))
     inject("st_distance", 2)(es => StDistance(es.head, es(1)))
     inject("st_distance_sphere", 2)(es => StDistanceSphere(es.head, es(1)))
     inject("st_distance_spheroid", 2)(es => StDistanceSpheroid(es.head, es(1)))

@@ -79,6 +79,9 @@ object SparkEntry {
       // st_difference / st_symdifference / st_intersection overlay
       // algebra: per-row rectangle-pair overlay areas, exact-integer sums.
       "q_overlay" -> (Pipelines.overlayRollup _),
+      // DE-9IM predicate family (touches/crosses/overlaps/disjoint/
+      // equals/covers/coveredby + intersects), integer interval oracle.
+      "q_predicates" -> (Pipelines.predicatesRollup _),
       // st_makeline + st_simplify + st_npoints: per-user trajectory
       // build and Douglas-Peucker thinning with a closed-form oracle.
       "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
@@ -107,6 +110,7 @@ object SparkEntry {
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
+    ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_azimuth" -> Pipelines.azimuthOracleSql) +
     ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)

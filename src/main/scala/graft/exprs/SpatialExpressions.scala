@@ -320,6 +320,79 @@ case class StWithin(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The remaining DE-9IM predicate family (Sedona/PostGIS surface:
+  * `ST_Touches/Crosses/Overlaps/Disjoint/Equals/Covers/CoveredBy`),
+  * one thin JTS delegate each — kept as separate Catalyst Predicates
+  * (not one st_relate(pattern) call) so each participates in filter
+  * pushdown / join-condition planning under its own name, the way the
+  * engines they mirror register them. Covers/CoveredBy are the
+  * boundary-inclusive contains/within (a polygon COVERS its own edge
+  * points; it does not CONTAIN them — the classic DE-9IM trap). */
+case class StTouches(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_touches"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).touches(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StTouches =
+    copy(left = l, right = r)
+}
+
+case class StCrosses(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_crosses"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).crosses(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCrosses =
+    copy(left = l, right = r)
+}
+
+case class StOverlaps(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_overlaps"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).overlaps(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StOverlaps =
+    copy(left = l, right = r)
+}
+
+case class StDisjoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_disjoint"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).disjoint(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDisjoint =
+    copy(left = l, right = r)
+}
+
+case class StEquals(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_equals"
+  /** Topological equality (equalsTopo — same point set, any vertex
+    * order/start), not coordinate-list equality. */
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).equalsTopo(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StEquals =
+    copy(left = l, right = r)
+}
+
+case class StCovers(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_covers"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).covers(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCovers =
+    copy(left = l, right = r)
+}
+
+case class StCoveredBy(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def prettyName: String = "st_coveredby"
+  override protected def nullSafeEval(a: Any, b: Any): Any = geom(a).coveredBy(geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCoveredBy =
+    copy(left = l, right = r)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)

@@ -42,6 +42,13 @@ object functions {
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
   def st_contains(a: Column, b: Column): Column = col(StContains(ex(a), ex(b)))
   def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
+  def st_touches(a: Column, b: Column): Column = col(StTouches(ex(a), ex(b)))
+  def st_crosses(a: Column, b: Column): Column = col(StCrosses(ex(a), ex(b)))
+  def st_overlaps(a: Column, b: Column): Column = col(StOverlaps(ex(a), ex(b)))
+  def st_disjoint(a: Column, b: Column): Column = col(StDisjoint(ex(a), ex(b)))
+  def st_equals(a: Column, b: Column): Column = col(StEquals(ex(a), ex(b)))
+  def st_covers(a: Column, b: Column): Column = col(StCovers(ex(a), ex(b)))
+  def st_coveredby(a: Column, b: Column): Column = col(StCoveredBy(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
@@ -189,6 +196,13 @@ object functions {
     r2("st_intersects", StIntersects)
     r2("st_contains", StContains)
     r2("st_within", StWithin)
+    r2("st_touches", StTouches)
+    r2("st_crosses", StCrosses)
+    r2("st_overlaps", StOverlaps)
+    r2("st_disjoint", StDisjoint)
+    r2("st_equals", StEquals)
+    r2("st_covers", StCovers)
+    r2("st_coveredby", StCoveredBy)
     r2("st_distance", StDistance)
     r2("st_distance_sphere", StDistanceSphere)
     r2("st_distance_spheroid", StDistanceSpheroid)

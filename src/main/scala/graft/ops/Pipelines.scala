@@ -640,6 +640,104 @@ object Pipelines {
       .orderBy(col("bucket"))
   }
 
+  /** DE-9IM predicate-family rollup (st_intersects / st_disjoint /
+    * st_touches / st_overlaps / st_equals / st_covers / st_coveredby /
+    * st_crosses — the full Sedona/PostGIS relate surface): the
+    * [[overlayRollup]] rectangle-pair sweep already visits every
+    * predicate regime (disjoint, corner/edge touch, partial overlap,
+    * containment, exact coincidence), so each predicate is counted per
+    * bucket over the same pairs; `crosses` needs a mixed-dimension
+    * operand and gets a diagonal probe segment through rectangle A
+    * (crossing, since it enters and exits) that every third event shifts
+    * 1000 units east (disjoint — both truth values exercised). The
+    * oracle is pure integer interval logic: overlap lengths ox/oy decide
+    * everything, with covers/coveredby the boundary-INCLUSIVE
+    * containments (a polygon covers its own edge — the contains trap the
+    * Scaladoc on [[graft.exprs.StCovers]] documents).
+    *
+    * Scale shape: the predicates are per-row scalar work; the ONLY
+    * shuffle is the bounded-key (25-bucket) partial-aggregated count. */
+  def predicatesRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id")))
+    val ax0 = (col("event_id") % 100L).cast("double")
+    val ay0 = (col("user_id") % 100L).cast("double")
+    val aw = (col("event_id") % 7L + 10L).cast("double")
+    val ah = (col("user_id") % 5L + 10L).cast("double")
+    val bx0 = ax0 + (col("event_id") % 41L).cast("double") - 20.0
+    val by0 = ay0 + (col("user_id") % 31L).cast("double") - 15.0
+    val bw = (col("event_id") % 6L + 8L).cast("double")
+    val bh = (col("user_id") % 9L + 8L).cast("double")
+    val ra = st_makeenvelope(ax0, ay0, ax0 + aw, ay0 + ah)
+    val rb = st_makeenvelope(bx0, by0, bx0 + bw, by0 + bh)
+    val shift = when(col("event_id") % 3L === 0L, 1000L).otherwise(0L)
+    def i(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c, 1L).otherwise(0L)
+    val lineWkt = concat(lit("LINESTRING ("),
+      (col("event_id") % 100L - 5L + shift).cast("string"), lit(" "),
+      (col("user_id") % 100L - 5L).cast("string"), lit(", "),
+      (col("event_id") % 100L + col("event_id") % 7L + 15L + shift).cast("string"), lit(" "),
+      (col("user_id") % 100L + col("user_id") % 5L + 15L).cast("string"), lit(")"))
+    val probe = st_geomfromwkt(lineWkt)
+    ev.select((col("event_id") % 25L).cast("int").as("bucket"),
+        i(st_intersects(ra, rb)).as("c_int"),
+        i(st_disjoint(ra, rb)).as("c_dis"),
+        i(st_touches(ra, rb)).as("c_tch"),
+        i(st_overlaps(ra, rb)).as("c_ovl"),
+        i(st_equals(ra, rb)).as("c_eq"),
+        i(st_covers(ra, rb)).as("c_cov"),
+        i(st_coveredby(ra, rb)).as("c_cvb"),
+        i(st_crosses(probe, ra)).as("c_crs"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_int")).as("n_intersects"),
+        sum(col("c_dis")).as("n_disjoint"),
+        sum(col("c_tch")).as("n_touches"),
+        sum(col("c_ovl")).as("n_overlaps"),
+        sum(col("c_eq")).as("n_equals"),
+        sum(col("c_cov")).as("n_covers"),
+        sum(col("c_cvb")).as("n_coveredby"),
+        sum(col("c_crs")).as("n_crosses"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Integer interval-logic mirror: ox/oy overlap lengths decide every
+    * predicate; crosses is the shift parity (the probe diagonal always
+    * crosses its own rectangle, never the shifted-away one). */
+  val predicatesOracleSql: String =
+    """WITH p AS (
+      |  SELECT CAST(event_id % 25 AS INTEGER) AS bucket,
+      |         event_id % 100 AS ax0, user_id % 100 AS ay0,
+      |         event_id % 7 + 10 AS aw, user_id % 5 + 10 AS ah,
+      |         (event_id % 100) + (event_id % 41) - 20 AS bx0,
+      |         (user_id % 100) + (user_id % 31) - 15 AS by0,
+      |         event_id % 6 + 8 AS bw, user_id % 9 + 8 AS bh,
+      |         CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END AS crs
+      |  FROM events),
+      |o AS (
+      |  SELECT bucket, crs,
+      |    least(ax0 + aw, bx0 + bw) - greatest(ax0, bx0) AS ox,
+      |    least(ay0 + ah, by0 + bh) - greatest(ay0, by0) AS oy,
+      |    CASE WHEN bx0 >= ax0 AND by0 >= ay0
+      |          AND bx0 + bw <= ax0 + aw AND by0 + bh <= ay0 + ah
+      |         THEN 1 ELSE 0 END AS cov,
+      |    CASE WHEN ax0 >= bx0 AND ay0 >= by0
+      |          AND ax0 + aw <= bx0 + bw AND ay0 + ah <= by0 + bh
+      |         THEN 1 ELSE 0 END AS cvb,
+      |    CASE WHEN ax0 = bx0 AND ay0 = by0 AND aw = bw AND ah = bh
+      |         THEN 1 ELSE 0 END AS eq
+      |  FROM p)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(sum(CASE WHEN ox >= 0 AND oy >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersects,
+      |  CAST(sum(CASE WHEN ox < 0 OR oy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disjoint,
+      |  CAST(sum(CASE WHEN ox >= 0 AND oy >= 0 AND (ox = 0 OR oy = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_touches,
+      |  CAST(sum(CASE WHEN ox > 0 AND oy > 0 AND cov = 0 AND cvb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+      |  CAST(sum(eq) AS BIGINT) AS n_equals,
+      |  CAST(sum(cov) AS BIGINT) AS n_covers,
+      |  CAST(sum(cvb) AS BIGINT) AS n_coveredby,
+      |  CAST(sum(crs) AS BIGINT) AS n_crosses
+      |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Integer interval-arithmetic mirror of [[overlayRollup]] — the
     * rectangle overlap closed form replaces the JTS overlay. */
   val overlayOracleSql: String =

@@ -151,6 +151,39 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("DE-9IM predicate family: regimes, boundary-inclusion traps, null discipline") {
+    def p(sql: String): Boolean = one(s"SELECT $sql AS v").getBoolean(0)
+    val sq = "st_makeenvelope(0.0D, 0.0D, 10.0D, 10.0D)"
+    // edge-adjacent square: touches, intersects, NOT overlaps
+    val adj = "st_makeenvelope(10.0D, 0.0D, 20.0D, 10.0D)"
+    assert(p(s"st_touches($sq, $adj)") && p(s"st_intersects($sq, $adj)"))
+    assert(!p(s"st_overlaps($sq, $adj)") && !p(s"st_disjoint($sq, $adj)"))
+    // corner-touching square still touches
+    assert(p(s"st_touches($sq, st_makeenvelope(10.0D, 10.0D, 20.0D, 20.0D))"))
+    // partial overlap: overlaps, not touches
+    val part = "st_makeenvelope(5.0D, 5.0D, 15.0D, 15.0D)"
+    assert(p(s"st_overlaps($sq, $part)") && !p(s"st_touches($sq, $part)"))
+    // the covers-vs-contains trap: a polygon COVERS a point on its own
+    // edge but does not CONTAIN it
+    val edgePt = "st_point(10.0D, 5.0D)"
+    assert(p(s"st_covers($sq, $edgePt)") && !p(s"st_contains($sq, $edgePt)"))
+    assert(p(s"st_coveredby($edgePt, $sq)"))
+    // equals is topological: vertex order and start point are irrelevant
+    assert(p(s"""st_equals($sq, st_geomfromwkt(
+      'POLYGON ((10 10, 0 10, 0 0, 10 0, 10 10))'))"""))
+    assert(!p(s"st_equals($sq, $part)"))
+    // crosses needs mixed dimension: a diagonal through the square
+    // crosses it; a polygon never crosses a polygon
+    assert(p(s"st_crosses(st_geomfromwkt('LINESTRING (-5 -5, 15 15)'), $sq)"))
+    assert(!p(s"st_crosses($part, $sq)"))
+    // containment is not overlaps; disjoint is the complement of intersects
+    val inner = "st_makeenvelope(2.0D, 2.0D, 8.0D, 8.0D)"
+    assert(p(s"st_covers($sq, $inner)") && !p(s"st_overlaps($sq, $inner)"))
+    assert(p(s"st_disjoint($sq, st_makeenvelope(20.0D, 20.0D, 30.0D, 30.0D))"))
+    // null propagation
+    assert(one(s"SELECT st_touches(CAST(NULL AS BINARY), $sq) AS v").isNullAt(0))
+  }
+
   test("st_distance_spheroid: published geodesic anchors within Andoyer tolerance") {
     // Anchors are mm-grade Karney/GeographicLib WGS84 geodesics (GRS80
     // differs below the mm); Andoyer-Lambert is first-order in f, good to
