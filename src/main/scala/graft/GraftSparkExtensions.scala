@@ -81,6 +81,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_lineinterpolatepoint", 2)(es => StLineInterpolatePoint(es.head, es(1)))
     inject("st_linesubstring", 3)(es => StLineSubstring(es.head, es(1), es(2)))
     inject("st_collect", 1)(es => StCollect(es.head))
+    inject("st_dump", 1)(es => StDump(es.head))
+    inject("st_translate", 3)(es => StTranslate(es.head, es(1), es(2)))
+    inject("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
+    inject("st_rotate", 2)(es => StRotate(es.head, es(1)))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))

@@ -73,6 +73,12 @@ object SparkEntry {
       // st_collect: homogeneous -> MULTIPOINT, mixed -> GEOMETRYCOLLECTION,
       // part counts + integer envelope closed forms.
       "q_collect" -> (Pipelines.collectRollup _),
+      // st_dump: explode the collected MULTIPOINT back to parts,
+      // distinct-s integer closed-form oracle (collect's inverse).
+      "q_dump" -> (Pipelines.dumpRollup _),
+      // st_translate/st_scale/st_rotate affine family: integer envelope
+      // closed forms + verbatim corner-rotation mirror.
+      "q_affine" -> (Pipelines.affineRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -109,6 +115,8 @@ object SparkEntry {
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +
+    ("q_dump" -> Pipelines.dumpOracleSql) +
+    ("q_affine" -> Pipelines.affineOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +

@@ -893,6 +893,77 @@ case class StReverse(child: Expression)
   override protected def withNewChildInternal(c: Expression): StReverse = copy(child = c)
 }
 
+/** st_dump(g) — the component geometries of a Multi-geometry or
+  * GeometryCollection as array<geometry>, a single geometry as a 1-element array
+  * (PostGIS/Sedona `ST_Dump` without the path component — pair with
+  * `explode` for the row-per-part relation, the inverse of
+  * [[StCollect]]∘collect_list). Nested collections are dumped one level,
+  * matching JTS getGeometryN. */
+case class StDump(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_dump"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v)
+    val out = new Array[Any](g.getNumGeometries)
+    var i = 0
+    while (i < g.getNumGeometries) { out(i) = wkb(g.getGeometryN(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): StDump = copy(child = c)
+}
+
+/** Affine family (PostGIS/Sedona `ST_Translate` / `ST_Scale` /
+  * `ST_Rotate` semantics: scale and rotate are about the ORIGIN, compose
+  * with translate for other anchors), via JTS AffineTransformation on a
+  * copy — inputs are immutable WKB values. */
+case class StTranslate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_translate"
+  override protected def nullSafeEval(g: Any, dx: Any, dy: Any): Any = {
+    val t = org.locationtech.jts.geom.util.AffineTransformation
+      .translationInstance(dx.asInstanceOf[Double], dy.asInstanceOf[Double])
+    val c = geom(g).copy(); c.apply(t); c.geometryChanged(); wkb(c)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StTranslate =
+    copy(first = a, second = b, third = c)
+}
+
+case class StScale(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_scale"
+  override protected def nullSafeEval(g: Any, fx: Any, fy: Any): Any = {
+    val t = org.locationtech.jts.geom.util.AffineTransformation
+      .scaleInstance(fx.asInstanceOf[Double], fy.asInstanceOf[Double])
+    val c = geom(g).copy(); c.apply(t); c.geometryChanged(); wkb(c)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StScale =
+    copy(first = a, second = b, third = c)
+}
+
+/** Counter-clockwise rotation by θ radians about the origin:
+  * x' = x·cosθ − y·sinθ, y' = x·sinθ + y·cosθ (the exact arithmetic the
+  * q_affine oracle mirrors; θ = π/2 leaves ~1e-16-relative residue from
+  * cos(π/2) ≈ 6.1e-17, absorbed by the query-layer ROUND funnel). */
+case class StRotate(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_rotate"
+  override protected def nullSafeEval(g: Any, theta: Any): Any = {
+    val t = org.locationtech.jts.geom.util.AffineTransformation
+      .rotationInstance(theta.asInstanceOf[Double])
+    val c = geom(g).copy(); c.apply(t); c.geometryChanged(); wkb(c)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StRotate =
+    copy(left = l, right = r)
+}
+
 /** st_lineinterpolatepoint(line, f) — the point at fraction `f` of the
   * line's length (Sedona/PostGIS `ST_LineInterpolatePoint`; linear
   * referencing via the JTS length-indexed line — the trajectory

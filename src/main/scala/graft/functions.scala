@@ -69,6 +69,12 @@ object functions {
   def st_linesubstring(l: Column, f1: Column, f2: Column): Column =
     col(StLineSubstring(ex(l), ex(f1), ex(f2)))
   def st_collect(gs: Column): Column = col(StCollect(ex(gs)))
+  def st_dump(g: Column): Column = col(StDump(ex(g)))
+  def st_translate(g: Column, dx: Column, dy: Column): Column =
+    col(StTranslate(ex(g), ex(dx), ex(dy)))
+  def st_scale(g: Column, fx: Column, fy: Column): Column =
+    col(StScale(ex(g), ex(fx), ex(fy)))
+  def st_rotate(g: Column, theta: Column): Column = col(StRotate(ex(g), ex(theta)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -219,6 +225,10 @@ object functions {
     r2("st_lineinterpolatepoint", StLineInterpolatePoint)
     rn("st_linesubstring", 3)(es => StLineSubstring(es.head, es(1), es(2)))
     r1("st_collect", StCollect)
+    r1("st_dump", StDump)
+    rn("st_translate", 3)(es => StTranslate(es.head, es(1), es(2)))
+    rn("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
+    r2("st_rotate", StRotate)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

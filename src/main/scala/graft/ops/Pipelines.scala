@@ -1014,6 +1014,124 @@ object Pipelines {
       |  CAST(y0 + 50000 AS BIGINT) AS gc_ymax
       |FROM o ORDER BY r""".stripMargin
 
+  /** st_dump rollup (PostGIS/Sedona `ST_Dump`, the inverse of
+    * [[collectRollup]]'s st_collect): the same per-cell MULTIPOINT fixture
+    * is dumped back to parts with explode(st_dump(·)) and re-aggregated —
+    * part count and ordinate sums per cell, all exact integers, so the
+    * oracle is the same distinct-s closed form run forward. Round-trip
+    * law by construction: dump ∘ collect ≡ the part set.
+    *
+    * Scale shape: two bounded-key shuffles (the distinct and the
+    * per-cell sums); the dump itself is per-row scalar work whose output
+    * arity is the member count — at scale the explode's row growth IS the
+    * part relation being asked for. */
+  def dumpRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"),
+        expr("CAST((user_id DIV 25) % 4 AS INT)").as("s"))
+      .distinct()
+    val pt = st_point(
+      (GeoFixtures.regionX0(col("r")) - (col("s") + 1).cast("long") * 1000L).cast("double"),
+      (GeoFixtures.regionY0(col("r")) + col("s").cast("long") * 2000L).cast("double"))
+    val mp = pts
+      .withColumn("pt", pt)
+      .groupBy(col("r"))
+      .agg(collect_list(col("pt")).as("gs"))
+      .withColumn("part", explode(st_dump(st_collect(col("gs")))))
+    mp.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(st_x(col("part")).cast("bigint")).as("sum_x"),
+        sum(st_y(col("part")).cast("bigint")).as("sum_y"))
+      .orderBy(col("r"))
+  }
+
+  /** Distinct-s closed form: part count = |S|, Σx = |S|·x0 − 1000(Σs+|S|),
+    * Σy = |S|·y0 + 2000·Σs. */
+  val dumpOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r,
+      |         CAST((user_id // 25) % 4 AS INTEGER) AS s
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT r, count(*) AS npts, sum(s) AS ssum FROM g GROUP BY r),
+      |o AS (
+      |  SELECT r, npts, ssum,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM c)
+      |SELECT r, CAST(npts AS BIGINT) AS n_parts,
+      |  CAST(npts * x0 - 1000 * (ssum + npts) AS BIGINT) AS sum_x,
+      |  CAST(npts * y0 + 2000 * ssum AS BIGINT) AS sum_y
+      |FROM o ORDER BY r""".stripMargin
+
+  /** Affine-family rollup (st_translate / st_scale / st_rotate —
+    * PostGIS/Sedona semantics, scale and rotate about the origin): each
+    * occupied region cell's 50 km fixture rectangle is translated by a
+    * cell-dependent integer offset (envelope corners stay exact
+    * integers → BIGINT), scaled ×2/×3 (corners and the ×6 shoelace area
+    * exact → BIGINT), and rotated by π/2 (corners pick up a
+    * ~|x|·cos(π/2) ≈ 1e-9 m residue, so the rotated envelope goes
+    * through the ROUND(·,1) DECIMAL funnel whose arithmetic the oracle
+    * mirrors verbatim — x' = x·cos − y·sin over the four corners).
+    *
+    * Scale shape: identical to [[geomAccessorsRollup]] — one counting
+    * shuffle on the dense key, all geometry on the ≤25-row relation. */
+  def affineRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    val rect = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    val tr = st_translate(rect,
+      (col("r").cast("long") * 1000L + 7L).cast("double"),
+      (-col("r").cast("long") * 500L - 3L).cast("double"))
+    val sc = st_scale(rect, lit(2.0), lit(3.0))
+    val ro = st_rotate(rect, lit(math.Pi / 2))
+    cells
+      .withColumn("te", st_envelope_bounds(tr))
+      .withColumn("se", st_envelope_bounds(sc))
+      .withColumn("re", st_envelope_bounds(ro))
+      .select(col("r"), col("n"),
+        col("te.xmin").cast("bigint").as("t_xmin"),
+        col("te.ymin").cast("bigint").as("t_ymin"),
+        col("se.xmax").cast("bigint").as("s_xmax"),
+        col("se.ymax").cast("bigint").as("s_ymax"),
+        st_area(sc).cast("bigint").as("s_area"),
+        round(col("re.xmin"), 1).cast("decimal(14,1)").as("r_xmin"),
+        round(col("re.ymax"), 1).cast("decimal(14,1)").as("r_ymax"))
+      .orderBy(col("r"))
+  }
+
+  /** Integer closed forms for translate/scale; the rotation envelope
+    * replays x'=x·cos−y·sin / y'=x·sin+y·cos over the four corners with
+    * the same θ=π/2 doubles, through the same ROUND funnel. */
+  val affineOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    CAST(-6300000 + (r % 5) * 60000 AS DOUBLE) AS x0,
+      |    CAST(-2000000 + (r // 5) * 60000 AS DOUBLE) AS y0
+      |  FROM g),
+      |k AS (
+      |  SELECT r, n, x0, y0, x0 + 50000 AS x1, y0 + 50000 AS y1,
+      |         cos(pi() / 2) AS ct, sin(pi() / 2) AS st
+      |  FROM c)
+      |SELECT r, n,
+      |  CAST(x0 + r * 1000 + 7 AS BIGINT) AS t_xmin,
+      |  CAST(y0 - r * 500 - 3 AS BIGINT) AS t_ymin,
+      |  CAST(2 * x1 AS BIGINT) AS s_xmax,
+      |  CAST(3 * y1 AS BIGINT) AS s_ymax,
+      |  CAST(15000000000 AS BIGINT) AS s_area,
+      |  CAST(round(least(x0*ct - y0*st, x1*ct - y0*st, x1*ct - y1*st, x0*ct - y1*st), 1)
+      |       AS DECIMAL(14,1)) AS r_xmin,
+      |  CAST(round(greatest(x0*st + y0*ct, x1*st + y0*ct, x1*st + y1*ct, x0*st + y1*ct), 1)
+      |       AS DECIMAL(14,1)) AS r_ymax
+      |FROM k ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -151,6 +151,46 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("st_dump: parts of multis, singletons, collect round-trip") {
+    val parts = one("""SELECT size(st_dump(st_geomfromwkt(
+      'MULTIPOINT ((0 0), (1 1), (2 2))'))) AS n""").getInt(0)
+    assert(parts == 3)
+    // a simple geometry dumps to itself
+    val self = one("""SELECT st_astext(st_dump(st_point(3.0D, 4.0D))[0]) AS w""").getString(0)
+    assert(self == "POINT (3 4)")
+    // dump inverts collect: same part count, types preserved
+    val rt = one("""SELECT size(st_dump(st_collect(array(
+      st_point(0.0D, 0.0D), st_point(1.0D, 2.0D))))) AS n""").getInt(0)
+    assert(rt == 2)
+    // mixed collection: each part keeps its own type
+    val mixed = one("""SELECT st_geometrytype(st_dump(st_collect(array(
+      st_point(0.0D, 0.0D),
+      st_geomfromwkt('LINESTRING (0 0, 1 1)'))))[1]) AS t""").getString(0)
+    assert(mixed == "ST_LineString")
+  }
+
+  test("st_translate / st_scale / st_rotate: exact moves, origin anchoring, composition") {
+    def xy(sql: String): (Double, Double) = {
+      val r = one(s"SELECT st_x($sql) AS x, st_y($sql) AS y")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(xy("st_translate(st_point(3.0D, 4.0D), 10.0D, -2.0D)") == ((13.0, 2.0)))
+    // scale is about the ORIGIN (PostGIS semantics): a point not at the
+    // origin moves
+    assert(xy("st_scale(st_point(3.0D, 4.0D), 2.0D, 3.0D)") == ((6.0, 12.0)))
+    // scaling a polygon multiplies area by |fx*fy|
+    val a = one("""SELECT st_area(st_scale(
+      st_makeenvelope(1.0D, 1.0D, 3.0D, 2.0D), 2.0D, 3.0D)) AS a""").getDouble(0)
+    assert(a == 12.0)
+    // rotate pi about origin: (1,2) -> (-1,-2) within float residue
+    val (rx, ry) = xy("st_rotate(st_point(1.0D, 2.0D), radians(180.0D))")
+    assert(math.abs(rx - -1.0) < 1e-9 && math.abs(ry - -2.0) < 1e-9)
+    // rotation preserves area
+    val ra = one("""SELECT st_area(st_rotate(
+      st_makeenvelope(0.0D, 0.0D, 4.0D, 5.0D), 0.7D)) AS a""").getDouble(0)
+    assert(math.abs(ra - 20.0) < 1e-9)
+  }
+
   test("DE-9IM predicate family: regimes, boundary-inclusion traps, null discipline") {
     def p(sql: String): Boolean = one(s"SELECT $sql AS v").getBoolean(0)
     val sq = "st_makeenvelope(0.0D, 0.0D, 10.0D, 10.0D)"
