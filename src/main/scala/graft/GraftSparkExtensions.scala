@@ -85,6 +85,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_translate", 3)(es => StTranslate(es.head, es(1), es(2)))
     inject("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
     inject("st_rotate", 2)(es => StRotate(es.head, es(1)))
+    inject("st_hausdorffdistance", 2)(es => StHausdorffDistance(es.head, es(1)))
+    inject("st_minimumboundingradius", 1)(es => StMinimumBoundingRadius(es.head))
+    inject("st_linemerge", 1)(es => StLineMerge(es.head))
+    inject("st_polygonize", 1)(es => StPolygonize(es.head))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))

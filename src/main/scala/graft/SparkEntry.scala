@@ -79,6 +79,9 @@ object SparkEntry {
       // st_translate/st_scale/st_rotate affine family: integer envelope
       // closed forms + verbatim corner-rotation mirror.
       "q_affine" -> (Pipelines.affineRollup _),
+      // st_hausdorffdistance/st_minimumboundingradius/st_linemerge/
+      // st_polygonize: integer closed forms + one verbatim sqrt mirror.
+      "q_geom_toolbox" -> (Pipelines.geomToolboxRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -117,6 +120,7 @@ object SparkEntry {
     ("q_collect" -> Pipelines.collectOracleSql) +
     ("q_dump" -> Pipelines.dumpOracleSql) +
     ("q_affine" -> Pipelines.affineOracleSql) +
+    ("q_geom_toolbox" -> Pipelines.geomToolboxOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +

@@ -914,6 +914,96 @@ case class StDump(child: Expression)
   override protected def withNewChildInternal(c: Expression): StDump = copy(child = c)
 }
 
+/** st_hausdorffdistance(a, b) — discrete Hausdorff distance
+  * (Sedona/PostGIS `ST_HausdorffDistance` default form: vertex-sampled,
+  * JTS DiscreteHausdorffDistance): the max over either geometry's
+  * vertices of the exact distance to the other geometry. The standard
+  * similarity measure for trajectories/outlines; exact for polygons
+  * whose true Hausdorff pairing happens at vertices (e.g. congruent
+  * axis-aligned translates, the q_geom_toolbox device). */
+case class StHausdorffDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_hausdorffdistance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+      .distance(geom(a), geom(b))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StHausdorffDistance =
+    copy(left = l, right = r)
+}
+
+/** st_minimumboundingradius(g) — struct<center: geometry, radius: double>
+  * of the minimum enclosing circle (Sedona `ST_MinimumBoundingRadius`
+  * shape; JTS MinimumBoundingCircle, exact Welzl-style support-point
+  * search). The scale primitive behind radius-bounded pruning: an
+  * object's every point lies within `radius` of `center`. */
+case class StMinimumBoundingRadius(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("center", BinaryType, nullable = false),
+    StructField("radius", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_minimumboundingradius"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v)
+    if (g.isEmpty) null
+    else {
+      val mbc = new org.locationtech.jts.algorithm.MinimumBoundingCircle(g)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](wkb(Geom.factory.createPoint(mbc.getCentre)), mbc.getRadius))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StMinimumBoundingRadius =
+    copy(child = c)
+}
+
+/** st_linemerge(g) — sew a MULTILINESTRING's touching segments into
+  * maximal LINESTRINGs (Sedona/PostGIS `ST_LineMerge`; JTS LineMerger).
+  * One merged line comes back as LINESTRING, several as
+  * MULTILINESTRING; non-lineal input yields an empty collection
+  * (PostGIS convention). */
+case class StLineMerge(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_linemerge"
+  override protected def nullSafeEval(v: Any): Any = {
+    val merger = new org.locationtech.jts.operation.linemerge.LineMerger
+    merger.add(geom(v))
+    val merged = merger.getMergedLineStrings
+    if (merged.isEmpty) wkb(Geom.factory.createGeometryCollection())
+    else if (merged.size == 1)
+      wkb(merged.iterator.next().asInstanceOf[Geometry])
+    else wkb(Geom.factory.buildGeometry(merged))
+  }
+  override protected def withNewChildInternal(c: Expression): StLineMerge = copy(child = c)
+}
+
+/** st_polygonize(array<geometry>) — assemble polygons from fully-noded
+  * linework (Sedona/PostGIS `ST_Polygonize`; JTS Polygonizer), returned
+  * as a GEOMETRYCOLLECTION of the formed polygons (empty collection when
+  * the edges close nothing — dangles and cut lines are dropped, the
+  * PostGIS convention). Null elements are skipped. */
+case class StPolygonize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_polygonize"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) p.add(geom(arr.getBinary(i)))
+      i += 1
+    }
+    wkb(Geom.factory.buildGeometry(p.getPolygons))
+  }
+  override protected def withNewChildInternal(c: Expression): StPolygonize = copy(child = c)
+}
+
 /** Affine family (PostGIS/Sedona `ST_Translate` / `ST_Scale` /
   * `ST_Rotate` semantics: scale and rotate are about the ORIGIN, compose
   * with translate for other anchors), via JTS AffineTransformation on a

@@ -75,6 +75,11 @@ object functions {
   def st_scale(g: Column, fx: Column, fy: Column): Column =
     col(StScale(ex(g), ex(fx), ex(fy)))
   def st_rotate(g: Column, theta: Column): Column = col(StRotate(ex(g), ex(theta)))
+  def st_hausdorffdistance(a: Column, b: Column): Column =
+    col(StHausdorffDistance(ex(a), ex(b)))
+  def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
+  def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
+  def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -229,6 +234,10 @@ object functions {
     rn("st_translate", 3)(es => StTranslate(es.head, es(1), es(2)))
     rn("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
     r2("st_rotate", StRotate)
+    r2("st_hausdorffdistance", StHausdorffDistance)
+    r1("st_minimumboundingradius", StMinimumBoundingRadius)
+    r1("st_linemerge", StLineMerge)
+    r1("st_polygonize", StPolygonize)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

@@ -1132,6 +1132,90 @@ object Pipelines {
       |       AS DECIMAL(14,1)) AS r_ymax
       |FROM k ORDER BY r""".stripMargin
 
+  /** Geometry-toolbox rollup (st_hausdorffdistance /
+    * st_minimumboundingradius / st_linemerge / st_polygonize — the
+    * remaining Sedona construction + similarity surface): per occupied
+    * region cell,
+    *   - Hausdorff distance between the fixture rectangle and its
+    *     (r·97+3, 0) translate — for a congruent axis-aligned translate
+    *     by t < w/2 the discrete Hausdorff is exactly t (every vertex's
+    *     nearest point on the other rectangle is the perpendicular foot
+    *     t away), an exact integer;
+    *   - minimum bounding circle of the rectangle: center = the
+    *     rectangle center and radius = 25000·√2, BOTH through the
+    *     ROUND(·,1) funnel (the circumcenter's double arithmetic can
+    *     leave ~1e-9 residue on integer inputs; sqrt mirrored verbatim);
+    *   - the L-path's two segments fed as MULTILINESTRING to linemerge:
+    *     one LINESTRING, 3 points, exact 80 km length;
+    *   - the rectangle's four boundary edges fed to polygonize: exactly
+    *     one polygon of the exact fixture area.
+    * Scale shape: identical to [[geomAccessorsRollup]] — one counting
+    * shuffle on the dense key, geometry on the ≤25-row cell relation. */
+  def geomToolboxRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    val rect = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    val t = (col("r").cast("long") * 97L + 3L).cast("double")
+    val sx0 = GeoFixtures.regionX0(col("r")).cast("string")
+    val sy0 = GeoFixtures.regionY0(col("r")).cast("string")
+    val sx1 = (GeoFixtures.regionX0(col("r")) + 40000L).cast("string")
+    val sy1 = (GeoFixtures.regionY0(col("r")) + 40000L).cast("string")
+    val ml = st_geomfromwkt(concat(
+      lit("MULTILINESTRING (("), sx0, lit(" "), sy0, lit(", "), sx1, lit(" "), sy0,
+      lit("), ("), sx1, lit(" "), sy0, lit(", "), sx1, lit(" "), sy1, lit("))")))
+    val rx0 = GeoFixtures.regionX0(col("r")).cast("string")
+    val ry0 = GeoFixtures.regionY0(col("r")).cast("string")
+    val rx1 = (GeoFixtures.regionX0(col("r")) + 50000L).cast("string")
+    val ry1 = (GeoFixtures.regionY0(col("r")) + 50000L).cast("string")
+    def seg(ax: org.apache.spark.sql.Column, ay: org.apache.spark.sql.Column,
+            bx: org.apache.spark.sql.Column, by: org.apache.spark.sql.Column) =
+      st_geomfromwkt(concat(lit("LINESTRING ("), ax, lit(" "), ay,
+        lit(", "), bx, lit(" "), by, lit(")")))
+    val edges = array(
+      seg(rx0, ry0, rx1, ry0), seg(rx1, ry0, rx1, ry1),
+      seg(rx1, ry1, rx0, ry1), seg(rx0, ry1, rx0, ry0))
+    val lm = st_linemerge(ml)
+    val pg = st_polygonize(edges)
+    cells
+      .withColumn("mbr", st_minimumboundingradius(rect))
+      .select(col("r"), col("n"),
+        st_hausdorffdistance(rect, st_translate(rect, t, lit(0.0)))
+          .cast("bigint").as("hausdorff_m"),
+        round(st_x(col("mbr.center")), 1).cast("decimal(12,1)").as("mbc_x"),
+        round(st_y(col("mbr.center")), 1).cast("decimal(12,1)").as("mbc_y"),
+        round(col("mbr.radius"), 1).cast("decimal(12,1)").as("mbc_r"),
+        st_geometrytype(lm).as("lm_type"),
+        st_npoints(lm).as("lm_npoints"),
+        st_length(lm).cast("bigint").as("lm_len"),
+        st_numgeometries(pg).as("pg_n"),
+        st_area(pg).cast("bigint").as("pg_area"))
+      .orderBy(col("r"))
+  }
+
+  /** Integer closed forms (translate Hausdorff = t, merged L-path, the
+    * polygonized fixture area) + the one verbatim sqrt mirror. */
+  val geomToolboxOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM g)
+      |SELECT r, n,
+      |  CAST(r * 97 + 3 AS BIGINT) AS hausdorff_m,
+      |  CAST(round(CAST(x0 + 25000 AS DOUBLE), 1) AS DECIMAL(12,1)) AS mbc_x,
+      |  CAST(round(CAST(y0 + 25000 AS DOUBLE), 1) AS DECIMAL(12,1)) AS mbc_y,
+      |  CAST(round(25000 * sqrt(2), 1) AS DECIMAL(12,1)) AS mbc_r,
+      |  'ST_LineString' AS lm_type, 3 AS lm_npoints,
+      |  CAST(80000 AS BIGINT) AS lm_len,
+      |  1 AS pg_n, CAST(2500000000 AS BIGINT) AS pg_area
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -191,6 +191,45 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(ra - 20.0) < 1e-9)
   }
 
+  test("st_hausdorffdistance / st_minimumboundingradius / st_linemerge / st_polygonize") {
+    // Hausdorff: translate by (3,4) -> exactly 5 for congruent squares
+    val h = one("""SELECT st_hausdorffdistance(
+      st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D),
+      st_translate(st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D), 3.0D, 4.0D)) AS h""").getDouble(0)
+    assert(h == 5.0, s"hausdorff: $h")
+    // asymmetric containment: max of both orientations (inner square's
+    // vertices are 1 away; outer corners are sqrt(2*9) from the inner)
+    val h2 = one("""SELECT st_hausdorffdistance(
+      st_makeenvelope(0.0D, 0.0D, 10.0D, 10.0D),
+      st_makeenvelope(3.0D, 3.0D, 7.0D, 7.0D)) AS h""").getDouble(0)
+    assert(math.abs(h2 - 3.0 * math.sqrt(2.0)) < 1e-12, s"hausdorff asym: $h2")
+    // minimum bounding circle of a 6x8 rectangle: center (3,4), radius 5
+    val m = one("""SELECT st_x(m.center) AS x, st_y(m.center) AS y, m.radius AS r FROM
+      (SELECT st_minimumboundingradius(st_makeenvelope(0.0D, 0.0D, 6.0D, 8.0D)) AS m)""")
+    assert(m.getDouble(0) == 3.0 && m.getDouble(1) == 4.0 && math.abs(m.getDouble(2) - 5.0) < 1e-9)
+    // linemerge sews two touching segments into one 3-point line
+    val lm = one("""SELECT st_geometrytype(l) AS t, st_npoints(l) AS n FROM
+      (SELECT st_linemerge(st_geomfromwkt(
+        'MULTILINESTRING ((0 0, 5 0), (5 0, 5 5))')) AS l)""")
+    assert(lm.getString(0) == "ST_LineString" && lm.getInt(1) == 3)
+    // disconnected segments stay a MULTILINESTRING
+    val lm2 = one("""SELECT st_geometrytype(st_linemerge(st_geomfromwkt(
+      'MULTILINESTRING ((0 0, 1 0), (5 5, 6 5))'))) AS t""").getString(0)
+    assert(lm2 == "ST_MultiLineString")
+    // polygonize four closed edges -> one polygon of the enclosed area
+    val pg = one("""SELECT st_numgeometries(p) AS n, st_area(p) AS a FROM
+      (SELECT st_polygonize(array(
+        st_geomfromwkt('LINESTRING (0 0, 4 0)'),
+        st_geomfromwkt('LINESTRING (4 0, 4 3)'),
+        st_geomfromwkt('LINESTRING (4 3, 0 3)'),
+        st_geomfromwkt('LINESTRING (0 3, 0 0)'))) AS p)""")
+    assert(pg.getInt(0) == 1 && pg.getDouble(1) == 12.0)
+    // dangles close nothing
+    val pg0 = one("""SELECT st_numgeometries(st_polygonize(array(
+      st_geomfromwkt('LINESTRING (0 0, 1 0)')))) AS n""").getInt(0)
+    assert(pg0 == 0)
+  }
+
   test("DE-9IM predicate family: regimes, boundary-inclusion traps, null discipline") {
     def p(sql: String): Boolean = one(s"SELECT $sql AS v").getBoolean(0)
     val sq = "st_makeenvelope(0.0D, 0.0D, 10.0D, 10.0D)"
