@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, unix_micros}
-import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver test corpus (TESTDATA.md).
   *
@@ -24,7 +24,24 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `embeddings` with the vector column normalized to array<float>.
+    * Every vector operator (and its DuckDB oracle mirror) is written
+    * against FLOAT32 arithmetic; if a corpus generation ships the column
+    * as array<double> (the r09 events.ts lesson: physical encodings
+    * drift), the loader — not 20 call sites — restores the contract.
+    * Anything else fails loudly as corpus drift. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding has unsupported type $other; expected array<float|double>")
+    }
+  }
 
   /** `events` with `ts` normalized to nanos-since-epoch BIGINT, whatever
     * the corpus's physical encoding. All downstream temporal operators do
