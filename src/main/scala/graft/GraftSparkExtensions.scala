@@ -89,6 +89,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_minimumboundingradius", 1)(es => StMinimumBoundingRadius(es.head))
     inject("st_linemerge", 1)(es => StLineMerge(es.head))
     inject("st_polygonize", 1)(es => StPolygonize(es.head))
+    inject("st_geomfromwkb", 1)(es => StGeomFromWKB(es.head))
+    inject("st_aswkb", 1)(es => StAsWKB(es.head))
+    inject("st_isempty", 1)(es => StIsEmpty(es.head))
+    inject("st_dimension", 1)(es => StDimension(es.head))
+    inject("st_isclosed", 1)(es => StIsClosed(es.head))
+    inject("st_isring", 1)(es => StIsRing(es.head))
+    inject("st_startpoint", 1)(es => StStartPoint(es.head))
+    inject("st_endpoint", 1)(es => StEndPoint(es.head))
+    inject("st_pointn", 2)(es => StPointN(es.head, es(1)))
+    inject("st_exteriorring", 1)(es => StExteriorRing(es.head))
+    inject("st_numinteriorrings", 1)(es => StNumInteriorRings(es.head))
+    inject("st_interiorringn", 2)(es => StInteriorRingN(es.head, es(1)))
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))

@@ -82,6 +82,9 @@ object SparkEntry {
       // st_hausdorffdistance/st_minimumboundingradius/st_linemerge/
       // st_polygonize: integer closed forms + one verbatim sqrt mirror.
       "q_geom_toolbox" -> (Pipelines.geomToolboxRollup _),
+      // lineal/ring accessors + WKB codec pair: start/end/pointn,
+      // closed/ring/empty/dimension, holes, pure-integer oracle.
+      "q_ring_accessors" -> (Pipelines.ringAccessorsRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -121,6 +124,7 @@ object SparkEntry {
     ("q_dump" -> Pipelines.dumpOracleSql) +
     ("q_affine" -> Pipelines.affineOracleSql) +
     ("q_geom_toolbox" -> Pipelines.geomToolboxOracleSql) +
+    ("q_ring_accessors" -> Pipelines.ringAccessorsOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +

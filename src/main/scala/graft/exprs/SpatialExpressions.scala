@@ -914,6 +914,169 @@ case class StDump(child: Expression)
   override protected def withNewChildInternal(c: Expression): StDump = copy(child = c)
 }
 
+/** st_geomfromwkb(bytes) — WKB bytes to a geometry column. The engine's
+  * internal representation IS WKB, so this is a parse-and-renormalize:
+  * the input is validated (malformed bytes throw, exactly like a
+  * malformed WKT in [[StGeomFromWKT]]) and re-emitted in the engine's
+  * canonical encoding, so downstream equality/hashing never sees
+  * byte-order or envelope-flag variants of the same geometry. */
+case class StGeomFromWKB(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_geomfromwkb"
+  override protected def nullSafeEval(v: Any): Any = wkb(geom(v))
+  override protected def withNewChildInternal(c: Expression): StGeomFromWKB = copy(child = c)
+}
+
+/** st_aswkb(g) — the canonical WKB bytes of a geometry (the identity on
+  * the internal representation, published as an explicit export so user
+  * schemas can declare interop intent; PostGIS `ST_AsBinary`). */
+case class StAsWKB(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_aswkb"
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def withNewChildInternal(c: Expression): StAsWKB = copy(child = c)
+}
+
+/** Lineal/ring accessor family (PostGIS/Sedona semantics; null on
+  * non-applicable input, the ST_X/ST_Y convention):
+  * st_isempty / st_dimension apply to any geometry; st_isclosed /
+  * st_isring / st_startpoint / st_endpoint / st_pointn to lineal
+  * geometries; st_exteriorring / st_numinteriorrings / st_interiorringn
+  * to polygons. Point indexes are 1-based, negative counts from the end
+  * (the Sedona ST_PointN extension). */
+case class StIsEmpty(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Predicate {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "st_isempty"
+  override protected def nullSafeEval(v: Any): Any = geom(v).isEmpty
+  override protected def withNewChildInternal(c: Expression): StIsEmpty = copy(child = c)
+}
+
+case class StDimension(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_dimension"
+  override protected def nullSafeEval(v: Any): Any = geom(v).getDimension
+  override protected def withNewChildInternal(c: Expression): StDimension = copy(child = c)
+}
+
+case class StIsClosed(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_isclosed"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case l: org.locationtech.jts.geom.LineString => l.isClosed
+    case m: org.locationtech.jts.geom.MultiLineString => m.isClosed
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StIsClosed = copy(child = c)
+}
+
+case class StIsRing(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_isring"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case l: org.locationtech.jts.geom.LineString => l.isRing
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StIsRing = copy(child = c)
+}
+
+case class StStartPoint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_startpoint"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case l: org.locationtech.jts.geom.LineString if !l.isEmpty => wkb(l.getStartPoint)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StStartPoint = copy(child = c)
+}
+
+case class StEndPoint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_endpoint"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case l: org.locationtech.jts.geom.LineString if !l.isEmpty => wkb(l.getEndPoint)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StEndPoint = copy(child = c)
+}
+
+case class StPointN(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_pointn"
+  override protected def nullSafeEval(g: Any, n: Any): Any = geom(g) match {
+    case l: org.locationtech.jts.geom.LineString =>
+      val i0 = n.asInstanceOf[Int]
+      val i = if (i0 < 0) l.getNumPoints + i0 else i0 - 1
+      if (i < 0 || i >= l.getNumPoints) null else wkb(l.getPointN(i))
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StPointN =
+    copy(left = l, right = r)
+}
+
+case class StExteriorRing(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_exteriorring"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Polygon => wkb(p.getExteriorRing)
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StExteriorRing = copy(child = c)
+}
+
+case class StNumInteriorRings(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_numinteriorrings"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): StNumInteriorRings = copy(child = c)
+}
+
+case class StInteriorRingN(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_interiorringn"
+  override protected def nullSafeEval(g: Any, n: Any): Any = geom(g) match {
+    case p: org.locationtech.jts.geom.Polygon =>
+      val i = n.asInstanceOf[Int] - 1
+      if (i < 0 || i >= p.getNumInteriorRing) null else wkb(p.getInteriorRingN(i))
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StInteriorRingN =
+    copy(left = l, right = r)
+}
+
 /** st_hausdorffdistance(a, b) — discrete Hausdorff distance
   * (Sedona/PostGIS `ST_HausdorffDistance` default form: vertex-sampled,
   * JTS DiscreteHausdorffDistance): the max over either geometry's

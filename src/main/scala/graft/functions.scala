@@ -80,6 +80,18 @@ object functions {
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
   def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
   def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
+  def st_geomfromwkb(b: Column): Column = col(StGeomFromWKB(ex(b)))
+  def st_aswkb(g: Column): Column = col(StAsWKB(ex(g)))
+  def st_isempty(g: Column): Column = col(StIsEmpty(ex(g)))
+  def st_dimension(g: Column): Column = col(StDimension(ex(g)))
+  def st_isclosed(g: Column): Column = col(StIsClosed(ex(g)))
+  def st_isring(g: Column): Column = col(StIsRing(ex(g)))
+  def st_startpoint(g: Column): Column = col(StStartPoint(ex(g)))
+  def st_endpoint(g: Column): Column = col(StEndPoint(ex(g)))
+  def st_pointn(g: Column, n: Column): Column = col(StPointN(ex(g), ex(n)))
+  def st_exteriorring(g: Column): Column = col(StExteriorRing(ex(g)))
+  def st_numinteriorrings(g: Column): Column = col(StNumInteriorRings(ex(g)))
+  def st_interiorringn(g: Column, n: Column): Column = col(StInteriorRingN(ex(g), ex(n)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
   def st_transform(g: Column, src: Column, dst: Column): Column =
@@ -238,6 +250,18 @@ object functions {
     r1("st_minimumboundingradius", StMinimumBoundingRadius)
     r1("st_linemerge", StLineMerge)
     r1("st_polygonize", StPolygonize)
+    r1("st_geomfromwkb", StGeomFromWKB)
+    r1("st_aswkb", StAsWKB)
+    r1("st_isempty", StIsEmpty)
+    r1("st_dimension", StDimension)
+    r1("st_isclosed", StIsClosed)
+    r1("st_isring", StIsRing)
+    r1("st_startpoint", StStartPoint)
+    r1("st_endpoint", StEndPoint)
+    r2("st_pointn", StPointN)
+    r1("st_exteriorring", StExteriorRing)
+    r1("st_numinteriorrings", StNumInteriorRings)
+    r2("st_interiorringn", StInteriorRingN)
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)

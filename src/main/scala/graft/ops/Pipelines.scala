@@ -1216,6 +1216,89 @@ object Pipelines {
       |  1 AS pg_n, CAST(2500000000 AS BIGINT) AS pg_area
       |FROM c ORDER BY r""".stripMargin
 
+  /** Lineal/ring accessor + WKB codec rollup (st_startpoint / st_endpoint
+    * / st_pointn (incl. negative index) / st_isclosed / st_isring /
+    * st_dimension / st_exteriorring / st_numinteriorrings /
+    * st_interiorringn / st_isempty / st_geomfromwkb∘st_aswkb — the rest
+    * of the PostGIS/Sedona inspection surface): the L-path fixture
+    * provides the lineal cases, a donut (the cell rectangle with a 10 km
+    * square hole) the ring cases, and a probe point round-trips through
+    * the WKB codec pair. Every emitted value is an exact integer or a
+    * boolean cast to INT — pure integer oracle, no funnel needed.
+    * Scale shape: identical to [[geomAccessorsRollup]]. */
+  def ringAccessorsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    val sx0 = GeoFixtures.regionX0(col("r")).cast("string")
+    val sy0 = GeoFixtures.regionY0(col("r")).cast("string")
+    val sx1 = (GeoFixtures.regionX0(col("r")) + 40000L).cast("string")
+    val sy1 = (GeoFixtures.regionY0(col("r")) + 40000L).cast("string")
+    val path = st_geomfromwkt(concat(
+      lit("LINESTRING ("), sx0, lit(" "), sy0, lit(", "),
+      sx1, lit(" "), sy0, lit(", "), sx1, lit(" "), sy1, lit(")")))
+    def c(v: org.apache.spark.sql.Column) = v.cast("string")
+    val (hx0, hy0) = (GeoFixtures.regionX0(col("r")) + 10000L,
+                      GeoFixtures.regionY0(col("r")) + 10000L)
+    val (hx1, hy1) = (hx0 + 10000L, hy0 + 10000L)
+    val (rx1, ry1) = (GeoFixtures.regionX0(col("r")) + 50000L,
+                      GeoFixtures.regionY0(col("r")) + 50000L)
+    val donut = st_geomfromwkt(concat(
+      lit("POLYGON (("), sx0, lit(" "), sy0, lit(", "), c(rx1), lit(" "), sy0,
+      lit(", "), c(rx1), lit(" "), c(ry1), lit(", "), sx0, lit(" "), c(ry1),
+      lit(", "), sx0, lit(" "), sy0, lit("), ("),
+      c(hx0), lit(" "), c(hy0), lit(", "), c(hx0), lit(" "), c(hy1),
+      lit(", "), c(hx1), lit(" "), c(hy1), lit(", "), c(hx1), lit(" "), c(hy0),
+      lit(", "), c(hx0), lit(" "), c(hy0), lit("))")))
+    val probe = st_point(
+      (GeoFixtures.regionX0(col("r")) - 7L).cast("double"),
+      (GeoFixtures.regionY0(col("r")) + 13L).cast("double"))
+    val ring = st_exteriorring(donut)
+    cells.select(col("r"), col("n"),
+        st_x(st_startpoint(path)).cast("bigint").as("sp_x"),
+        st_y(st_endpoint(path)).cast("bigint").as("ep_y"),
+        st_x(st_pointn(path, lit(2))).cast("bigint").as("p2_x"),
+        st_y(st_pointn(path, lit(-1))).cast("bigint").as("pn1_y"),
+        when(st_isclosed(path), 1).otherwise(0).as("path_closed"),
+        when(st_isclosed(ring), 1).otherwise(0).as("ring_closed"),
+        when(st_isring(ring), 1).otherwise(0).as("ring_isring"),
+        when(st_isempty(donut), 1).otherwise(0).as("donut_empty"),
+        st_dimension(path).as("dim_path"),
+        st_dimension(donut).as("dim_donut"),
+        st_npoints(ring).as("ring_npoints"),
+        st_numinteriorrings(donut).as("n_holes"),
+        st_length(st_interiorringn(donut, lit(1))).cast("bigint").as("hole_len"),
+        st_area(donut).cast("bigint").as("donut_area"),
+        st_x(graft.functions.st_geomfromwkb(st_aswkb(probe))).cast("bigint").as("wkb_rt_x"))
+      .orderBy(col("r"))
+  }
+
+  /** Pure-integer closed forms over the fixture grid; the WKB round-trip
+    * is the identity on the probe's x ordinate. */
+  val ringAccessorsOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM g)
+      |SELECT r, n,
+      |  CAST(x0 AS BIGINT) AS sp_x,
+      |  CAST(y0 + 40000 AS BIGINT) AS ep_y,
+      |  CAST(x0 + 40000 AS BIGINT) AS p2_x,
+      |  CAST(y0 + 40000 AS BIGINT) AS pn1_y,
+      |  0 AS path_closed, 1 AS ring_closed, 1 AS ring_isring,
+      |  0 AS donut_empty, 1 AS dim_path, 2 AS dim_donut,
+      |  5 AS ring_npoints, 1 AS n_holes,
+      |  CAST(40000 AS BIGINT) AS hole_len,
+      |  CAST(2400000000 AS BIGINT) AS donut_area,
+      |  CAST(x0 - 7 AS BIGINT) AS wkb_rt_x
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

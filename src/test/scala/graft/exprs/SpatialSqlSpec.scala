@@ -191,6 +191,41 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(ra - 20.0) < 1e-9)
   }
 
+  test("lineal/ring accessors and the WKB codec pair") {
+    val line = "st_geomfromwkt('LINESTRING (1 2, 5 2, 5 9)')"
+    val r = one(s"""SELECT
+      st_x(st_startpoint($line)) AS sx, st_y(st_endpoint($line)) AS ey,
+      st_x(st_pointn($line, 2)) AS p2, st_x(st_pointn($line, -1)) AS pn,
+      st_pointn($line, 4) AS oob, st_isclosed($line) AS cl,
+      st_dimension($line) AS dl,
+      st_dimension(st_point(0.0D, 0.0D)) AS dp""")
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 9.0)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 5.0)
+    assert(r.isNullAt(4) && !r.getBoolean(5) && r.getInt(6) == 1 && r.getInt(7) == 0)
+    val donut =
+      "st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))')"
+    val d = one(s"""SELECT
+      st_numinteriorrings($donut) AS nh,
+      st_length(st_interiorringn($donut, 1)) AS hl,
+      st_interiorringn($donut, 2) AS oob,
+      st_isring(st_exteriorring($donut)) AS ir,
+      st_npoints(st_exteriorring($donut)) AS np,
+      st_isempty($donut) AS em,
+      st_isempty(st_geomfromwkt('POINT EMPTY')) AS em2""")
+    assert(d.getInt(0) == 1 && d.getDouble(1) == 8.0 && d.isNullAt(2))
+    assert(d.getBoolean(3) && d.getInt(4) == 5 && !d.getBoolean(5) && d.getBoolean(6))
+    // WKB round-trip is the identity; a self-intersecting ring still
+    // round-trips byte-exactly (codec, not repair)
+    val rt = one("""SELECT st_astext(st_geomfromwkb(st_aswkb(
+      st_geomfromwkt('LINESTRING (0 0, 3 4)')))) AS w""").getString(0)
+    assert(rt == "LINESTRING (0 0, 3 4)")
+    // non-applicable input -> null, not an error
+    val nulls = one("""SELECT st_startpoint(st_point(1.0D, 1.0D)) AS a,
+      st_exteriorring(st_point(1.0D, 1.0D)) AS b,
+      st_isring(st_point(1.0D, 1.0D)) AS c""")
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
   test("st_hausdorffdistance / st_minimumboundingradius / st_linemerge / st_polygonize") {
     // Hausdorff: translate by (3,4) -> exactly 5 for congruent squares
     val h = one("""SELECT st_hausdorffdistance(
