@@ -89,6 +89,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_minimumboundingradius", 1)(es => StMinimumBoundingRadius(es.head))
     inject("st_linemerge", 1)(es => StLineMerge(es.head))
     inject("st_polygonize", 1)(es => StPolygonize(es.head))
+    inject("st_delaunaytriangles", 1)(es => StDelaunayTriangles(es.head))
+    inject("st_voronoipolygons", 2)(es => StVoronoiPolygons(es.head, es(1)))
+    inject("st_concavehull", 2)(es => StConcaveHull(es.head, es(1)))
+    inject("st_snap", 3)(es => StSnap(es.head, es(1), es(2)))
     inject("st_geomfromwkb", 1)(es => StGeomFromWKB(es.head))
     inject("st_aswkb", 1)(es => StAsWKB(es.head))
     inject("st_isempty", 1)(es => StIsEmpty(es.head))

@@ -85,6 +85,9 @@ object SparkEntry {
       // lineal/ring accessors + WKB codec pair: start/end/pointn,
       // closed/ring/empty/dimension, holes, pure-integer oracle.
       "q_ring_accessors" -> (Pipelines.ringAccessorsRollup _),
+      // st_delaunaytriangles/st_voronoipolygons/st_concavehull/st_snap:
+      // exact tessellation closed forms on corner+center sites.
+      "q_triangulate" -> (Pipelines.triangulateRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -125,6 +128,7 @@ object SparkEntry {
     ("q_affine" -> Pipelines.affineOracleSql) +
     ("q_geom_toolbox" -> Pipelines.geomToolboxOracleSql) +
     ("q_ring_accessors" -> Pipelines.ringAccessorsOracleSql) +
+    ("q_triangulate" -> Pipelines.triangulateOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +

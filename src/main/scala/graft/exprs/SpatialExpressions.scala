@@ -1167,6 +1167,83 @@ case class StPolygonize(child: Expression)
   override protected def withNewChildInternal(c: Expression): StPolygonize = copy(child = c)
 }
 
+/** st_delaunaytriangles(g) — Delaunay triangulation of g's vertices as a
+  * GEOMETRYCOLLECTION of POLYGON triangles (PostGIS
+  * `ST_DelaunayTriangles` default mode; JTS DelaunayTriangulationBuilder).
+  * The triangles partition the convex hull of the sites. */
+case class StDelaunayTriangles(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_delaunaytriangles"
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder
+    b.setSites(geom(v))
+    wkb(b.getTriangles(Geom.factory))
+  }
+  override protected def withNewChildInternal(c: Expression): StDelaunayTriangles =
+    copy(child = c)
+}
+
+/** st_voronoipolygons(g, extent) — Voronoi cells of g's vertices, clipped
+  * to `extent`'s envelope, as a GEOMETRYCOLLECTION of POLYGONs (PostGIS
+  * `ST_VoronoiPolygons(g, 0, extend_to)`; JTS VoronoiDiagramBuilder).
+  * With an explicit extent the cells partition it exactly — the property
+  * the q_triangulate oracle checks by area. */
+case class StVoronoiPolygons(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_voronoipolygons"
+  override protected def nullSafeEval(g: Any, extent: Any): Any = {
+    val b = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder
+    b.setSites(geom(g))
+    val env = geom(extent).getEnvelopeInternal
+    b.setClipEnvelope(env)
+    // JTS clips cells to the DIAGRAM envelope (sites ∪ clip, expanded);
+    // intersecting with the requested extent enforces the PostGIS
+    // extend_to contract exactly
+    val extentGeom = Geom.factory.toGeometry(env)
+    val diag = b.getDiagram(Geom.factory)
+    val cells = (0 until diag.getNumGeometries)
+      .map(i => Geom.safeIntersection(diag.getGeometryN(i), extentGeom))
+      .filterNot(_.isEmpty)
+    wkb(Geom.factory.createGeometryCollection(cells.toArray))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StVoronoiPolygons =
+    copy(left = l, right = r)
+}
+
+/** st_concavehull(g, lengthRatio) — concave hull by length ratio (JTS
+  * ConcaveHull, the algorithm Sedona/PostGIS expose): ratio 1.0 is the
+  * convex hull, smaller ratios hug the points tighter. */
+case class StConcaveHull(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_concavehull"
+  override protected def nullSafeEval(g: Any, ratio: Any): Any =
+    wkb(org.locationtech.jts.algorithm.hull.ConcaveHull
+      .concaveHullByLengthRatio(geom(g), ratio.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StConcaveHull =
+    copy(left = l, right = r)
+}
+
+/** st_snap(g, target, tolerance) — snap g's vertices to target's within
+  * tolerance (PostGIS/Sedona `ST_Snap`; JTS GeometrySnapper), the
+  * pre-overlay alignment primitive for almost-coincident boundaries. */
+case class StSnap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_snap"
+  override protected def nullSafeEval(g: Any, target: Any, tol: Any): Any =
+    wkb(new org.locationtech.jts.operation.overlay.snap.GeometrySnapper(geom(g))
+      .snapTo(geom(target), tol.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StSnap =
+    copy(first = a, second = b, third = c)
+}
+
 /** Affine family (PostGIS/Sedona `ST_Translate` / `ST_Scale` /
   * `ST_Rotate` semantics: scale and rotate are about the ORIGIN, compose
   * with translate for other anchors), via JTS AffineTransformation on a

@@ -80,6 +80,13 @@ object functions {
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
   def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
   def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
+  def st_delaunaytriangles(g: Column): Column = col(StDelaunayTriangles(ex(g)))
+  def st_voronoipolygons(g: Column, extent: Column): Column =
+    col(StVoronoiPolygons(ex(g), ex(extent)))
+  def st_concavehull(g: Column, lengthRatio: Column): Column =
+    col(StConcaveHull(ex(g), ex(lengthRatio)))
+  def st_snap(g: Column, target: Column, tolerance: Column): Column =
+    col(StSnap(ex(g), ex(target), ex(tolerance)))
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWKB(ex(b)))
   def st_aswkb(g: Column): Column = col(StAsWKB(ex(g)))
   def st_isempty(g: Column): Column = col(StIsEmpty(ex(g)))
@@ -250,6 +257,10 @@ object functions {
     r1("st_minimumboundingradius", StMinimumBoundingRadius)
     r1("st_linemerge", StLineMerge)
     r1("st_polygonize", StPolygonize)
+    r1("st_delaunaytriangles", StDelaunayTriangles)
+    r2("st_voronoipolygons", StVoronoiPolygons)
+    r2("st_concavehull", StConcaveHull)
+    rn("st_snap", 3)(es => StSnap(es.head, es(1), es(2)))
     r1("st_geomfromwkb", StGeomFromWKB)
     r1("st_aswkb", StAsWKB)
     r1("st_isempty", StIsEmpty)

@@ -1299,6 +1299,74 @@ object Pipelines {
       |  CAST(x0 - 7 AS BIGINT) AS wkb_rt_x
       |FROM c ORDER BY r""".stripMargin
 
+  /** Triangulation/hull rollup (st_delaunaytriangles / st_voronoipolygons
+    * / st_concavehull / st_convexhull / st_snap — the Sedona
+    * tessellation surface): the sites are each cell rectangle's four
+    * corners plus its center, a configuration whose tessellations have
+    * exact closed forms — Delaunay partitions the rectangle into 4
+    * center-sharing triangles (area sum = the fixture area; every vertex
+    * is an integer or the half-integer center, so shoelace doubles are
+    * exact), Voronoi against the rectangle extent partitions it into 5
+    * cells whose dyadic-coordinate areas sum to the same, and both hulls
+    * (convex, concave at ratio 1) are the rectangle itself. st_snap pulls
+    * a (+3,+4) offset probe onto the nearest corner within tolerance 10
+    * — exact integers again.
+    * Scale shape: identical to [[geomAccessorsRollup]]. */
+  def triangulateRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    def c(v: org.apache.spark.sql.Column) = v.cast("string")
+    val x0 = GeoFixtures.regionX0(col("r"))
+    val y0 = GeoFixtures.regionY0(col("r"))
+    val (x1, y1) = (x0 + 50000L, y0 + 50000L)
+    val (cx, cy) = (x0 + 25000L, y0 + 25000L)
+    val sites = st_geomfromwkt(concat(
+      lit("MULTIPOINT (("), c(x0), lit(" "), c(y0), lit("), ("),
+      c(x1), lit(" "), c(y0), lit("), ("), c(x1), lit(" "), c(y1), lit("), ("),
+      c(x0), lit(" "), c(y1), lit("), ("), c(cx), lit(" "), c(cy), lit("))")))
+    val rect = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    val probe = st_point((x0 + 3L).cast("double"), (y0 + 4L).cast("double"))
+    val tri = st_delaunaytriangles(sites)
+    val vor = st_voronoipolygons(sites, rect)
+    val hull = st_convexhull(sites)
+    val chull = st_concavehull(sites, lit(1.0))
+    val snapped = st_snap(probe, rect, lit(10.0))
+    cells.select(col("r"), col("n"),
+        st_numgeometries(tri).as("tri_n"),
+        st_area(tri).cast("bigint").as("tri_area"),
+        st_numgeometries(vor).as("vor_n"),
+        st_area(vor).cast("bigint").as("vor_area"),
+        st_area(hull).cast("bigint").as("hull_area"),
+        st_npoints(hull).as("hull_npoints"),
+        st_area(chull).cast("bigint").as("chull_area"),
+        st_x(snapped).cast("bigint").as("snap_x"),
+        st_y(snapped).cast("bigint").as("snap_y"))
+      .orderBy(col("r"))
+  }
+
+  /** Exact tessellation closed forms on the corner+center configuration;
+    * snap lands on the corner (distance 5 < tolerance 10). */
+  val triangulateOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM g)
+      |SELECT r, n,
+      |  4 AS tri_n, CAST(2500000000 AS BIGINT) AS tri_area,
+      |  5 AS vor_n, CAST(2500000000 AS BIGINT) AS vor_area,
+      |  CAST(2500000000 AS BIGINT) AS hull_area, 5 AS hull_npoints,
+      |  CAST(2500000000 AS BIGINT) AS chull_area,
+      |  CAST(x0 AS BIGINT) AS snap_x,
+      |  CAST(y0 AS BIGINT) AS snap_y
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -191,6 +191,39 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(ra - 20.0) < 1e-9)
   }
 
+  test("st_delaunaytriangles / st_voronoipolygons / st_concavehull / st_snap") {
+    // 3 sites -> 1 triangle of the exact half-parallelogram area
+    val t1 = one("""SELECT st_numgeometries(t) AS n, st_area(t) AS a FROM
+      (SELECT st_delaunaytriangles(st_geomfromwkt(
+        'MULTIPOINT ((0 0), (4 0), (0 6))')) AS t)""")
+    assert(t1.getInt(0) == 1 && t1.getDouble(1) == 12.0)
+    // 4 corners + center -> 4 triangles partitioning the square
+    val t2 = one("""SELECT st_numgeometries(t) AS n, st_area(t) AS a FROM
+      (SELECT st_delaunaytriangles(st_geomfromwkt(
+        'MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))')) AS t)""")
+    assert(t2.getInt(0) == 4 && t2.getDouble(1) == 100.0)
+    // voronoi clipped to the square: one cell per site, partition by area
+    val v = one("""SELECT st_numgeometries(v) AS n, st_area(v) AS a FROM
+      (SELECT st_voronoipolygons(st_geomfromwkt(
+          'MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))'),
+        st_makeenvelope(0.0D, 0.0D, 10.0D, 10.0D)) AS v)""")
+    assert(v.getInt(0) == 5 && v.getDouble(1) == 100.0)
+    // concave hull at ratio 1 == convex hull; a tight ratio hugs an
+    // L-shaped cloud below its convex-hull area
+    val h = one("""SELECT
+      st_area(st_concavehull(st_geomfromwkt(
+        'MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))'), 1.0D)) AS full,
+      st_area(st_concavehull(st_geomfromwkt(
+        'MULTIPOINT ((0 0), (2 0), (4 0), (6 0), (6 2), (6 4), (6 6), (0 2), (2 2), (4 2), (4 4), (4 6))'), 0.3D)) AS tight""")
+    assert(h.getDouble(0) == 100.0 && h.getDouble(1) < 36.0)
+    // snap pulls near-vertices onto the target within tolerance; outside
+    // tolerance is the identity
+    val s = one("""SELECT
+      st_x(st_snap(st_point(3.0D, 4.0D), st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D), 10.0D)) AS sx,
+      st_x(st_snap(st_point(3.0D, 4.0D), st_makeenvelope(0.0D, 0.0D, 100.0D, 100.0D), 1.0D)) AS ix""")
+    assert(s.getDouble(0) == 0.0 && s.getDouble(1) == 3.0)
+  }
+
   test("lineal/ring accessors and the WKB codec pair") {
     val line = "st_geomfromwkt('LINESTRING (1 2, 5 2, 5 9)')"
     val r = one(s"""SELECT
