@@ -38,6 +38,29 @@ object SessionQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The same gap sessionization through Spark's NATIVE `session_window`
+    * aggregation (the TimeWindow-family operator; the engine merges
+    * overlapping per-row [t, t+gap) protosessions during the aggregate)
+    * — same answer as the two-window island method in [[sessionize]],
+    * different physical operator: one shuffle on (user, merged window),
+    * no window functions at all. The island-method SQL is the oracle, so
+    * the two formulations check each other.
+    *
+    * Scale shape: session_window aggregates with map-side partial merge
+    * of protosessions — strictly cheaper than the sort-based island
+    * windows when sessions are short; the 100 TB default. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("tts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("tts"), s"${GapMs / 1000} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   /** RANGE-frame window: trailing-hour sum per user — the value-based
     * frame (peers by ORDER BY value distance, not row offsets) that
     * complements the ROWS frame in windowRunning. */
@@ -640,6 +663,7 @@ object SessionQueries {
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
+    "q_session_window" -> (sessionWindowAgg _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
     "q_decay_count" -> (decayCount _),
@@ -1031,6 +1055,30 @@ object SessionQueries {
          |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM sessions GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    // island-method mirror of the native session_window aggregation:
+    // session start = min event time of the island. Boundary law differs
+    // from q_sessionize: session_window's [t, t+gap) is half-open, so an
+    // event exactly gap later starts a NEW session (>=, not >)
+    "q_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, tms, value,
+         |    CASE WHEN lag(tms) OVER w IS NULL
+         |              OR tms - lag(tms) OVER w >= $GapMs THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         |sessions AS (
+         |  SELECT user_id, tms, value,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, CAST(min(tms) AS BIGINT) AS start_ms,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, start_ms""".stripMargin,
     "q_window_range" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

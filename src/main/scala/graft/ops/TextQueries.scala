@@ -1079,6 +1079,32 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-based mixture weights (the T5/LLaMA data-mixing law:
+    * sampling weight ∝ n^α with α < 1, upweighting small sources so the
+    * mix isn't dominated by the largest crawl) at α = 1/2, computed
+    * integer-exact: tickets = ⌊1000·√n⌋ per source — IEEE sqrt is
+    * CORRECTLY rounded (unlike libm trig), so both engines floor the
+    * identical double and no ROUND funnel is needed — then
+    * mix_ppm = (10⁶·tickets) DIV Σtickets in pure integer arithmetic.
+    * Emitted alongside the α=1 share for the contrast the operator
+    * exists to create.
+    *
+    * Scale shape: one counting aggregate on source (map-side partials);
+    * the normalization runs on the bounded source relation (an
+    * unpartitioned window over ≤|sources| rows, not data). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tickets", floor(lit(1000.0) * sqrt(col("n_docs"))).cast("long"))
+      .withColumn("mix_ppm",
+        expr("(1000000 * tickets) DIV sum(tickets) OVER ()"))
+      .withColumn("flat_ppm",
+        expr("(1000000 * n_docs) DIV sum(n_docs) OVER ()"))
+      .select(col("source"), col("n_docs"), col("tickets"),
+        col("mix_ppm"), col("flat_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Blocked fuzzy join — the entity-resolution/record-linkage shape:
     * candidate pairs form ONLY inside a blocking key (language ×
     * token-count decile), then exact Levenshtein distance over a fixed
@@ -1206,6 +1232,7 @@ object TextQueries {
     "q_tfidf_keywords" -> (tfidfKeywords _),
     "q_lm_bigram_score" -> ((s, d) => lmBigramScore(s, d)),
     "q_source_mix" -> ((s, d) => sourceMix(s, d)),
+    "q_temperature_mix" -> (temperatureMix _),
     "q_domain_cap" -> ((s, d) => domainCap(s, d)),
     "q_span_dup" -> (spanDup _),
     "q_setsim_join" -> ((s, d) => setsimJoin(s, d)),
@@ -1398,6 +1425,19 @@ object TextQueries {
         |       min(h) AS first_pick_hash
         |FROM ranked WHERE rank <= 10
         |GROUP BY source ORDER BY source""".stripMargin,
+    // IEEE sqrt is correctly rounded -> floor(1000*sqrt(n)) is
+    // engine-identical; the rest is integer arithmetic (HUGEINT lanes)
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n_docs,
+        |         CAST(floor(1000 * sqrt(n_docs)) AS BIGINT) AS tickets
+        |  FROM c)
+        |SELECT source, n_docs, tickets,
+        |  CAST((1000000 * tickets) // (SELECT sum(tickets) FROM t) AS BIGINT) AS mix_ppm,
+        |  CAST((1000000 * n_docs) // (SELECT sum(n_docs) FROM t) AS BIGINT) AS flat_ppm
+        |FROM t ORDER BY source""".stripMargin,
     "q_redact_denylist" ->
       """WITH r AS (
         |  SELECT source,

@@ -187,6 +187,31 @@ object StreamQueries {
     }
   }
 
+  /** The NATIVE streaming session-window aggregation
+    * (`session_window(ts, gap)` under a watermark — the engine's
+    * merging-session-state operator), complementing [[streamSessionize]]'s
+    * custom `flatMapGroupsWithState` build of the same sessions: same gap
+    * law, different state machinery (merged-window state store vs user
+    * state), one oracle family. Append mode emits a session once the
+    * watermark passes its end; the bounded replay's trailing no-data
+    * batch closes every session, so the batch mirror is the exact
+    * island-method SQL (with session_window's half-open >= boundary). */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(spark, dir)
+    val agg = stream
+      .withColumn("tts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("tts"),
+          s"${graft.ops.SessionQueries.GapMs / 1000} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    runBounded(spark, agg, "graft_stream_session_window") {
+      _.select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }
+  }
+
   /** Stream-static broadcast join: the streaming fact enriches against a
     * static dimension (nation, keyed by user_id % 25) read as a plain
     * batch relation, then a watermarked tumbling window counts per nation
@@ -355,6 +380,7 @@ object StreamQueries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_session_window" -> (streamSessionWindow _),
     "q_stream_static_join" -> (streamStaticJoin _),
   )
 
@@ -399,6 +425,33 @@ object StreamQueries {
         | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // batch mirror of the native session_window append emission: islands
+    // with session_window's half-open >= gap boundary, emitted iff the
+    // session END (last event + gap) <= final watermark (max event-ms −
+    // 2 h delay) — the q_stream_window rule applied to merged windows
+    "q_stream_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, tms,
+         |    CASE WHEN lag(tms) OVER w IS NULL
+         |              OR tms - lag(tms) OVER w >= ${graft.ops.SessionQueries.GapMs}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+         |sessions AS (
+         |  SELECT user_id, tms,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM flagged),
+         |agg AS (
+         |  SELECT user_id, CAST(min(tms) AS BIGINT) AS start_ms,
+         |         count(*) AS n_events, max(tms) AS last_ms
+         |  FROM sessions GROUP BY user_id, sid)
+         |SELECT user_id, start_ms, n_events FROM agg
+         |WHERE last_ms + ${graft.ops.SessionQueries.GapMs}
+         |      <= (SELECT max(tms) FROM e) - $WatermarkMs
+         |ORDER BY user_id, start_ms""".stripMargin,
     // batch mirror of the sessionizer's emission rule on a single-batch
     // replay: gap-split sessions (identical to q_sessionize's CTE), then
     // keep non-final sessions unconditionally and the final session per
