@@ -93,6 +93,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_voronoipolygons", 2)(es => StVoronoiPolygons(es.head, es(1)))
     inject("st_concavehull", 2)(es => StConcaveHull(es.head, es(1)))
     inject("st_snap", 3)(es => StSnap(es.head, es(1), es(2)))
+    inject("st_reduceprecision", 2)(es => StReducePrecision(es.head, es(1)))
+    inject("st_simplifypreservetopology", 2)(es => StSimplifyPreserveTopology(es.head, es(1)))
+    inject("st_normalize", 1)(es => StNormalize(es.head))
+    inject("st_multi", 1)(es => StMulti(es.head))
+    inject("st_geometryn", 2)(es => StGeometryN(es.head, es(1)))
     inject("st_geomfromwkb", 1)(es => StGeomFromWKB(es.head))
     inject("st_aswkb", 1)(es => StAsWKB(es.head))
     inject("st_isempty", 1)(es => StIsEmpty(es.head))

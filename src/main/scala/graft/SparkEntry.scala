@@ -88,6 +88,9 @@ object SparkEntry {
       // st_delaunaytriangles/st_voronoipolygons/st_concavehull/st_snap:
       // exact tessellation closed forms on corner+center sites.
       "q_triangulate" -> (Pipelines.triangulateRollup _),
+      // st_reduceprecision/st_simplifypreservetopology/st_normalize/
+      // st_multi/st_geometryn: all-integer closed forms.
+      "q_norm_precision" -> (Pipelines.normPrecisionRollup _),
       // st_transform CRS breadth (EPSG:2154 LCC + EPSG:5070 Albers +
       // EPSG:3035 LAEA) with the Snyder closed forms replayed in SQL.
       "q_transform_crs" -> (Pipelines.transformCrsRollup _),
@@ -129,6 +132,7 @@ object SparkEntry {
     ("q_geom_toolbox" -> Pipelines.geomToolboxOracleSql) +
     ("q_ring_accessors" -> Pipelines.ringAccessorsOracleSql) +
     ("q_triangulate" -> Pipelines.triangulateOracleSql) +
+    ("q_norm_precision" -> Pipelines.normPrecisionOracleSql) +
     ("q_overlay" -> Pipelines.overlayOracleSql) +
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +

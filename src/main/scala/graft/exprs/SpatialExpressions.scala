@@ -1167,6 +1167,92 @@ case class StPolygonize(child: Expression)
   override protected def withNewChildInternal(c: Expression): StPolygonize = copy(child = c)
 }
 
+/** st_reduceprecision(g, gridSize) — snap every ordinate to a multiple of
+  * `gridSize`, keeping the result VALID (Sedona/PostGIS
+  * `ST_ReducePrecision`; JTS GeometryPrecisionReducer.reduce, which
+  * repairs collapses instead of emitting broken rings). The storage/
+  * interop primitive behind "centimeter precision is enough" columns. */
+case class StReducePrecision(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_reduceprecision"
+  override protected def nullSafeEval(g: Any, grid: Any): Any =
+    wkb(org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(
+      geom(g), new org.locationtech.jts.geom.PrecisionModel(
+        1.0 / grid.asInstanceOf[Double])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StReducePrecision =
+    copy(left = l, right = r)
+}
+
+/** st_simplifypreservetopology(g, tolerance) — Douglas-Peucker that never
+  * collapses, self-intersects, or drops rings (Sedona/PostGIS semantics;
+  * JTS TopologyPreservingSimplifier), the safe complement of the plain
+  * [[StSimplify]]. */
+case class StSimplifyPreserveTopology(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplifypreservetopology"
+  override protected def nullSafeEval(g: Any, tol: Any): Any =
+    wkb(org.locationtech.jts.simplify.TopologyPreservingSimplifier
+      .simplify(geom(g), tol.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplifyPreserveTopology =
+    copy(left = l, right = r)
+}
+
+/** st_normalize(g) — JTS canonical form (rings CW/CCW-normalized and
+  * rotated to their minimal vertex, parts ordered): the equality/dedup
+  * prep that makes structurally-different encodings of the same shape
+  * byte-compare equal after [[StAsText]]/[[StAsWKB]]. */
+case class StNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_normalize"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v).copy(); g.normalize(); wkb(g)
+  }
+  override protected def withNewChildInternal(c: Expression): StNormalize = copy(child = c)
+}
+
+/** st_multi(g) — promote a simple geometry to its Multi-type (PostGIS
+  * `ST_Multi`); Multi/collection input passes through unchanged. */
+case class StMulti(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_multi"
+  override protected def nullSafeEval(v: Any): Any = geom(v) match {
+    case g: org.locationtech.jts.geom.Point =>
+      wkb(Geom.factory.createMultiPoint(Array(g)))
+    case g: org.locationtech.jts.geom.LineString =>
+      wkb(Geom.factory.createMultiLineString(Array(g)))
+    case g: org.locationtech.jts.geom.Polygon =>
+      wkb(Geom.factory.createMultiPolygon(Array(g)))
+    case _ => v
+  }
+  override protected def withNewChildInternal(c: Expression): StMulti = copy(child = c)
+}
+
+/** st_geometryn(g, n) — 1-based part accessor (PostGIS/Sedona
+  * `ST_GeometryN`): the random-access companion of [[StDump]]; a simple
+  * geometry is its own part 1; out of range → null. */
+case class StGeometryN(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geometryn"
+  override protected def nullSafeEval(g: Any, n: Any): Any = {
+    val geo = geom(g)
+    val i = n.asInstanceOf[Int] - 1
+    if (i < 0 || i >= geo.getNumGeometries) null else wkb(geo.getGeometryN(i))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGeometryN =
+    copy(left = l, right = r)
+}
+
 /** st_delaunaytriangles(g) — Delaunay triangulation of g's vertices as a
   * GEOMETRYCOLLECTION of POLYGON triangles (PostGIS
   * `ST_DelaunayTriangles` default mode; JTS DelaunayTriangulationBuilder).

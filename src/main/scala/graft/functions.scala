@@ -87,6 +87,13 @@ object functions {
     col(StConcaveHull(ex(g), ex(lengthRatio)))
   def st_snap(g: Column, target: Column, tolerance: Column): Column =
     col(StSnap(ex(g), ex(target), ex(tolerance)))
+  def st_reduceprecision(g: Column, gridSize: Column): Column =
+    col(StReducePrecision(ex(g), ex(gridSize)))
+  def st_simplifypreservetopology(g: Column, tolerance: Column): Column =
+    col(StSimplifyPreserveTopology(ex(g), ex(tolerance)))
+  def st_normalize(g: Column): Column = col(StNormalize(ex(g)))
+  def st_multi(g: Column): Column = col(StMulti(ex(g)))
+  def st_geometryn(g: Column, n: Column): Column = col(StGeometryN(ex(g), ex(n)))
   def st_geomfromwkb(b: Column): Column = col(StGeomFromWKB(ex(b)))
   def st_aswkb(g: Column): Column = col(StAsWKB(ex(g)))
   def st_isempty(g: Column): Column = col(StIsEmpty(ex(g)))
@@ -261,6 +268,11 @@ object functions {
     r2("st_voronoipolygons", StVoronoiPolygons)
     r2("st_concavehull", StConcaveHull)
     rn("st_snap", 3)(es => StSnap(es.head, es(1), es(2)))
+    r2("st_reduceprecision", StReducePrecision)
+    r2("st_simplifypreservetopology", StSimplifyPreserveTopology)
+    r1("st_normalize", StNormalize)
+    r1("st_multi", StMulti)
+    r2("st_geometryn", StGeometryN)
     r1("st_geomfromwkb", StGeomFromWKB)
     r1("st_aswkb", StAsWKB)
     r1("st_isempty", StIsEmpty)

@@ -1367,6 +1367,87 @@ object Pipelines {
       |  CAST(y0 AS BIGINT) AS snap_y
       |FROM c ORDER BY r""".stripMargin
 
+  /** Normalization/precision rollup (st_reduceprecision /
+    * st_simplifypreservetopology / st_normalize / st_multi /
+    * st_geometryn): each cell's fixture rectangle is jittered by fixed
+    * sub-unit offsets and snapped back to the integer grid
+    * (reduceprecision grid 1.0 — envelope and area become exact integers
+    * again), a 1-unit spike on the 40 km baseline is flattened by
+    * topology-preserving simplification (2 points, exact length), a
+    * reversed-and-rotated writing of the ring normalizes to byte-equality
+    * with the canonical one, and st_multi/st_geometryn round-trip the
+    * promote/access pair. All-integer oracle.
+    * Scale shape: identical to [[geomAccessorsRollup]]. */
+  def normPrecisionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")))
+      .select((col("user_id") % 25L).cast("int").as("r"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"))
+    def c(v: org.apache.spark.sql.Column) = v.cast("string")
+    val x0 = GeoFixtures.regionX0(col("r"))
+    val y0 = GeoFixtures.regionY0(col("r"))
+    val (x1, y1) = (x0 + 50000L, y0 + 50000L)
+    // corners pushed off-grid by appending decimals to the (all-negative)
+    // fixture ordinates — ".3"/".4" jitter snaps back to the same integer,
+    // ".6"/".7" snaps one further from zero (x1 − 1 here); all offsets sit
+    // away from the .5 rounding boundary, so the snapped result is
+    // closed-form
+    val jit = st_geomfromwkt(concat(
+      lit("POLYGON (("), c(x0), lit(".3 "), c(y0), lit(".4, "),
+      c(x1), lit(".6 "), c(y0), lit(".4, "), c(x1), lit(".6 "), c(y1), lit(".7, "),
+      c(x0), lit(".3 "), c(y1), lit(".7, "), c(x0), lit(".3 "), c(y0), lit(".4))")))
+    val red = st_reduceprecision(jit, lit(1.0))
+    val spike = st_geomfromwkt(concat(
+      lit("LINESTRING ("), c(x0), lit(" "), c(y0), lit(", "),
+      c(x0 + 20000L), lit(" "), c(y0 + 1L), lit(", "),
+      c(x0 + 40000L), lit(" "), c(y0), lit(")")))
+    val simp = st_simplifypreservetopology(spike, lit(10.0))
+    val canonical = st_geomfromwkt(GeoFixtures.regionWkt(col("r")))
+    // same ring, opposite orientation, different start vertex
+    val rotated = st_geomfromwkt(concat(
+      lit("POLYGON (("), c(x1), lit(" "), c(y1), lit(", "),
+      c(x1), lit(" "), c(y0), lit(", "), c(x0), lit(" "), c(y0), lit(", "),
+      c(x0), lit(" "), c(y1), lit(", "), c(x1), lit(" "), c(y1), lit("))")))
+    val probe = st_point((x0 - 11L).cast("double"), (y0 + 17L).cast("double"))
+    val mp = st_multi(probe)
+    cells
+      .withColumn("re", st_envelope_bounds(red))
+      .select(col("r"), col("n"),
+        col("re.xmin").cast("bigint").as("red_xmin"),
+        col("re.xmax").cast("bigint").as("red_xmax"),
+        st_area(red).cast("bigint").as("red_area"),
+        st_npoints(simp).as("simp_npoints"),
+        st_length(simp).cast("bigint").as("simp_len"),
+        when(st_astext(st_normalize(rotated)) === st_astext(st_normalize(canonical)), 1)
+          .otherwise(0).as("norm_eq"),
+        st_geometrytype(mp).as("multi_type"),
+        st_numgeometries(mp).as("multi_n"),
+        st_x(st_geometryn(mp, lit(1))).cast("bigint").as("part1_x"),
+        when(st_geometryn(mp, lit(2)).isNull, 1).otherwise(0).as("oob_null"))
+      .orderBy(col("r"))
+  }
+
+  /** Integer closed forms: snapped envelope/area, flattened spike,
+    * canonical-form equality, promote/access round-trip. */
+  val normPrecisionOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 25 AS INTEGER) AS r, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT r, n,
+      |    -6300000 + (r % 5) * 60000 AS x0,
+      |    -2000000 + (r // 5) * 60000 AS y0
+      |  FROM g)
+      |SELECT r, n,
+      |  CAST(x0 AS BIGINT) AS red_xmin,
+      |  CAST(x0 + 49999 AS BIGINT) AS red_xmax,
+      |  CAST(CAST(49999 AS BIGINT) * 49999 AS BIGINT) AS red_area,
+      |  2 AS simp_npoints, CAST(40000 AS BIGINT) AS simp_len,
+      |  1 AS norm_eq, 'ST_MultiPoint' AS multi_type, 1 AS multi_n,
+      |  CAST(x0 - 11 AS BIGINT) AS part1_x, 1 AS oob_null
+      |FROM c ORDER BY r""".stripMargin
+
   def transformCrsRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))

@@ -191,6 +191,38 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(ra - 20.0) < 1e-9)
   }
 
+  test("st_reduceprecision / st_simplifypreservetopology / st_normalize / st_multi / st_geometryn") {
+    // snap to the integer grid, area becomes exact again
+    val rp = one("""SELECT st_area(st_reduceprecision(st_geomfromwkt(
+      'POLYGON ((0.3 0.4, 10.4 0.4, 10.4 5.3, 0.3 5.3, 0.3 0.4))'), 1.0D)) AS a""").getDouble(0)
+    assert(rp == 50.0, s"reduced area: $rp")
+    // coarser grid: snap to multiples of 10
+    val rp10 = one("""SELECT st_astext(st_reduceprecision(st_point(14.0D, 26.0D), 10.0D)) AS w""").getString(0)
+    assert(rp10 == "POINT (10 30)")
+    // topology-preserving simplify never collapses a ring below a polygon
+    val tp = one("""SELECT st_geometrytype(st_simplifypreservetopology(st_geomfromwkt(
+      'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), 100.0D)) AS t""").getString(0)
+    assert(tp == "ST_Polygon")
+    // plain simplify flattens a near-collinear spike; topology variant too
+    val sp = one("""SELECT st_npoints(st_simplifypreservetopology(st_geomfromwkt(
+      'LINESTRING (0 0, 5 0.1, 10 0)'), 1.0D)) AS n""").getInt(0)
+    assert(sp == 2)
+    // normalize: orientation + start-vertex canonicalization -> byte equality
+    val nm = one("""SELECT st_astext(st_normalize(st_geomfromwkt(
+        'POLYGON ((4 4, 4 0, 0 0, 0 4, 4 4))'))) =
+      st_astext(st_normalize(st_geomfromwkt(
+        'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS eq""").getBoolean(0)
+    assert(nm)
+    // st_multi promotes; multi input passes through; st_geometryn accesses
+    val mu = one("""SELECT st_geometrytype(st_multi(st_point(1.0D, 2.0D))) AS t,
+      st_numgeometries(st_multi(st_geomfromwkt('MULTIPOINT ((0 0), (1 1))'))) AS n,
+      st_x(st_geometryn(st_multi(st_point(7.0D, 8.0D)), 1)) AS x,
+      st_geometryn(st_point(1.0D, 1.0D), 2) AS oob,
+      st_x(st_geometryn(st_point(5.0D, 6.0D), 1)) AS selfx""")
+    assert(mu.getString(0) == "ST_MultiPoint" && mu.getInt(1) == 2)
+    assert(mu.getDouble(2) == 7.0 && mu.isNullAt(3) && mu.getDouble(4) == 5.0)
+  }
+
   test("st_delaunaytriangles / st_voronoipolygons / st_concavehull / st_snap") {
     // 3 sites -> 1 triangle of the exact half-parallelogram area
     val t1 = one("""SELECT st_numgeometries(t) AS n, st_area(t) AS a FROM
