@@ -407,6 +407,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window plans as an aggregate, not window functions") {
+    // the point of q_session_window vs q_sessionize: merged-window
+    // AGGREGATION (map-side partials, one shuffle) instead of two
+    // sort-based window functions
+    val p = planOf("q_session_window")
+    assert(p.contains("session_window"), p.take(1500))
+    assert(!p.contains("lag("), s"island-method lag leaked into the native plan")
+  }
+
   test("whole-stage codegen survives around the spatial expressions") {
     // CodegenFallback expressions must not disable codegen for the rest of
     // the plan: the executed flagship still contains WholeStageCodegen
