@@ -50,6 +50,9 @@ object SparkEntry {
       // st_geohash cell rollup (the prefix-partitionable spatial bucket
       // key; DuckDB replays the full integer encoder).
       "q_geohash" -> ((s, dir) => Pipelines.geohashBuckets(s, dir)),
+      // hex-grid bucket rollup (st_hexcell, H3-style axial key; verbatim
+      // IEEE mirror oracle, no funnel).
+      "q_hex_buckets" -> ((s, dir) => Pipelines.hexBuckets(s, dir)),
       // st_distance_sphere: haversine meters on raw lon/lat, verbatim
       // arithmetic mirror in the oracle (ROUND(.,1) boundary law).
       "q_distance_sphere" -> (Pipelines.distanceSphereRollup _),
@@ -120,6 +123,7 @@ object SparkEntry {
     ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +
     ("q_knn_join_partitioned" -> Pipelines.spatialKnnPartitionedOracleSql) +
     ("q_geohash" -> Pipelines.geohashOracleSql) +
+    ("q_hex_buckets" -> Pipelines.hexBucketsOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_distance_spheroid" -> Pipelines.distanceSpheroidOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +

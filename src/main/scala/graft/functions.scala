@@ -115,6 +115,31 @@ object functions {
     st_transform(g, lit(src), lit(dst))
   }
   def st_geohash(g: Column, precision: Column): Column = col(StGeoHash(ex(g), ex(precision)))
+
+  /** Hexagonal grid cell of a planar point (pointy-top hexes of
+    * circumradius `size`, axial coordinates packed `q<<32 | r&0xffffffff`)
+    * — the H3-style spatial bucket key: near-equal-area neighborhoods
+    * with 6 symmetric neighbors, the aggregation/partition key telemetry
+    * pipelines prefer over square cells at the poles of a local
+    * projection. Deliberately COMPOSED column math, not a custom
+    * Expression: fractional axial transform + cube rounding are plain
+    * +,−,×,÷,√,floor,abs,CASE — every op correctly rounded per IEEE 754,
+    * so whole-stage codegen keeps it in the generated loop and a SQL
+    * mirror reproduces it bit-for-bit with no ROUND funnel. */
+  def st_hexcell(x: Column, y: Column, size: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, floor, lit, shiftleft, sqrt, when}
+    val qf = (sqrt(lit(3.0)) / 3.0 * x - y / 3.0) / size
+    val rf = (y * 2.0 / 3.0) / size
+    val sf = -qf - rf                      // cube: q + r + s = 0
+    def rnd(c: Column): Column = floor(c + 0.5)
+    val (rq, rr, rs) = (rnd(qf), rnd(rf), rnd(sf))
+    val (dq, dr, ds) = (abs(rq - qf), abs(rr - rf), abs(rs - sf))
+    // cube-round repair: re-derive the ordinate with the largest error
+    val q = when(dq > dr && dq > ds, -rr - rs).otherwise(rq)
+    val r = when(!(dq > dr && dq > ds) && dr > ds, -q - rs).otherwise(rr)
+    shiftleft(q.cast("long"), 32).bitwiseOR(
+      r.cast("long").bitwiseAND(lit(0xffffffffL)))
+  }
   def st_makeline(points: Column): Column = col(StMakeLine(ex(points)))
   def st_simplify(g: Column, tolerance: Column): Column = col(StSimplify(ex(g), ex(tolerance)))
   def st_convexhull(g: Column): Column = col(StConvexHull(ex(g)))

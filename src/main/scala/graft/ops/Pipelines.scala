@@ -345,6 +345,64 @@ object Pipelines {
     * the single shuffle here is the rollup itself, with map-side partial
     * counts, and a prefix predicate on the cell key becomes a sort-key
     * range scan. */
+  /** Hex-grid bucketing rollup (`functions.st_hexcell`, the H3-style
+    * axial hex key): events synthesize planar meter coordinates on an
+    * integer lattice, bucket by the 500 m hex cell, count per cell. The
+    * cell math is composed column arithmetic (+,−,×,÷,√,floor,abs,CASE —
+    * all correctly rounded IEEE ops), so the DuckDB oracle replays it
+    * VERBATIM and matches bit-for-bit with no funnel. Scale shape:
+    * per-row cell assignment is shuffle-free; the one shuffle is the
+    * counting rollup on the packed key, map-side partials included. */
+  def hexBuckets(spark: SparkSession, dir: String, sizeM: Double = 500.0): DataFrame = {
+    val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id")))
+    val x = (col("user_id") % 100L).cast("double") * 137.0 - 6850.0
+    val y = (col("event_id") % 100L).cast("double") * 173.0 - 8650.0
+    val cell = graft.functions.st_hexcell(x, y, lit(sizeM))
+    ev.select(cell.as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      // sign-extending extraction (ANSI cast of the packed BIGINT would
+      // overflow): arithmetic shifts recover signed q (high) and r (low)
+      .select(shiftright(col("cell"), 32).cast("int").as("hq"),
+        shiftright(shiftleft(col("cell"), 32), 32).cast("int").as("hr"), col("n"))
+      .orderBy(col("hq"), col("hr"))
+  }
+
+  /** Verbatim IEEE mirror of the axial transform + cube rounding (same
+    * operation order and the same floor(v+0.5) rounding). */
+  val hexBucketsOracleSql: String =
+    """WITH p AS (
+      |  SELECT (user_id % 100) * 137.0 - 6850.0 AS x,
+      |         (event_id % 100) * 173.0 - 8650.0 AS y
+      |  FROM events),
+      |f AS (
+      |  SELECT x, y,
+      |    (sqrt(3.0) / 3.0 * x - y / 3.0) / 500.0 AS qf,
+      |    (y * 2.0 / 3.0) / 500.0 AS rf
+      |  FROM p),
+      |rnd AS (
+      |  SELECT qf, rf, (-qf) - rf AS sf,
+      |    floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr,
+      |    floor(((-qf) - rf) + 0.5) AS rs
+      |  FROM f),
+      |fix1 AS (
+      |  SELECT qf, rf, sf, rq, rr, rs,
+      |    abs(rq - qf) AS dq, abs(rr - rf) AS dr, abs(rs - sf) AS ds
+      |  FROM rnd),
+      |fix2 AS (
+      |  SELECT rr, rs, dq, dr, ds,
+      |    CASE WHEN dq > dr AND dq > ds THEN (-rr) - rs ELSE rq END AS q
+      |  FROM fix1),
+      |ax AS (
+      |  SELECT q,
+      |    CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN (-q) - rs
+      |         ELSE rr END AS r
+      |  FROM fix2)
+      |SELECT CAST(q AS INTEGER) AS hq, CAST(r AS INTEGER) AS hr,
+      |       count(*) AS n
+      |FROM ax GROUP BY 1, 2 ORDER BY hq, hr""".stripMargin
+
   def geohashBuckets(spark: SparkSession, dir: String, precision: Int = 6): DataFrame = {
     val ev = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id")))

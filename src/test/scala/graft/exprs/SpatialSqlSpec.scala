@@ -191,6 +191,30 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(ra - 20.0) < 1e-9)
   }
 
+  test("st_hexcell: centers map to their own cell, neighbors differ by one axial step") {
+    import org.apache.spark.sql.functions.{lit => slit}
+    def cell(x: Double, y: Double, s: Double): (Int, Int) = {
+      val r = spark.range(1).select(
+        graft.functions.st_hexcell(slit(x), slit(y), slit(s)).as("c"))
+        .selectExpr("CAST(c >> 32 AS INT) AS q",
+          "CAST((c << 32) >> 32 AS INT) AS r").head
+      (r.getInt(0), r.getInt(1))
+    }
+    // origin is cell (0,0); the hex center of axial (q,r) for pointy-top
+    // size s is x = s*sqrt(3)*(q + r/2), y = s*3/2*r — centers must map
+    // back to their own cell
+    val s = 100.0
+    assert(cell(0, 0, s) == ((0, 0)))
+    for (q <- -2 to 2; r <- -2 to 2) {
+      val cx = s * math.sqrt(3.0) * (q + r / 2.0)
+      val cy = s * 1.5 * r
+      assert(cell(cx, cy, s) == ((q, r)), s"center of ($q,$r)")
+    }
+    // a point just inside a neighboring hex flips exactly one axial step
+    assert(cell(s * math.sqrt(3.0), 0.0, s) == ((1, 0)))
+    assert(cell(s * math.sqrt(3.0) / 2, s * 1.5, s) == ((0, 1)))
+  }
+
   test("st_reduceprecision / st_simplifypreservetopology / st_normalize / st_multi / st_geometryn") {
     // snap to the integer grid, area becomes exact again
     val rp = one("""SELECT st_area(st_reduceprecision(st_geomfromwkt(
