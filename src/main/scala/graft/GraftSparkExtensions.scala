@@ -113,6 +113,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     inject("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     inject("st_geohash", 2)(es => StGeoHash(es.head, es(1)))
+    inject("st_hexcell", 3)(es => HexCell(es.head, es(1), es(2)))
     inject("st_makeline", 1)(es => StMakeLine(es.head))
     inject("st_simplify", 2)(es => StSimplify(es.head, es(1)))
     inject("st_convexhull", 1)(es => StConvexHull(es.head))

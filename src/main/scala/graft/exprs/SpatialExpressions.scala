@@ -1253,6 +1253,38 @@ case class StGeometryN(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_hexcell(x, y, size) — hexagonal grid cell of a planar point
+  * (pointy-top hexes of circumradius `size`, axial coordinates packed
+  * `q<<32 | r&0xffffffff`): the H3-style spatial bucket key. Built as a
+  * PLAIN CATALYST ARITHMETIC TREE (fractional axial transform + cube
+  * rounding over +,−,×,÷,√,floor,abs,CASE — all correctly rounded IEEE
+  * ops), so it resolves through the analyzer for SQL registration, stays
+  * inside whole-stage codegen, and a SQL mirror reproduces it
+  * bit-for-bit with no ROUND funnel. One builder serves the Column API
+  * and both SQL registration paths. */
+object HexCell {
+  def apply(x: Expression, y: Expression, size: Expression): Expression = {
+    def d(v: Double) = Literal(v)
+    val qf = Divide(Subtract(Multiply(Divide(Sqrt(d(3.0)), d(3.0)), x),
+      Divide(y, d(3.0))), size)
+    val rf = Divide(Divide(Multiply(y, d(2.0)), d(3.0)), size)
+    val sf = Subtract(UnaryMinus(qf), rf)       // cube: q + r + s = 0
+    def rnd(c: Expression) = Floor(Add(c, d(0.5)))
+    val (rq, rr, rs) = (rnd(qf), rnd(rf), rnd(sf))
+    val (dq, dr, ds) =
+      (Abs(Subtract(rq, qf)), Abs(Subtract(rr, rf)), Abs(Subtract(rs, sf)))
+    val qBranch = And(GreaterThan(dq, dr), GreaterThan(dq, ds))
+    // cube-round repair: re-derive the ordinate with the largest error
+    val q = CaseWhen(Seq((qBranch, Subtract(UnaryMinus(rr), rs))), Some(rq))
+    val r = CaseWhen(
+      Seq((And(Not(qBranch), GreaterThan(dr, ds)), Subtract(UnaryMinus(q), rs))),
+      Some(rr))
+    BitwiseOr(
+      ShiftLeft(Cast(q, LongType), Literal(32)),
+      BitwiseAnd(Cast(r, LongType), Literal(0xffffffffL)))
+  }
+}
+
 /** st_delaunaytriangles(g) — Delaunay triangulation of g's vertices as a
   * GEOMETRYCOLLECTION of POLYGON triangles (PostGIS
   * `ST_DelaunayTriangles` default mode; JTS DelaunayTriangulationBuilder).

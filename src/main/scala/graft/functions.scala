@@ -120,26 +120,11 @@ object functions {
     * circumradius `size`, axial coordinates packed `q<<32 | r&0xffffffff`)
     * — the H3-style spatial bucket key: near-equal-area neighborhoods
     * with 6 symmetric neighbors, the aggregation/partition key telemetry
-    * pipelines prefer over square cells at the poles of a local
-    * projection. Deliberately COMPOSED column math, not a custom
-    * Expression: fractional axial transform + cube rounding are plain
-    * +,−,×,÷,√,floor,abs,CASE — every op correctly rounded per IEEE 754,
-    * so whole-stage codegen keeps it in the generated loop and a SQL
-    * mirror reproduces it bit-for-bit with no ROUND funnel. */
-  def st_hexcell(x: Column, y: Column, size: Column): Column = {
-    import org.apache.spark.sql.functions.{abs, floor, lit, shiftleft, sqrt, when}
-    val qf = (sqrt(lit(3.0)) / 3.0 * x - y / 3.0) / size
-    val rf = (y * 2.0 / 3.0) / size
-    val sf = -qf - rf                      // cube: q + r + s = 0
-    def rnd(c: Column): Column = floor(c + 0.5)
-    val (rq, rr, rs) = (rnd(qf), rnd(rf), rnd(sf))
-    val (dq, dr, ds) = (abs(rq - qf), abs(rr - rf), abs(rs - sf))
-    // cube-round repair: re-derive the ordinate with the largest error
-    val q = when(dq > dr && dq > ds, -rr - rs).otherwise(rq)
-    val r = when(!(dq > dr && dq > ds) && dr > ds, -q - rs).otherwise(rr)
-    shiftleft(q.cast("long"), 32).bitwiseOR(
-      r.cast("long").bitwiseAND(lit(0xffffffffL)))
-  }
+    * pipelines prefer over square cells. Delegates to the shared
+    * [[graft.exprs.HexCell]] catalyst-arithmetic builder (codegen-friendly,
+    * bit-for-bit SQL-mirrorable — see its doc). */
+  def st_hexcell(x: Column, y: Column, size: Column): Column =
+    col(HexCell(ex(x), ex(y), ex(size)))
   def st_makeline(points: Column): Column = col(StMakeLine(ex(points)))
   def st_simplify(g: Column, tolerance: Column): Column = col(StSimplify(ex(g), ex(tolerance)))
   def st_convexhull(g: Column): Column = col(StConvexHull(ex(g)))
@@ -313,6 +298,7 @@ object functions {
     rn("st_dwithin", 3)(es => StDWithin(es.head, es(1), es(2)))
     rn("st_transform", 3)(es => StTransform(es.head, es(1), es(2)))
     r2("st_geohash", StGeoHash)
+    rn("st_hexcell", 3)(es => HexCell(es.head, es(1), es(2)))
     r1("st_makeline", StMakeLine)
     r2("st_simplify", StSimplify)
     r1("st_convexhull", StConvexHull)

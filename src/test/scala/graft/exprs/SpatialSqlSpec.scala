@@ -213,6 +213,9 @@ class SpatialSqlSpec extends AnyFunSuite {
     // a point just inside a neighboring hex flips exactly one axial step
     assert(cell(s * math.sqrt(3.0), 0.0, s) == ((1, 0)))
     assert(cell(s * math.sqrt(3.0) / 2, s * 1.5, s) == ((0, 1)))
+    // the SQL-registered surface resolves and agrees with the Column API
+    val viaSql = one("SELECT st_hexcell(173.2D, 0.0D, 100.0D) AS c").getLong(0)
+    assert(((viaSql >> 32).toInt, viaSql.toInt) == ((1, 0)))
   }
 
   test("st_reduceprecision / st_simplifypreservetopology / st_normalize / st_multi / st_geometryn") {
