@@ -1105,6 +1105,42 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** T5-style span-corruption accounting — the pretraining masking op:
+    * each token is masked by a DETERMINISTIC cross-engine criterion
+    * (md5(doc_id:pos) 2-hex-char prefix < '28' ≈ 15.6% — md5 is the one
+    * hash both engines compute identically, the sourceMix device), and
+    * consecutive masked tokens merge into SPANS (the unit T5 replaces
+    * with a single sentinel). Reports per source: tokens, masked tokens,
+    * span count, masked character mass — the numbers that size a
+    * span-corruption objective over a corpus.
+    *
+    * Scale shape: one token explode with per-row hashing (map-side), one
+    * per-doc window for span starts (partitioned by doc, bounded by doc
+    * length), one bounded-key rollup. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.fanOut(documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "t")))
+      .withColumn("pos", col("pos0") + 1)  // 1-based, matching generate_subscripts
+      .filter(col("t") =!= "")
+      .withColumn("masked",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 2) < "28")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("prev", lag(col("masked"), 1).over(byDoc))
+      .withColumn("span_start",
+        when(col("masked") && (col("prev").isNull || !col("prev")), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(col("span_start")).as("n_spans"),
+        sum(when(col("masked"), length(col("t")).cast("long")).otherwise(0L))
+          .as("masked_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Blocked fuzzy join — the entity-resolution/record-linkage shape:
     * candidate pairs form ONLY inside a blocking key (language ×
     * token-count decile), then exact Levenshtein distance over a fixed
@@ -1233,6 +1269,7 @@ object TextQueries {
     "q_lm_bigram_score" -> ((s, d) => lmBigramScore(s, d)),
     "q_source_mix" -> ((s, d) => sourceMix(s, d)),
     "q_temperature_mix" -> (temperatureMix _),
+    "q_span_corrupt" -> (spanCorrupt _),
     "q_domain_cap" -> ((s, d) => domainCap(s, d)),
     "q_span_dup" -> (spanDup _),
     "q_setsim_join" -> ((s, d) => setsimJoin(s, d)),
@@ -1425,6 +1462,31 @@ object TextQueries {
         |       min(h) AS first_pick_hash
         |FROM ranked WHERE rank <= 10
         |GROUP BY source ORDER BY source""".stripMargin,
+    // md5 is the engine-shared hash (the sourceMix device); positions are
+    // 1-based on both sides (posexplode+1 == generate_subscripts)
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, generate_subscripts(toks, 1) AS pos,
+        |         unnest(toks) AS tok
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, pos, tok,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)
+        |      < '28' AS masked
+        |  FROM p WHERE tok != ''),
+        |w AS (
+        |  SELECT source, masked, length(tok) AS lt,
+        |    CASE WHEN masked AND NOT coalesce(
+        |           lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |         THEN 1 ELSE 0 END AS span_start
+        |  FROM f)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(span_start) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN masked THEN lt ELSE 0 END) AS BIGINT) AS masked_chars
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
     // IEEE sqrt is correctly rounded -> floor(1000*sqrt(n)) is
     // engine-identical; the rest is integer arithmetic (HUGEINT lanes)
     "q_temperature_mix" ->
