@@ -28,9 +28,11 @@ object SparkEntry {
       // A1+F1-F8: the full spatial pipeline, closed-form-area variant
       // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
       "q_geo_flagship" -> ((s, dir) => Pipelines.flagship(s, dir, to5880 = false)),
-      // F6 st_transform: same pipeline measured in EPSG:5880 m² (no SQL
-      // oracle — the polyconic reprojection is not DuckDB-expressible).
-      "q_geo_flagship_5880" -> ((s, dir) => Pipelines.flagship(s, dir)),
+      // F6 st_transform: same pipeline measured in EPSG:5880 m², emitted
+      // through the phased 100 m² bucket so the polyconic chain is
+      // hash-checked against a DuckDB replay of the projection math
+      // (Pipelines.flagship5880OracleSql; margins spec-asserted).
+      "q_geo_flagship_5880" -> (Pipelines.flagship5880Bucketed _),
       // Broadcast R-tree st_intersects join (SURVEY §2.3 stretch op).
       "q_spatial_join" -> (Pipelines.spatialJoinRollup _),
       // Same operator, distance predicate: st_dwithin with envelope
@@ -116,6 +118,7 @@ object SparkEntry {
     Multimodal.oracles ++ StreamQueries.oracles ++ JdbcQueries.oracles ++
     AuditQueries.oracles ++ GraphQueries.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
+    ("q_geo_flagship_5880" -> Pipelines.flagship5880OracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +

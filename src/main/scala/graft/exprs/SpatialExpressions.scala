@@ -447,6 +447,13 @@ case class StDistanceSphere(left: Expression, right: Expression)
   * VERBATIM and last-ulp libm drift is absorbed by the query-layer ROUND
   * funnel.
   *
+  * PORTING CAVEAT: Sedona 1.7.1 implements ST_DistanceSpheroid as the
+  * EXACT WGS84 geodesic (GeographicLib/Karney), so workloads comparing
+  * absolute distances against thresholds within tens of meters of the
+  * cut line can classify differently here; swap in an iterative Karney
+  * implementation if that tolerance matters (the Andoyer form would then
+  * remain only as the DuckDB-mirrorable oracle path).
+  *
   * Non-point or empty-point input returns null; coincident points short-
   * circuit to 0 (the ω→0 limit, avoiding its 0/0). */
 case class StDistanceSpheroid(left: Expression, right: Expression)
@@ -1484,7 +1491,23 @@ case class StCollect(child: Expression)
     }
     val parts = gs.result()
     if (parts.isEmpty) null
-    else wkb(Geom.factory.buildGeometry(java.util.Arrays.asList(parts: _*)))
+    else {
+      val built = Geom.factory.buildGeometry(java.util.Arrays.asList(parts: _*))
+      // Sedona/PostGIS ST_Collect always yields a collection; JTS
+      // buildGeometry returns the BARE geometry for a single-element
+      // homogeneous input, so a singleton is promoted to its MULTI type
+      // (a part that is itself a collection passes through unchanged)
+      val promoted = built match {
+        case p: org.locationtech.jts.geom.Point =>
+          Geom.factory.createMultiPoint(Array(p))
+        case l: org.locationtech.jts.geom.LineString =>
+          Geom.factory.createMultiLineString(Array(l))
+        case p: org.locationtech.jts.geom.Polygon =>
+          Geom.factory.createMultiPolygon(Array(p))
+        case other => other
+      }
+      wkb(promoted)
+    }
   }
   override protected def withNewChildInternal(c: Expression): StCollect = copy(child = c)
 }

@@ -52,6 +52,11 @@ object functions {
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
+  /** Geodesic meters between lon/lat points on GRS80. ACCURACY CLASS:
+    * Andoyer–Lambert first-order approximation — within tens of meters of
+    * the exact Karney geodesic on intercontinental lines (Sedona's
+    * `ST_DistanceSpheroid` is exact via GeographicLib, so ported absolute
+    * thresholds near that tolerance may classify differently). */
   def st_distance_spheroid(a: Column, b: Column): Column =
     col(StDistanceSpheroid(ex(a), ex(b)))
   def st_area_sphere(g: Column): Column = col(StAreaSphere(ex(g)))

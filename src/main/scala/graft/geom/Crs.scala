@@ -75,10 +75,12 @@ object Crs {
   final class MeridionalArc(a: Double, e2: Double) {
     private val e4 = e2 * e2
     private val e6 = e4 * e2
-    private val c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
-    private val c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
-    private val c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
-    private val c6 = 35.0 * e6 / 3072.0
+    // series coefficients exposed (read-only) so oracle SQL builders can
+    // embed the exact double values as literals
+    val c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    val c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    val c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    val c6 = 35.0 * e6 / 3072.0
     def apply(phi: Double): Double =
       a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
   }
@@ -345,6 +347,25 @@ object Crs {
   /** EPSG:5880 — SIRGAS 2000 / Brazil Polyconic
     * (lat0=0, lon0=-54, FE=5 000 000 m, FN=10 000 000 m). */
   val BrazilPolyconic = new Polyconic(Grs80A, Grs80E2, 0.0, -54.0, 5000000.0, 10000000.0)
+
+  /** The exact double constants of the 3857→5880 point chain, exposed so
+    * an oracle SQL builder can embed THESE values as decimal literals
+    * (Double.toString round-trips, so the SQL engine parses the identical
+    * bits) instead of re-deriving them in SQL arithmetic. */
+  private[graft] object Brazil5880Consts {
+    val A: Double = Grs80A // also the 3857 sphere radius
+    val E2: Double = Grs80E2
+    private val m = new MeridionalArc(Grs80A, Grs80E2)
+    val C0: Double = m.c0
+    val C2: Double = m.c2
+    val C4: Double = m.c4
+    val C6: Double = m.c6
+    val Lon0Rad: Double = -54.0 * DegToRad
+    val Fe: Double = 5000000.0
+    val Fn: Double = 10000000.0
+    val Rad2Deg: Double = RadToDeg
+    val Deg2Rad: Double = DegToRad
+  }
 
   /** EPSG:5070 — NAD83 / Conus Albers (GRS80; lat0=23, sp 29.5/45.5,
     * lon0=-96, FE=FN=0). NAD83 is treated as the same lon/lat hub as

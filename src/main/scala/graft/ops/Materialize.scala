@@ -30,12 +30,39 @@ object Materialize {
   private def tableDir(base: String, table: String): Path = Paths.get(base, table)
   private def pointer(base: String, table: String): Path = tableDir(base, table).resolve("current")
 
+  /** Failure-notification seam, mirroring the reference's webhook cards
+    * on load failure (ecs_loader/load_to_postgres.py:35-80,225-227 —
+    * notify-on-COPY-failure). The engine stays transport-agnostic: the
+    * default sink logs; an operator wires a real channel (webhook, pager)
+    * by passing its own callback to [[publish]]. The callback runs AFTER
+    * the failed publish has cleaned up (rejected version dir removed,
+    * pointer untouched) and before the error propagates; a throwing
+    * callback is swallowed so notification problems never mask the
+    * publish failure itself. */
+  type FailureHook = (String, String, Throwable) => Unit
+
+  /** Default hook: log to stderr (SURVEY §2.8 "log only"). */
+  val logFailure: FailureHook = (table, version, e) =>
+    System.err.println(s"[materialize] publish FAILED for $table/$version: ${e.getMessage}")
+
   /** Publish a new version. Returns the version directory written.
     * Fails (and leaves `current` untouched) if `keys` are not unique in
     * the written data — the reference's unique-index contract
-    * (load_to_postgres.py:134-135). */
+    * (load_to_postgres.py:134-135). Any failure (write, gate, swap) is
+    * reported to `onFailure` before the exception propagates. */
   def publish(df: DataFrame, base: String, table: String, version: String,
-              keys: Seq[String]): String = {
+              keys: Seq[String], onFailure: FailureHook = logFailure): String =
+    try publishImpl(df, base, table, version, keys)
+    catch {
+      case e: Throwable =>
+        try onFailure(table, version, e)
+        catch { case hookErr: Throwable =>
+          System.err.println(s"[materialize] failure hook itself threw: $hookErr") }
+        throw e
+    }
+
+  private def publishImpl(df: DataFrame, base: String, table: String, version: String,
+                          keys: Seq[String]): String = {
     val dirPath = tableDir(base, table).resolve("versions").resolve(version)
     val dir = dirPath.toString
     df.write.mode("overwrite").parquet(dir)

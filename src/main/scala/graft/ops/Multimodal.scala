@@ -2,128 +2,116 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import MediaCodec._
 
 /** Multimodal column handling: media as opaque `binary` payloads + typed
   * metadata, with decode/feature-extraction as a partition-local typed
   * pipeline (`Dataset[T].mapPartitions`) — the Scala analogue of a
   * `mapInPandas` batch-UDF stage.
   *
-  * The decode step is a clearly-marked STUB: this container ships no
-  * image/audio codecs, so `decodeFrames` derives deterministic fake frames
-  * from the payload bytes. Everything around it — the binary schema, the
-  * encoder-backed row shape, the batched per-partition iteration, the
-  * downstream relational aggregation — is the real 100 TB plumbing: swap
-  * `decodeFrames` for a JNI/codec call and nothing else changes.
+  * The decode step is REAL: payloads are genuine uncompressed containers
+  * (24-bit BMP images, PCM16 WAV audio, concatenated-P6-PPM video — see
+  * [[MediaCodec]]) synthesized deterministically per item, and the
+  * feature stage parses the actual byte layout (BMP bottom-up padded
+  * rows, RIFF chunk walk, PPM header grammar) back into pixels/samples.
+  * The oracle recomputes the expected pixel/sample statistics from the
+  * same deterministic generator closed-form — any decode defect (wrong
+  * stride, padding miscount, header off-by-one) breaks the hash match.
+  *
+  * Scale shape: encode and decode are per-row partition-local work with
+  * zero shuffle until the final per-modality rollup; at 100 TB the
+  * payload column stays opaque bytes in parquet and only the fixed-width
+  * feature columns ever reach an exchange.
   */
 object Multimodal {
 
   /** An ingested media object: opaque bytes + metadata. */
   case class MediaItem(item_id: Long, modality: String, payload: Array[Byte])
 
-  /** Decoded per-item features (fixed-width vector + frame count). */
+  /** Decoded per-item features: container size, frame/sample count, and
+    * the exact integer level sum over `n_units` decoded units (pixel
+    * channel bytes / |PCM| samples) — integer-exact so the rollup's mean
+    * is one final division of exact sums. */
   case class MediaFeatures(item_id: Long, modality: String, n_bytes: Int,
-                           n_frames: Int, mean_level: Double)
+                           n_frames: Int, level_sum: Long, n_units: Long)
 
-  private val FrameBytes = 64
+  /** Video fixture geometry: 8x6 RGB = 144 bytes per frame. */
+  private val VidW = 8
+  private val VidH = 6
+  private val VidFrameBytes = VidW * VidH * 3
 
-  /** Single source of the 64-byte framing arithmetic: visits every frame
-    * as (index, from, until) so decode and sample/resize can never desync
-    * on the window boundaries. */
-  @inline private def foreachFrame(payload: Array[Byte])(f: (Int, Int, Int) => Unit): Int = {
-    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
-    var fi = 0
-    while (fi < nFrames) {
-      val from = fi * FrameBytes
-      f(fi, from, math.min(from + FrameBytes, payload.length))
-      fi += 1
-    }
-    nFrames
-  }
-
-  /** STUB decoder — stands in for image decode / audio PCM framing.
-    * Deterministic: frames = consecutive 64-byte windows; per-frame level =
-    * mean unsigned byte value; item level = mean of frame levels. */
-  private def decodeFrames(payload: Array[Byte]): (Int, Double) = {
-    if (payload.isEmpty) return (0, 0.0)
-    var frameSum = 0.0
-    val nFrames = foreachFrame(payload) { (_, from, until) =>
-      var s = 0L
-      var i = from
-      while (i < until) { s += (payload(i) & 0xff); i += 1 }
-      frameSum += s.toDouble / (until - from)
-    }
-    (nFrames, frameSum / nFrames)
-  }
-
-  /** Decoded features after frame-sampling + resize. */
-  case class SampledFeatures(item_id: Long, modality: String,
-                             n_kept: Int, mean_level: Double)
-
-  private val SampleEvery = 3
-
-  /** STUB frame-sample + resize — keeps every `SampleEvery`-th 64-byte
-    * frame and "resizes" each kept frame by striding to every 2nd byte
-    * (the downsample shape of image resize / audio decimation), then
-    * levels as in decodeFrames. Deterministic byte arithmetic, so the
-    * oracle mirrors it; swap for a real codec call and nothing else in
-    * the pipeline changes. */
-  private def sampleResizeLevel(payload: Array[Byte]): (Int, Double) = {
-    if (payload.isEmpty) return (0, 0.0)
-    var kept = 0; var levelSum = 0.0
-    foreachFrame(payload) { (fi, from, until) =>
-      if (fi % SampleEvery == 0) {
-        var s = 0L; var cnt = 0; var i = from
-        while (i < until) { s += (payload(i) & 0xff); cnt += 1; i += 2 }
-        levelSum += s.toDouble / cnt
-        kept += 1
+  /** Deterministic per-item media synthesis through the REAL encoders. */
+  private[ops] def synthesize(id: Long): MediaItem = (id % 3).toInt match {
+    case 0 =>
+      val w = (8 + id % 9).toInt
+      val h = (6 + id % 5).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        rgb(i * 3) = ((id * 7 + i) % 256).toByte
+        rgb(i * 3 + 1) = ((id * 7 + i + 85) % 256).toByte
+        rgb(i * 3 + 2) = ((id * 7 + i + 170) % 256).toByte
+        i += 1
       }
-    }
-    (kept, levelSum / kept)
-  }
-
-  /** The sampled pipeline: decode → frame-sample → resize → features,
-    * still typed, partition-local, shuffle-free until the rollup. */
-  def sampledStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      it.map { m =>
-        val (kept, level) = sampleResizeLevel(m.payload)
-        SampledFeatures(m.item_id, m.modality, kept, level)
+      MediaItem(id, "image", encodeBmp(ImageData(w, h, rgb)))
+    case 1 =>
+      val n = (64 + id % 129).toInt
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = ((id * 31 + i * 17) % 2048 - 1024).toShort; i += 1 }
+      MediaItem(id, "audio", encodeWav(AudioData(8000, samples)))
+    case _ =>
+      val nf = (2 + id % 4).toInt
+      val frames = Array.tabulate(nf) { fi =>
+        val f = new Array[Byte](VidFrameBytes)
+        var p = 0
+        while (p < VidFrameBytes) { f(p) = ((id * 13 + fi * 101 + p) % 256).toByte; p += 1 }
+        f
       }
-    }
-      .groupBy(col("modality"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("n_kept")).as("sum_kept"),
-        round(sum(col("mean_level").cast("decimal(18,9)")).cast("double"), 4).as("sum_level"))
-      .orderBy(col("modality"))
+      MediaItem(id, "video", encodePpmStream(VideoData(VidW, VidH, frames)))
   }
 
-  /** Media table synthesized from `documents` (text bytes stand in for
-    * image/audio blobs; modality assigned deterministically by source). */
+  /** Media table: one real container per document id (modality assigned
+    * deterministically), built through the encoders partition-locally. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
-    Par.fanOut(Tables.documents(spark, dir))
-      .select(
-        col("doc_id").as("item_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaItem]
+    Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long].map(synthesize _)
   }
 
-  /** The batch "decode" stage: typed, partition-local, no shuffle. */
+  /** The batch decode stage: typed, partition-local, no shuffle. Parses
+    * the real container bytes back into pixels/samples and reduces them
+    * to exact integer stats. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val (frames, level) = decodeFrames(m.payload)
-        MediaFeatures(m.item_id, m.modality, m.payload.length, frames, level)
+        m.modality match {
+          case "image" =>
+            val img = decodeBmp(m.payload)
+            var s = 0L
+            img.rgb.foreach(b => s += (b & 0xff))
+            MediaFeatures(m.item_id, m.modality, m.payload.length, 1, s, img.rgb.length.toLong)
+          case "audio" =>
+            val au = decodeWav(m.payload)
+            var s = 0L
+            au.samples.foreach(v => s += math.abs(v.toInt))
+            MediaFeatures(m.item_id, m.modality, m.payload.length,
+              au.samples.length, s, au.samples.length.toLong)
+          case _ =>
+            val vid = decodePpmStream(m.payload)
+            var s = 0L
+            vid.frames.foreach(_.foreach(b => s += (b & 0xff)))
+            MediaFeatures(m.item_id, m.modality, m.payload.length,
+              vid.frames.length, s, vid.frames.length.toLong * VidFrameBytes)
+        }
       }
     }
   }
 
-  /** Per-modality rollup of the decoded features. */
+  /** Per-modality rollup of the decoded features. `mean_level` is one
+    * final double division of exact integer sums — bit-identical in any
+    * engine, no rounding funnel needed. */
   def featureStats(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))
       .groupBy(col("modality"))
@@ -131,51 +119,161 @@ object Multimodal {
         count(lit(1)).as("n_items"),
         sum(col("n_frames")).as("sum_frames"),
         max(col("n_bytes")).as("max_bytes"),
-        round(sum(col("mean_level").cast("decimal(18,9)")).cast("double"), 4).as("sum_level"))
+        sum(col("n_bytes")).as("sum_bytes"),
+        (sum(col("level_sum")).cast("double") /
+          sum(col("n_units")).cast("double")).as("mean_level"))
       .orderBy(col("modality"))
+
+  /** Sampled/resized features: kept-unit count + exact level sum over
+    * the kept units. */
+  case class SampledFeatures(item_id: Long, modality: String,
+                             n_kept: Int, level_sum: Long, n_units: Long)
+
+  private val SampleEvery = 3
+
+  /** The sampled pipeline — decode, then the modality's standard
+    * downsample on the DECODED data (not the container bytes):
+    * images resize by taking every 2nd pixel in x and y (nearest-neighbor
+    * 2x decimation), audio decimates to every 2nd sample, video keeps
+    * every `SampleEvery`-th frame and 2x-decimates the kept frames'
+    * bytes. Still typed, partition-local, shuffle-free until the
+    * rollup. */
+  def sampledStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        m.modality match {
+          case "image" =>
+            val img = decodeBmp(m.payload)
+            val kw = (img.width + 1) / 2
+            val kh = (img.height + 1) / 2
+            // the actual resize artifact: a kw x kh RGB image
+            val small = new Array[Byte](kw * kh * 3)
+            var y = 0
+            while (y < kh) {
+              var x = 0
+              while (x < kw) {
+                val src = ((y * 2) * img.width + x * 2) * 3
+                val dst = (y * kw + x) * 3
+                small(dst) = img.rgb(src)
+                small(dst + 1) = img.rgb(src + 1)
+                small(dst + 2) = img.rgb(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            var s = 0L
+            small.foreach(b => s += (b & 0xff))
+            SampledFeatures(m.item_id, m.modality, kw * kh, s, small.length.toLong)
+          case "audio" =>
+            val au = decodeWav(m.payload)
+            var s = 0L
+            var i = 0
+            var kept = 0
+            while (i < au.samples.length) { s += math.abs(au.samples(i).toInt); kept += 1; i += 2 }
+            SampledFeatures(m.item_id, m.modality, kept, s, kept.toLong)
+          case _ =>
+            val vid = decodePpmStream(m.payload)
+            var s = 0L
+            var kept = 0
+            var fi = 0
+            while (fi < vid.frames.length) {
+              if (fi % SampleEvery == 0) {
+                val f = vid.frames(fi)
+                var p = 0
+                while (p < f.length) { s += (f(p) & 0xff); p += 2 }
+                kept += 1
+              }
+              fi += 1
+            }
+            SampledFeatures(m.item_id, m.modality, kept, s, kept.toLong * (VidFrameBytes / 2))
+        }
+      }
+    }
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_kept")).as("sum_kept"),
+        (sum(col("level_sum")).cast("double") /
+          sum(col("n_units")).cast("double")).as("mean_level"))
+      .orderBy(col("modality"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_sampled" -> (sampledStats _),
   )
 
-  /** The stub decoder is deterministic byte arithmetic over an ASCII
-    * payload (verified: every gate-corpus text has length == strlen), so
-    * DuckDB can mirror frames/levels exactly: per-frame mean of character
-    * codes over 64-byte windows, then the same DECIMAL-sum/round chain. */
+  /** The oracle mirrors the deterministic GENERATOR (not the container):
+    * the encode→decode round trip happens only on the Spark side, so any
+    * codec defect surfaces as a stat mismatch. All per-item stats are
+    * exact integers; the single mean division is the last operation. */
   val oracles: Map[String, String] = Map(
     "q_mm_features" ->
       """WITH f AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    strlen(text) AS n_bytes,
-        |    CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
-        |    list_avg(list_transform(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)),
-        |      fi -> list_avg(list_transform(range(least(64, strlen(text) - fi*64)),
-        |              i -> ascii(substr(text, CAST(fi*64 + i + 1 AS INT), 1)))))) AS mean_level
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 54 + (6 + doc_id % 5) * (((3 * (8 + doc_id % 9) + 3) // 4) * 4)
+        |      WHEN 1 THEN 44 + 2 * (64 + doc_id % 129)
+        |      ELSE (2 + doc_id % 4) * 155 END AS n_bytes,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 1
+        |      WHEN 1 THEN 64 + doc_id % 129
+        |      ELSE 2 + doc_id % 4 END AS n_frames,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN list_sum(list_transform(
+        |        range((8 + doc_id % 9) * (6 + doc_id % 5)),
+        |        i -> (doc_id * 7 + i) % 256 + (doc_id * 7 + i + 85) % 256
+        |             + (doc_id * 7 + i + 170) % 256))
+        |      WHEN 1 THEN list_sum(list_transform(range(64 + doc_id % 129),
+        |        i -> abs((doc_id * 31 + i * 17) % 2048 - 1024)))
+        |      ELSE list_sum(list_transform(range((2 + doc_id % 4) * 144),
+        |        j -> (doc_id * 13 + (j // 144) * 101 + (j % 144)) % 256))
+        |      END AS level_sum,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN (8 + doc_id % 9) * (6 + doc_id % 5) * 3
+        |      WHEN 1 THEN 64 + doc_id % 129
+        |      ELSE (2 + doc_id % 4) * 144 END AS n_units
         |  FROM documents)
         |SELECT modality, count(*) AS n_items,
         |       CAST(sum(n_frames) AS BIGINT) AS sum_frames,
         |       CAST(max(n_bytes) AS INTEGER) AS max_bytes,
-        |       ROUND(CAST(sum(CAST(mean_level AS DECIMAL(18,9))) AS DOUBLE), 4) AS sum_level
+        |       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |       CAST(sum(level_sum) AS DOUBLE) / CAST(sum(n_units) AS DOUBLE) AS mean_level
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
     "q_mm_sampled" ->
-      """WITH l AS (
+      """WITH f AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    len(list_filter(range(CAST(ceil(strlen(text)/64.0) AS BIGINT)),
-        |        fi -> fi % 3 = 0)) AS n_kept,
-        |    list_avg(list_transform(
-        |      list_filter(range(CAST(ceil(strlen(text)/64.0) AS BIGINT)), fi -> fi % 3 = 0),
-        |      fi -> list_avg(list_transform(
-        |        list_filter(range(least(64, strlen(text) - fi*64)), i -> i % 2 = 0),
-        |        i -> ascii(substr(text, CAST(fi*64 + i + 1 AS INT), 1)))))) AS mean_level
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN ((8 + doc_id % 9 + 1) // 2) * ((6 + doc_id % 5 + 1) // 2)
+        |      WHEN 1 THEN (64 + doc_id % 129 + 1) // 2
+        |      ELSE (2 + doc_id % 4 + 2) // 3 END AS n_kept,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN list_sum(list_transform(
+        |        list_filter(range((8 + doc_id % 9) * (6 + doc_id % 5)),
+        |          i -> (i % (8 + doc_id % 9)) % 2 = 0 AND (i // (8 + doc_id % 9)) % 2 = 0),
+        |        i -> (doc_id * 7 + i) % 256 + (doc_id * 7 + i + 85) % 256
+        |             + (doc_id * 7 + i + 170) % 256))
+        |      WHEN 1 THEN list_sum(list_transform(
+        |        list_filter(range(64 + doc_id % 129), i -> i % 2 = 0),
+        |        i -> abs((doc_id * 31 + i * 17) % 2048 - 1024)))
+        |      ELSE list_sum(list_transform(
+        |        list_filter(range((2 + doc_id % 4) * 144),
+        |          j -> (j // 144) % 3 = 0 AND (j % 144) % 2 = 0),
+        |        j -> (doc_id * 13 + (j // 144) * 101 + (j % 144)) % 256))
+        |      END AS level_sum,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN ((8 + doc_id % 9 + 1) // 2) * ((6 + doc_id % 5 + 1) // 2) * 3
+        |      WHEN 1 THEN (64 + doc_id % 129 + 1) // 2
+        |      ELSE ((2 + doc_id % 4 + 2) // 3) * 72 END AS n_units
         |  FROM documents)
         |SELECT modality, count(*) AS n_items,
         |       CAST(sum(n_kept) AS BIGINT) AS sum_kept,
-        |       ROUND(CAST(sum(CAST(mean_level AS DECIMAL(18,9))) AS DOUBLE), 4) AS sum_level
-        |FROM l GROUP BY modality ORDER BY modality""".stripMargin,
+        |       CAST(sum(level_sum) AS DOUBLE) / CAST(sum(n_units) AS DOUBLE) AS mean_level
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
   )
 }

@@ -29,6 +29,48 @@ import scala.jdk.CollectionConverters._
   */
 object SpatialJoin {
 
+  /** Default cap on build-side rows for the broadcast operators; override
+    * with spark conf `graft.spatial.maxBuildRows`. */
+  private val DefaultMaxBuildRows = 2000000
+  /** Default cap on build-side WKB bytes; override with
+    * `graft.spatial.maxBuildBytes`. */
+  private val DefaultMaxBuildBytes = 256L << 20
+  /** Default cap on gridKnn's occupied-cell histogram; override with
+    * `graft.spatial.maxOccupiedCells`. */
+  private val DefaultMaxOccupiedCells = 1 << 20
+
+  /** Driver-side collect of the broadcast build side, guarded: the
+    * contract ("right must be the dimension side") is otherwise invisible
+    * until the driver OOMs with no diagnostic. The limit-guarded collect
+    * bounds driver memory even when the guard fires (at most cap+1 rows
+    * ever materialize), and the error names the partitioned operator a
+    * too-large build side should use instead. */
+  private def collectBuildSide(right: DataFrame, op: String,
+                               alternative: String,
+                               geomIdx: Int): Array[(Array[Byte], Seq[Any])] = {
+    val conf = right.sparkSession.conf
+    val maxRows = math.min(
+      conf.getOption("graft.spatial.maxBuildRows").map(_.toLong)
+        .getOrElse(DefaultMaxBuildRows.toLong),
+      (Int.MaxValue - 1).toLong).toInt
+    val maxBytes = conf.getOption("graft.spatial.maxBuildBytes").map(_.toLong)
+      .getOrElse(DefaultMaxBuildBytes)
+    val rows = right.limit(maxRows + 1).collect()
+    if (rows.length > maxRows)
+      throw new IllegalStateException(
+        s"$op: build side exceeds graft.spatial.maxBuildRows=$maxRows — the right " +
+          s"side must be the dimension side; for a large build side use $alternative")
+    val out = rows.map(r => (r.getAs[Array[Byte]](geomIdx), r.toSeq))
+    var bytes = 0L
+    out.foreach { case (wkb, _) => if (wkb != null) bytes += wkb.length }
+    if (bytes > maxBytes)
+      throw new IllegalStateException(
+        s"$op: build-side geometry payload ${bytes}B exceeds " +
+          s"graft.spatial.maxBuildBytes=$maxBytes — the right side must be the " +
+          s"dimension side; for a large build side use $alternative")
+    out
+  }
+
   /** Inner join `left ⋈ right ON st_intersects(left[leftGeomCol],
     * right[rightGeomCol])`. `right` must be the dimension side (collected
     * and broadcast, like `functions.broadcast`). Output schema is the
@@ -129,9 +171,7 @@ object SpatialJoin {
     val spark = left.sparkSession
     val rightSchema = right.schema
     val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
-    val rightRows: Array[(Array[Byte], Seq[Any])] = right.collect().map { r =>
-      (r.getAs[Array[Byte]](rightGeomIdx), r.toSeq)
-    }
+    val rightRows = collectBuildSide(right, "broadcastKnn", "gridKnn", rightGeomIdx)
     val bRight = spark.sparkContext.broadcast(rightRows)
     val leftSchema = left.schema
     val leftGeomIdx = leftSchema.fieldIndex(leftGeomCol)
@@ -241,12 +281,27 @@ object SpatialJoin {
     // the cell rectangle itself (a 50 km geometry in a 60 km cell makes
     // rect-based bounds nearly vacuous; the min-corner box collapses to
     // the members actually present)
+    // guard: the histogram size is governed only by cellSize — a
+    // pathological pitch (cells far smaller than the data extent) makes
+    // occupied-cells explode and this driver collect OOM with no
+    // diagnostic. The limit bounds driver memory even when the guard
+    // fires; the error names the fix.
+    val maxCells = math.min(
+      spark.conf.getOption("graft.spatial.maxOccupiedCells").map(_.toLong)
+        .getOrElse(DefaultMaxOccupiedCells.toLong),
+      (Int.MaxValue - 1).toLong).toInt
     val hist = build.groupBy(col("gr_cell")).agg(
       count(lit(1)).as("cnt"),
       min(col("gr_env.xmin")).as("bx0"), min(col("gr_env.ymin")).as("by0"),
       max(col("gr_env.xmin")).as("bx1"), max(col("gr_env.ymin")).as("by1"),
       max(col("gr_env.xmax") - col("gr_env.xmin")).as("w"),
-      max(col("gr_env.ymax") - col("gr_env.ymin")).as("h")).collect()
+      max(col("gr_env.ymax") - col("gr_env.ymin")).as("h"))
+      .limit(maxCells + 1).collect()
+    if (hist.length > maxCells)
+      throw new IllegalStateException(
+        s"gridKnn: occupied-cell histogram exceeds graft.spatial.maxOccupiedCells=" +
+          s"$maxCells — increase cellSize (or use broadcastKnn when the build side " +
+          "is dimension-sized)")
 
     val outCols =
       if (outputCols.nonEmpty) outputCols
@@ -295,8 +350,12 @@ object SpatialJoin {
     //     state, capped to stay bounded.
     val candidateFn = new ((java.lang.Double, java.lang.Double,
         java.lang.Double, java.lang.Double) => Array[Long]) with Serializable {
-      @transient private lazy val memo =
-        new java.util.HashMap[(Long, Long, Long, Long), Array[Long]]()
+      // per-THREAD memo: Spark gives each task its own deserialized
+      // closure today, but that is engine behavior this code shouldn't
+      // rest on — ThreadLocal makes the unsynchronized HashMap's safety
+      // local and explicit at trivial cost
+      @transient private lazy val memo = ThreadLocal.withInitial(
+        () => new java.util.HashMap[(Long, Long, Long, Long), Array[Long]]())
 
       private def compute(qxmin: Double, qymin: Double,
                           qxmax: Double, qymax: Double): Array[Long] = {
@@ -342,6 +401,17 @@ object SpatialJoin {
           }
           i += 1
         }
+        // the fill phase (acc < kk) admits cells in arrival order, so if
+        // no later cell triggers the eviction branch the prefix can hold
+        // removable large-U entries; one final trim makes ub the true
+        // minimal-prefix U (candidate set stays a superset either way —
+        // this only shrinks fan-out)
+        var trimming = true
+        while (trimming) {
+          val t = heap.peek()
+          if (acc - cnts(t) >= kkNeeded) { heap.poll(); acc -= cnts(t) }
+          else trimming = false
+        }
         val ub = up(heap.peek())
         keys.indices.collect { case j if lo(j) <= ub => keys(j) }.toArray
       }
@@ -355,12 +425,13 @@ object SpatialJoin {
                      java.lang.Double.doubleToLongBits(ymin),
                      java.lang.Double.doubleToLongBits(xmax),
                      java.lang.Double.doubleToLongBits(ymax))
-          val hit = memo.get(key)
+          val m = memo.get()
+          val hit = m.get(key)
           if (hit != null) hit
           else {
-            if (memo.size >= 65536) memo.clear()
+            if (m.size >= 65536) m.clear()
             val r = compute(xmin, ymin, xmax, ymax)
-            memo.put(key, r)
+            m.put(key, r)
             r
           }
         }
@@ -422,9 +493,9 @@ object SpatialJoin {
     val rightSchema = right.schema
     val rightGeomIdx = rightSchema.fieldIndex(rightGeomCol)
     // dimension side: WKB + the row's other values travel in one broadcast
-    val rightRows: Array[(Array[Byte], Seq[Any])] = right.collect().map { r =>
-      (r.getAs[Array[Byte]](rightGeomIdx), r.toSeq)
-    }
+    val rightRows = collectBuildSide(right,
+      if (distance.isDefined) "broadcastDWithin" else "broadcastIntersects",
+      "gridIntersects", rightGeomIdx)
     val bRight = spark.sparkContext.broadcast(rightRows)
     val leftSchema = left.schema
     val leftGeomIdx = leftSchema.fieldIndex(leftGeomCol)

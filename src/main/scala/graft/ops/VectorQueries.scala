@@ -103,20 +103,18 @@ object VectorQueries {
           .withColumn("sim", cosineAgainst(q)), k)
     }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first `nlist`
-    * vectors stand in for trained centroids), every vector assigned to its
-    * nearest centroid's inverted list, and the query probing only the
-    * `nprobe` nearest lists before exact cosine re-ranking. The centroids
-    * are a driver-side constant (tiny lookup, like the reference's bounds
-    * collect), so assignment is a pure per-row projection — at 100 TB the
-    * list id becomes a partition key and unprobed lists never leave the
-    * scan. */
+  /** IVF-style ANN with a TRAINED coarse quantizer: centroids come from
+    * [[trainedCentroids]] (deterministic seeds + one decimal-exact Lloyd
+    * round — the same training step [[kmeans]] exposes), every vector is
+    * assigned to its nearest centroid's inverted list, and the query
+    * probes only the `nprobe` nearest lists before exact cosine
+    * re-ranking. The centroids are a driver-side constant (tiny k×dims
+    * read, like the reference's bounds collect), so assignment is a pure
+    * per-row projection — at 100 TB the list id becomes a partition key
+    * and unprobed lists never leave the scan. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
              nprobe: Int = 2, nlist: Int = 8): DataFrame = {
-    val centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
-      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
+    val centroids = trainedCentroids(spark, dir, nlist)
     val qOpt = queryVectorOpt(spark, dir)
     if (qOpt.isEmpty || centroids.isEmpty) return emptyRanked(spark)
     val q = qOpt.get
@@ -129,10 +127,13 @@ object VectorQueries {
     val distToCentroids = array(centroids.map { case (_, cv) =>
       foldSum(zip_with(embD, typedlit(cv), (a, b) => (a - b) * (a - b)))
     }: _*)
+    // a trained quantizer can drop empty clusters, so the dist-array index
+    // is not the cluster id — map index -> cid like kmeans' assign does
+    val cids = typedlit(centroids.map(_._1).toSeq)
     val sims = Par.fanOut(embeddings(spark, dir))
       .withColumn("dists", distToCentroids)
-      .withColumn("list_id",
-        (expr("array_position(dists, array_min(dists))") - 1).cast("int"))
+      .withColumn("list_id", element_at(cids,
+        expr("array_position(dists, array_min(dists))").cast("int")))
       .filter(col("list_id").isin(probed.map(Int.box): _*) && col("vec_id") =!= QueryVecId)
       .withColumn("sim", cosineAgainst(q))
     rankTop(sims, k)
@@ -219,29 +220,61 @@ object VectorQueries {
     * a cluster that loses all members is dropped for the next round (the
     * SQL mirror drops it identically). Ties in the argmin go to the
     * smallest cluster id in both engines. */
-  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** Per-row nearest-centroid assignment (shared by kmeans training and
+    * the final rollup): array_position returns the FIRST index of the
+    * min, and the dist array is in ascending-cid order — ties resolve to
+    * the smallest cid, which is what the oracle's ORDER BY dist, cid
+    * mirrors. */
+  private def assignToCentroids(base: DataFrame,
+                                cents: Array[(Int, Seq[Double])]): DataFrame = {
+    val dists = array(cents.map { case (_, cv) =>
+      foldSum(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)))
+    }: _*)
+    val cids = typedlit(cents.map(_._1).toSeq)
+    base.withColumn("dists", dists)
+      .withColumn("idx", expr("array_position(dists, array_min(dists))").cast("int"))
+      .withColumn("cluster_id", element_at(cids, col("idx")))
+      .withColumn("dist", element_at(col("dists"), col("idx")))
+      .drop("dists", "idx")
+  }
+
+  /** The trained coarse quantizer both [[kmeans]] and [[annIvf]] consume:
+    * deterministic seeds (the k smallest vec_ids) refined by ONE
+    * decimal-exact Lloyd round. Deterministic and oracle-replayable — the
+    * means are exact decimal sums divided once in double, so both engines
+    * reproduce the centroid components bit-for-bit. A cluster that loses
+    * all members is dropped (the SQL mirror drops it identically).
+    * Driver read bounded by k×dims. Empty input => empty array. */
+  private[ops] def trainedCentroids(spark: SparkSession, dir: String,
+                                    k: Int): Array[(Int, Seq[Double])] = {
     val embD = transform(col("embedding"), x => x.cast("double"))
     val base = Par.fanOut(embeddings(spark, dir)).withColumn("v", embD)
-
-    def assign(cents: Array[(Int, Seq[Double])]): DataFrame = {
-      val dists = array(cents.map { case (_, cv) =>
-        foldSum(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)))
-      }: _*)
-      val cids = typedlit(cents.map(_._1).toSeq)
-      base.withColumn("dists", dists)
-        // array_position returns the FIRST index of the min, and the dist
-        // array is in ascending-cid order — ties resolve to the smallest
-        // cid, which is what the oracle's ORDER BY dist, cid mirrors
-        .withColumn("idx", expr("array_position(dists, array_min(dists))").cast("int"))
-        .withColumn("cluster_id", element_at(cids, col("idx")))
-        .withColumn("dist", element_at(col("dists"), col("idx")))
-        .drop("dists", "idx")
-    }
-
-    var centroids: Array[(Int, Seq[Double])] = embeddings(spark, dir)
+    val seeds: Array[(Int, Seq[Double])] = embeddings(spark, dir)
       .filter(col("vec_id") < k).orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq.map(_.toDouble)))
+    if (seeds.isEmpty) return Array.empty
+    // one Lloyd update round (assign -> decimal-exact means -> new centroids)
+    val means = assignToCentroids(base, seeds)
+      .select(col("cluster_id"), posexplode(col("v")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(18,9)")).as("s"))
+      .select(col("cluster_id"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
+      .collect()
+    means.groupBy(_.getInt(0)).toArray
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+  }
+
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val base = Par.fanOut(embeddings(spark, dir)).withColumn("v", embD)
+    def assign(cents: Array[(Int, Seq[Double])]): DataFrame =
+      assignToCentroids(base, cents)
+
+    val centroids = trainedCentroids(spark, dir, k)
     if (centroids.isEmpty) {
       // no seed vectors (empty partition): the k-means result is the empty
       // cluster relation, with the schema the non-empty path produces
@@ -254,19 +287,6 @@ object VectorQueries {
           StructField("inertia_micros", LongType),
           StructField("c_first", DoubleType))))
     }
-
-    // one Lloyd update round (assign -> decimal-exact means -> new centroids)
-    val means = assign(centroids)
-      .select(col("cluster_id"), posexplode(col("v")))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(18,9)")).as("s"))
-      .select(col("cluster_id"), col("pos"),
-        (col("s").cast("double") / col("n").cast("double")).as("m"))
-      .collect()
-    centroids = means.groupBy(_.getInt(0)).toArray
-      .map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }.sortBy(_._1)
 
     // final assignment against the trained centroids: per-cluster size,
     // exact integer-micro inertia, and the first centroid component as
@@ -338,20 +358,26 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** ANN quality evaluation — recall@k of the sign-LSH index against the
-    * exact brute-force ranking, the acceptance metric every approximate
-    * index ships with. Both top-k relations are k rows by construction, so
-    * the comparison join is trivially small; the heavy lifting is the two
-    * underlying scans, each already scale-shaped (see [[simTopK]] /
-    * [[annLsh]]). Recall is hits/k over identical integer counts in both
-    * engines. */
+  /** ANN quality evaluation — recall@k of BOTH approximate indexes
+    * (sign-LSH and trained IVF) against the exact brute-force ranking,
+    * the acceptance metric every approximate index ships with. All top-k
+    * relations are k rows by construction, so the comparison joins are
+    * trivially small; the heavy lifting is the underlying scans, each
+    * already scale-shaped (see [[simTopK]] / [[annLsh]] / [[annIvf]]).
+    * Recall is hits/k over identical integer counts in both engines. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val exact = simTopK(spark, dir, k).select(col("vec_id"))
-    val ann = annLsh(spark, dir, k).select(col("vec_id").as("ann_id"))
-    exact.join(ann, col("vec_id") === col("ann_id"), "left")
-      .agg(count(lit(1)).as("n_exact"), count(col("ann_id")).as("n_hits"))
+    val lsh = annLsh(spark, dir, k).select(col("vec_id").as("lsh_id"))
+    val ivf = annIvf(spark, dir, k).select(col("vec_id").as("ivf_id"))
+    exact.join(lsh, col("vec_id") === col("lsh_id"), "left")
+      .join(ivf, col("vec_id") === col("ivf_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("lsh_id")).as("n_hits"),
+        count(col("ivf_id")).as("n_hits_ivf"))
       .select(lit(k).as("k"), col("n_exact"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
+        col("n_hits_ivf"),
+        (col("n_hits_ivf").cast("double") / lit(k.toDouble)).as("recall_ivf"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -376,6 +402,42 @@ object VectorQueries {
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |  (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       |   sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** The trained-quantizer CTE chain (mirrors [[trainedCentroids]]: seeds
+    * = vec_id < 8, one decimal-exact Lloyd round), shared by the kmeans,
+    * IVF and recall oracles. Yields `ev` (vectors as doubles) and `c1`
+    * (trained centroid lists in component order). */
+  private val trainedCentroidCtes =
+    """ev AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS ce FROM ev WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT ev.vec_id, c0.cid,
+      |    list_sum(list_transform(list_zip(ev.v, c0.ce),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM ev CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a1.cid, t.i,
+      |    CAST(sum(CAST(ev.v[t.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+      |  FROM a1 JOIN ev USING (vec_id), range(1, 65) t(i)
+      |  GROUP BY a1.cid, t.i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY cid),
+      |d2 AS (
+      |  SELECT ev.vec_id, c1.cid,
+      |    list_sum(list_transform(list_zip(ev.v, c1.ce),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+      |  FROM ev CROSS JOIN c1),
+      |a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk" ->
@@ -408,7 +470,8 @@ object VectorQueries {
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
     "q_ann_recall" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+      s"""WITH $trainedCentroidCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (
          |  SELECT e.vec_id, $cosineSql AS sim
          |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId),
@@ -429,11 +492,20 @@ object VectorQueries {
          |  SELECT e.vec_id, $cosineSql AS sim
          |  FROM bucketed e, q, qb
          |  WHERE e.bucket = qb.qbucket AND e.vec_id <> $QueryVecId),
-         |ann5 AS (SELECT vec_id FROM annscored ORDER BY sim DESC, vec_id LIMIT 5)
+         |ann5 AS (SELECT vec_id FROM annscored ORDER BY sim DESC, vec_id LIMIT 5),
+         |probes AS (SELECT cid FROM d2 WHERE vec_id = $QueryVecId ORDER BY dist, cid LIMIT 2),
+         |ivfscored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e JOIN a2 ON e.vec_id = a2.vec_id, q
+         |  WHERE a2.cid IN (SELECT cid FROM probes) AND e.vec_id <> $QueryVecId),
+         |ivf5 AS (SELECT vec_id FROM ivfscored ORDER BY sim DESC, vec_id LIMIT 5)
          |SELECT CAST(5 AS INTEGER) AS k, count(*) AS n_exact,
          |       count(a.vec_id) AS n_hits,
-         |       count(a.vec_id) / 5.0 AS recall
-         |FROM exact5 e LEFT JOIN ann5 a ON e.vec_id = a.vec_id""".stripMargin,
+         |       count(a.vec_id) / 5.0 AS recall,
+         |       count(i.vec_id) AS n_hits_ivf,
+         |       count(i.vec_id) / 5.0 AS recall_ivf
+         |FROM exact5 e LEFT JOIN ann5 a ON e.vec_id = a.vec_id
+         |              LEFT JOIN ivf5 i ON e.vec_id = i.vec_id""".stripMargin,
     // identical IEEE op chain in both engines (cast, abs, /, floor, *,
     // sequential fold) — no rounding anywhere, like q_quality_score
     "q_emb_quantize" ->
@@ -481,62 +553,22 @@ object VectorQueries {
     // decimal-exact mean update, final assignment. Same left-fold double
     // distance and first-min/smallest-cid tie rule as the Spark plan.
     "q_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS ce FROM e WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT e.vec_id, c0.cid,
-        |    list_sum(list_transform(list_zip(e.v, c0.ce),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |  FROM e CROSS JOIN c0),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT a1.cid, t.i,
-        |    CAST(sum(CAST(e.v[t.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
-        |  FROM a1 JOIN e USING (vec_id), range(1, 65) t(i)
-        |  GROUP BY a1.cid, t.i),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY cid),
-        |d2 AS (
-        |  SELECT e.vec_id, c1.cid,
-        |    list_sum(list_transform(list_zip(e.v, c1.ce),
-        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-        |  FROM e CROSS JOIN c1),
-        |a2 AS (
-        |  SELECT vec_id, cid, dist FROM (
-        |    SELECT vec_id, cid, dist,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d2) WHERE rn = 1)
-        |SELECT a2.cid AS cluster_id, count(*) AS n,
-        |       CAST(sum(CAST(floor(a2.dist * 1e6 + 0.5) AS HUGEINT)) AS BIGINT)
-        |         AS inertia_micros,
-        |       c1.ce[1] AS c_first
-        |FROM a2 JOIN c1 ON a2.cid = c1.cid
-        |GROUP BY a2.cid, c1.ce[1]
-        |ORDER BY cluster_id""".stripMargin,
+      s"""WITH $trainedCentroidCtes
+         |SELECT a2.cid AS cluster_id, count(*) AS n,
+         |       CAST(sum(CAST(floor(a2.dist * 1e6 + 0.5) AS HUGEINT)) AS BIGINT)
+         |         AS inertia_micros,
+         |       c1.ce[1] AS c_first
+         |FROM a2 JOIN c1 ON a2.cid = c1.cid
+         |GROUP BY a2.cid, c1.ce[1]
+         |ORDER BY cluster_id""".stripMargin,
     "q_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
-         |d AS (
-         |  SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(list_zip(e.embedding, c.ce),
-         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-         |           (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
-         |  FROM embeddings e CROSS JOIN c),
-         |a AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d) t WHERE rn = 1),
-         |probes AS (SELECT cid FROM d WHERE vec_id = $QueryVecId ORDER BY dist, cid LIMIT 2),
+      s"""WITH $trainedCentroidCtes,
+         |probes AS (SELECT cid FROM d2 WHERE vec_id = $QueryVecId ORDER BY dist, cid LIMIT 2),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (
          |  SELECT e.vec_id, $cosineSql AS sim
-         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id, q
-         |  WHERE a.cid IN (SELECT cid FROM probes) AND e.vec_id <> $QueryVecId)
+         |  FROM embeddings e JOIN a2 ON e.vec_id = a2.vec_id, q
+         |  WHERE a2.cid IN (SELECT cid FROM probes) AND e.vec_id <> $QueryVecId)
          |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
          |       vec_id, ROUND(sim, 4) AS sim
          |FROM scored ORDER BY rank LIMIT 5""".stripMargin,

@@ -18,9 +18,11 @@ class InventorySpec extends AnyFunSuite {
     assert((os -- qs).isEmpty, s"oracle SQL for unregistered queries: ${(os -- qs).toSeq.sorted}")
     assert(qs.forall(_.startsWith("q_")), "query keys use the q_ namespace")
     // rows-only set is a deliberate, documented exception list — additions
-    // must be argued in COVERAGE.md, not slipped in
-    assert((qs -- os) == Set("q_geo_flagship_5880"),
-      s"rows-only (oracle-less) queries changed: ${(qs -- os).toSeq.sorted}")
+    // must be argued in COVERAGE.md, not slipped in. Empty since round 11:
+    // the last holdout (q_geo_flagship_5880) got a hard oracle via the
+    // phased 100 m^2 bucket device.
+    assert((qs -- os).isEmpty,
+      s"rows-only (oracle-less) queries appeared: ${(qs -- os).toSeq.sorted}")
   }
 
   test("README.md and COVERAGE.md state the derived inventory counts") {

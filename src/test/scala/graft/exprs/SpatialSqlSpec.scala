@@ -575,7 +575,10 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getString(2) == "ST_GeometryCollection")
     assert(r.getInt(3) == 2)
     assert(r.isNullAt(4))
-    assert(r.getString(5) == "ST_Point") // single part stays atomic (JTS buildGeometry)
+    // single part is PROMOTED to its MULTI type — Sedona/PostGIS ST_Collect
+    // always yields a collection (JTS buildGeometry alone would return the
+    // bare geometry, the latent oracle trap fixed in round 11)
+    assert(r.getString(5) == "ST_MultiPoint")
     // collect does NOT dissolve: two overlapping unit squares keep area 2·1,
     // where st_union_agg would merge to 1.75
     val a = one(

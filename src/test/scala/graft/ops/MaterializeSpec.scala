@@ -90,4 +90,44 @@ class MaterializeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Materialize.gc(base, "t", keep = 1))
     assertThrows[IllegalArgumentException](Materialize.gc(base, "t", keep = 0))
   }
+
+  test("failure hook fires on a gated publish failure, after cleanup, before the throw") {
+    import spark.implicits._
+    val base = freshBase()
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v") // unique-key violation
+    var notified = Option.empty[(String, String, String)]
+    val e = intercept[IllegalStateException] {
+      Materialize.publish(dup, base, "t", "v1", Seq("k"),
+        onFailure = (table, version, err) =>
+          notified = Some((table, version, err.getMessage)))
+    }
+    assert(e.getMessage.contains("unique-key"))
+    assert(notified.exists { case (t, v, msg) =>
+      t == "t" && v == "v1" && msg.contains("unique-key") })
+    // cleanup happened before the hook observed the failure: rejected
+    // version gone, pointer never created
+    assert(!Files.exists(Paths.get(base, "t", "versions", "v1")))
+    assert(!Files.exists(Paths.get(base, "t", "current")))
+  }
+
+  test("a throwing failure hook never masks the publish failure itself") {
+    import spark.implicits._
+    val base = freshBase()
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      Materialize.publish(dup, base, "t", "v1", Seq("k"),
+        onFailure = (_, _, _) => sys.error("notifier down"))
+    }
+    assert(e.getMessage.contains("unique-key"), s"hook error must not mask: $e")
+  }
+
+  test("successful publish never invokes the failure hook") {
+    import spark.implicits._
+    val base = freshBase()
+    var called = false
+    Materialize.publish(Seq((1L, "a")).toDF("k", "v"), base, "t", "v1", Seq("k"),
+      onFailure = (_, _, _) => called = true)
+    assert(!called)
+    assert(Materialize.current(spark, base, "t").count() == 1)
+  }
 }

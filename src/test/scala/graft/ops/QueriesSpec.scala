@@ -59,14 +59,14 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("5880 flagship areas match a per-parcel shoelace closed form within 0.11 m^2") {
+  test("5880 flagship: closed-form cross-check, bucket agreement, and boundary margins") {
     import org.apache.spark.sql.functions._
-    // Quantitative cross-check for the no-oracle q_geo_flagship_5880 entry:
-    // each group's clipped union is a set of disjoint 400 m EPSG:3857
-    // squares, so its Polyconic area has a closed form — transform each
-    // square's 4 corners and shoelace-sum — computed here WITHOUT the
-    // union/intersection/st_area pipeline under test (only the Crs vertex
-    // math is shared, and that carries its own absolute anchors in CrsSpec).
+    // Cross-check for the q_geo_flagship_5880 oracle device: each group's
+    // clipped union is a set of disjoint 400 m EPSG:3857 squares, so its
+    // Polyconic area has a closed form — transform each square's 4 corners
+    // and shoelace-sum — computed here WITHOUT the union/intersection/
+    // st_area pipeline under test (only the Crs vertex math is shared, and
+    // that carries its own absolute anchors in CrsSpec).
     val tx = graft.geom.Crs.pointTransform("EPSG:3857", "EPSG:5880")
     def parcelArea(x0: Double, y0: Double): Double = {
       val pts = Array((x0, y0), (x0 + 400, y0), (x0 + 400, y0 + 400), (x0, y0 + 400))
@@ -89,11 +89,36 @@ class QueriesSpec extends AnyFunSuite {
     val expected = parcels
       .groupBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
       .map { case (k, rs) => k -> rs.map(r => parcelArea(r.getDouble(3), r.getDouble(4))).sum }
-    val got = SparkEntry.queries("q_geo_flagship_5880")(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
-    assert(got.keySet == expected.keySet)
-    val worst = expected.map { case (k, a) => math.abs(got(k) - a) }.max
+
+    // (1) raw pipeline areas within 0.11 m^2 of the closed form
+    val raw = Pipelines.flagshipMeasured(spark, dir, gapBuffer = 0.0, to5880 = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(raw.keySet == expected.keySet)
+    val worst = expected.map { case (k, a) => math.abs(raw(k) - a) }.max
     assert(worst <= 0.11, s"worst group-area divergence $worst m^2")
+
+    // (2) the phased 1000 m^2 bucket: boundary margin >= 1 m^2 for EVERY
+    // group (vs <=0.005 m^2 measured Spark<->DuckDB divergence — ~200×),
+    // on both the pipeline value and the closed form — the guarantee the
+    // oracle hash-match rests on (measured fixture-wide minimum: 2.43 m^2)
+    val g = Pipelines.Bucket5880Size
+    val phase = Pipelines.Bucket5880Phase
+    def boundaryDist(v: Double): Double = {
+      val u = v / g - phase
+      math.abs(u - math.round(u)) * g
+    }
+    (raw.values ++ expected.values).foreach { v =>
+      assert(boundaryDist(v) >= 1.0,
+        s"area $v is ${boundaryDist(v)} m^2 from a bucket boundary (phase drifted?)")
+    }
+
+    // (3) bucketed query output == bucketed closed form, group by group
+    val got = SparkEntry.queries("q_geo_flagship_5880")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, a) =>
+      assert(got(k) == math.floor(a / g - phase).toLong, s"bucket mismatch at $k")
+    }
   }
 
   test("approx_count_distinct audit row: exact counts match and both booleans hold") {
