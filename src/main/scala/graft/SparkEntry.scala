@@ -61,6 +61,10 @@ object SparkEntry {
       // st_distance_spheroid: Andoyer-Lambert GRS80 geodesic, verbatim
       // arithmetic mirror oracle through the ROUND(.,1) funnel.
       "q_distance_spheroid" -> (Pipelines.distanceSpheroidRollup _),
+      // st_distance_geodesic: EXACT WGS84 Vincenty inverse in
+      // fixed-iteration deterministic mode; machine-generated fully
+      // unrolled 30-iteration oracle replay.
+      "q_geodesic" -> (Pipelines.geodesicRollup _),
       // st_area_sphere: Chamberlain-Duquette spherical polygon area,
       // exact on graticule cells; oracle mirrors the edge terms.
       "q_area_sphere" -> (Pipelines.areaSphereRollup _),
@@ -129,6 +133,7 @@ object SparkEntry {
     ("q_hex_buckets" -> Pipelines.hexBucketsOracleSql) +
     ("q_distance_sphere" -> Pipelines.distanceSphereOracleSql) +
     ("q_distance_spheroid" -> Pipelines.distanceSpheroidOracleSql) +
+    ("q_geodesic" -> Pipelines.geodesicOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +

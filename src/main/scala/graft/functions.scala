@@ -59,6 +59,11 @@ object functions {
     * thresholds near that tolerance may classify differently). */
   def st_distance_spheroid(a: Column, b: Column): Column =
     col(StDistanceSpheroid(ex(a), ex(b)))
+  /** EXACT WGS84 geodesic meters (Vincenty inverse, fixed-iteration
+    * deterministic mode) — the Sedona-accuracy-class companion to the
+    * approximate st_distance_spheroid above. */
+  def st_distance_geodesic(a: Column, b: Column): Column =
+    col(StDistanceGeodesic(ex(a), ex(b)))
   def st_area_sphere(g: Column): Column = col(StAreaSphere(ex(g)))
   def st_length_sphere(g: Column): Column = col(StLengthSphere(ex(g)))
   def st_geometrytype(g: Column): Column = col(StGeometryType(ex(g)))
@@ -258,6 +263,7 @@ object functions {
     r2("st_distance", StDistance)
     r2("st_distance_sphere", StDistanceSphere)
     r2("st_distance_spheroid", StDistanceSpheroid)
+    r2("st_distance_geodesic", StDistanceGeodesic)
     r1("st_area_sphere", StAreaSphere)
     r1("st_length_sphere", StLengthSphere)
     r1("st_geometrytype", StGeometryType)

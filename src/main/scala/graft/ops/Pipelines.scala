@@ -646,6 +646,101 @@ object Pipelines {
       |SELECT gx, gy, n, CAST(round(d_m, 1) AS DECIMAL(12,1)) AS dist_m
       |FROM d ORDER BY gx, gy""".stripMargin
 
+  /** Exact-geodesic rollup: the same 648-cell 10° grid → anchor lines as
+    * [[distanceSpheroidRollup]], measured with `st_distance_geodesic` —
+    * the EXACT WGS84 Vincenty inverse in fixed-iteration deterministic
+    * mode — through the same ROUND(·,1) DECIMAL funnel. The oracle is a
+    * MACHINE-GENERATED, fully-unrolled replay of all 30 λ-iterations
+    * (see [[geodesicOracleSql]]): because the iteration count is fixed
+    * and branch-free, the computation is one dataflow of
+    * correctly-rounded ops + libm trig, so last-ulp drift stays within
+    * the funnel's verified margins even where the iteration has not
+    * fully converged (the near-antipodal cells). */
+  def geodesicRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon = col("gx").cast("double") * 10.0 - 175.0
+    val lat = col("gy").cast("double") * 10.0 - 85.0
+    cells
+      .withColumn("d_m", st_distance_geodesic(
+        st_point(lon, lat), st_point(lit(-56.0), lit(-17.0))))
+      .select(col("gx"), col("gy"), col("n"),
+        round(col("d_m"), 1).cast("decimal(12,1)").as("dist_m"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Generator for the unrolled Vincenty mirror. Each unrolled iteration
+    * replays `StDistanceGeodesic.lambdaStep`'s exact op sequence as
+    * DuckDB lateral column aliases, wrapped so only the carried state
+    * (gx, gy, n, l0, sinU/cosU, λ_k) escapes each CTE — intermediates
+    * never collide across iterations. Constants are embedded as
+    * round-tripping double literals from [[graft.exprs.StDistanceGeodesic]]. */
+  val geodesicOracleSql: String = {
+    import graft.exprs.StDistanceGeodesic.{Deg2Rad, E2b, Flattening, Iterations, SemiMinorM}
+    val F = Flattening.toString
+    val carried = "gx, gy, n, l0, su1, cu1, su2, cu2"
+    def iterCte(k: Int): String =
+      s"""i$k AS (SELECT $carried, lam$k FROM (
+         |  SELECT $carried,
+         |    sin(lam${k - 1}) AS sinlam, cos(lam${k - 1}) AS coslam,
+         |    cu2 * sinlam AS t1, cu1 * su2 - su1 * cu2 * coslam AS t2,
+         |    sqrt(t1 * t1 + t2 * t2) AS sinsig,
+         |    su1 * su2 + cu1 * cu2 * coslam AS cossig,
+         |    atan2(sinsig, cossig) AS sig,
+         |    CASE WHEN sinsig = 0.0 THEN 0.0 ELSE cu1 * cu2 * sinlam / sinsig END AS sinalp,
+         |    1.0 - sinalp * sinalp AS cos2alp,
+         |    CASE WHEN cos2alp = 0.0 THEN 0.0
+         |         ELSE cossig - 2.0 * su1 * su2 / cos2alp END AS cos2sm,
+         |    $F / 16.0 * cos2alp * (4.0 + $F * (4.0 - 3.0 * cos2alp)) AS cc,
+         |    l0 + (1.0 - cc) * $F * sinalp *
+         |      (sig + cc * sinsig * (cos2sm + cc * cossig *
+         |        (-1.0 + 2.0 * cos2sm * cos2sm))) AS lam$k
+         |  FROM i${k - 1}))""".stripMargin
+    val iters = (1 to Iterations).map(iterCte).mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+       |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |i0 AS (SELECT $carried, lam0 FROM (
+       |  SELECT gx, gy, n,
+       |    (gx * 10.0 - 175.0) AS lon1,
+       |    CASE WHEN (-56.0 - lon1) > 180.0 THEN (-56.0 - lon1) - 360.0
+       |         WHEN (-56.0 - lon1) < -180.0 THEN (-56.0 - lon1) + 360.0
+       |         ELSE (-56.0 - lon1) END * $Deg2Rad AS l0,
+       |    atan((1.0 - $F) * tan((gy * 10.0 - 85.0) * $Deg2Rad)) AS uu1,
+       |    atan((1.0 - $F) * tan((-17.0) * $Deg2Rad)) AS uu2,
+       |    sin(uu1) AS su1, cos(uu1) AS cu1, sin(uu2) AS su2, cos(uu2) AS cu2,
+       |    l0 AS lam0
+       |  FROM g)),
+       |$iters,
+       |fin AS (SELECT gx, gy, n, d FROM (
+       |  SELECT gx, gy, n,
+       |    sin(lam$Iterations) AS sinlam, cos(lam$Iterations) AS coslam,
+       |    cu2 * sinlam AS t1, cu1 * su2 - su1 * cu2 * coslam AS t2,
+       |    sqrt(t1 * t1 + t2 * t2) AS sinsig,
+       |    su1 * su2 + cu1 * cu2 * coslam AS cossig,
+       |    atan2(sinsig, cossig) AS sig,
+       |    CASE WHEN sinsig = 0.0 THEN 0.0 ELSE cu1 * cu2 * sinlam / sinsig END AS sinalp,
+       |    1.0 - sinalp * sinalp AS cos2alp,
+       |    CASE WHEN cos2alp = 0.0 THEN 0.0
+       |         ELSE cossig - 2.0 * su1 * su2 / cos2alp END AS cos2sm,
+       |    cos2alp * $E2b AS ua2,
+       |    1.0 + ua2 / 16384.0 * (4096.0 + ua2 * (-768.0 + ua2 * (320.0 - 175.0 * ua2))) AS aa,
+       |    ua2 / 1024.0 * (256.0 + ua2 * (-128.0 + ua2 * (74.0 - 47.0 * ua2))) AS bb,
+       |    bb * sinsig * (cos2sm + bb / 4.0 * (cossig * (-1.0 + 2.0 * cos2sm * cos2sm)
+       |      - bb / 6.0 * cos2sm * (-3.0 + 4.0 * sinsig * sinsig)
+       |        * (-3.0 + 4.0 * cos2sm * cos2sm))) AS dsig,
+       |    CASE WHEN sinsig = 0.0 THEN 0.0
+       |         ELSE $SemiMinorM * aa * (sig - dsig) END AS d
+       |  FROM i$Iterations))
+       |SELECT gx, gy, n, CAST(round(d, 1) AS DECIMAL(12,1)) AS dist_m
+       |FROM fin ORDER BY gx, gy""".stripMargin
+  }
+
   /** Spherical polygon area rollup ([[graft.exprs.StAreaSphere]], the
     * Sedona/PostGIS spheroid-area analogue): each occupied 10° graticule
     * cell of the event grid is built as an exact-integer WKT rectangle and

@@ -424,6 +424,53 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(nulls2.isNullAt(0) && nulls2.isNullAt(1))
   }
 
+  test("st_distance_geodesic: exact WGS84 anchors, Vincenty class, antipodal determinism") {
+    import graft.exprs.StDistanceGeodesic.vincentyMeters
+    // meridian quadrant: the λ iteration is stationary (sinα = 0), so the
+    // fixed-iteration result is the EXACT meridional arc — the published
+    // WGS84 quadrant 10 001 965.7293 m to sub-mm
+    val quad = vincentyMeters(0.0, 0.0, 0.0, 90.0)
+    assert(math.abs(quad - 10001965.7293) < 0.001, s"meridian quadrant: $quad")
+    // the equator is a geodesic of radius a: distance = a·Δλ exactly
+    // (shown in closed form: λ* = L/(1−f), σ* = λ*, s = b·σ* = a·L)
+    val eq90 = vincentyMeters(0.0, 0.0, 90.0, 0.0)
+    assert(math.abs(eq90 - 6378137.0 * (math.Pi / 2.0)) < 1e-3, s"equator quadrant: $eq90")
+    val eq1 = vincentyMeters(10.0, 0.0, 11.0, 0.0)
+    assert(math.abs(eq1 - 6378137.0 * math.Pi / 180.0) < 1e-6, s"equator degree: $eq1")
+    // JFK-LHR: GeographicLib/Karney geodesic at these coordinates is
+    // 5 555 052.4 m; Vincenty agrees to sub-mm (vs Andoyer's ~8 m)
+    val jfk = vincentyMeters(-73.7787, 40.6398, -0.4543, 51.4700)
+    assert(math.abs(jfk - 5555052.4) < 0.5, s"JFK-LHR: $jfk")
+    // direction symmetry (not bit-exact: the swapped evaluation is a
+    // different FP op sequence, but it is the same geodesic)
+    assert(math.abs(jfk - vincentyMeters(-0.4543, 51.4700, -73.7787, 40.6398)) < 1e-6)
+    // lon-difference normalization: ±360° wraps measure the short way
+    assert(math.abs(vincentyMeters(-175.0, 10.0, 175.0, 10.0) -
+                    vincentyMeters(185.0, 10.0, 175.0, 10.0)) < 1e-6)
+    // Andoyer consistency: first-order approximation lands within tens of
+    // meters of the exact geodesic on an intercontinental line
+    val and = StDistanceSpheroid.andoyerMeters(-73.7787, 40.6398, -0.4543, 51.4700)
+    assert(math.abs(jfk - and) < 60.0, s"Vincenty $jfk vs Andoyer $and")
+    // coincident points: 0 through the sinσ guard
+    assert(vincentyMeters(12.5, -33.25, 12.5, -33.25) == 0.0)
+    // NEAR-ANTIPODAL (Vincenty's non-converging region): fixed-iteration
+    // mode must stay deterministic and land in the physically sane band
+    // (all geodesic distances lie within [half meridian − f·a, half
+    // meridian + slack] near the antipode)
+    val anti = vincentyMeters(125.0, 15.0, -56.0, -17.0)
+    assert(java.lang.Double.isFinite(anti) && anti > 1.95e7 && anti < 2.01e7,
+      s"near-antipodal: $anti")
+    assert(anti == vincentyMeters(125.0, 15.0, -56.0, -17.0)) // bit-deterministic
+    // SQL surface + null discipline
+    val r = one("""SELECT st_distance_geodesic(st_point(0.0D, 0.0D), st_point(0.0D, 90.0D)) AS d,
+                          st_distance_geodesic(st_geomfromwkt('LINESTRING (0 0, 1 1)'),
+                                               st_point(0.0D, 0.0D)) AS a,
+                          st_distance_geodesic(st_geomfromwkt('POINT EMPTY'),
+                                               st_point(0.0D, 0.0D)) AS b""")
+    assert(math.abs(r.getDouble(0) - 10001965.7293) < 0.001)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("st_area_sphere: graticule closed forms up to the full sphere, holes, multipolygons") {
     val R = StDistanceSphere.MeanRadiusM
     def area(wkt: String): Double =
