@@ -1238,7 +1238,53 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Filter-cascade accounting — the per-gate survival report every
+    * production corpus pipeline publishes (how many documents each
+    * quality gate dropped, cumulatively): ingest → minimum length →
+    * language allowlist → stopword-density floor → exact dedup. All four
+    * gate decisions are computed as cumulative boolean flags in ONE pass
+    * (no per-stage re-filtering jobs); the only shuffles are the dedup
+    * window on the content key and the single-row global rollup with
+    * map-side partials — at 100 TB the window key would be a content
+    * hash rather than the raw text, which changes bytes shuffled, not
+    * the plan. The stopword gate compares by integer cross-multiply
+    * (20·n_stop ≥ n_tokens, i.e. density ≥ 0.05) so no float ever forms.
+    * Gate parameters are fixture-calibrated so every stage drops real
+    * documents at every scale factor. */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is", "on", "for", "with")
+    val flagged = Par.fanOut(documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars")))
+      .withColumn("s1", col("n_chars") >= 150)
+      .withColumn("s2", col("s1") && col("lang").isin("en", "es", "de", "fr"))
+      .withColumn("ntok",
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .withColumn("nstop", size(expr(
+        s"filter(split(text, ' '), t -> t IN (${stops.map(s => s"'$s'").mkString(",")}))")))
+      .withColumn("s3", col("s2") && (col("nstop") * 20 >= col("ntok")))
+      // exact dedup among gate-3 survivors: first doc_id of each text wins
+      // (failed rows partition separately and never steal a survivor's slot)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("text"), col("s3")).orderBy(col("doc_id"))))
+      .withColumn("s4", col("s3") && col("rn") === 1)
+    def kept(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    flagged
+      .agg(count(lit(1)).as("n0"), kept("s1").as("n1"), kept("s2").as("n2"),
+        kept("s3").as("n3"), kept("s4").as("n4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'ingest',           n0, CAST(0 AS BIGINT),
+          |  1, 'min_length',       n1, n0 - n1,
+          |  2, 'lang_allowlist',   n2, n1 - n2,
+          |  3, 'stopword_density', n3, n2 - n3,
+          |  4, 'exact_dedup',      n4, n3 - n4
+          |) AS (stage, gate, n_kept, n_dropped)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_cascade" -> (filterCascade _),
     "q_dedup_exact" -> (dedupExact _),
     "q_corpus_drift" -> ((s, d) => corpusDrift(s, d)),
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -1657,6 +1703,36 @@ object TextQueries {
         |  CAST(min(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS min_tokens,
         |  CAST(max(length(text) - length(replace(text, ' ', '')) + 1) AS INTEGER) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_filter_cascade" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    (n_chars >= 150) AS s1,
+        |    (n_chars >= 150 AND lang IN ('en','es','de','fr')) AS s2,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS ntok,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','of','and','a','to','in','is','on','for','with'))) AS nstop
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, s1, s2, (s2 AND 20 * nstop >= ntok) AS s3 FROM d),
+        |r AS (
+        |  SELECT s1, s2, s3,
+        |    (s3 AND row_number() OVER (PARTITION BY text, s3 ORDER BY doc_id) = 1) AS s4
+        |  FROM f),
+        |t AS (
+        |  SELECT count(*) AS n0,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM r)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS stage, 'ingest' AS gate,
+        |         n0 AS n_kept, CAST(0 AS BIGINT) AS n_dropped FROM t
+        |  UNION ALL SELECT 1, 'min_length', n1, n0 - n1 FROM t
+        |  UNION ALL SELECT 2, 'lang_allowlist', n2, n1 - n2 FROM t
+        |  UNION ALL SELECT 3, 'stopword_density', n3, n2 - n3 FROM t
+        |  UNION ALL SELECT 4, 'exact_dedup', n4, n3 - n4 FROM t)
+        |ORDER BY stage""".stripMargin,
     "q_token_regex" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
