@@ -167,7 +167,43 @@ object GraphQueries {
     done.orderBy(col("node"))
   }
 
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü &amp; Zhang
+    * 2009 — the integer-friendly sibling of Adamic-Adar): predicted
+    * affinity between two part buckets = Σ over shared orders of
+    * 1/|order|, here in exact micros (`1000000 DIV order_size`) so both
+    * engines replay the sum bit-for-bit. The bipartite wedge runs through
+    * the ORDER side — the side whose degree is naturally bounded (TPC-H
+    * ≤7 parts/order; web graphs: documents, baskets, sessions) — so the
+    * per-wedge fan-out is O(d²) of a SMALL d, never of a hub part. A
+    * `maxWedge` gate (64) makes the bound explicit: a pathological
+    * container wider than that is excluded loudly-by-rule rather than
+    * quadratically exploding, the standard production guard.
+    *
+    * Scale shape: one distinct on (order, part), one self-equi-join on
+    * the order key (shuffle co-located, AQE-splittable), one grouped sum
+    * with map-side partials, then a global top-50 which Catalyst plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). Ties
+    * break (score DESC, a, b) — fully deterministic. */
+  def linkPredictRa(spark: SparkSession, dir: String, k: Int = 50,
+                    maxWedge: Int = 64): DataFrame = {
+    val e = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), pmod(col("l_partkey"), lit(200L)).as("p"))
+      .distinct()
+    val osz = e.groupBy(col("o")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxWedge)
+    val a = e.select(col("o"), col("p").as("pa"))
+    val b = e.select(col("o"), col("p").as("pb"))
+    a.join(b, "o").filter(col("pa") < col("pb"))
+      .join(osz, "o")
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 DIV d")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_predict" -> ((s, d) => linkPredictRa(s, d)),
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
     "q_khop" -> ((s, d) => khopReach(s, d)),
@@ -175,6 +211,19 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS p FROM lineitem),
+        |osz AS (
+        |  SELECT o, count(*) AS d FROM e GROUP BY o HAVING count(*) <= 64),
+        |w AS (
+        |  SELECT a.p AS pa, b.p AS pb, osz.d
+        |  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+        |  JOIN osz ON a.o = osz.o)
+        |SELECT pa, pb, count(*) AS n_common,
+        |       CAST(sum(1000000 // d) AS BIGINT) AS score_micros
+        |FROM w GROUP BY pa, pb
+        |ORDER BY score_micros DESC, pa, pb LIMIT 50""".stripMargin,
     "q_label_prop" ->
       """WITH und AS (
         |  SELECT DISTINCT l_partkey % 300 AS x, l_suppkey % 300 AS y

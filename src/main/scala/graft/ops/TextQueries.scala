@@ -1283,7 +1283,134 @@ object TextQueries {
       .orderBy(col("stage"))
   }
 
+  /** Regex-class PII scrubbing — the structured cousin of
+    * [[redactDenylist]]: where the denylist masks literal terms, this pass
+    * masks whole CHARACTER CLASSES (emails, dotted-quad IPs, phone
+    * extensions) with typed placeholder tokens, the standard
+    * pre-training privacy scrub. The synthetic corpus carries no PII, so
+    * deterministic spans are derived from doc_id (emails on even ids, IPs
+    * on multiples of 3, phones on multiples of 5 — leaving genuinely
+    * clean docs) and appended before the scrub; the operator itself never
+    * looks at how the text was made.
+    *
+    * Patterns are deliberately RE2∩java.util.regex common ground
+    * (character classes, non-capturing alternation — no lookaround, no
+    * backrefs), so the DuckDB oracle replays the exact same automaton.
+    * Scale shape: pure per-row projection (three regex passes + three
+    * match counts) then one map-side-partial rollup — nothing changes
+    * between 500 rows and 100 TB. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(2L)) === 0L,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@mail"),
+          pmod(col("doc_id"), lit(7L)).cast("string"), lit(".com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" ip 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(100L)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0L, lit(" tel 555-0142"))
+        .otherwise(lit("")))
+    val emailPat = "[a-z0-9]+@[a-z0-9]+\\.(?:com|org)"
+    val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val phonePat = "555-[0-9]{4}"
+    documents(spark, dir)
+      .withColumn("aug", aug)
+      .withColumn("n_email",
+        size(regexp_extract_all(col("aug"), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(col("aug"), lit(ipPat), lit(0))).cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("aug"), lit(phonePat), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+            ipPat, "<IP>"),
+          phonePat, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("n_phone")).as("n_phones"),
+        count(when(col("n_email") + col("n_ip") + col("n_phone") === 0L,
+          lit(1))).as("docs_clean"),
+        sum(length(col("scrubbed"))).as("sum_len_scrubbed"))
+      .orderBy(col("source"))
+  }
+
+  /** URL parse + host-normalization rollup — the per-domain frequency
+    * table every web-corpus pipeline builds (CCNet/RefinedWeb-style
+    * domain accounting feeding blocklists and per-domain caps).
+    * Deterministic URLs are synthesized from doc_id (13 hosts × 2 TLDs,
+    * a www. prefix on every 4th doc); the operator is the regex parse:
+    * host extraction, `www.` strip, TLD split, path-depth count. All
+    * regexes are RE2∩Java common ground, every output column an exact
+    * integer or string. Scale shape: per-row projection + one rollup on
+    * the (host, tld) key — the host column is exactly what a 100 TB run
+    * would range-partition on. */
+  def urlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"),
+      when(pmod(col("doc_id"), lit(4L)) === 0L, lit("www.")).otherwise(lit("")),
+      lit("site"), pmod(col("doc_id"), lit(13L)).cast("string"),
+      lit(".example."),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit("com")).otherwise(lit("net")),
+      lit("/"), col("source"), lit("/page"), col("doc_id").cast("string"),
+      lit(".html"))
+    documents(spark, dir)
+      .withColumn("url", url)
+      .withColumn("raw_host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      .withColumn("host", regexp_replace(col("raw_host"), "^www\\.", ""))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+      .withColumn("path",
+        regexp_extract(col("url"), "^https://[^/]+(/.*)$", 1))
+      .withColumn("depth", (size(split(col("path"), "/")) - 1).cast("long"))
+      .groupBy(col("host"), col("tld"))
+      .agg(count(lit(1)).as("n_urls"),
+        count(when(col("raw_host").startsWith("www."), lit(1))).as("n_www"),
+        sum(col("depth")).as("sum_depth"))
+      .orderBy(col("host"))
+  }
+
+  /** Intra-document segment dedup — the within-doc repetition REMOVAL
+    * pass (the Gopher/C4 "drop duplicated paragraphs" rule) where
+    * [[repetition]] only scores it: the document splits into 10-token
+    * segments, repeated segments are dropped keeping the first
+    * occurrence, and the rollup accounts tokens kept vs chars removed
+    * per source. Everything is per-row ARRAY algebra (split → segment →
+    * array_distinct) — the dedup never shuffles, because the unit of
+    * dedup lives inside one row; only the final rollup aggregates. At
+    * 100 TB this is the cheapest pass in the pipeline: one projection,
+    * one map-side-partial rollup. Distinctness is measured on exact
+    * segment text; counts/char sums are order-invariant, so Spark's
+    * first-occurrence array_distinct and the oracle's list_distinct
+    * agree regardless of retention order. */
+  def intradocDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("segs",
+        when(size(col("toks")) === 0, expr("CAST(array() AS array<string>)"))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks) - 1, 10)," +
+              " i -> concat_ws(' ', slice(toks, i + 1, 10)))")))
+      .withColumn("kept", array_distinct(col("segs")))
+      .withColumn("c_tot",
+        expr("aggregate(segs, 0L, (a, s) -> a + length(s))"))
+      .withColumn("c_kept",
+        expr("aggregate(kept, 0L, (a, s) -> a + length(s))"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(size(col("kept")) < size(col("segs")), lit(1)))
+          .as("docs_with_dup"),
+        sum(size(col("segs")).cast("long")).as("n_segs"),
+        sum(size(col("kept")).cast("long")).as("n_kept"),
+        sum(col("c_tot") - col("c_kept")).as("chars_removed"))
+      .orderBy(col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (piiScrub _),
+    "q_url_extract" -> (urlExtract _),
+    "q_intradoc_dedup" -> (intradocDedup _),
     "q_filter_cascade" -> (filterCascade _),
     "q_dedup_exact" -> (dedupExact _),
     "q_corpus_drift" -> ((s, d) => corpusDrift(s, d)),
@@ -1352,6 +1479,78 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    text
+        |      || CASE WHEN doc_id % 2 = 0 THEN
+        |           ' contact u' || CAST(doc_id AS VARCHAR) || '@mail'
+        |             || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN
+        |           ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |             || CAST(doc_id % 100 AS VARCHAR)
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-0142' ELSE '' END
+        |      AS aug
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9]+\.(?:com|org)')) AS n_email,
+        |    len(regexp_extract_all(aug, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ip,
+        |    len(regexp_extract_all(aug, '555-[0-9]{4}')) AS n_phone,
+        |    length(regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[a-z0-9]+@[a-z0-9]+\.(?:com|org)', '<EMAIL>', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g')) AS len_scrubbed
+        |  FROM a)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |  count(CASE WHEN n_email + n_ip + n_phone = 0 THEN 1 END) AS docs_clean,
+        |  CAST(sum(len_scrubbed) AS BIGINT) AS sum_len_scrubbed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |      || 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'net' END
+        |      || '/' || source || '/page' || CAST(doc_id AS VARCHAR) || '.html'
+        |      AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS raw_host,
+        |    regexp_replace(regexp_extract(url, '^https://([^/]+)/', 1),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path
+        |  FROM u)
+        |SELECT host, regexp_extract(host, '\.([a-z]+)$', 1) AS tld,
+        |  count(*) AS n_urls,
+        |  count(CASE WHEN raw_host LIKE 'www.%' THEN 1 END) AS n_www,
+        |  CAST(sum(len(string_split(path, '/')) - 1) AS BIGINT) AS sum_depth
+        |FROM p GROUP BY host, tld ORDER BY host""".stripMargin,
+    "q_intradoc_dedup" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    list_transform(range(0, len(toks), 10),
+        |      i -> array_to_string(toks[CAST(i + 1 AS BIGINT):CAST(i + 10 AS BIGINT)], ' ')) AS segs
+        |  FROM t),
+        |m AS (
+        |  SELECT source, len(segs) AS n_seg, len(list_distinct(segs)) AS n_kept,
+        |    coalesce(list_sum(list_transform(segs, x -> length(x))), 0) AS c_tot,
+        |    coalesce(list_sum(list_transform(list_distinct(segs), x -> length(x))), 0) AS c_kept
+        |  FROM s)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN n_kept < n_seg THEN 1 END) AS docs_with_dup,
+        |  CAST(sum(n_seg) AS BIGINT) AS n_segs,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(c_tot - c_kept) AS BIGINT) AS chars_removed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_hapax" ->
       """WITH ps AS (
         |  SELECT source, t, count(*) AS n_in_source FROM (

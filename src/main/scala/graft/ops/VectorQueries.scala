@@ -395,7 +395,115 @@ object VectorQueries {
         (col("n_hits_ivf").cast("double") / lit(k.toDouble)).as("recall_ivf"))
   }
 
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Array[Array[Seq[Double]]]]()
+
+  /** Product-quantization codebooks: 8 subspaces × (≤16 codes × 8 dims),
+    * trained exactly like [[trainedCentroids]] but independently per
+    * subspace — seeds are the sub-vectors of vec_id &lt; 16, then ONE
+    * decimal-exact Lloyd round (assign by L2 with cid tie-break →
+    * DECIMAL(18,9) component sums / count). Empty clusters drop; each
+    * subspace's surviving codes are kept in cid order, so an array index
+    * equals "smallest-cid-first", which is exactly the oracle's
+    * `ORDER BY dist, cid` tie rule. Driver read bounded by m×ksub×sub
+    * doubles (1024 values). Training is ONE Spark job: the subspace axis
+    * is an explode, never a per-subspace loop of jobs. */
+  private def trainedPqBooks(spark: SparkSession, dir: String,
+                             m: Int = 8, ksub: Int = 16): Array[Array[Seq[Double]]] =
+    pqCache.computeIfAbsent((spark, dir), _ => trainPqBooks(spark, dir, m, ksub))
+
+  private def trainPqBooks(spark: SparkSession, dir: String,
+                           m: Int, ksub: Int): Array[Array[Seq[Double]]] = {
+    val seedRows = embeddings(spark, dir).filter(col("vec_id") < ksub)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("embedding")).collect()
+    if (seedRows.isEmpty) return Array.empty
+    val dims = seedRows.head.getSeq[Float](1).length
+    val sub = dims / m
+    // seeds per subspace, cid order == array order (vec_id ascending)
+    val seeds: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seedRows.toSeq.map(r =>
+        r.getSeq[Float](1).slice(s * sub, (s + 1) * sub).toSeq.map(_.toDouble))
+    }
+    val seedsLit = typedlit(seeds)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val assigned = Par.fanOut(embeddings(spark, dir))
+      .withColumn("v", embD)
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("sv", slice(col("v"), col("s") * lit(sub) + lit(1), lit(sub)))
+      .withColumn("dists", transform(element_at(seedsLit, col("s") + 1),
+        c => foldSum(zip_with(col("sv"), c, (a, b) => (a - b) * (a - b)))))
+      // first position of the min == smallest seed index == smallest cid
+      .withColumn("cid",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+    val means = assigned
+      .select(col("s"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col").cast("decimal(18,9)")).as("sm"))
+      .select(col("s"), col("cid"), col("pos"),
+        (col("sm").cast("double") / col("n").cast("double")).as("m"))
+      .collect()
+    val bySub = means.groupBy(_.getInt(0))
+    (0 until m).toArray.map { s =>
+      bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+        .groupBy(_.getInt(1)).toArray
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Product-quantization ANN (IVF-PQ's compression half, Jégou et al.
+    * 2011): every vector is encoded as 8 sub-codes (nearest trained
+    * codebook entry per 8-dim subspace) and ranked by the distance from
+    * the query to its RECONSTRUCTION — asymmetric distance computation
+    * with the lookup table inlined as the reconstructed codeword. The
+    * codebooks are a driver-side constant (like the IVF centroids), so
+    * encode+score is a pure per-row projection: at 100 TB the 64-byte
+    * codes are what sits in storage, the fleet scans codes not vectors,
+    * and this query is the re-ranking kernel over any candidate stream.
+    * Top-k runs as TakeOrderedAndProject. Ties break (dist, vec_id);
+    * sub-code ties break smallest-cid-first in both engines. */
+  def annPq(spark: SparkSession, dir: String, k: Int = 5,
+            m: Int = 8, ksub: Int = 16): DataFrame = {
+    val qOpt = queryVectorOpt(spark, dir)
+    val books = trainedPqBooks(spark, dir, m, ksub)
+    if (qOpt.isEmpty || books.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("rank", IntegerType, nullable = false),
+          StructField("vec_id", LongType),
+          StructField("adc_dist", DoubleType))))
+    }
+    val q = qOpt.get
+    val sub = q.length / m
+    val bookLit = typedlit(books.map(_.toSeq).toSeq)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+      val codes = element_at(bookLit, s + 1)
+      val sv = slice(embD, s * lit(sub) + lit(1), lit(sub))
+      val dists = transform(codes,
+        c => foldSum(zip_with(sv, c, (a, b) => (a - b) * (a - b))))
+      element_at(codes, array_position(dists, array_min(dists)).cast("int"))
+    }))
+    val qlit = typedlit(q)
+    val scored = Par.fanOut(embeddings(spark, dir))
+      .filter(col("vec_id") =!= QueryVecId)
+      .withColumn("dist",
+        foldSum(zip_with(qlit, recon, (a, b) => (a - b) * (a - b))))
+    val top = scored.orderBy(col("dist"), col("vec_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("adc_dist"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> ((s, d) => annPq(s, d)),
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -455,6 +563,61 @@ object VectorQueries {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full replay of the PQ chain: per-subspace seeds (vec_id < 16) ->
+    // one decimal-exact Lloyd round -> encode (ORDER BY dist, cid ==
+    // Spark's first-position-of-min over cid-ordered codes) ->
+    // reconstruction -> one left-to-right list_sum over the 64-term
+    // squared-diff list (== Spark's zip_with fold, bit-for-bit).
+    "q_ann_pq" ->
+      """WITH ev AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, t.s, v[CAST(t.s*8+1 AS BIGINT):CAST(t.s*8+8 AS BIGINT)] AS sv
+        |  FROM ev, range(8) t(s)),
+        |c0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cid, sv AS ce
+        |       FROM sub WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT sub.vec_id, sub.s, c0.cid,
+        |    list_sum(list_transform(list_zip(sub.sv, c0.ce),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM sub JOIN c0 ON sub.s = c0.s),
+        |a1 AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a1.s, a1.cid, t.i,
+        |    CAST(sum(CAST(sub.sv[t.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+        |  FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s,
+        |       range(1, 9) t(i)
+        |  GROUP BY a1.s, a1.cid, t.i),
+        |c1 AS (SELECT s, cid, list(m ORDER BY i) AS ce FROM m1 GROUP BY s, cid),
+        |d2 AS (
+        |  SELECT sub.vec_id, sub.s, c1.cid,
+        |    list_sum(list_transform(list_zip(sub.sv, c1.ce),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM sub JOIN c1 ON sub.s = c1.s
+        |  WHERE sub.vec_id <> 0),
+        |a2 AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT vec_id, s, cid,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |rec AS (
+        |  SELECT a2.vec_id, flatten(list(c1.ce ORDER BY a2.s)) AS r
+        |  FROM a2 JOIN c1 ON a2.s = c1.s AND a2.cid = c1.cid
+        |  GROUP BY a2.vec_id),
+        |q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT rec.vec_id,
+        |    list_sum(list_transform(list_zip(q.qv, rec.r),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        |  FROM rec, q)
+        |SELECT CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
+        |  vec_id, ROUND(dist, 4) AS adc_dist
+        |FROM sc ORDER BY dist, vec_id LIMIT 5""".stripMargin,
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form laws for the round-11 pipeline additions (PII scrub, URL
+  * parse, intra-doc dedup, RA link prediction, PQ ANN) — invariants the
+  * DuckDB hash-match can't express because they hold by CONSTRUCTION of
+  * the synthetic spans, not by agreement between two engines.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixtureDir(name: String): String = {
+    val d = new java.io.File(s"/root/repo/target/fixtures/$name")
+    d.mkdirs()
+    d.getPath
+  }
+
+  test("pii scrub: class counts follow the doc_id synthesis law exactly") {
+    // corpus text is lowercase words — no '@' and no digits — so every
+    // match comes from the synthesized spans: exactly one email per even
+    // doc_id, one IP per doc_id%3==0, one phone per doc_id%5==0
+    import spark.implicits._
+    val perSource = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = TextQueries.piiScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = perSource(r.getString(0))
+      assert(r.getLong(2) === ids.count(_ % 2 == 0), "emails")
+      assert(r.getLong(3) === ids.count(_ % 3 == 0), "ips")
+      assert(r.getLong(4) === ids.count(_ % 5 == 0), "phones")
+      assert(r.getLong(5) === ids.count(i => i % 2 != 0 && i % 3 != 0 && i % 5 != 0),
+        "docs_clean")
+    }
+  }
+
+  test("url extract: every doc yields one URL, www only on mod-4 (.com) hosts") {
+    val rows = TextQueries.urlExtract(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+    rows.foreach { r =>
+      val host = r.getString(0)
+      assert(host.matches("site[0-9]+\\.example\\.(com|net)"), host)
+      assert(r.getString(1) === host.split("\\.").last, "tld")
+      // doc_id%4==0 implies doc_id even implies .com: .net hosts carry no www
+      if (host.endsWith(".net")) assert(r.getLong(3) === 0L, s"www on .net $host")
+    }
+  }
+
+  test("intradoc dedup: exact chars-removed accounting on a crafted corpus") {
+    import spark.implicits._
+    val seg1 = (1 to 10).map(i => s"tok$i").mkString(" ")   // 10-token segment
+    val seg2 = (11 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      // seg1 seg2 seg1: one dup segment dropped -> seg1.length chars removed
+      (1L, s"$seg1 $seg2 $seg1", "en", "a", 0L),
+      // no repetition
+      (2L, s"$seg1 $seg2", "en", "a", 0L),
+      // empty doc: zero segments
+      (3L, "", "en", "a", 0L))
+    val fdir = fixtureDir("intradoc")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val r = TextQueries.intradocDedup(spark, fdir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L, "n_docs")
+    assert(r(0).getLong(2) === 1L, "docs_with_dup")
+    assert(r(0).getLong(3) === 5L, "n_segs: 3 + 2 + 0")
+    assert(r(0).getLong(4) === 4L, "n_kept")
+    assert(r(0).getLong(5) === seg1.length.toLong, "chars_removed")
+  }
+
+  test("link prediction: scores bounded by the wedge law, output deterministic top-50") {
+    val rows = GraphQueries.linkPredictRa(spark, dir).collect()
+    assert(rows.length === 50)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (nCommon, score) = (r.getLong(2), r.getLong(3))
+      // each shared order contributes 1000000 DIV d with 2 <= d <= 64
+      assert(score <= nCommon * 500000, s"score $score vs n_common $nCommon")
+      assert(score >= nCommon * (1000000L / 64), s"score floor")
+      assert(score <= prev, "descending by score")
+      prev = score
+    }
+  }
+
+  test("pq ann: 5 ranked rows, non-decreasing reconstruction distance") {
+    val rows = VectorQueries.annPq(spark, dir).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 5))
+    val dists = rows.map(_.getDouble(2))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sliding(2).forall(p => p(0) <= p(1)), "sorted by adc distance")
+    assert(!rows.exists(_.getLong(1) == 0L), "query vector held out")
+  }
+}
