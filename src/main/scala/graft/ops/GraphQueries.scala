@@ -179,25 +179,33 @@ object GraphQueries {
     * container wider than that is excluded loudly-by-rule rather than
     * quadratically exploding, the standard production guard.
     *
-    * Scale shape: one distinct on (order, part), one self-equi-join on
-    * the order key (shuffle co-located, AQE-splittable), one grouped sum
-    * with map-side partials, then a global top-50 which Catalyst plans as
-    * TakeOrderedAndProject (per-partition heaps, no global sort). Ties
-    * break (score DESC, a, b) — fully deterministic. */
+    * Scale shape: one distinct on (order, part), ONE grouped
+    * collect-sorted-list per order (the wedge container is ≤maxWedge by
+    * the gate, so the array is bounded), pair enumeration INSIDE the row
+    * by array algebra (the same in-bucket device as the MinHash pair
+    * generation — no self-join, so the order key shuffles once instead
+    * of three times), one grouped sum with map-side partials, then a
+    * global top-50 which Catalyst plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Ties break (score DESC,
+    * a, b) — fully deterministic. */
   def linkPredictRa(spark: SparkSession, dir: String, k: Int = 50,
                     maxWedge: Int = 64): DataFrame = {
     val e = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), pmod(col("l_partkey"), lit(200L)).as("p"))
       .distinct()
-    val osz = e.groupBy(col("o")).agg(count(lit(1)).as("d"))
-      .filter(col("d") <= maxWedge)
-    val a = e.select(col("o"), col("p").as("pa"))
-    val b = e.select(col("o"), col("p").as("pb"))
-    a.join(b, "o").filter(col("pa") < col("pb"))
-      .join(osz, "o")
+    val grouped = e.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"), count(lit(1)).as("d"))
+      .filter(col("d") <= maxWedge && col("d") >= 2)
+    // ordered pairs (i < j) of the sorted distinct array: fan-out bounded
+    // by maxWedge^2/2 per container
+    val pairs = grouped.select(col("d"), explode(expr(
+      "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+        "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+    pairs.select(col("pr.pa").as("pa"), col("pr.pb").as("pb"),
+        expr("1000000 DIV d").as("c"))
       .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_common"),
-        sum(expr("1000000 DIV d")).as("score_micros"))
+      .agg(count(lit(1)).as("n_common"), sum(col("c")).as("score_micros"))
       .orderBy(col("score_micros").desc, col("pa"), col("pb"))
       .limit(k)
   }

@@ -1407,7 +1407,95 @@ object TextQueries {
         sum(col("c_tot") - col("c_kept")).as("chars_removed"))
       .orderBy(col("source"))
 
+  /** BPE merge-candidate statistics — the counting kernel of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016): the most
+    * frequent ADJACENT character pairs inside words, per source, which is
+    * exactly the relation each BPE merge round argmaxes over. Full BPE
+    * training is inherently sequential (each merge rewrites the corpus);
+    * the distributed piece — and the piece worth 100 TB of compute — is
+    * this pair-count aggregation, re-run per round on the rewritten
+    * corpus. Top-3 per source with lexicographic tie-break keeps the
+    * output deterministic.
+    *
+    * Scale shape: token explode → per-word pair explode (fan-out =
+    * word length, bounded) → ONE count shuffle on (source, pair) with
+    * map-side partials → a row_number window over the tiny aggregated
+    * relation (|sources|×|pairs| ≤ a few thousand rows). */
+  def bpePairStats(spark: SparkSession, dir: String, top: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Par.fanOut(documents(spark, dir))
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    pairs.groupBy(col("source"), col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n").desc, col("pair"))))
+      .filter(col("rk") <= top)
+      .select(col("source"), col("rk"), col("pair"), col("n"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Directional containment join — C(a→b) = |Sa∩Sb| / |Sa| ≥ 0.9 over
+    * hashed word-trigram sets: the SUB-DOCUMENT duplication detector
+    * ([[setsimJoin]]'s symmetric Jaccard misses a short doc swallowed by
+    * a long one; containment is how boilerplate extraction and
+    * quote/excerpt dedup are actually phrased). Candidates come from
+    * prefix filtering on the PROBE side only (rarest-first global order,
+    * prefix length |Sa| − ⌈t·|Sa|⌉ + 1 — complete: if no prefix token
+    * hits B then |Sa∩Sb| ≤ ⌈t|Sa|⌉ − 1 < t|Sa|) joined against the FULL
+    * inverted index of the contain-side (containment puts no bound on
+    * |Sb|, so there is no size filter — the asymmetry is the operator).
+    * Exact verify only on candidates; threshold applies to ROUND(c, 4)
+    * in both engines.
+    *
+    * Scale shape: token-bucketed candidate join (shuffle keys are 8-byte
+    * gram hashes), never all-pairs; the index side is the same inverted
+    * list a search engine materializes once. The probe prefix is ~|Sa|/10
+    * tokens at t=0.9, so the join's left side is 10× smaller than the
+    * full explode. */
+  def containmentJoin(spark: SparkSession, dir: String,
+                      threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = Par.fanOut(documents(spark, dir))
+      .withColumn("l", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("l")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform($trigramArrayExpr, g -> xxhash64(g))"))
+        .as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint(eager = true)
+    val freq = sets.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefixes = sets
+      .select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("s"), col("doc_id").as("a_id"))
+    val index = sets.select(explode(col("sh")).as("s"), col("doc_id").as("b_id"))
+    val cand = prefixes.join(index, "s")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("sz").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("containment", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          col("na").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment_join" -> ((s, d) => containmentJoin(s, d)),
+    "q_bpe_pair_stats" -> ((s, d) => bpePairStats(s, d)),
     "q_pii_scrub" -> (piiScrub _),
     "q_url_extract" -> (urlExtract _),
     "q_intradoc_dedup" -> (intradocDedup _),
@@ -1479,6 +1567,50 @@ object TextQueries {
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Containment over hashed trigram sets is hash-invariant (same
+    // argument as the setsim oracle): DuckDB's hash() replaces xxhash64
+    // with negligible collision odds on this gram universe. The brute
+    // force is gram-bucketed (join on the gram, never doc×doc), so the
+    // oracle's own cost stays bounded by Σ df².
+    "q_containment_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(l) - 2, 0)),
+        |    i -> hash(l[CAST(i + 1 AS INT)] || ' ' || l[CAST(i + 2 AS INT)]
+        |              || ' ' || l[CAST(i + 3 AS INT)]))) AS sh
+        |  FROM t WHERE len(l) >= 3),
+        |s AS (SELECT doc_id, sh, len(sh) AS n FROM d),
+        |g AS (SELECT doc_id, n, unnest(sh) AS g FROM s),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         any_value(a.n) AS na, count(*) AS inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |       ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 4) AS containment
+        |FROM i
+        |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 4) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_bpe_pair_stats" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, length(w)),
+        |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM w WHERE length(w) >= 2),
+        |c AS (SELECT source, pair, count(*) AS n FROM p GROUP BY source, pair),
+        |r AS (
+        |  SELECT source, pair, n,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, pair)
+        |      AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT source, rk, pair, n FROM r WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
     "q_pii_scrub" ->
       """WITH a AS (
         |  SELECT source,

@@ -502,7 +502,128 @@ object VectorQueries {
       .orderBy(col("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every embedding to its trained k-means cluster, then flag
+    * near-duplicate PAIRS only within a cluster — cosine ≥ τ on the
+    * exact vectors — and count what a keep-lowest-id policy would remove.
+    * The report is per-cluster exact integers (n_vecs, pairs over τ,
+    * vectors removed), so the oracle replays it bit-for-bit through the
+    * shared trained-centroid CTE chain.
+    *
+    * Scale shape: assignment is a per-row projection against the
+    * driver-constant centroids (same device as [[annIvf]]); the pair
+    * join shuffles BOTH sides on cluster_id only — quadratic cost is
+    * confined inside a cluster, which is the SemDeDup contract (k grows
+    * with n to hold cluster size constant; the paper runs 50k clusters
+    * over 5B embeddings). The τ=0.35 bar matches [[dedupEmbedding]]'s
+    * documented near-orthogonal-corpus calibration. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 8,
+                    tau: Double = 0.35): DataFrame = {
+    val centroids = trainedCentroids(spark, dir, k)
+    if (centroids.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("cluster_id", IntegerType),
+          StructField("n_vecs", LongType),
+          StructField("n_pairs_tau", LongType),
+          StructField("n_removed", LongType))))
+    }
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    // referenced by three subtrees (both pair sides + the size rollup):
+    // checkpoint once, same rationale as setsimJoin's set relation
+    val assigned = assignToCentroids(
+        Par.fanOut(embeddings(spark, dir)).withColumn("v", embD), centroids)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+      .localCheckpoint(eager = true)
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        foldSum(zip_with(col("va"), col("vb"), (x, y) => x * y)) /
+          (sqrt(foldSum(transform(col("va"), x => x * x))) *
+           sqrt(foldSum(transform(col("vb"), x => x * x)))))
+      .withColumn("dup", round(col("cos"), 4) >= tau)
+    val pstats = pairs.groupBy(col("cluster_id"))
+      .agg(count(when(col("dup"), lit(1))).as("n_pairs_tau"),
+        countDistinct(when(col("dup"), col("b_id"))).as("n_removed"))
+    assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(pstats, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_vecs"),
+        coalesce(col("n_pairs_tau"), lit(0L)).as("n_pairs_tau"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    * vector ranking — hybrid retrieval, the shape every RAG stack runs:
+    * ranking A is an exact-integer tf·idf score over the probe terms
+    * (the monotone idf_micro device from tfidfKeywords — no floats, so
+    * rank ties cannot split the engines), ranking B the exact cosine
+    * against the query vector (bit-mirrored arithmetic, the sim_topk
+    * contract). RRF score = Σ 1000000 DIV (60 + rank) over the rankings
+    * each id appears in — integer micros end to end.
+    *
+    * Scale shape: both rankings end in orderBy+limit
+    * (TakeOrderedAndProject), the fusion is a full outer join of two
+    * 20-row relations, and the final top-10 sorts 40 rows. The heavy
+    * inputs (token explode, vector scan) are each single-pass. */
+  def rrfFusion(spark: SparkSession, dir: String, topn: Int = 20,
+                k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val probes = Seq("spark", "join", "merge", "window", "data")
+    val docs = Par.fanOut(documents(spark, dir))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(probes: _*))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = scalarSubquery(docs.agg(count(lit(1))))
+    val scoreA = tf.join(broadcast(dfreq), "t")
+      .withColumn("n_docs", nDocs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * expr("(n_docs * 1000000) DIV df")).as("s"))
+    val topA = scoreA.orderBy(col("s").desc, col("doc_id")).limit(topn)
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id").as("a_id"), col("rank_text"))
+    val topB = queryVectorOpt(spark, dir) match {
+      case None => spark.range(0).select(col("id").as("b_id"),
+        lit(0).as("rank_vec"))
+      case Some(q) =>
+        val sims = Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+          .withColumn("sim", cosineAgainst(q))
+        sims.orderBy(col("sim").desc, col("vec_id")).limit(topn)
+          .withColumn("rank_vec", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id"))).cast("int"))
+          .select(col("vec_id").as("b_id"), col("rank_vec"))
+    }
+    topA.join(topB, col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        coalesce(col("rank_text"), lit(0)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+      .withColumn("rrf_micros",
+        when(col("rank_text") > 0, expr(s"1000000 DIV ($kRrf + rank_text)"))
+          .otherwise(lit(0L)) +
+        when(col("rank_vec") > 0, expr(s"1000000 DIV ($kRrf + rank_vec)"))
+          .otherwise(lit(0L)))
+      .orderBy(col("rrf_micros").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("rank_text"), col("rank_vec"),
+        col("rrf_micros"))
+      .orderBy(col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+    "q_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "q_ann_pq" -> ((s, d) => annPq(s, d)),
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
@@ -563,6 +684,71 @@ object VectorQueries {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // SemDeDup replay: the shared trained-centroid chain assigns every
+    // vector (a2), in-cluster pairs get the same left-to-right cosine,
+    // and all outputs are integer counts.
+    "q_semantic_dedup" ->
+      s"""WITH $trainedCentroidCtes,
+         |v AS (SELECT a2.vec_id, a2.cid, ev.v FROM a2 JOIN ev USING (vec_id)),
+         |pr AS (
+         |  SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+         |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS c
+         |  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |ps AS (
+         |  SELECT cid, count(CASE WHEN c >= 0.35 THEN 1 END) AS np,
+         |         count(DISTINCT CASE WHEN c >= 0.35 THEN b_id END) AS nr
+         |  FROM pr GROUP BY cid),
+         |vs AS (SELECT cid, count(*) AS nv FROM v GROUP BY cid)
+         |SELECT vs.cid AS cluster_id, CAST(nv AS BIGINT) AS n_vecs,
+         |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs_tau,
+         |  CAST(coalesce(nr, 0) AS BIGINT) AS n_removed
+         |FROM vs LEFT JOIN ps ON vs.cid = ps.cid ORDER BY cluster_id""".stripMargin,
+    // RRF: integer tf*idf_micro lexical ranking + the sim_topk cosine
+    // ranking, fused in exact micros.
+    "q_rrf_fusion" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |ft AS (
+         |  SELECT doc_id, t, count(*) AS tf FROM tk
+         |  WHERE t IN ('spark', 'join', 'merge', 'window', 'data')
+         |  GROUP BY doc_id, t),
+         |dfq AS (SELECT t, count(*) AS df FROM ft GROUP BY t),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |sa AS (
+         |  SELECT ft.doc_id,
+         |    CAST(sum(ft.tf * ((n.nd * 1000000) // dfq.df)) AS BIGINT) AS s
+         |  FROM ft JOIN dfq USING (t) CROSS JOIN n GROUP BY ft.doc_id),
+         |ra AS (
+         |  SELECT doc_id, rk FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rk
+         |    FROM sa) WHERE rk <= 20),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |rb AS (
+         |  SELECT vec_id, rk FROM (
+         |    SELECT vec_id,
+         |      CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+         |    FROM sc) WHERE rk <= 20),
+         |f AS (
+         |  SELECT coalesce(ra.doc_id, rb.vec_id) AS doc_id,
+         |         coalesce(ra.rk, 0) AS rank_text, coalesce(rb.rk, 0) AS rank_vec
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.vec_id),
+         |g AS (
+         |  SELECT doc_id, rank_text, rank_vec,
+         |    CAST(CASE WHEN rank_text > 0 THEN 1000000 // (60 + rank_text) ELSE 0 END
+         |       + CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END
+         |      AS BIGINT) AS rrf_micros
+         |  FROM f)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id)
+         |    AS INTEGER) AS rank,
+         |  doc_id, CAST(rank_text AS INTEGER) AS rank_text,
+         |  CAST(rank_vec AS INTEGER) AS rank_vec, rrf_micros
+         |FROM g ORDER BY rrf_micros DESC, doc_id LIMIT 10""".stripMargin,
     // Full replay of the PQ chain: per-subspace seeds (vec_id < 16) ->
     // one decimal-exact Lloyd round -> encode (ORDER BY dist, cid ==
     // Spark's first-position-of-min over cid-ordered codes) ->

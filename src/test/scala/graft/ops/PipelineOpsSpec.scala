@@ -88,6 +88,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe pair stats: pair counts conserve total in-word adjacencies") {
+    // sum over ALL pairs of n = sum over words of (len-1); the top-3 rows
+    // are a prefix of that relation, so per-source rank-1 count must be
+    // >= rank-2 >= rank-3 and every pair must be 2 chars
+    val rows = TextQueries.bpePairStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to byRank.length))
+      assert(byRank.map(_.getLong(3)).toSeq.sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)), "counts descend with rank")
+      assert(rs.forall(_.getString(2).length == 2), "pairs are 2 chars")
+    }
+  }
+
+  test("containment join: exact subset is found at containment 1.0, both directions asymmetric") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")       // 30 tokens
+    val sub = (1 to 12).map(i => s"w$i").mkString(" ")        // strict prefix: 12 tokens
+    val docs = Seq(
+      (1L, base, "en", "a", 0L),
+      (2L, sub, "en", "a", 0L),     // contained in 1 (all its trigrams are 1's)
+      (3L, (40 to 70).map(i => s"x$i").mkString(" "), "en", "a", 0L)) // disjoint
+    val fdir = fixtureDir("containment")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val r = TextQueries.containmentJoin(spark, fdir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r.contains((2L, 1L, 1.0)), s"sub->base containment missing: $r")
+    assert(!r.exists(p => p._1 == 1L && p._2 == 2L),
+      s"base->sub must fail the 0.9 bar (12/28 trigrams): $r")
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L), s"disjoint doc matched: $r")
+  }
+
+  test("semantic dedup: clusters partition the corpus, removals bounded by pairs") {
+    val rows = VectorQueries.semanticDedup(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nVecs, "clusters partition all vectors")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"removed ${r.getLong(3)} > pairs ${r.getLong(2)}")
+      assert(r.getLong(3) < r.getLong(1) || r.getLong(1) == 0,
+        "cannot remove every vector of a non-empty cluster")
+    }
+  }
+
+  test("rrf fusion: ranks 1..10, scores descend, component law holds") {
+    val rows = VectorQueries.rrfFusion(spark, dir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val scores = rows.map(_.getLong(4))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "descending rrf")
+    rows.foreach { r =>
+      val (rt, rv, s) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      val expected = (if (rt > 0) 1000000L / (60 + rt) else 0L) +
+        (if (rv > 0) 1000000L / (60 + rv) else 0L)
+      assert(s === expected, s"rrf component law: rt=$rt rv=$rv s=$s")
+      assert(rt > 0 || rv > 0, "fused id must appear in at least one ranking")
+    }
+  }
+
   test("pq ann: 5 ranked rows, non-decreasing reconstruction distance") {
     val rows = VectorQueries.annPq(spark, dir).collect()
     assert(rows.length === 5)

@@ -416,6 +416,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("lag("), s"island-method lag leaked into the native plan")
   }
 
+  test("link prediction: top-50 is TakeOrderedAndProject, pair generation is join-free") {
+    val p = planOf("q_link_predict")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // in-row array pair enumeration: NO join of any kind in the plan
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("pq ann: encode+score is join-free — one scan, no exchange before the top-k") {
+    val p = planOf("q_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join"), s"PQ scoring must be a pure projection:\n${p.take(2000)}")
+  }
+
+  test("intradoc dedup aggregates with map-side partials and no extra shuffle") {
+    // executedPlan: exchanges exist only after EnsureRequirements
+    val qe = SparkEntry.queries("q_intradoc_dedup")(spark, dir).queryExecution
+    qe.executedPlan
+    val p = qe.executedPlan.toString
+    assert(p.contains("partial_count"), s"map-side partials missing:\n${p.take(2000)}")
+    // the only exchanges: the per-source rollup + the final presentation sort
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(exchanges <= 1, s"expected at most 1 hash exchange, plan:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("whole-stage codegen survives around the spatial expressions") {
     // CodegenFallback expressions must not disable codegen for the rest of
     // the plan: the executed flagship still contains WholeStageCodegen
