@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Density-based spatial clustering — grid-partitioned DBSCAN (Ester,
+  * Kriegel, Sander &amp; Xu 1996), the clustering operator the reference's
+  * spatial stack (Sedona) does not ship natively and users reach for
+  * first when "group nearby geometries" turns into a requirement.
+  *
+  * Distributed shape (the MR-DBSCAN family): points hash into ε-sized
+  * grid cells; the ε-neighbor relation joins each point's 3×3 cell
+  * neighborhood on the CELL KEY (a shuffled hash equi join — never
+  * all-pairs); core status is one grouped count; core-core components run
+  * on [[TextQueries.connectedComponents]] (per-partition contraction →
+  * single-task or iterative min-label tail); border points attach to the
+  * MIN cluster rep among their core neighbors (the deterministic
+  * resolution of DBSCAN's documented border ambiguity). Output is the
+  * cluster-SIZE histogram + noise row — bounded at any input size, so a
+  * 100 TB run emits KBs, not a row per cluster.
+  */
+object SpatialCluster {
+  import Tables._
+
+  /** Fixture points: the sparsified 1 km parcel grid (pos % 7 &lt; 3 keeps
+    * ~43% of sites — below the 2-D site-percolation threshold, so the
+    * ε=pitch graph fragments into many finite clusters instead of one
+    * giant component). Same region/pos arithmetic as the kNN and dwithin
+    * fixtures; coordinates are exact integer meters. */
+  private def fixturePoints(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select((col("l_partkey") % 25).cast("int").as("r"),
+        (((col("l_orderkey") * 7 + col("l_linenumber")) % 2500)).cast("int").as("pos"))
+      .filter(col("pos") % 7 < 3)
+      .distinct()
+      .select((col("r").cast("long") * 2500L + col("pos")).as("pid"),
+        (GeoFixtures.regionX0(col("r")) + (col("pos") % 50).cast("long") * 1000L)
+          .cast("double").as("x"),
+        (GeoFixtures.regionY0(col("r")) + expr("CAST(pos DIV 50 AS BIGINT)") * 1000L)
+          .cast("double").as("y"))
+
+  /** DBSCAN over (pid, x, y) with the grid-partitioned neighbor join.
+    * Returns the cluster-size histogram: (csize, n_clusters) rows ordered
+    * by csize, plus the (-1, n_noise) row counting noise points. */
+  def dbscan(spark: SparkSession, dir: String, eps: Double = 1000.0,
+             minPts: Int = 3): DataFrame = {
+    val pts = fixturePoints(spark, dir).localCheckpoint(eager = true)
+    val withCell = pts
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    val offsets = typedlit(for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
+    val probe = withCell
+      .select(col("pid").as("a_pid"), col("x").as("ax"), col("y").as("ay"),
+        col("cx"), col("cy"), explode(offsets).as("o"))
+      .select(col("a_pid"), col("ax"), col("ay"),
+        (col("cx") + col("o._1")).as("jcx"), (col("cy") + col("o._2")).as("jcy"))
+    val build = withCell.select(col("pid").as("b_pid"), col("x").as("bx"),
+      col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
+    // exact ε-neighbors (both directions), never all-pairs: the join key
+    // is the ε-cell, the 3×3 probe explode bounds each point's fan-out
+    val nbr = probe.join(build, Seq("jcx", "jcy"))
+      .filter(col("a_pid") =!= col("b_pid") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= eps * eps)
+      .select(col("a_pid"), col("b_pid"))
+      .localCheckpoint(eager = true)
+    val deg = nbr.groupBy(col("a_pid")).agg(count(lit(1)).as("nn"))
+    // |N_eps(p)| includes p itself
+    val flags = pts.join(deg, pts("pid") === deg("a_pid"), "left")
+      .select(col("pid"), (coalesce(col("nn"), lit(0L)) + 1L >= minPts).as("core"))
+      .localCheckpoint(eager = true)
+    val cores = flags.filter(col("core")).select(col("pid"))
+    val coreEdges = nbr
+      .join(cores.withColumnRenamed("pid", "a_pid"), "a_pid")
+      .join(cores.withColumnRenamed("pid", "b_pid"), "b_pid")
+      .filter(col("a_pid") < col("b_pid"))
+      .select(col("a_pid"), col("b_pid"))
+      .distinct()
+    val cc = TextQueries.connectedComponents(spark, coreEdges)
+    // isolated cores (>= minPts-1 non-core neighbors, no core neighbor)
+    // form their own singleton cluster
+    val coreLabels = cores
+      .join(cc, cores("pid") === cc("id"), "left")
+      .select(col("pid"), coalesce(col("rep"), col("pid")).as("rep"))
+      .localCheckpoint(eager = true)
+    // border: non-core with >= 1 core neighbor, attached to the MIN rep
+    // among its core neighbors (deterministic border resolution)
+    val borderLabels = flags.filter(!col("core"))
+      .join(nbr, flags("pid") === nbr("a_pid"))
+      .join(coreLabels.select(col("pid").as("b_pid"), col("rep")), "b_pid")
+      .groupBy(flags("pid")).agg(min(col("rep")).as("rep"))
+    val sizes = coreLabels.groupBy(col("rep")).agg(count(lit(1)).as("n_core"))
+      .join(borderLabels.groupBy(col("rep")).agg(count(lit(1)).as("n_border")),
+        Seq("rep"), "left")
+      .select(col("rep"),
+        (col("n_core") + coalesce(col("n_border"), lit(0L))).as("csize"))
+    val hist = sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+    val nNoise = pts.count() -
+      coreLabels.count() - borderLabels.count()
+    hist.unionAll(spark.range(1).select(lit(-1L).as("csize"),
+        lit(nNoise).as("n_clusters")))
+      .orderBy(col("csize"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan" -> ((s, d) => dbscan(s, d)))
+
+  /** The oracle exploits the fixture's exact-integer grid: pitch = ε =
+    * 1000 m, so the ε-ball around a site is exactly its 4-adjacent sites
+    * (orthogonal Δ = 1000 = ε included, diagonal Δ = 1414 &gt; ε excluded) —
+    * adjacency on (gx, gy) integers with an equi key per axis keeps the
+    * DuckDB join hash-shaped. Components via the same recursive closure
+    * as the dedup_clusters oracle. */
+  val oracles: Map[String, String] = Map(
+    "q_dbscan" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT DISTINCT l_partkey % 25 AS r,
+        |         (l_orderkey * 7 + l_linenumber) % 2500 AS pos
+        |  FROM lineitem
+        |  WHERE (l_orderkey * 7 + l_linenumber) % 2500 % 7 < 3),
+        |p AS (
+        |  SELECT r * 2500 + pos AS pid,
+        |         (r % 5) * 60 + (pos % 50) AS gx,
+        |         (r // 5) * 60 + (pos // 50) AS gy
+        |  FROM pts),
+        |nbr AS (
+        |  SELECT a.pid AS a_pid, b.pid AS b_pid
+        |  FROM p a JOIN p b ON a.gx = b.gx AND abs(a.gy - b.gy) = 1
+        |  UNION ALL
+        |  SELECT a.pid, b.pid
+        |  FROM p a JOIN p b ON a.gy = b.gy AND abs(a.gx - b.gx) = 1),
+        |deg AS (SELECT a_pid AS pid, count(*) AS nn FROM nbr GROUP BY a_pid),
+        |flags AS (
+        |  SELECT p.pid, coalesce(deg.nn, 0) + 1 >= 3 AS core
+        |  FROM p LEFT JOIN deg ON p.pid = deg.pid),
+        |ce AS (
+        |  SELECT n.a_pid AS u, n.b_pid AS v FROM nbr n
+        |  JOIN flags fa ON n.a_pid = fa.pid AND fa.core
+        |  JOIN flags fb ON n.b_pid = fb.pid AND fb.core),
+        |r(u, l) AS (
+        |  SELECT pid, pid FROM flags WHERE core
+        |  UNION
+        |  SELECT ce.v, r.l FROM r JOIN ce ON r.u = ce.u),
+        |corelbl AS (SELECT u AS pid, min(l) AS rep FROM r GROUP BY u),
+        |borderlbl AS (
+        |  SELECT f.pid, min(c.rep) AS rep
+        |  FROM flags f JOIN nbr n ON f.pid = n.a_pid
+        |  JOIN corelbl c ON n.b_pid = c.pid
+        |  WHERE NOT f.core GROUP BY f.pid),
+        |sizes AS (
+        |  SELECT c.rep,
+        |    count(*) + coalesce(any_value(b.nb), 0) AS csize
+        |  FROM corelbl c LEFT JOIN (
+        |    SELECT rep, count(*) AS nb FROM borderlbl GROUP BY rep) b
+        |    ON c.rep = b.rep
+        |  GROUP BY c.rep),
+        |hist AS (
+        |  SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS csize,
+        |    (SELECT count(*) FROM p)
+        |      - (SELECT count(*) FROM corelbl)
+        |      - (SELECT count(*) FROM borderlbl) AS n_clusters)
+        |SELECT CAST(csize AS BIGINT) AS csize,
+        |       CAST(n_clusters AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM noise)
+        |ORDER BY csize""".stripMargin)
+}

@@ -180,18 +180,35 @@ object TextQueries {
     * The driver only ever reads counts; per-iteration convergence checks
     * are narrow aggregates. */
   def dedupClusters(spark: SparkSession, dir: String, maxIter: Int = 50,
-                    singleTaskMax: Long = 8000000L): DataFrame = {
+                    singleTaskMax: Long = 8000000L): DataFrame =
+    connectedComponents(spark,
+        minhashPairRelation(spark, dir).select(col("a_id"), col("b_id")),
+        maxIter, singleTaskMax)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an (a_id, b_id) edge relation — the
+    * union-find engine behind [[dedupClusters]] and
+    * [[SpatialCluster.dbscan]]. Two-level: per-partition edge contraction
+    * (each task union-finds its slice and emits its contracted forest),
+    * then either ONE task over the contracted forest (when it fits —
+    * the measured common case: contraction collapses each partition's
+    * chains) or the iterative min-label-propagation + pointer-jump loop
+    * with lineage truncation (logarithmic rounds in component diameter).
+    * Returns (id, rep) with rep = min member id of the component. */
+  private[ops] def connectedComponents(spark: SparkSession, pairRel: DataFrame,
+                                       maxIter: Int = 50,
+                                       singleTaskMax: Long = 8000000L): DataFrame = {
     import spark.implicits._
-    val contracted = minhashPairRelation(spark, dir)
-      .select(col("a_id"), col("b_id")).as[(Long, Long)]
+    val contracted = pairRel
+      .toDF("a_id", "b_id").as[(Long, Long)]
       .mapPartitions(contractEdges _)
       .cache()
     val nForest = contracted.count()
     if (nForest <= singleTaskMax) {
       val out = contracted.coalesce(1)
         .mapPartitions(labelComponents _)
-        .toDF("doc_id", "cluster_rep")
-        .orderBy(col("doc_id"))
+        .toDF("id", "rep")
         .localCheckpoint(eager = true)
       contracted.unpersist(blocking = false)
       return out
@@ -263,8 +280,7 @@ object TextQueries {
         labels = next
         iter += 1
       }
-      val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-        .orderBy(col("doc_id"))
+      val out = labels.select(col("id"), col("label").as("rep"))
         .localCheckpoint(eager = true)
       // the final checkpoint owns the result; intermediate checkpoint
       // blocks are reclaimed by the ContextCleaner as references drop

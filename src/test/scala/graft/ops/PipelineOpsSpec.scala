@@ -149,6 +149,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dbscan: cluster sizes + noise conserve the point count; sizes >= 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SpatialCluster.dbscan(spark, dir).collect()
+    val noise = rows.filter(_.getLong(0) == -1L)
+    assert(noise.length === 1, "exactly one noise row")
+    val clustered = rows.filter(_.getLong(0) > 0L)
+    assert(rows.length === clustered.length + 1, "no zero/negative sizes")
+    val covered = clustered.map(r => r.getLong(0) * r.getLong(1)).sum +
+      noise.head.getLong(1)
+    val nPts = graft.ops.Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 25).as("r"),
+        expr("(l_orderkey * 7 + l_linenumber) % 2500").as("pos"))
+      .filter(col("pos") % 7 < 3).distinct().count()
+    assert(covered === nPts, s"covered $covered != points $nPts")
+    // a cluster needs at least one core point; with minPts=3 the smallest
+    // cluster is a single isolated core (size >= 1)
+    assert(clustered.forall(_.getLong(1) > 0))
+  }
+
   test("pq ann: 5 ranked rows, non-decreasing reconstruction distance") {
     val rows = VectorQueries.annPq(spark, dir).collect()
     assert(rows.length === 5)
