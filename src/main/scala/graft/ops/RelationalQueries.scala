@@ -771,7 +771,74 @@ object RelationalQueries {
     o.unionByName(c).orderBy(col("src"))
   }
 
+  /** Blocked entity resolution with Fellegi-Sunter scoring (1969) — the
+    * record-linkage pass a training-data pipeline runs to merge user /
+    * document registries across sources. A deterministic "dirty" copy of
+    * the customer registry is synthesized (name typo on custkey%3,
+    * acct-cents +1 on %5, segment lost on %7 — compounding, so the
+    * confusion matrix has real false negatives), candidate pairs come
+    * from BLOCKING on (nation, $1000 account bucket) — never all-pairs;
+    * a ±1-cent perturbation can cross a bucket boundary, and that
+    * blocking escape is measured, not hidden (n_missed_true) — and each
+    * candidate gets an integer agreement score: name +24/−10, cents
+    * exact +12 / within-a-cent +6 / else −8, segment +6/−4. Classify
+    * match ≥ 30, possible ≥ 5. Ground truth is the hidden key, so the
+    * single output row is the full audit: candidates, match/possible/
+    * non-match counts, true matches, and missed true pairs.
+    *
+    * Scale shape: two projections of the same scan + ONE hash equi join
+    * on the block key + a single-row aggregate with map-side partials.
+    * Block sizes are data-bounded (|customers| / (25 nations × ~110
+    * buckets)); a skewed registry re-blocks on a finer key, same plan. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        col("c_nationkey").as("nat"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment").as("seg"))
+    val clean = base
+      .withColumn("blk", expr("(cents + 10000000) DIV 100000"))
+      .select(col("k").as("lk"), col("nm").as("lnm"), col("nat"),
+        col("cents").as("lcents"), col("seg").as("lseg"), col("blk"))
+    val dirty = base
+      .withColumn("dnm", when(pmod(col("k"), lit(3L)) === 0L,
+        regexp_replace(col("nm"), "Customer", "Custmer")).otherwise(col("nm")))
+      .withColumn("dcents", when(pmod(col("k"), lit(5L)) === 0L,
+        col("cents") + 1L).otherwise(col("cents")))
+      .withColumn("dseg", when(pmod(col("k"), lit(7L)) === 0L, lit("UNKNOWN"))
+        .otherwise(col("seg")))
+      .withColumn("blk", expr("(dcents + 10000000) DIV 100000"))
+      .select(col("k").as("rk"), col("dnm"), col("nat"),
+        col("dcents"), col("dseg"), col("blk"))
+    val scored = clean.join(dirty, Seq("nat", "blk"))
+      .withColumn("score",
+        when(col("lnm") === col("dnm"), lit(24L)).otherwise(lit(-10L)) +
+        when(col("lcents") === col("dcents"), lit(12L))
+          .when(abs(col("lcents") - col("dcents")) <= 1L, lit(6L))
+          .otherwise(lit(-8L)) +
+        when(col("lseg") === col("dseg"), lit(6L)).otherwise(lit(-4L)))
+      .withColumn("cls",
+        when(col("score") >= 30L, lit("match"))
+          .when(col("score") >= 5L, lit("possible"))
+          .otherwise(lit("non_match")))
+    val nLeft = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      clean.agg(count(lit(1))))
+    scored.agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("cls") === "match", lit(1))).as("n_match"),
+        count(when(col("cls") === "match" && col("lk") === col("rk"), lit(1)))
+          .as("n_true_match"),
+        count(when(col("cls") === "possible", lit(1))).as("n_possible"),
+        count(when(col("cls") === "non_match", lit(1))).as("n_non_match"))
+      .withColumn("n_left", nLeft)
+      .withColumn("n_missed_true", col("n_left") - col("n_true_match"))
+      .select(col("n_left"), col("n_candidates"), col("n_match"),
+        col("n_true_match"), col("n_possible"), col("n_non_match"),
+        col("n_missed_true"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
     "q_s3_pushdown" -> (s3Pushdown _),
@@ -814,6 +881,50 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_entity_resolution" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |clean AS (
+        |  SELECT k AS lk, nm AS lnm, nat, cents AS lcents, seg AS lseg,
+        |         (cents + 10000000) // 100000 AS blk
+        |  FROM base),
+        |dirty AS (
+        |  SELECT k AS rk,
+        |    CASE WHEN k % 3 = 0 THEN replace(nm, 'Customer', 'Custmer')
+        |         ELSE nm END AS dnm,
+        |    nat,
+        |    CASE WHEN k % 5 = 0 THEN cents + 1 ELSE cents END AS dcents,
+        |    CASE WHEN k % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS dseg
+        |  FROM base),
+        |dirty2 AS (
+        |  SELECT rk, dnm, nat, dcents, dseg,
+        |         (dcents + 10000000) // 100000 AS blk
+        |  FROM dirty),
+        |scored AS (
+        |  SELECT lk, rk,
+        |    (CASE WHEN lnm = dnm THEN 24 ELSE -10 END)
+        |    + (CASE WHEN lcents = dcents THEN 12
+        |            WHEN abs(lcents - dcents) <= 1 THEN 6 ELSE -8 END)
+        |    + (CASE WHEN lseg = dseg THEN 6 ELSE -4 END) AS score
+        |  FROM clean JOIN dirty2 USING (nat, blk)),
+        |cls AS (
+        |  SELECT lk, rk,
+        |    CASE WHEN score >= 30 THEN 'match'
+        |         WHEN score >= 5 THEN 'possible' ELSE 'non_match' END AS cls
+        |  FROM scored)
+        |SELECT (SELECT count(*) FROM clean) AS n_left,
+        |  count(*) AS n_candidates,
+        |  count(CASE WHEN cls = 'match' THEN 1 END) AS n_match,
+        |  count(CASE WHEN cls = 'match' AND lk = rk THEN 1 END) AS n_true_match,
+        |  count(CASE WHEN cls = 'possible' THEN 1 END) AS n_possible,
+        |  count(CASE WHEN cls = 'non_match' THEN 1 END) AS n_non_match,
+        |  (SELECT count(*) FROM clean)
+        |    - count(CASE WHEN cls = 'match' AND lk = rk THEN 1 END)
+        |    AS n_missed_true
+        |FROM cls""".stripMargin,
     // Contract mirror (see approxDistinct): exact counts are plain SQL,
     // the 5-sigma error bound pins the in-spec booleans to true.
     "q_approx_distinct" ->

@@ -168,6 +168,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clustered.forall(_.getLong(1) > 0))
   }
 
+  test("entity resolution: classes partition candidates; unique names make every match true") {
+    val r = RelationalQueries.entityResolution(spark, dir).head()
+    val (nLeft, nCand, nMatch, nTrue, nPoss, nNon, nMissed) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    assert(nCand === nMatch + nPoss + nNon, "classes partition candidates")
+    // name agreement (+24) is required to reach the 30 bar, and names are
+    // unique per key, so a cross-key match is impossible
+    assert(nMatch === nTrue, "every match must be a true match")
+    assert(nMissed === nLeft - nTrue)
+    assert(nTrue > 0 && nMissed > 0,
+      "fixture must produce both found and missed true pairs")
+  }
+
   test("pq ann: 5 ranked rows, non-decreasing reconstruction distance") {
     val rows = VectorQueries.annPq(spark, dir).collect()
     assert(rows.length === 5)
