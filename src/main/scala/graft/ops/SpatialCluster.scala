@@ -102,8 +102,75 @@ object SpatialCluster {
       .orderBy(col("csize"))
   }
 
+  /** Global spatial autocorrelation over the 5×5 region lattice —
+    * Moran's I (1950) and Geary's C (1954) with rook contiguity, the
+    * standard "is the spatial pattern clustered, random, or dispersed"
+    * statistics (GeoDa/PySAL's headline pair; Sedona has no native
+    * equivalent). Region value = Σ lineitem quantity (exact integers).
+    *
+    * Exactness device: with z'_i = n·v_i − S the mean-centering becomes
+    * integer (the n² scale cancels inside both ratios), every sum runs
+    * in DECIMAL(38,0) lanes (the chiSquare device — z'² overflows BIGINT
+    * past ~3e9 total quantity), and the statistics are emitted as
+    * sign + |num|·10⁶ DIV den — truncation toward zero on positive
+    * operands, identical in both engines; no float ever appears.
+    *
+    * Scale shape: ONE rollup of the fact table to |regions| rows (the
+    * only data-sized pass, map-side partials), then a 4-offset neighbor
+    * explode + equi join and single-row aggregates over the tiny region
+    * relation. At 100 TB the lattice grows, not the per-cell cost. */
+  def moransI(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val v = lineitem(spark, dir)
+      .select((col("l_partkey") % 25).cast("int").as("r"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("r")).agg(sum(col("q")).as("v"))
+      .localCheckpoint(eager = true)
+    val offsets = typedlit(Seq((-1, 0), (1, 0), (0, -1), (0, 1)))
+    val nbr = v
+      .select(col("r"), col("v").as("vi"), explode(offsets).as("o"))
+      .withColumn("rx", col("r") % 5 + col("o._1"))
+      .withColumn("ry", expr("CAST(r DIV 5 AS INT)") + col("o._2"))
+      .filter(col("rx").between(0, 4) && col("ry").between(0, 4))
+      .select(col("vi"), (col("ry") * 5 + col("rx")).as("rn"))
+    val pairs = nbr.join(v.select(col("r").as("rn"), col("v").as("vj")), "rn")
+    val nS = scalarSubquery(v.agg(count(lit(1))))
+    val sS = scalarSubquery(v.agg(coalesce(sum(col("v")), lit(0L))))
+    val wS = scalarSubquery(pairs.agg(count(lit(1))))
+    // Σw z'_i z'_j and Σw (v_i−v_j)² over the directed pair relation
+    val czz = scalarSubquery(pairs
+      .select(col("vi"), col("vj")).withColumn("n0", nS).withColumn("s0", sS)
+      .agg(coalesce(sum(expr(
+        "(CAST(n0 AS DECIMAL(38,0)) * vi - s0) * (CAST(n0 AS DECIMAL(38,0)) * vj - s0)")),
+        expr("CAST(0 AS DECIMAL(38,0))"))))
+    val cdd = scalarSubquery(pairs
+      .select(col("vi"), col("vj"))
+      .agg(coalesce(sum(expr(
+        "(CAST(vi AS DECIMAL(38,0)) - vj) * (CAST(vi AS DECIMAL(38,0)) - vj)")),
+        expr("CAST(0 AS DECIMAL(38,0))"))))
+    val czsq = scalarSubquery(v
+      .withColumn("n0", nS).withColumn("s0", sS)
+      .agg(coalesce(sum(expr(
+        "(CAST(n0 AS DECIMAL(38,0)) * v - s0) * (CAST(n0 AS DECIMAL(38,0)) * v - s0)")),
+        expr("CAST(0 AS DECIMAL(38,0))"))))
+    spark.range(1)
+      .select(nS.as("n"), wS.as("w_sum"), czz.as("czz"), cdd.as("cdd"),
+        czsq.as("czsq"))
+      .select(col("n"), col("w_sum"),
+        expr("CASE WHEN czz > 0 THEN 1 WHEN czz < 0 THEN -1 ELSE 0 END")
+          .cast("int").as("moran_sign"),
+        expr("""CASE WHEN w_sum = 0 OR czsq = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST((1000000 * n * abs(czz)) DIV (w_sum * czsq) AS BIGINT)
+               |END""".stripMargin).as("moran_abs_micro"),
+        expr("""CASE WHEN w_sum = 0 OR czsq = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST((1000000 * (n - 1) * n * n * cdd)
+               |          DIV (2 * w_sum * czsq) AS BIGINT)
+               |END""".stripMargin).as("geary_micro"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dbscan" -> ((s, d) => dbscan(s, d)))
+    "q_dbscan" -> ((s, d) => dbscan(s, d)),
+    "q_morans_i" -> (moransI _))
 
   /** The oracle exploits the fixture's exact-integer grid: pitch = ε =
     * 1000 m, so the ε-ball around a site is exactly its 4-adjacent sites
@@ -112,6 +179,42 @@ object SpatialCluster {
     * DuckDB join hash-shaped. Components via the same recursive closure
     * as the dedup_clusters oracle. */
   val oracles: Map[String, String] = Map(
+    "q_morans_i" ->
+      """WITH v AS (
+        |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY r),
+        |g AS (
+        |  SELECT count(*) AS n, coalesce(sum(v), 0) AS s FROM v),
+        |nbr AS (
+        |  SELECT a.v AS vi, b.v AS vj
+        |  FROM v a, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy),
+        |       v b
+        |  WHERE (a.r % 5) + o.dx BETWEEN 0 AND 4
+        |    AND (a.r // 5) + o.dy BETWEEN 0 AND 4
+        |    AND b.r = ((a.r // 5) + o.dy) * 5 + (a.r % 5) + o.dx),
+        |agg AS (
+        |  SELECT
+        |    (SELECT count(*) FROM nbr) AS w_sum,
+        |    coalesce((SELECT sum((CAST(g.n AS HUGEINT) * vi - g.s)
+        |                       * (CAST(g.n AS HUGEINT) * vj - g.s))
+        |              FROM nbr, g), 0) AS czz,
+        |    coalesce((SELECT sum((CAST(vi AS HUGEINT) - vj)
+        |                       * (CAST(vi AS HUGEINT) - vj)) FROM nbr), 0) AS cdd,
+        |    coalesce((SELECT sum((CAST(g.n AS HUGEINT) * v - g.s)
+        |                       * (CAST(g.n AS HUGEINT) * v - g.s))
+        |              FROM v, g), 0) AS czsq,
+        |    (SELECT n FROM g) AS n)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(w_sum AS BIGINT) AS w_sum,
+        |  CAST(CASE WHEN czz > 0 THEN 1 WHEN czz < 0 THEN -1 ELSE 0 END
+        |    AS INTEGER) AS moran_sign,
+        |  CAST(CASE WHEN w_sum = 0 OR czsq = 0 THEN 0
+        |       ELSE (1000000 * n * abs(czz)) // (w_sum * czsq)
+        |       END AS BIGINT) AS moran_abs_micro,
+        |  CAST(CASE WHEN w_sum = 0 OR czsq = 0 THEN 0
+        |       ELSE (1000000 * (n - 1) * CAST(n AS HUGEINT) * n * cdd)
+        |            // (2 * w_sum * czsq)
+        |       END AS BIGINT) AS geary_micro
+        |FROM agg""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE pts AS (
         |  SELECT DISTINCT l_partkey % 25 AS r,

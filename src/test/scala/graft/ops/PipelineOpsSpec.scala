@@ -182,6 +182,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture must produce both found and missed true pairs")
   }
 
+  test("moran/geary: lattice invariants (w_sum = directed rook edges; stats in range)") {
+    val r = SpatialCluster.moransI(spark, dir).head()
+    val (n, w) = (r.getLong(0), r.getLong(1))
+    assert(n <= 25 && n > 0)
+    // full 5x5 lattice has 2*(2*5*4) = 80 directed rook edges
+    if (n == 25) assert(w === 80L, s"w_sum $w")
+    // |I| <= ~1 and C in [0, ~2] for any data (loose published bounds)
+    assert(r.getLong(3) <= 1100000L, "moran within loose bound")
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 2200000L, "geary within loose bound")
+  }
+
   test("pq ann: 5 ranked rows, non-decreasing reconstruction distance") {
     val rows = VectorQueries.annPq(spark, dir).collect()
     assert(rows.length === 5)
