@@ -171,6 +171,16 @@ object functions {
   def cms_agg(key: Column): Column =
     col(CmsAgg(ex(key)).toAggregateExpression())
 
+  /** Misra-Gries heavy-hitter candidate summary over a BIGINT key stream:
+    * <= k-1 counters of state, sorted candidate-key array out. Every key
+    * with frequency > N/k is guaranteed present under any merge order
+    * (Agarwal et al. 2013); gate with exact counts (see
+    * [[graft.streaming.StreamQueries]]). */
+  def mg_agg(key: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(MgAgg(ex(key), Literal(k)).toAggregateExpression())
+  }
+
   /** Point frequency estimate from a [[cms_agg]] sketch: min over rows of
     * the key's cell. Pure projection — pair with a scalar-subquery sketch. */
   def cms_estimate(sketch: Column, key: Column): Column =
@@ -317,6 +327,7 @@ object functions {
     rn("st_union_agg", 1)(es => StUnionAgg(es.head))
     rn("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
     rn("cms_agg", 1)(es => CmsAgg(es.head))
+    rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))

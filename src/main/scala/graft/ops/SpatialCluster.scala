@@ -168,9 +168,63 @@ object SpatialCluster {
                |END""".stripMargin).as("geary_micro"))
   }
 
+  /** LISA — Anselin's (1995) LOCAL Moran's I per lattice cell, the
+    * hot-spot / cold-spot cluster map that the global [[moransI]]
+    * summarizes: I_i = n · z'_i · Σ_j w_ij z'_j / Σ z'² with the same
+    * integer mean-centering device, emitted as the classic quadrant
+    * label (HH high surrounded by high, LL, HL outlier, LH outlier)
+    * plus sign and |I_i|·10⁶ DIV. One fact rollup, one 4-offset
+    * neighbor join, one broadcast-back of the two global scalars —
+    * per-cell output, all integer. */
+  def lisa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val v = lineitem(spark, dir)
+      .select((col("l_partkey") % 25).cast("int").as("r"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("r")).agg(sum(col("q")).as("v"))
+      .localCheckpoint(eager = true)
+    val offsets = typedlit(Seq((-1, 0), (1, 0), (0, -1), (0, 1)))
+    val nbr = v
+      .select(col("r"), explode(offsets).as("o"))
+      .withColumn("rx", col("r") % 5 + col("o._1"))
+      .withColumn("ry", expr("CAST(r DIV 5 AS INT)") + col("o._2"))
+      .filter(col("rx").between(0, 4) && col("ry").between(0, 4))
+      .select(col("r"), (col("ry") * 5 + col("rx")).as("rn"))
+    val lag = nbr.join(v.select(col("r").as("rn"), col("v").as("vj")), "rn")
+      .groupBy(col("r")).agg(sum(col("vj")).as("lag_v"), count(lit(1)).as("deg"))
+    val nS = scalarSubquery(v.agg(count(lit(1))))
+    val sS = scalarSubquery(v.agg(coalesce(sum(col("v")), lit(0L))))
+    val czsq = scalarSubquery(v
+      .withColumn("n0", nS).withColumn("s0", sS)
+      .agg(coalesce(sum(expr(
+        "(CAST(n0 AS DECIMAL(38,0)) * v - s0) * (CAST(n0 AS DECIMAL(38,0)) * v - s0)")),
+        expr("CAST(0 AS DECIMAL(38,0))"))))
+    v.join(lag, Seq("r"), "left")
+      .withColumn("n0", nS).withColumn("s0", sS).withColumn("zsq", czsq)
+      // z'_i and the neighbor-lag z'-sum (Σ_j w_ij z'_j = n·Σv_j − deg·S)
+      .withColumn("zi", expr("CAST(n0 AS DECIMAL(38,0)) * v - s0"))
+      .withColumn("zl", expr(
+        "CAST(n0 AS DECIMAL(38,0)) * coalesce(lag_v, 0) - coalesce(deg, 0) * CAST(s0 AS DECIMAL(38,0))"))
+      .withColumn("quad", expr(
+        """CASE WHEN zi > 0 AND zl > 0 THEN 'HH'
+          |     WHEN zi < 0 AND zl < 0 THEN 'LL'
+          |     WHEN zi > 0 AND zl < 0 THEN 'HL'
+          |     WHEN zi < 0 AND zl > 0 THEN 'LH'
+          |     ELSE 'ZERO' END""".stripMargin))
+      .withColumn("lisa_sign", expr(
+        "CAST(CASE WHEN zi * zl > 0 THEN 1 WHEN zi * zl < 0 THEN -1 ELSE 0 END AS INT)"))
+      .withColumn("lisa_abs_micro", expr(
+        """CASE WHEN zsq = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * n0 * abs(zi * zl)) DIV zsq AS BIGINT) END""".stripMargin))
+      .select(col("r"), col("v"), coalesce(col("lag_v"), lit(0L)).as("lag_v"),
+        col("quad"), col("lisa_sign"), col("lisa_abs_micro"))
+      .orderBy(col("r"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dbscan" -> ((s, d) => dbscan(s, d)),
-    "q_morans_i" -> (moransI _))
+    "q_morans_i" -> (moransI _),
+    "q_lisa" -> (lisa _))
 
   /** The oracle exploits the fixture's exact-integer grid: pitch = ε =
     * 1000 m, so the ε-ball around a site is exactly its 4-adjacent sites
@@ -179,6 +233,41 @@ object SpatialCluster {
     * DuckDB join hash-shaped. Components via the same recursive closure
     * as the dedup_clusters oracle. */
   val oracles: Map[String, String] = Map(
+    "q_lisa" ->
+      """WITH v AS (
+        |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY r),
+        |g AS (SELECT count(*) AS n, coalesce(sum(v), 0) AS s FROM v),
+        |zsqg AS (
+        |  SELECT coalesce(sum((CAST(g.n AS HUGEINT) * v - g.s)
+        |                    * (CAST(g.n AS HUGEINT) * v - g.s)), 0) AS zsq
+        |  FROM v, g),
+        |lag AS (
+        |  SELECT a.r, sum(b.v) AS lag_v, count(*) AS deg
+        |  FROM v a, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy), v b
+        |  WHERE (a.r % 5) + o.dx BETWEEN 0 AND 4
+        |    AND (a.r // 5) + o.dy BETWEEN 0 AND 4
+        |    AND b.r = ((a.r // 5) + o.dy) * 5 + (a.r % 5) + o.dx
+        |  GROUP BY a.r),
+        |t AS (
+        |  SELECT v.r, v.v, coalesce(lag.lag_v, 0) AS lag_v,
+        |    CAST(g.n AS HUGEINT) * v.v - g.s AS zi,
+        |    CAST(g.n AS HUGEINT) * coalesce(lag.lag_v, 0)
+        |      - coalesce(lag.deg, 0) * CAST(g.s AS HUGEINT) AS zl,
+        |    g.n AS n0, zsqg.zsq AS zsq
+        |  FROM v LEFT JOIN lag ON v.r = lag.r, g, zsqg)
+        |SELECT CAST(r AS INTEGER) AS r, v, CAST(lag_v AS BIGINT) AS lag_v,
+        |  CASE WHEN zi > 0 AND zl > 0 THEN 'HH'
+        |       WHEN zi < 0 AND zl < 0 THEN 'LL'
+        |       WHEN zi > 0 AND zl < 0 THEN 'HL'
+        |       WHEN zi < 0 AND zl > 0 THEN 'LH'
+        |       ELSE 'ZERO' END AS quad,
+        |  CAST(CASE WHEN zi * zl > 0 THEN 1 WHEN zi * zl < 0 THEN -1
+        |       ELSE 0 END AS INTEGER) AS lisa_sign,
+        |  CAST(CASE WHEN zsq = 0 THEN 0
+        |       ELSE (1000000 * n0 * abs(zi * zl)) // zsq END AS BIGINT)
+        |    AS lisa_abs_micro
+        |FROM t ORDER BY r""".stripMargin,
     "q_morans_i" ->
       """WITH v AS (
         |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v

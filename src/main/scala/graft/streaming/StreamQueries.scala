@@ -372,7 +372,42 @@ object StreamQueries {
     }
   }
 
+  /** Streaming Misra-Gries heavy hitters — the second bounded-state
+    * sketch running inside the real streaming engine (complete-mode
+    * global aggregate, ≤ k−1 counters of state per micro-batch commit,
+    * vs the CMS's fixed cell array). The key stream is deliberately
+    * skewed (every user_id ≡ 0 (mod 3) collapses onto 4 hot keys, the
+    * rest stay long-tail) so the N/k=N/16 bar separates a real head.
+    *
+    * Output is the CONTRACT-GATED shape (the q_approx_distinct device):
+    * exact counts name the provable heavy hitters (`exact_n·k > N` —
+    * integer cross-multiply), and `in_candidates` asserts the MG
+    * guarantee that each of them appeared in the streamed summary — true
+    * under ANY merge order, so the row set is deterministic while the
+    * sketch's below-threshold content is legally not. */
+  def streamHeavyHitters(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val hotKey = expr("CASE WHEN user_id % 3 = 0 THEN user_id % 4 ELSE user_id END")
+    val stream = eventsStream(spark, dir)
+      .select(hotKey.as("key"))
+    val sketch = stream.agg(graft.functions.mg_agg(col("key"), k).as("cand"))
+    runBounded(spark, sketch, "graft_stream_mg",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      val cands = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        sinkDf.select(col("cand")))
+      val ev = Tables.events(spark, dir).select(hotKey.as("key"))
+      val n = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        ev.agg(count(lit(1))))
+      ev.groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("n_total", n)
+        .filter(col("exact_n") * k > col("n_total"))
+        .withColumn("in_candidates", array_contains(cands, col("key")))
+        .select(col("key"), col("exact_n"), col("in_candidates"))
+        .orderBy(col("key"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d)),
     "q_stream_cms" -> (streamCms _),
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_file_sink" -> (streamFileSink _),
@@ -385,6 +420,19 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Contract mirror: the provable heavy hitters are pure SQL (exact
+    // counts + integer cross-multiplied N/16 bar), and the MG guarantee
+    // pins in_candidates to TRUE for every one of them — a sketch defect
+    // is a hash mismatch, not an invisible quality drop.
+    "q_stream_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 4 ELSE user_id END AS key
+        |  FROM events),
+        |c AS (SELECT key, count(*) AS exact_n FROM e GROUP BY key),
+        |n AS (SELECT count(*) AS n_total FROM e)
+        |SELECT key, exact_n, TRUE AS in_candidates
+        |FROM c, n WHERE exact_n * 16 > n_total
+        |ORDER BY key""".stripMargin,
     // Shared with q_cms_frequency by construction: the streaming build
     // must equal the batch build (commutative cell adds), and both must
     // equal the oracle's from-exact-counts kernel replay.
