@@ -127,6 +127,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
     inject("cms_agg", 1)(es => CmsAgg(es.head))
     inject("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
+    inject("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
     // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),

@@ -181,6 +181,17 @@ object functions {
     col(MgAgg(ex(key), Literal(k)).toAggregateExpression())
   }
 
+  /** KMV distinct sketch over a BIGINT hash stream: the k smallest
+    * distinct hashes as a sorted array, ≤k longs of state through
+    * map-side partials. Unlike HLL the sketches compose under set
+    * algebra — union by re-trimming two arrays, INTERSECTION estimate
+    * via the merged sketch's Jaccard fraction (see
+    * [[graft.exprs.KmvAgg]]). Deterministic given the hash column. */
+  def kmv_agg(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(KmvAgg(ex(hash), Literal(k)).toAggregateExpression())
+  }
+
   /** Point frequency estimate from a [[cms_agg]] sketch: min over rows of
     * the key's cell. Pure projection — pair with a scalar-subquery sketch. */
   def cms_estimate(sketch: Column, key: Column): Column =
@@ -328,6 +339,7 @@ object functions {
     rn("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
     rn("cms_agg", 1)(es => CmsAgg(es.head))
     rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
+    rn("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))

@@ -659,7 +659,71 @@ object SessionQueries {
       .orderBy(col("hour"), col("vbucket"))
   }
 
+  /** Audience-overlap estimation via KMV distinct sketches
+    * (`graft.functions.kmv_agg`): distinct 'click' vs 'view' users, their
+    * UNION and INTERSECTION sizes and Jaccard — the sketch-algebra
+    * problem HLL cannot answer (inclusion–exclusion on HLL subtracts two
+    * noisy numbers; the KMV merged sketch estimates the intersection
+    * directly, Beyer et al. 2007). Exact audit columns ride along, the
+    * [[cmsFrequency]] pattern.
+    *
+    * All estimator arithmetic is integer: hashes are the house
+    * multiplicative kernel (trainSplit's) reduced mod 2³¹, estimates are
+    * (k−1)·2³¹ DIV h_(k), and the set algebra over the returned sorted
+    * arrays is array_union/slice/filter — closed forms an oracle replays
+    * verbatim. Membership duality (proven in the scaladoc of
+    * [[graft.exprs.KmvAgg]]'s query): for x in the merged sketch,
+    * x ∈ sketch(A) ⟺ x ∈ A, so the oracle may test full-set membership
+    * where the engine tests the k-truncated arrays — bit-identical.
+    *
+    * Scale shape: each sketch is ONE aggregate over a filtered scan
+    * (map-side partials, ≤k longs of state); the exact audit columns are
+    * the only corpus-sized aggregations, and they drop out in production
+    * use. Nothing joins; the final row is scalar-subquery assembly. */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val M = 2147483648L // hash modulus 2^31
+    val ev = events(spark, dir)
+    def hashed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L), lit(M)).as("h"))
+    val ska = scalarSubquery(hashed("click").agg(graft.functions.kmv_agg(col("h"), k)))
+    val skb = scalarSubquery(hashed("view").agg(graft.functions.kmv_agg(col("h"), k)))
+    val naEx = scalarSubquery(hashed("click").agg(countDistinct(col("user_id"))))
+    val nbEx = scalarSubquery(hashed("view").agg(countDistinct(col("user_id"))))
+    val interEx = scalarSubquery(
+      ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === 2).agg(count(lit(1))))
+    spark.range(1)
+      .select(lit(k).as("k"), ska.as("ska"), skb.as("skb"),
+        naEx.as("n_a_exact"), nbEx.as("n_b_exact"), interEx.as("inter_exact"))
+      .withColumn("merged", expr(s"slice(array_sort(array_union(ska, skb)), 1, $k)"))
+      .withColumn("m_size", expr("size(merged)"))
+      .withColumn("n_a_est", expr(
+        s"CASE WHEN size(ska) < $k THEN CAST(size(ska) AS BIGINT) " +
+          s"ELSE (CAST(${k - 1} AS BIGINT) * $M) DIV element_at(ska, $k) END"))
+      .withColumn("n_b_est", expr(
+        s"CASE WHEN size(skb) < $k THEN CAST(size(skb) AS BIGINT) " +
+          s"ELSE (CAST(${k - 1} AS BIGINT) * $M) DIV element_at(skb, $k) END"))
+      .withColumn("union_est", expr(
+        s"CASE WHEN m_size < $k THEN CAST(m_size AS BIGINT) " +
+          s"ELSE (CAST(${k - 1} AS BIGINT) * $M) DIV element_at(merged, $k) END"))
+      .withColumn("inter_cnt", expr(
+        "CAST(size(filter(merged, x -> array_contains(ska, x) " +
+          "AND array_contains(skb, x))) AS BIGINT)"))
+      .withColumn("inter_est", expr(
+        s"CASE WHEN m_size < $k THEN inter_cnt " +
+          s"ELSE (inter_cnt * union_est) DIV $k END"))
+      .withColumn("jaccard_ppm", expr("(1000000 * inter_cnt) DIV greatest(m_size, 1)"))
+      .select(col("k"), col("n_a_est"), col("n_a_exact"),
+        col("n_b_est"), col("n_b_exact"), col("union_est"),
+        col("inter_est"), col("inter_exact"), col("jaccard_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -687,6 +751,50 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT
+        |    (((user_id % 1000000007 + 1000000007) % 1000000007)
+        |     * 2654435761) % 2147483648 AS h
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT
+        |    (((user_id % 1000000007 + 1000000007) % 1000000007)
+        |     * 2654435761) % 2147483648 AS h
+        |  FROM events WHERE event_type = 'view'),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |mg AS (
+        |  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        |  ORDER BY h LIMIT 64),
+        |s AS (SELECT
+        |  (SELECT count(*) FROM ska) AS sa, (SELECT max(h) FROM ska) AS ka,
+        |  (SELECT count(*) FROM skb) AS sb, (SELECT max(h) FROM skb) AS kb,
+        |  (SELECT count(*) FROM mg) AS sm, (SELECT max(h) FROM mg) AS km,
+        |  (SELECT count(*) FROM mg
+        |   WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS ic,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click') AS nae,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'view') AS nbe,
+        |  (SELECT count(*) FROM (
+        |     SELECT user_id FROM events WHERE event_type = 'click'
+        |     INTERSECT
+        |     SELECT user_id FROM events WHERE event_type = 'view')) AS ie),
+        |e AS (SELECT *,
+        |  CASE WHEN sa < 64 THEN sa ELSE (63 * 2147483648) // ka END AS nea,
+        |  CASE WHEN sb < 64 THEN sb ELSE (63 * 2147483648) // kb END AS neb,
+        |  CASE WHEN sm < 64 THEN sm ELSE (63 * 2147483648) // km END AS ueu
+        |  FROM s)
+        |SELECT CAST(64 AS INTEGER) AS k,
+        |  CAST(nea AS BIGINT) AS n_a_est, CAST(nae AS BIGINT) AS n_a_exact,
+        |  CAST(neb AS BIGINT) AS n_b_est, CAST(nbe AS BIGINT) AS n_b_exact,
+        |  CAST(ueu AS BIGINT) AS union_est,
+        |  CAST(CASE WHEN sm < 64 THEN ic ELSE (ic * ueu) // 64 END AS BIGINT)
+        |    AS inter_est,
+        |  CAST(ie AS BIGINT) AS inter_exact,
+        |  CAST((1000000 * ic) // greatest(sm, 1) AS BIGINT) AS jaccard_ppm
+        |FROM e""".stripMargin,
     "q_histogram2d" ->
       """WITH ev AS (
         |  SELECT epoch_ns(ts) AS tns, value FROM events WHERE value IS NOT NULL),

@@ -221,10 +221,77 @@ object SpatialCluster {
       .orderBy(col("r"))
   }
 
+  /** Getis–Ord Gi* hot-spot statistic (Getis &amp; Ord 1992, Ord &amp; Getis
+    * 1995) per lattice cell — the third member of the standard local
+    * spatial-statistics trio next to [[moransI]] (global) and [[lisa]]
+    * (local Moran): where LISA flags clusters AND outliers by quadrant,
+    * Gi* answers "is the local SUM high or low" — ArcGIS's Hot Spot
+    * Analysis tool. Star variant: the neighborhood includes the cell
+    * itself (rook ring + self, binary weights).
+    *
+    * Exactness device: with U_i = Σ_{j∈N_i∪{i}} v_j and W_i = |N_i|+1,
+    * the z-score squares to the all-integer rational
+    *   z_i² = (n·U_i − W_i·S)²·(n−1) / ((n·Q − S²)·(n·W_i − W_i²)),
+    * (S = Σv, Q = Σv²) so the emitted columns are the numerator sign and
+    * z²·10⁶ DIV denominator — DECIMAL(38,0) lanes per the chiSquare
+    * ceiling (documented: v per cell must stay under ~1e13 for the
+    * squared numerator ×10⁶ to fit precision 38; the fixture is 8 orders
+    * below). The hot/cold label derives from the same integer (z² micro
+    * against 1.96² = 3841600), so both engines classify identically —
+    * no float, no rounding boundary.
+    *
+    * Scale shape: identical to [[lisa]] — ONE data-sized rollup to
+    * |regions| rows, a 4-offset neighbor explode + equi join on the tiny
+    * region relation, two broadcast-back global scalars. */
+  def getisOrd(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val v = lineitem(spark, dir)
+      .select((col("l_partkey") % 25).cast("int").as("r"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("r")).agg(sum(col("q")).as("v"))
+      .localCheckpoint(eager = true)
+    val offsets = typedlit(Seq((-1, 0), (1, 0), (0, -1), (0, 1)))
+    val nbr = v
+      .select(col("r"), explode(offsets).as("o"))
+      .withColumn("rx", col("r") % 5 + col("o._1"))
+      .withColumn("ry", expr("CAST(r DIV 5 AS INT)") + col("o._2"))
+      .filter(col("rx").between(0, 4) && col("ry").between(0, 4))
+      .select(col("r"), (col("ry") * 5 + col("rx")).as("rn"))
+    val ring = nbr.join(v.select(col("r").as("rn"), col("v").as("vj")), "rn")
+      .groupBy(col("r")).agg(sum(col("vj")).as("ring_v"), count(lit(1)).as("deg"))
+    val nS = scalarSubquery(v.agg(count(lit(1))))
+    val sS = scalarSubquery(v.agg(coalesce(sum(col("v")), lit(0L))))
+    val qS = scalarSubquery(v.agg(coalesce(
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")), expr("CAST(0 AS DECIMAL(38,0))"))))
+    v.join(ring, Seq("r"), "left")
+      .withColumn("n0", nS).withColumn("s0", sS).withColumn("q0", qS)
+      // U_i = self + rook ring; W_i = deg + 1 (the * of Gi*)
+      .withColumn("u", expr("v + coalesce(ring_v, 0)"))
+      .withColumn("w", expr("CAST(coalesce(deg, 0) + 1 AS INT)"))
+      .withColumn("num", expr("CAST(n0 AS DECIMAL(38,0)) * u - CAST(w AS DECIMAL(38,0)) * s0"))
+      .withColumn("den", expr(
+        "(CAST(n0 AS DECIMAL(38,0)) * q0 - CAST(s0 AS DECIMAL(38,0)) * s0)" +
+          " * (CAST(n0 AS DECIMAL(38,0)) * w - CAST(w AS DECIMAL(38,0)) * w)"))
+      .withColumn("gi_sign", expr(
+        "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)"))
+      .withColumn("gi_sq_micro", expr(
+        """CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * num * num * (n0 - 1)) DIV den AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("label", expr(
+        """CASE WHEN gi_sign > 0 AND gi_sq_micro > 3841600 THEN 'HOT'
+          |     WHEN gi_sign < 0 AND gi_sq_micro > 3841600 THEN 'COLD'
+          |     ELSE 'NS' END""".stripMargin))
+      .select(col("r"), col("v"), col("u").cast("long").as("u"), col("w"),
+        col("gi_sign"), col("gi_sq_micro"), col("label"))
+      .orderBy(col("r"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dbscan" -> ((s, d) => dbscan(s, d)),
     "q_morans_i" -> (moransI _),
-    "q_lisa" -> (lisa _))
+    "q_lisa" -> (lisa _),
+    "q_getis_ord" -> (getisOrd _))
 
   /** The oracle exploits the fixture's exact-integer grid: pitch = ε =
     * 1000 m, so the ε-ball around a site is exactly its 4-adjacent sites
@@ -233,6 +300,47 @@ object SpatialCluster {
     * DuckDB join hash-shaped. Components via the same recursive closure
     * as the dedup_clusters oracle. */
   val oracles: Map[String, String] = Map(
+    "q_getis_ord" ->
+      """WITH v AS (
+        |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY r),
+        |g AS (
+        |  SELECT count(*) AS n, coalesce(sum(v), 0) AS s,
+        |    coalesce(sum(CAST(v AS HUGEINT) * v), 0) AS q
+        |  FROM v),
+        |ring AS (
+        |  SELECT a.r, sum(b.v) AS ring_v, count(*) AS deg
+        |  FROM v a, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy), v b
+        |  WHERE (a.r % 5) + o.dx BETWEEN 0 AND 4
+        |    AND (a.r // 5) + o.dy BETWEEN 0 AND 4
+        |    AND b.r = ((a.r // 5) + o.dy) * 5 + (a.r % 5) + o.dx
+        |  GROUP BY a.r),
+        |t AS (
+        |  SELECT v.r, v.v,
+        |    v.v + coalesce(ring.ring_v, 0) AS u,
+        |    coalesce(ring.deg, 0) + 1 AS w,
+        |    CAST(g.n AS HUGEINT) * (v.v + coalesce(ring.ring_v, 0))
+        |      - CAST(coalesce(ring.deg, 0) + 1 AS HUGEINT) * g.s AS num,
+        |    (CAST(g.n AS HUGEINT) * g.q - CAST(g.s AS HUGEINT) * g.s)
+        |      * (CAST(g.n AS HUGEINT) * (coalesce(ring.deg, 0) + 1)
+        |         - CAST(coalesce(ring.deg, 0) + 1 AS HUGEINT)
+        |           * (coalesce(ring.deg, 0) + 1)) AS den,
+        |    g.n AS n0
+        |  FROM v LEFT JOIN ring ON v.r = ring.r, g),
+        |z AS (
+        |  SELECT r, v, u, w,
+        |    CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |      AS INTEGER) AS gi_sign,
+        |    CAST(CASE WHEN den = 0 THEN 0
+        |         ELSE (1000000 * num * num * (n0 - 1)) // den END AS BIGINT)
+        |      AS gi_sq_micro
+        |  FROM t)
+        |SELECT CAST(r AS INTEGER) AS r, v, CAST(u AS BIGINT) AS u,
+        |  CAST(w AS INTEGER) AS w, gi_sign, gi_sq_micro,
+        |  CASE WHEN gi_sign > 0 AND gi_sq_micro > 3841600 THEN 'HOT'
+        |       WHEN gi_sign < 0 AND gi_sq_micro > 3841600 THEN 'COLD'
+        |       ELSE 'NS' END AS label
+        |FROM z ORDER BY r""".stripMargin,
     "q_lisa" ->
       """WITH v AS (
         |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v

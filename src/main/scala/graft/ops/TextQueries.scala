@@ -694,6 +694,44 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Zipf-law octave-mass diagnostic: token frequencies bucketed by
+    * RANK OCTAVE — octave b holds ranks [2^b, 2^{b+1}) — with per-octave
+    * distinct-type counts and total token mass. Under Zipf s=1 each
+    * octave carries equal mass, so the mass-per-octave profile reads the
+    * power-law exponent directly (flat ⇒ s≈1, decaying ⇒ s&gt;1) and its
+    * tail deviation is the standard crawl-corpus health check (boilerplate
+    * inflates the head; OCR noise fattens the tail) — the curve behind
+    * the log-log plots in Piantadosi 2014's Zipf review.
+    *
+    * Exactness device: no logarithm is ever taken — the octave is
+    * length(bin(rank)) − 1, pure integer bit-length in both engines, so
+    * the whole statistic is frequency counting + a binary-string length.
+    * Mass shares are emitted in ppm via integer DIV.
+    *
+    * Scale shape: one grouped count over tokens (map-side partials), then
+    * ONE vocabulary-sized global-order window (row_number on freq desc,
+    * token asc) — the sort is |vocabulary|, orders of magnitude below the
+    * corpus, and the octave rollup is ≤64 rows. */
+  def zipfOctaves(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Par.fanOut(documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("t"))).cast("long"))
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val total = scalarSubquery(tf.agg(coalesce(sum(col("tf")), lit(0L))))
+    ranked
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("int"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("mass"))
+      .withColumn("total", total)
+      .withColumn("mass_ppm", expr("(1000000 * mass) DIV total"))
+      .select(col("octave"), col("n_types"), col("mass"), col("mass_ppm"))
+      .orderBy(col("octave"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -1553,6 +1591,7 @@ object TextQueries {
     "q_token_diversity" -> (tokenDiversity _),
     "q_bm25" -> (bm25 _),
     "q_hapax" -> (hapaxRate _),
+    "q_zipf_octaves" -> (zipfOctaves _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -1710,6 +1749,18 @@ object TextQueries {
         |  (1000000 * count(*) FILTER (WHERE ctf.tf = 1)) // count(*) AS hapax_ppm
         |FROM ps JOIN ctf ON ps.t = ctf.t
         |GROUP BY ps.source ORDER BY ps.source""".stripMargin,
+    "q_zipf_octaves" ->
+      """WITH tf AS (
+        |  SELECT t, count(*) AS tf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t != '' GROUP BY t),
+        |ranked AS (
+        |  SELECT tf, row_number() OVER (ORDER BY tf DESC, t) AS rank FROM tf),
+        |tot AS (SELECT coalesce(sum(tf), 0) AS total FROM tf)
+        |SELECT CAST(length(bin(rank)) - 1 AS INTEGER) AS octave,
+        |  count(*) AS n_types, CAST(sum(tf) AS BIGINT) AS mass,
+        |  CAST((1000000 * sum(tf)) // (SELECT total FROM tot) AS BIGINT) AS mass_ppm
+        |FROM ranked GROUP BY 1 ORDER BY octave""".stripMargin,
     "q_token_diversity" ->
       """WITH c AS (
         |  SELECT source, t, count(*) AS n FROM (

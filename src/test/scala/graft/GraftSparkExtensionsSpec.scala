@@ -74,6 +74,11 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
           |  cms_estimate((SELECT cms_agg(event_type) FROM ev_sql), event_type) AS est
           |FROM ev_sql GROUP BY event_type""".stripMargin).collect()
       assert(cms.nonEmpty && cms.forall(r => r.getLong(2) >= r.getLong(1)))
+      // kmv_agg in pure SQL: over range(0..9) with k=4 the sketch is
+      // exactly the 4 smallest values — deterministic, no estimator slack
+      val kmv = s.sql(
+        "SELECT kmv_agg(CAST(x AS BIGINT), 4) AS sk FROM range(10) t(x)").head()
+      assert(kmv.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
       s.catalog.dropTempView("ev_sql")
     } finally {
       SparkSession.clearActiveSession()
