@@ -114,10 +114,52 @@ object AuditQueries {
       .orderBy(col("rule"))
   }
 
+  /** Benford first-digit conformance audit (Newcomb 1881, Benford 1938;
+    * Nigrini's fraud-screening staple): the leading-digit distribution of
+    * `l_extendedprice` against the Benford expectation
+    * P(d) = log₁₀(1 + 1/d). A synthetic/fabricated or truncated amount
+    * column drifts from the curve — the classic forensic-accounting and
+    * data-quality scan over any monetary fact column.
+    *
+    * Exactness device: amounts go through the house exact-cents funnel
+    * (`floor(x·100 + 0.5)` — both engines execute the identical IEEE
+    * multiply/add/floor), the leading digit is the first character of the
+    * cents' decimal string (integer-to-string, no scientific notation in
+    * either engine), observed shares are integer ppm, and the Benford
+    * expectations are shared LITERALS (⌊10⁶·log₁₀(1+1/d)⌋) rather than
+    * engine log calls — no transcendental function runs anywhere.
+    *
+    * Scale shape: one scan, one 9-group aggregate with map-side partials;
+    * output is 9 rows at any input size. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val li = lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("d"))
+    val total = scalarSubquery(li.agg(count(lit(1))))
+    li.groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .withColumn("total", total)
+      .withColumn("obs_ppm", expr("(1000000 * n) DIV total"))
+      .withColumn("benford_ppm", expr(BenfordPpmCase))
+      .withColumn("dev_ppm", expr("abs(obs_ppm - benford_ppm)"))
+      .select(col("d"), col("n"), col("obs_ppm"), col("benford_ppm"), col("dev_ppm"))
+      .orderBy(col("d"))
+  }
+
+  /** ⌊10⁶·log₁₀(1+1/d)⌋ for d = 1..9 — fixed literals shared verbatim
+    * with the oracle so no engine evaluates a logarithm. */
+  private val BenfordPpmCase: String =
+    """CAST(CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+      |WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+      |WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757
+      |END AS BIGINT)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (profile _),
     "q_expectations" -> (expectations _),
     "q_ref_integrity" -> (refIntegrity _),
+    "q_benford" -> (benford _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +207,23 @@ object AuditQueries {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
     },
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+        |         AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+        |  FROM lineitem
+        |  WHERE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+        |t AS (SELECT count(*) AS total FROM d),
+        |g AS (SELECT d, count(*) AS n FROM d GROUP BY d),
+        |e AS (SELECT g.d, g.n,
+        |  (1000000 * g.n) // t.total AS obs_ppm,
+        |  CAST(CASE g.d WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |       WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |       WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |       WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+        |  FROM g, t)
+        |SELECT d, CAST(n AS BIGINT) AS n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+        |  benford_ppm, CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM e ORDER BY d""".stripMargin,
   )
 }

@@ -722,8 +722,97 @@ object SessionQueries {
         col("inter_est"), col("inter_exact"), col("jaccard_ppm"))
   }
 
+  /** Theil–Sen robust trend estimator (Theil 1950, Sen 1968) over the
+    * daily revenue series: the MEDIAN of all pairwise slopes — 29.3%
+    * breakdown point, so outlier days (an ingest gap, a flash spike) do
+    * not drag the trend the way OLS's single-point leverage does. The
+    * robust complement of regr_slope for monitoring pipelines.
+    *
+    * Exactness device: amounts ride the exact-cents funnel, each pairwise
+    * slope is emitted as sign(Δy)·((10⁶·|Δy|) DIV Δx) — sign-split
+    * because Spark's DIV truncates toward zero while DuckDB's // floors,
+    * which disagree on negatives — and the median is the LOWER median
+    * (row (n+1) DIV 2 of the slope-sorted pairs), deterministic in both
+    * engines. DECIMAL(38,0) product lane per the chiSquare ceiling.
+    *
+    * Scale shape: the data-sized pass is ONE day rollup (map-side
+    * partials); the pairwise stage is |days|² on the TINY daily relation
+    * — time is a bounded dimension (a decade is ~3.7k days → ~7M pairs,
+    * one task's work), so 100 TB grows the rollup, not the pair stage. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts DIV 86400000000000L"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .localCheckpoint(eager = true)
+    val pairs = daily.select(col("day").as("xa"), col("y").as("ya"))
+      .join(daily.select(col("day").as("xb"), col("y").as("yb")),
+        col("xa") < col("xb"))
+      .withColumn("slope_micro", expr(
+        """CAST(CASE WHEN yb >= ya
+          |  THEN (CAST(1000000 AS DECIMAL(38,0)) * (yb - ya)) DIV (xb - xa)
+          |  ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (ya - yb)) DIV (xb - xa))
+          |END AS BIGINT)""".stripMargin))
+    // lower median by rank: rn carries the global slope order, np the
+    // pair count (both windows share the one tiny-relation sort); the
+    // median row filter keeps everything scalar-subquery-assembled — one
+    // output row even on an empty corpus (NULL slope, 0 counts)
+    val ranked = pairs
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("slope_micro"), col("xa"), col("xb"))))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val nDays = scalarSubquery(daily.agg(count(lit(1))))
+    val nPairs = scalarSubquery(pairs.agg(count(lit(1))))
+    val medianSlope = scalarSubquery(
+      ranked.filter(expr("rn = (np + 1) DIV 2")).select(col("slope_micro")))
+    spark.range(1)
+      .select(nDays.as("n_days"), nPairs.as("n_pairs"),
+        medianSlope.as("sen_slope_micro"))
+  }
+
+  /** CUSUM change-point detection (Page 1954) on the daily revenue
+    * series: cumulative sums of mean-centered deviations peak at the
+    * point where the series' level shifts — argmax |CUSUM| is the classic
+    * single-change-point locator behind SPC dashboards and regression
+    * detectors.
+    *
+    * Exactness device: the same n-scaled integer mean-centering as
+    * [[SpatialCluster.moransI]] (z_d = n·y_d − S so no division happens),
+    * prefix sums in DECIMAL(38,0), the change point = (|C| desc, day asc)
+    * row 1 — total order, engine-identical. Emitted as the day, the
+    * excursion sign, and |C|·10⁶ DIV (n·S) — the excursion as a ppm
+    * fraction of total scaled volume.
+    *
+    * Scale shape: one day rollup (the only data-sized pass), one
+    * |days|-sized window prefix sum, single-row output. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts DIV 86400000000000L"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .localCheckpoint(eager = true)
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val nS = scalarSubquery(daily.agg(count(lit(1))))
+    val sS = scalarSubquery(daily.agg(coalesce(sum(col("y")), lit(0L))))
+    daily
+      .withColumn("n0", nS).withColumn("s0", sS)
+      .withColumn("z", expr("CAST(n0 AS DECIMAL(38,0)) * y - s0"))
+      .withColumn("c", sum(col("z")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(Window.orderBy(abs(col("c")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("day").as("cp_day"), col("n0").as("n_days"),
+        expr("CAST(CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END AS INT)").as("cusum_sign"),
+        expr("""CASE WHEN n0 * s0 = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST((1000000 * abs(c)) DIV (CAST(n0 AS DECIMAL(38,0)) * s0) AS BIGINT)
+               |END""".stripMargin).as("excursion_ppm"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
+    "q_theil_sen" -> (theilSen _),
+    "q_cusum" -> (cusum _),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -751,6 +840,49 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.day AS xa, b.day AS xb,
+        |    CAST(CASE WHEN b.y >= a.y
+        |      THEN (1000000 * CAST(b.y - a.y AS HUGEINT)) // (b.day - a.day)
+        |      ELSE -((1000000 * CAST(a.y - b.y AS HUGEINT)) // (b.day - a.day))
+        |    END AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |ranked AS (
+        |  SELECT slope_micro, row_number() OVER (ORDER BY slope_micro, xa, xb) AS rn
+        |  FROM pairs),
+        |s AS (SELECT (SELECT count(*) FROM daily) AS n_days,
+        |             (SELECT count(*) FROM pairs) AS n_pairs)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  (SELECT slope_micro FROM ranked, s WHERE rn = (n_pairs + 1) // 2)
+        |    AS sen_slope_micro
+        |FROM s""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n, coalesce(sum(y), 0) AS s FROM daily),
+        |c AS (
+        |  SELECT day, g.n AS n0, g.s AS s0,
+        |    sum(CAST(g.n AS HUGEINT) * y - g.s)
+        |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS c
+        |  FROM daily, g),
+        |top AS (
+        |  SELECT *, row_number() OVER (ORDER BY abs(c) DESC, day) AS rn FROM c)
+        |SELECT day AS cp_day, CAST(n0 AS BIGINT) AS n_days,
+        |  CAST(CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1 ELSE 0 END
+        |    AS INTEGER) AS cusum_sign,
+        |  CAST(CASE WHEN n0 * s0 = 0 THEN 0
+        |       ELSE (1000000 * abs(c)) // (CAST(n0 AS HUGEINT) * s0)
+        |       END AS BIGINT) AS excursion_ppm
+        |FROM top WHERE rn = 1""".stripMargin,
     "q_kmv_overlap" ->
       """WITH ha AS (
         |  SELECT DISTINCT

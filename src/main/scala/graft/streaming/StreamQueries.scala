@@ -406,7 +406,37 @@ object StreamQueries {
     }
   }
 
+  /** Streaming distinct-count via the KMV sketch ([[graft.exprs.KmvAgg]]
+    * inside the streaming engine — third custom TypedImperativeAggregate
+    * on this path after CMS and Misra-Gries): complete-mode global
+    * aggregate, ≤k longs of state merged incrementally across
+    * micro-batches. The KmvAggProps any-split law is exactly the
+    * streaming guarantee: the sketch after N micro-batches equals the
+    * batch sketch, so the DuckDB `ORDER BY h LIMIT k` replay (including
+    * the estimator arithmetic) hash-matches the streaming result. Exact
+    * distinct rides along as the audit column. */
+  def streamKmv(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val h = pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L),
+      lit(2147483648L))
+    val stream = eventsStream(spark, dir).select(h.as("h"))
+    val sketch = stream.agg(graft.functions.kmv_agg(col("h"), k).as("sk"))
+    runBounded(spark, sketch, "graft_stream_kmv",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      val sk = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        sinkDf.select(col("sk")))
+      Tables.events(spark, dir)
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .withColumn("sk", sk)
+        .withColumn("m_size", expr("CAST(size(sk) AS INT)"))
+        .withColumn("kmv_est", expr(
+          s"CASE WHEN m_size < $k THEN CAST(m_size AS BIGINT) " +
+            s"ELSE (CAST(${k - 1} AS BIGINT) * 2147483648) DIV element_at(sk, $k) END"))
+        .select(col("exact_distinct"), col("m_size"), col("kmv_est"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d)),
     "q_stream_cms" -> (streamCms _),
     "q_stream_window" -> (streamWindowCounts _),
@@ -420,6 +450,23 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full replay: streaming sketch == batch sketch (any-split law) ==
+    // the oracle's ORDER BY h LIMIT k, estimator arithmetic included.
+    "q_stream_kmv" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT
+        |    (((user_id % 1000000007 + 1000000007) % 1000000007)
+        |     * 2654435761) % 2147483648 AS h
+        |  FROM events),
+        |sk AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+        |s AS (SELECT (SELECT count(*) FROM sk) AS m,
+        |             (SELECT max(h) FROM sk) AS kth,
+        |             (SELECT count(DISTINCT user_id) FROM events) AS ed)
+        |SELECT CAST(ed AS BIGINT) AS exact_distinct,
+        |  CAST(m AS INTEGER) AS m_size,
+        |  CAST(CASE WHEN m < 64 THEN m ELSE (63 * 2147483648) // kth END
+        |    AS BIGINT) AS kmv_est
+        |FROM s""".stripMargin,
     // Contract mirror: the provable heavy hitters are pure SQL (exact
     // counts + integer cross-multiplied N/16 bar), and the MG guarantee
     // pins in_candidates to TRUE for every one of them — a sketch defect
