@@ -210,7 +210,49 @@ object GraphQueries {
       .limit(k)
   }
 
+  /** Bounded-round k-core peeling (Seidman 1983's coreness, the
+    * degeneracy-ordering workhorse behind community seeding and graph
+    * sparsification): repeatedly delete nodes of induced degree &lt; k.
+    * Like [[labelProp]], the operator contract is FIXED synchronous
+    * rounds — `rounds` peels — so the result is deterministic and
+    * oracle-replayable by unrolling; the exact k-core is the fixpoint
+    * this converges to monotonically (each round only removes nodes, so
+    * R rounds give a provable SUPERSET of the true core that shrinks
+    * with R — the bounded-round law documented for label propagation).
+    *
+    * Scale shape: per round, TWO hash equi semi joins (edges ⋈ alive on
+    * src and dst) + one grouped count — all key-partitioned shuffles on
+    * the node id; no iteration-until-fixpoint driver loop, no
+    * collect. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 3,
+            buckets: Int = 300): DataFrame = {
+    val und = lineitem(spark, dir).select(
+        pmod(col("l_partkey"), lit(buckets.toLong)).as("x"),
+        pmod(col("l_suppkey"), lit(buckets.toLong)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val bidir = und.select(col("x").as("src"), col("y").as("dst"))
+      .union(und.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint(eager = true)
+    val init = bidir.select(col("src").as("node")).distinct()
+    val survivors = (1 to rounds).foldLeft(init) { (alive, _) =>
+      bidir
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k.toLong)
+        .select(col("src").as("node"))
+    }
+    // final induced degree of the surviving subgraph
+    bidir
+      .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_link_predict" -> ((s, d) => linkPredictRa(s, d)),
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
@@ -219,6 +261,30 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kcore" ->
+      """WITH und AS (
+        |  SELECT DISTINCT l_partkey % 300 AS x, l_suppkey % 300 AS y
+        |  FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300),
+        |e AS (
+        |  SELECT x AS src, y AS dst FROM und
+        |  UNION ALL SELECT y, x FROM und),
+        |a0 AS (SELECT DISTINCT src AS node FROM e),
+        |a1 AS (
+        |  SELECT src AS node FROM e
+        |  WHERE src IN (SELECT node FROM a0) AND dst IN (SELECT node FROM a0)
+        |  GROUP BY src HAVING count(*) >= 4),
+        |a2 AS (
+        |  SELECT src AS node FROM e
+        |  WHERE src IN (SELECT node FROM a1) AND dst IN (SELECT node FROM a1)
+        |  GROUP BY src HAVING count(*) >= 4),
+        |a3 AS (
+        |  SELECT src AS node FROM e
+        |  WHERE src IN (SELECT node FROM a2) AND dst IN (SELECT node FROM a2)
+        |  GROUP BY src HAVING count(*) >= 4)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e
+        |WHERE src IN (SELECT node FROM a3) AND dst IN (SELECT node FROM a3)
+        |GROUP BY src ORDER BY node""".stripMargin,
     "q_link_predict" ->
       """WITH e AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS p FROM lineitem),

@@ -771,6 +771,35 @@ object SessionQueries {
         medianSlope.as("sen_slope_micro"))
   }
 
+  /** Growth accounting — the DAU / new-user / cumulative-user triple
+    * every product dashboard opens with: per day, distinct active users,
+    * users seen for the FIRST time, and the running total of distinct
+    * users ever seen. The "running distinct" is the part a naive window
+    * cannot do at scale (collect_set over an unbounded frame holds the
+    * universe per row); the scalable identity is first-occurrence
+    * attribution — cum_users(d) = Σ_{d'≤d} new_users(d') — which turns
+    * the running distinct into a per-user min() plus a prefix sum over
+    * the tiny day relation.
+    *
+    * Scale shape: one (day,user) distinct, one per-user min rollup —
+    * both key-partitioned map-side-partial shuffles — then day-level
+    * joins and ONE |days|-sized window. */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = events(spark, dir)
+      .select(expr("ts DIV 86400000000000L").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val newUsers = dayUser.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    dau.join(newUsers, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("dau"), col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
   /** CUSUM change-point detection (Page 1954) on the daily revenue
     * series: cumulative sums of mean-centered deviations peak at the
     * point where the series' level shifts — argmax |CUSUM| is the classic
@@ -813,6 +842,7 @@ object SessionQueries {
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
+    "q_user_growth" -> (userGrowth _),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -840,6 +870,20 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_user_growth" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |fu AS (SELECT user_id, min(day) AS day FROM du GROUP BY user_id),
+        |nu AS (SELECT day, count(*) AS new_users FROM fu GROUP BY day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (
+        |    ORDER BY dau.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM dau LEFT JOIN nu ON dau.day = nu.day
+        |ORDER BY dau.day""".stripMargin,
     "q_theil_sen" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,

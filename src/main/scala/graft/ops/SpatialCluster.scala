@@ -287,7 +287,62 @@ object SpatialCluster {
       .orderBy(col("r"))
   }
 
+  /** Ripley's K point-pattern analysis (Ripley 1976) — the multi-scale
+    * complement of [[dbscan]]'s single-ε clustering: for a ladder of
+    * radii, the count of ordered point pairs within distance r,
+    * normalized by n(n−1). Clustered patterns exceed, dispersed patterns
+    * undershoot the CSR expectation; reading the curve ACROSS radii is
+    * what distinguishes clustering scale from mere density (the
+    * spatstat/PySAL K-function).
+    *
+    * Distributed shape: ONE neighbor join at the LARGEST radius — points
+    * hash into r_max-sized grid cells, candidates come from the 3×3 cell
+    * neighborhood on the CELL KEY (hash equi join, never all-pairs) —
+    * and every smaller radius is a conditional aggregate over the same
+    * pair relation (d² ≤ r², exact integers on the fixture). pairs_ppm
+    * = 10⁶·pairs DIV n(n−1) keeps the normalization integer.
+    *
+    * Scale shape: the join fan-out is bounded by points-per-r_max-cell
+    * (the caller's pitch contract, as in dbscan); 3 output rows. */
+  def ripleyK(spark: SparkSession, dir: String,
+              radii: Seq[Double] = Seq(1000.0, 2000.0, 3000.0)): DataFrame = {
+    val rMax = radii.max
+    val pts = fixturePoints(spark, dir).localCheckpoint(eager = true)
+    val withCell = pts
+      .withColumn("cx", floor(col("x") / rMax).cast("long"))
+      .withColumn("cy", floor(col("y") / rMax).cast("long"))
+    val offsets = typedlit(for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
+    val probe = withCell
+      .select(col("pid").as("a_pid"), col("x").as("ax"), col("y").as("ay"),
+        col("cx"), col("cy"), explode(offsets).as("o"))
+      .select(col("a_pid"), col("ax"), col("ay"),
+        (col("cx") + col("o._1")).as("jcx"), (col("cy") + col("o._2")).as("jcy"))
+    val build = withCell.select(col("pid").as("b_pid"), col("x").as("bx"),
+      col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val pairs = probe.join(build, Seq("jcx", "jcy"))
+      .filter(col("a_pid") =!= col("b_pid") && d2 <= rMax * rMax)
+      .select(d2.as("d2"))
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val n = scalarSubquery(pts.agg(count(lit(1))))
+    val perRadius = radii.map { r =>
+      sum(when(col("d2") <= r * r, 1L).otherwise(0L)).as(s"p${r.toLong}")
+    }
+    val agg = pairs.agg(perRadius.head, perRadius.tail: _*)
+      .withColumn("n", n)
+    val rows = radii.map { r =>
+      agg.select(lit(r.toLong).as("radius_m"),
+        coalesce(col(s"p${r.toLong}"), lit(0L)).as("n_pairs"),
+        expr(s"""CASE WHEN n * (n - 1) = 0 THEN CAST(0 AS BIGINT)
+                |ELSE CAST((1000000 * coalesce(p${r.toLong}, 0)) DIV (n * (n - 1)) AS BIGINT)
+                |END""".stripMargin).as("pairs_ppm"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("radius_m"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ripley_k" -> ((s, d) => ripleyK(s, d)),
     "q_dbscan" -> ((s, d) => dbscan(s, d)),
     "q_morans_i" -> (moransI _),
     "q_lisa" -> (lisa _),
@@ -300,6 +355,39 @@ object SpatialCluster {
     * DuckDB join hash-shaped. Components via the same recursive closure
     * as the dedup_clusters oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ripley_k" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_partkey % 25 AS r,
+        |         (l_orderkey * 7 + l_linenumber) % 2500 AS pos
+        |  FROM lineitem
+        |  WHERE (l_orderkey * 7 + l_linenumber) % 2500 % 7 < 3),
+        |p AS (
+        |  SELECT r * 2500 + pos AS pid,
+        |         (r % 5) * 60 + (pos % 50) AS gx,
+        |         (r // 5) * 60 + (pos // 50) AS gy
+        |  FROM pts),
+        |offs AS (
+        |  SELECT t1.dx, t2.dy FROM range(-3, 4) t1(dx), range(-3, 4) t2(dy)
+        |  WHERE NOT (t1.dx = 0 AND t2.dy = 0)
+        |    AND t1.dx * t1.dx + t2.dy * t2.dy <= 9),
+        |pr AS (
+        |  SELECT o.dx * o.dx + o.dy * o.dy AS d2
+        |  FROM p a, offs o, p b
+        |  WHERE b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy),
+        |s AS (
+        |  SELECT (SELECT count(*) FROM p) AS n,
+        |    count(*) FILTER (WHERE d2 <= 1) AS p1,
+        |    count(*) FILTER (WHERE d2 <= 4) AS p2,
+        |    count(*) FILTER (WHERE d2 <= 9) AS p3
+        |  FROM pr)
+        |SELECT CAST(v.radius_m AS BIGINT) AS radius_m,
+        |  CAST(v.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN n * (n - 1) = 0 THEN 0
+        |       ELSE (1000000 * v.n_pairs) // (n * (n - 1)) END AS BIGINT)
+        |    AS pairs_ppm
+        |FROM s, LATERAL (VALUES (1000, s.p1), (2000, s.p2), (3000, s.p3))
+        |  AS v(radius_m, n_pairs)
+        |ORDER BY radius_m""".stripMargin,
     "q_getis_ord" ->
       """WITH v AS (
         |  SELECT l_partkey % 25 AS r, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v

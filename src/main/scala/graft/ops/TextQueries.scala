@@ -732,6 +732,39 @@ object TextQueries {
       .orderBy(col("octave"))
   }
 
+  /** Corpus readability scoring — Flesch reading ease (Flesch 1948,
+    * the `textstat` default every data-quality pipeline reaches for)
+    * per language: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word), computed from per-language TOTALS (the
+    * standard corpus-level form). Syllables use the classic vowel-group
+    * approximation ([aeiouy]+ runs — the same heuristic textstat's
+    * fallback uses), sentences the terminal-period count.
+    *
+    * Exactness device: counts are integers (token filter, char-diff
+    * period count, regexp_extract_all run count — identical greedy
+    * semantics in both engines for a plain character class), and the
+    * Flesch formula is emitted in micro units with the constants
+    * pre-scaled (206835000, 1015000, 84600000) and integer DIV — no
+    * float arithmetic anywhere.
+    *
+    * Scale shape: per-row projections + ONE bounded-key rollup. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Par.fanOut(documents(spark, dir))
+      .select(col("lang"),
+        expr("size(filter(split(text, ' '), t -> t != ''))").cast("long").as("w"),
+        (length(col("text")) - length(expr("replace(text, '.', '')"))).cast("long").as("s"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+      .withColumn("flesch_micro", expr(
+        """CAST(206835000
+          |  - (1015000 * n_words) DIV greatest(n_sentences, 1)
+          |  - (84600000 * n_syllables) DIV greatest(n_words, 1)
+          |AS BIGINT)""".stripMargin))
+      .orderBy(col("lang"))
+  }
+
   /** Importance-weighted deterministic sampling: each document keeps with
     * probability proportional to its OWN weight (token count here; a
     * quality score in production) — the continuous-weight complement of
@@ -1592,6 +1625,7 @@ object TextQueries {
     "q_bm25" -> (bm25 _),
     "q_hapax" -> (hapaxRate _),
     "q_zipf_octaves" -> (zipfOctaves _),
+    "q_readability" -> (readability _),
   )
 
   /** Shared oracle SQL prefix: the exact >= 0.7 n-gram-Jaccard pair
@@ -1761,6 +1795,26 @@ object TextQueries {
         |  count(*) AS n_types, CAST(sum(tf) AS BIGINT) AS mass,
         |  CAST((1000000 * sum(tf)) // (SELECT total FROM tot) AS BIGINT) AS mass_ppm
         |FROM ranked GROUP BY 1 ORDER BY octave""".stripMargin,
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS w,
+        |    CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, count(*) AS n_docs, sum(w) AS n_words,
+        |         sum(s) AS n_sentences, sum(y) AS n_syllables
+        |  FROM d GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(206835000
+        |    - (1015000 * n_words) // greatest(n_sentences, 1)
+        |    - (84600000 * n_syllables) // greatest(n_words, 1)
+        |  AS BIGINT) AS flesch_micro
+        |FROM g ORDER BY lang""".stripMargin,
     "q_token_diversity" ->
       """WITH c AS (
         |  SELECT source, t, count(*) AS n FROM (
