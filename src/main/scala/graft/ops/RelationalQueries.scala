@@ -837,7 +837,29 @@ object RelationalQueries {
         col("n_missed_true"))
   }
 
+  /** Scan through the custom DataSource V2 table
+    * ([[graft.sources.LatticeSource]]) — the DSv2 rung of the extension
+    * ladder: the `r` range predicate is pushed into the source and
+    * prunes whole InputPartitions at planning time (only 5 of 25 region
+    * partitions are ever created — asserted in `LatticeSourceSpec`),
+    * and column pruning reaches the reader. The aggregate mirrors the
+    * generator's closed form, so the oracle replays it from `range()`
+    * with no table at all. Site coordinates are exact-integer-valued
+    * doubles; BIGINT casts keep every sum exact. */
+  def latticeScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.LatticeSource")
+      .option("regions", 25).option("sites", 2500).option("keepMod", 7)
+      .load()
+      .filter(col("r") >= 10 && col("r") <= 14)
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(col("pos").cast("long")).as("sum_pos"),
+        sum(col("x").cast("bigint")).as("sum_x"),
+        sum(col("y").cast("bigint")).as("sum_y"))
+      .orderBy(col("r"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lattice_scan" -> (latticeScan _),
     "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
@@ -881,6 +903,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lattice_scan" ->
+      """WITH p AS (
+        |  SELECT r.range AS r, s.range AS pos
+        |  FROM range(10, 15) r, range(0, 2500) s
+        |  WHERE s.range % 7 < 3)
+        |SELECT CAST(r AS INTEGER) AS r, count(*) AS n_sites,
+        |  CAST(sum(pos) AS BIGINT) AS sum_pos,
+        |  CAST(sum(-6300000 + (r % 5) * 60000 + (pos % 50) * 1000) AS BIGINT)
+        |    AS sum_x,
+        |  CAST(sum(-2000000 + (r // 5) * 60000 + (pos // 50) * 1000) AS BIGINT)
+        |    AS sum_y
+        |FROM p GROUP BY r ORDER BY r""".stripMargin,
     "q_entity_resolution" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,

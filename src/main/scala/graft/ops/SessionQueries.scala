@@ -771,6 +771,113 @@ object SessionQueries {
         medianSlope.as("sen_slope_micro"))
   }
 
+  /** Two-proportion A/B significance test (the pooled two-sample z-test
+    * every experimentation platform runs): users split into arms by the
+    * house deterministic hash, conversion = "has ≥1 purchase event",
+    * and the z-statistic decides whether the conversion-rate difference
+    * survives noise.
+    *
+    * Exactness device (the [[SpatialCluster.getisOrd]] trick): with
+    * c₁/n₁, c₂/n₂ the arm conversions and C = c₁+c₂, N = n₁+n₂, the
+    * pooled z² is the all-integer rational
+    *   z² = (c₁·n₂ − c₂·n₁)² · N / (n₁ · n₂ · C · (N − C)),
+    * so the emitted columns are the difference sign and z²·10⁶ DIV den
+    * in DECIMAL(38,0) lanes, and the significance verdict (z² against
+    * 1.96² = 3841600 micro) is decided on the same integer in both
+    * engines — no sqrt, no float.
+    *
+    * Scale shape: one per-user rollup (map-side partials), one 2-row
+    * conditional aggregate, scalar assembly. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("arm",
+        pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L), lit(2L)))
+    val arms = perUser.agg(
+      count(when(col("arm") === 0L, 1)).as("n1"),
+      count(when(col("arm") === 1L, 1)).as("n2"),
+      coalesce(sum(when(col("arm") === 0L, col("converted"))), lit(0L)).as("c1"),
+      coalesce(sum(when(col("arm") === 1L, col("converted"))), lit(0L)).as("c2"))
+    arms
+      .withColumn("num", expr(
+        "CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1"))
+      .withColumn("den", expr(
+        """CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2)
+          | * (CAST(n1 AS DECIMAL(38,0)) + n2 - c1 - c2)""".stripMargin))
+      .withColumn("z_sign", expr(
+        "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)"))
+      .withColumn("z_sq_micro", expr(
+        """CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * num * num * (CAST(n1 AS DECIMAL(38,0)) + n2))
+          |          DIV den AS BIGINT) END""".stripMargin))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"), col("z_sign"),
+        col("z_sq_micro"),
+        expr("z_sq_micro > 3841600").as("significant_95"))
+  }
+
+  /** Gini concentration of spend (the Lorenz-curve coefficient, the
+    * standard whale-dependence metric for revenue): per-user lifetime
+    * value in exact cents, then G = (2·Σᵢ i·yᵢ − (n+1)·Σy) / (n·Σy)
+    * over the value-ranked users — 0 = equal spend, →1 = all revenue
+    * from one user.
+    *
+    * Exactness device: the rank weights come from ONE row_number window
+    * over (value, user_id) — a total order, so both engines weight
+    * identically — and the coefficient is emitted as ppm via integer
+    * DIV in DECIMAL(38,0) lanes (Σ i·yᵢ reaches n·Σy ≈ 10²³ at
+    * trillion-row scale — inside precision 38).
+    *
+    * Scale shape: one per-user rollup, one |users|-sized global-order
+    * window (the sort is users, not events), single-row output. */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
+    val ranked = perUser.withColumn("i",
+      row_number().over(Window.orderBy(col("y"), col("user_id"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("y")), lit(0L)).as("total_cents"),
+        coalesce(sum(expr("CAST(i AS DECIMAL(38,0)) * y")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("wsum"))
+      .withColumn("gini_ppm", expr(
+        """CASE WHEN n_users * total_cents = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * (2 * wsum - (CAST(n_users AS DECIMAL(38,0)) + 1) * total_cents))
+          |          DIV (CAST(n_users AS DECIMAL(38,0)) * total_cents) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("n_users"), col("total_cents"), col("gini_ppm"))
+  }
+
+  /** RFM segmentation (the recency/frequency/monetary quintile grid —
+    * direct-marketing's standard customer-value partition): per user the
+    * last-active day, event count, and lifetime cents, each cut into
+    * quintiles by `ntile(5)`, then the population of every RFM cell.
+    *
+    * Determinism: ntile is purely rank-arithmetic (⌈n·k/N⌉ boundaries,
+    * identical in Spark and DuckDB) once the ORDER is total — every
+    * window orders by (metric, user_id). Output ≤125 cells regardless of
+    * input size; cell monetary means are integer cents DIV.
+    *
+    * Scale shape: one per-user rollup, three |users|-sized windows
+    * (users, not events), one bounded-key rollup. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("day", expr("ts DIV 86400000000000L"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+    val scored = perUser
+      .withColumn("r_q", ntile(5).over(Window.orderBy(col("last_day"), col("user_id"))))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn("m_q", ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("monetary")).as("cell_cents"))
+      .withColumn("avg_cents", expr("cell_cents DIV n_users"))
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_users"), col("avg_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Growth accounting — the DAU / new-user / cumulative-user triple
     * every product dashboard opens with: per day, distinct active users,
     * users seen for the FIRST time, and the running total of distinct
@@ -843,6 +950,9 @@ object SessionQueries {
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
     "q_user_growth" -> (userGrowth _),
+    "q_ab_test" -> (abTest _),
+    "q_gini_spend" -> (giniSpend _),
+    "q_rfm" -> (rfm _),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -870,6 +980,73 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS last_day,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY last_day, user_id) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_q
+        |  FROM pu)
+        |SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+        |  CAST(m_q AS INTEGER) AS m_q, count(*) AS n_users,
+        |  CAST(sum(monetary) // count(*) AS BIGINT) AS avg_cents
+        |FROM s GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    (((min(user_id) % 1000000007 + 1000000007) % 1000000007)
+        |     * 2654435761) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE arm = 0) AS n1,
+        |    count(*) FILTER (WHERE arm = 1) AS n2,
+        |    coalesce(sum(converted) FILTER (WHERE arm = 0), 0) AS c1,
+        |    coalesce(sum(converted) FILTER (WHERE arm = 1), 0) AS c2
+        |  FROM pu),
+        |z AS (
+        |  SELECT *,
+        |    CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1 AS num,
+        |    CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+        |      * (CAST(n1 AS HUGEINT) + n2 - c1 - c2) AS den
+        |  FROM a),
+        |e AS (
+        |  SELECT n1, c1, n2, c2,
+        |    CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |      AS INTEGER) AS z_sign,
+        |    CAST(CASE WHEN den = 0 THEN 0
+        |         ELSE (1000000 * num * num * (CAST(n1 AS HUGEINT) + n2)) // den
+        |         END AS BIGINT) AS z_sq_micro
+        |  FROM z)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+        |  CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+        |  z_sign, z_sq_micro, z_sq_micro > 3841600 AS significant_95
+        |FROM e""".stripMargin,
+    "q_gini_spend" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT y, row_number() OVER (ORDER BY y, user_id) AS i FROM pu),
+        |a AS (
+        |  SELECT count(*) AS n_users, coalesce(sum(y), 0) AS total_cents,
+        |    coalesce(sum(CAST(i AS HUGEINT) * y), 0) AS wsum
+        |  FROM r)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(total_cents AS BIGINT) AS total_cents,
+        |  CAST(CASE WHEN n_users * total_cents = 0 THEN 0
+        |       ELSE (1000000 * (2 * wsum - (CAST(n_users AS HUGEINT) + 1) * total_cents))
+        |            // (CAST(n_users AS HUGEINT) * total_cents)
+        |       END AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
     "q_user_growth" ->
       """WITH du AS (
         |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id

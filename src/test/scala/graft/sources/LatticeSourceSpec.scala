@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 source's three contracts: content (generator closed form),
+  * partition-exact filter pushdown (pruned regions never become
+  * InputPartitions), and column pruning reaching the reader. */
+class LatticeSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+
+  private def load(regions: Int = 25, sites: Int = 2500, keepMod: Int = 0) =
+    spark.read.format("graft.sources.LatticeSource")
+      .option("regions", regions).option("sites", sites)
+      .option("keepMod", keepMod).load()
+
+  test("content matches the generator closed form") {
+    val got = load(regions = 3, sites = 10)
+      .select(col("r"), col("pos"), col("x"), col("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val want = (for (r <- 0 until 3; p <- 0 until 10)
+      yield (r, p, LatticeSource.siteX(r, p), LatticeSource.siteY(r, p))).toSet
+    assert(got == want)
+    // keepMod drops pos % m >= 3
+    assert(load(regions = 1, sites = 14, keepMod = 7).count() ==
+      (0 until 14).count(_ % 7 < 3))
+  }
+
+  test("r predicates prune InputPartitions at planning time") {
+    assert(load().rdd.getNumPartitions == 25)
+    assert(load().filter(col("r") === 3).rdd.getNumPartitions == 1)
+    assert(load().filter(col("r") >= 10 && col("r") <= 14)
+      .rdd.getNumPartitions == 5)
+    assert(load().filter(col("r").isin(1, 5, 9)).rdd.getNumPartitions == 3)
+    // non-r predicates do not prune (and do not break)
+    assert(load().filter(col("pos") === 1).rdd.getNumPartitions == 25)
+    // residual re-evaluation keeps correctness: values, not just counts
+    val got = load(sites = 100).filter(col("r") === 3 && col("pos") < 5)
+      .select(col("pos")).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("pushdown and column pruning are visible in the scan, and an empty prune is fine") {
+    val df = load().filter(col("r") === 7).select(col("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("EqualTo(r,7)"), plan.take(800))
+    assert(plan.contains("read=[r]"), plan.take(800))
+    assert(df.count() == 2500)
+    // contradiction prunes every partition -> empty result, no reader runs
+    val none = load().filter(col("r") === 99)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+  }
+}
