@@ -113,6 +113,9 @@ object SparkEntry {
       // st_makeline + st_simplify + st_npoints: per-user trajectory
       // build and Douglas-Peucker thinning with a closed-form oracle.
       "q_traj_simplify" -> ((s, dir) => Pipelines.trajectorySimplify(s, dir)),
+      // Areal interpolation: area-weighted attribute reaggregation
+      // between incompatible zone systems (R-tree join + overlay weight).
+      "q_areal_interp" -> (Pipelines.arealInterp _),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,5 +153,6 @@ object SparkEntry {
     ("q_predicates" -> Pipelines.predicatesOracleSql) +
     ("q_transform_crs" -> Pipelines.transformCrsOracleSql) +
     ("q_azimuth" -> Pipelines.azimuthOracleSql) +
-    ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql)
+    ("q_traj_simplify" -> Pipelines.trajectorySimplifyOracleSql) +
+    ("q_areal_interp" -> Pipelines.arealInterpOracleSql)
 }

@@ -139,6 +139,85 @@ object Pipelines {
         st_makevalid(st_geomfromwkt(regionWkt(col("n_nationkey")))).as("region_geom"))
   }
 
+  /** Areal interpolation (area-weighted reaggregation, Goodchild &amp; Lam
+    * 1980 — the GIS standard for moving an attribute between
+    * incompatible zone systems, e.g. census tracts → grid cells): each
+    * target zone receives Σ over source zones of value·(∩area/source
+    * area). Composed entirely from the engine's own operators — the
+    * declarative broadcast R-tree `st_intersects` join
+    * ([[graft.plans.SpatialJoinStrategy]] plans it), `st_intersection` +
+    * `st_area` for the overlap weight, and a grouped weighted sum.
+    *
+    * Exactness: fixture zones are axis-aligned integer-meter rectangles,
+    * so every intersection area is an exact integer, the source area is
+    * the constant 50 km² = 2.5e9, and the allocation is emitted as
+    * (1000·Σv·∩) DIV 2.5e9 in DECIMAL(38,0) lanes.
+    *
+    * Scale shape: the data-sized pass is the source-value rollup; the
+    * zone-pair stage is |sources|×|targets| through the R-tree join
+    * (never all-pairs at scale — the tree prunes), output |targets|. */
+  def arealInterp(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    val vals = Par.fanOut(spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity")))
+      .select((col("l_partkey") % 25L).cast("int").as("region_id"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("region_id")).agg(sum(col("q")).as("v"))
+    val src = regionRelation(spark, dir)
+      .join(vals, Seq("region_id"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    val tgt = spark.range(9)
+      .select(col("id").cast("int").as("zone_id"),
+        (lit(-6300000L) + (col("id") % 3).cast("long") * 100000L).as("tx0"),
+        (lit(-2000000L) + expr("CAST(id DIV 3 AS LONG)") * 100000L).as("ty0"))
+      .withColumn("zone_geom", st_makeenvelope(
+        col("tx0").cast("double"), col("ty0").cast("double"),
+        (col("tx0") + 100000L).cast("double"), (col("ty0") + 100000L).cast("double")))
+    tgt.join(broadcast(src), st_intersects(col("zone_geom"), col("region_geom")))
+      .withColumn("inter",
+        st_area(st_intersection(col("zone_geom"), col("region_geom"))).cast("long"))
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * inter")).as("wsum"))
+      .withColumn("alloc_milli",
+        expr("CAST((1000 * wsum) DIV 2500000000 AS BIGINT)"))
+      .select(col("zone_id"), col("n_sources"), col("alloc_milli"))
+      .orderBy(col("zone_id"))
+  }
+
+  /** Integer closed form: axis overlap lengths of the 50 km source
+    * squares against the 100 km target grid decide both membership
+    * (≥ 0, touch included — JTS intersects on closed rectangles) and
+    * the weight (ox·oy). */
+  val arealInterpOracleSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey % 25 AS r,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY r),
+      |src AS (
+      |  SELECT n_nationkey AS region_id,
+      |    -6300000 + (n_nationkey % 5) * 60000 AS rx0,
+      |    -2000000 + (n_nationkey // 5) * 60000 AS ry0,
+      |    coalesce(v.v, 0) AS v
+      |  FROM nation LEFT JOIN v ON v.r = n_nationkey),
+      |tgt AS (
+      |  SELECT t.range AS zone_id,
+      |    -6300000 + (t.range % 3) * 100000 AS tx0,
+      |    -2000000 + (t.range // 3) * 100000 AS ty0
+      |  FROM range(9) t),
+      |p AS (
+      |  SELECT zone_id,
+      |    least(rx0 + 50000, tx0 + 100000) - greatest(rx0, tx0) AS ox,
+      |    least(ry0 + 50000, ty0 + 100000) - greatest(ry0, ty0) AS oy,
+      |    v
+      |  FROM tgt, src
+      |  WHERE least(rx0 + 50000, tx0 + 100000) >= greatest(rx0, tx0)
+      |    AND least(ry0 + 50000, ty0 + 100000) >= greatest(ry0, ty0))
+      |SELECT CAST(zone_id AS INTEGER) AS zone_id, count(*) AS n_sources,
+      |  CAST((1000 * sum(CAST(v AS HUGEINT) * (ox * oy))) // 2500000000
+      |    AS BIGINT) AS alloc_milli
+      |FROM p GROUP BY zone_id ORDER BY zone_id""".stripMargin
+
   def spatialJoinRollup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.registerAll(spark) // installs SpatialJoinStrategy (idempotent)
     parcelRelation(spark, dir).select(col("parcel_geom"))

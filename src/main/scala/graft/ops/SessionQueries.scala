@@ -878,6 +878,43 @@ object SessionQueries {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** Day-of-week seasonal decomposition (the multiplicative seasonal
+    * index of classical decomposition, restricted to the weekly cycle):
+    * per weekday, the ratio of its mean daily revenue to the overall
+    * mean daily revenue, in micro units — the first thing a forecasting
+    * pipeline factors out before trend fitting.
+    *
+    * Exactness device: index = (10⁶ · dow_cents · n_days) DIV
+    * (n_dow_days · total_cents) — one cross-multiplied integer DIV, no
+    * per-day mean ever materializes. Weekday anchor: epoch day 0
+    * (1970-01-01) was a Thursday, so dow = (day + 4) % 7 gives 0 =
+    * Sunday … 6 = Saturday.
+    *
+    * Scale shape: one day rollup, one ≤7-key rollup, two global scalars
+    * broadcast back. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .withColumn("day", expr("ts DIV 86400000000000L"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y"))
+      .localCheckpoint(eager = true)
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val nDays = scalarSubquery(daily.agg(count(lit(1))))
+    val total = scalarSubquery(daily.agg(coalesce(sum(col("y")), lit(0L))))
+    daily
+      .withColumn("dow", expr("CAST((day + 4) % 7 AS INT)"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("dow_cents"))
+      .withColumn("nd", nDays).withColumn("tot", total)
+      .withColumn("seasonal_micro", expr(
+        """CASE WHEN n_days * tot = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * CAST(dow_cents AS DECIMAL(38,0)) * nd)
+          |          DIV (CAST(n_days AS DECIMAL(38,0)) * tot) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("dow"), col("n_days"), col("dow_cents"), col("seasonal_micro"))
+      .orderBy(col("dow"))
+  }
+
   /** Growth accounting — the DAU / new-user / cumulative-user triple
     * every product dashboard opens with: per day, distinct active users,
     * users seen for the FIRST time, and the running total of distinct
@@ -953,6 +990,7 @@ object SessionQueries {
     "q_ab_test" -> (abTest _),
     "q_gini_spend" -> (giniSpend _),
     "q_rfm" -> (rfm _),
+    "q_seasonality" -> (seasonality _),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -980,6 +1018,22 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS nd, coalesce(sum(y), 0) AS tot FROM daily),
+        |d AS (
+        |  SELECT CAST((day + 4) % 7 AS INTEGER) AS dow, count(*) AS n_days,
+        |    CAST(sum(y) AS BIGINT) AS dow_cents
+        |  FROM daily GROUP BY 1)
+        |SELECT dow, CAST(n_days AS BIGINT) AS n_days, dow_cents,
+        |  CAST(CASE WHEN n_days * tot = 0 THEN 0
+        |       ELSE (1000000 * CAST(dow_cents AS HUGEINT) * nd)
+        |            // (CAST(n_days AS HUGEINT) * tot) END AS BIGINT)
+        |    AS seasonal_micro
+        |FROM d, g ORDER BY dow""".stripMargin,
     "q_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS last_day,
