@@ -858,7 +858,38 @@ object RelationalQueries {
         sum(col("y").cast("bigint")).as("sum_y"))
       .orderBy(col("r"))
 
+  /** Observed-metrics pass (`Dataset.observe` / `CollectMetricsExec` —
+    * Spark's mechanism for pipeline health counters that ride along on a
+    * pass instead of costing a second scan): the observation watches the
+    * PRE-filter stream (total rows, exact total cents, max quantity)
+    * while the query's real action computes the post-filter aggregate;
+    * both land in one audit row. This is how a 100 TB ingest reports
+    * "rows read / rows kept / checksum" without re-reading anything —
+    * the alternative is a second full scan per metric set.
+    *
+    * The observed values come off the driver's accumulator after the
+    * single action (the documented Observation contract); the returned
+    * one-row DataFrame is assembly, not data movement. */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val filtered = lineitem(spark, dir)
+      .select(col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("sum_cents"),
+        max(col("l_quantity")).as("max_qty"))
+      .filter(col("l_quantity") > 25.0)
+    val kept = filtered.count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+        m("max_qty").asInstanceOf[Double], kept))
+      .toDF("n_rows", "sum_cents", "max_qty", "n_kept")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_observe" -> (observeMetrics _),
     "q_lattice_scan" -> (latticeScan _),
     "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
@@ -903,6 +934,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  max(l_quantity) AS max_qty,
+        |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_kept
+        |FROM lineitem""".stripMargin,
     "q_lattice_scan" ->
       """WITH p AS (
         |  SELECT r.range AS r, s.range AS pos

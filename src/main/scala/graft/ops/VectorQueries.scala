@@ -189,6 +189,44 @@ object VectorQueries {
     * groups with map-side partials instead of collecting vectors. Decimal
     * partial sums make the result engine-exact; the final mean divides two
     * exact doubles. */
+  /** Within-cluster sum of squares (WCSS / k-means inertia — the y-axis
+    * of the elbow curve, the standard "are these clusters tight" check
+    * on [[kmeans]]' output): per label, Σ_points ‖v − centroid‖². The
+    * centroid never materializes — per (label, dim) the scatter is the
+    * sufficient-statistics identity n·Σw² − (Σw)², so the whole
+    * statistic is two grouped sums.
+    *
+    * Exactness device: each float goes through the [[embCentroid]]
+    * decimal funnel (double → DECIMAL(18,9), proven engine-identical)
+    * and then scales to the exact INTEGER w = v·10⁹; all sums run in
+    * DECIMAL(38,0) lanes and the inertia is emitted in micro units via
+    * one DIV by n·10¹⁸ — Cauchy–Schwarz keeps every operand
+    * non-negative, so truncation is engine-identical.
+    *
+    * Scale shape: one slice-then-posexplode pass (dims rows per vector),
+    * two grouped aggregations with map-side partials; |labels| rows out,
+    * no vector ever reaches the driver. */
+  def wcss(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
+    Par.fanOut(embeddings(spark, dir))
+      .select(col("label"), posexplode(slice(col("embedding"), 1, dims)))
+      .select(col("label"), col("pos"),
+        expr("CAST(CAST(CAST(col AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)")
+          .as("w"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("qw"),
+        sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * qw - sw * sw")).as("scaled"))
+      .withColumn("inertia_micro", expr(
+        """CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((1000000 * scaled)
+          |          DIV (CAST(n AS DECIMAL(38,0)) * 1000000000000000000) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("label"), col("n"), col("inertia_micro"))
+      .orderBy(col("label"))
+
   def embCentroid(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
     Par.fanOut(embeddings(spark, dir))
       // slice BEFORE the explode: generate `dims` rows per vector, not
@@ -626,6 +664,7 @@ object VectorQueries {
     "q_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "q_ann_pq" -> ((s, d) => annPq(s, d)),
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
+    "q_wcss" -> ((s, d) => wcss(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
@@ -950,6 +989,28 @@ object VectorQueries {
          |  WHERE a.bucket IN (SELECT bucket FROM b GROUP BY bucket
          |                     HAVING count(*) BETWEEN 2 AND 256))
          |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    "q_wcss" ->
+      """WITH e AS (
+        |  SELECT label, CAST(t.i AS INTEGER) AS pos,
+        |    CAST(CAST(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+        |         AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS w
+        |  FROM embeddings, UNNEST(range(16)) AS t(i)
+        |  WHERE t.i < len(embedding)),
+        |pd AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    sum(CAST(w AS HUGEINT) * w) AS qw,
+        |    sum(CAST(w AS HUGEINT)) AS sw
+        |  FROM e GROUP BY label, pos),
+        |pl AS (
+        |  SELECT label, max(n) AS n,
+        |    sum(CAST(n AS HUGEINT) * qw - sw * sw) AS scaled
+        |  FROM pd GROUP BY label)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |       ELSE (1000000 * scaled)
+        |            // (CAST(n AS HUGEINT) * 1000000000000000000)
+        |       END AS BIGINT) AS inertia_micro
+        |FROM pl ORDER BY label""".stripMargin,
     "q_emb_centroid" ->
       """WITH e AS (
         |  SELECT label, CAST(t.i AS INTEGER) AS pos,
