@@ -5,8 +5,9 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -130,15 +131,31 @@ private[sources] object LatticeScanBuilder {
 }
 
 private[sources] case class LatticePartition(r: Int, sites: Int, keepMod: Int,
-                                             fieldIdx: Array[Int]) extends InputPartition
+                                             fieldIdx: Array[Int])
+  extends InputPartition with HasPartitionKey {
+  /** Each partition holds exactly one region — report it, so Spark's
+    * storage-partitioned machinery can line partitions up without a
+    * shuffle. */
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](r))
+}
 
 private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
                                    pushed: Array[Filter], required: StructType)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft_lattice pushed=[${pushed.mkString(", ")}] read=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
+
+  /** The data IS key-grouped by `r` (one region per InputPartition, key
+    * reported via [[HasPartitionKey]]): with
+    * `spark.sql.sources.v2.bucketing.enabled=true` an aggregation or
+    * join keyed on `r` plans with NO Exchange under it — the DSv2
+    * storage-partitioned contract (SPARK-37375), the scale device that
+    * makes a pre-sharded external system join shuffle-free. */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("r")),
+      (0 until regions).count(r => pushed.forall(LatticeScanBuilder.admits(_, r))))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val idx = required.fieldNames.map(LatticeSource.Schema.fieldIndex)

@@ -41,6 +41,25 @@ class LatticeSourceSpec extends AnyFunSuite {
     assert(got == Seq(0, 1, 2, 3, 4))
   }
 
+  test("reported key-grouped partitioning elides the aggregation exchange") {
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = load(sites = 100).groupBy(col("r")).agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy(r) over the key-grouped source should not shuffle:\n${plan.take(1200)}")
+      // and the values are still right
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        (0 until 25).map((_, 100L)).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   test("pushdown and column pruning are visible in the scan, and an empty prune is fine") {
     val df = load().filter(col("r") === 7).select(col("r"))
     val plan = df.queryExecution.executedPlan.toString
