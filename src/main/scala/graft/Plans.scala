@@ -93,6 +93,18 @@ object Plans {
         "is a streaming ROWS-frame window, the sequence id a pure " +
         "integer projection, and the final (source, seq_id) aggregate " +
         "reuses the window's partitioning."),
+    Entry("q_lattice_scan",
+      "DataSource V2 scan of the custom lattice source: the r-range " +
+        "predicate appears in the scan's pushed=[...] and prunes 20 of " +
+        "25 InputPartitions at planning; ReadSchema is the pruned " +
+        "column set. The scan also reports KeyGroupedPartitioning on r " +
+        "(one region per partition), so under v2 bucketing the keyed " +
+        "aggregate needs no exchange (LatticeSourceSpec asserts it)."),
+    Entry("q_areal_interp",
+      "Areal interpolation: the zone-pair stage is the broadcast R-tree " +
+        "st_intersects join (25-row source side broadcast), overlay " +
+        "weights are per-pair scalar work, and the only exchange under " +
+        "the weighted sum carries |targets| grouping keys."),
   )
 
 
