@@ -224,6 +224,34 @@ object GraphQueries {
     * src and dst) + one grouped count — all key-partitioned shuffles on
     * the node id; no iteration-until-fixpoint driver loop, no
     * collect. */
+  /** R peel rounds over a symmetric (src, dst) edge relation — the
+    * kernel behind [[kcore]], exposed for the brute-force fixpoint
+    * equivalence test in `SpatialStatsEquivalenceSpec`. Returns
+    * (node, deg) of the round-R survivors' induced subgraph. */
+  private[ops] def kcoreRounds(bidir: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val init = bidir.select(col("src").as("node")).distinct()
+    val survivors = (1 to rounds).foldLeft(init) { (alive, _) =>
+      // per-round lineage truncation (the connectedComponents
+      // convention): without it the nested semi-join plan deepens
+      // exponentially in `rounds` at ANALYSIS time; the materialized
+      // relation is only the |nodes|-row alive set
+      bidir
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k.toLong)
+        .select(col("src").as("node"))
+        .localCheckpoint(eager = true)
+    }
+    // final induced degree of the surviving subgraph
+    bidir
+      .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy(col("node"))
+  }
+
   def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 3,
             buckets: Int = 300): DataFrame = {
     val und = lineitem(spark, dir).select(
@@ -233,22 +261,7 @@ object GraphQueries {
     val bidir = und.select(col("x").as("src"), col("y").as("dst"))
       .union(und.select(col("y").as("src"), col("x").as("dst")))
       .localCheckpoint(eager = true)
-    val init = bidir.select(col("src").as("node")).distinct()
-    val survivors = (1 to rounds).foldLeft(init) { (alive, _) =>
-      bidir
-        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k.toLong)
-        .select(col("src").as("node"))
-    }
-    // final induced degree of the surviving subgraph
-    bidir
-      .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .orderBy(col("node"))
+    kcoreRounds(bidir, k, rounds)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

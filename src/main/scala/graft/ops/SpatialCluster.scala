@@ -304,10 +304,12 @@ object SpatialCluster {
     *
     * Scale shape: the join fan-out is bounded by points-per-r_max-cell
     * (the caller's pitch contract, as in dbscan); 3 output rows. */
-  def ripleyK(spark: SparkSession, dir: String,
-              radii: Seq[Double] = Seq(1000.0, 2000.0, 3000.0)): DataFrame = {
-    val rMax = radii.max
-    val pts = fixturePoints(spark, dir).localCheckpoint(eager = true)
+  /** Ordered point pairs within `rMax` from a (pid, x, y) relation via
+    * the 3×3 grid-cell neighbor join — the exact-neighbor kernel shared
+    * by [[ripleyK]]; returns one `d2` row per ordered pair. Equivalence
+    * with the brute-force all-pairs relation is property-tested in
+    * `SpatialStatsEquivalenceSpec`. */
+  private[ops] def ripleyPairs(pts: DataFrame, rMax: Double): DataFrame = {
     val withCell = pts
       .withColumn("cx", floor(col("x") / rMax).cast("long"))
       .withColumn("cy", floor(col("y") / rMax).cast("long"))
@@ -321,9 +323,16 @@ object SpatialCluster {
       col("y").as("by"), col("cx").as("jcx"), col("cy").as("jcy"))
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
-    val pairs = probe.join(build, Seq("jcx", "jcy"))
+    probe.join(build, Seq("jcx", "jcy"))
       .filter(col("a_pid") =!= col("b_pid") && d2 <= rMax * rMax)
       .select(d2.as("d2"))
+  }
+
+  def ripleyK(spark: SparkSession, dir: String,
+              radii: Seq[Double] = Seq(1000.0, 2000.0, 3000.0)): DataFrame = {
+    val rMax = radii.max
+    val pts = fixturePoints(spark, dir).localCheckpoint(eager = true)
+    val pairs = ripleyPairs(pts, rMax)
     import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
     val n = scalarSubquery(pts.agg(count(lit(1))))
     val perRadius = radii.map { r =>
