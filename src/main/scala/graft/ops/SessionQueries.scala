@@ -834,8 +834,9 @@ object SessionQueries {
     val perUser = events(spark, dir)
       .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
-    val ranked = perUser.withColumn("i",
-      row_number().over(Window.orderBy(col("y"), col("user_id"))).cast("long"))
+    // scalable global rank (Ranks.withGlobalRank, the zipWithIndex
+    // device) — a global-order window would sort every user in one task
+    val ranked = Ranks.withGlobalRank(perUser, "i", col("y"), col("user_id"))
     ranked.agg(count(lit(1)).as("n_users"),
         coalesce(sum(col("y")), lit(0L)).as("total_cents"),
         coalesce(sum(expr("CAST(i AS DECIMAL(38,0)) * y")),

@@ -718,8 +718,22 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("tf"))
-    val ranked = tf.withColumn("rank",
-      row_number().over(Window.orderBy(col("tf").desc, col("t"))).cast("long"))
+    // two-phase global rank — NOT row_number over a global order, which
+    // sorts the whole vocabulary in ONE task: the within-tf rank is a
+    // tf-PARTITIONED window (parallel), and the cross-tf offset is a
+    // cumulative sum over the tf HISTOGRAM (|distinct frequencies| rows,
+    // orders of magnitude below |vocabulary| under any Zipf-ish law).
+    // rank(t) = Σ_{tf' > tf} count(tf') + rank_within(tf; token asc).
+    val tfHist = tf.groupBy(col("tf")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("tf").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("tf"), col("offset"))
+    val ranked = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tf")).orderBy(col("t"))).cast("long"))
+      .join(broadcast(tfHist), "tf")
+      .withColumn("rank", col("offset") + col("rn"))
     import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
     val total = scalarSubquery(tf.agg(coalesce(sum(col("tf")), lit(0L))))
     ranked
