@@ -860,7 +860,11 @@ object SessionQueries {
     * input size; cell monetary means are integer cents DIV.
     *
     * Scale shape: one per-user rollup, three |users|-sized windows
-    * (users, not events), one bounded-key rollup. */
+    * (users, not events), one bounded-key rollup. The global-order ntile
+    * windows are the documented single-task ceiling here (fine to ~10⁸
+    * users); past that, derive each quintile from
+    * [[Ranks.withGlobalRank]] with the standard uneven-bucket closed
+    * form — rank and ntile are interconvertible. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val perUser = events(spark, dir)
       .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
