@@ -883,6 +883,50 @@ object SessionQueries {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** N-step strict-order windowed funnel (ClickHouse `windowFunnel`
+    * semantics, which vanilla Spark lacks): how deep each user gets
+    * through signup → view → click → purchase with every later step
+    * STRICTLY after the previous one and the whole chain inside T of
+    * step 1. The existing [[funnel]] is the 2-step conversion-rate
+    * variant; this is the depth histogram product analytics reads.
+    *
+    * Earliest-chain semantics (the deterministic contract): t₁ = FIRST
+    * signup anchors the window; tᵢ = first step-i event with
+    * tᵢ₋₁ < tᵢ ≤ t₁+T. Given that anchor, greedy-earliest is optimal
+    * (an earlier feasible tᵢ only enlarges tᵢ₊₁'s feasible set), so the
+    * depth is well-defined; a user whose DEEPEST chain starts at a later
+    * signup reports the first-anchor depth — the documented trade for a
+    * sort-free distributed shape.
+    *
+    * Scale shape: one grouped min per step over a per-step filtered
+    * scan, chained by |users|-keyed hash joins — step count is the only
+    * multiplier, nothing is ever sorted per user. Output ≤ steps+1
+    * rows. */
+  def funnelSteps(spark: SparkSession, dir: String,
+                  windowMs: Long = 12 * 3600000L): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000000L").as("tms"))
+    def stepMin(tpe: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("tms") > col("tp") && col("tms") <= col("t1") + windowMs)
+        .groupBy(col("user_id")).agg(min(col("tms")).as("tn"), min(col("t1")).as("t1x"))
+        .select(col("user_id"), col("tn").as("tp"), col("t1x").as("t1"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("tp"))
+      .withColumn("t1", col("tp"))
+    val s2 = stepMin("view", s1)
+    val s3 = stepMin("click", s2)
+    val s4 = stepMin("purchase", s3)
+    val depth = s1.select(col("user_id"), lit(1).as("d"))
+      .unionAll(s2.select(col("user_id"), lit(2).as("d")))
+      .unionAll(s3.select(col("user_id"), lit(3).as("d")))
+      .unionAll(s4.select(col("user_id"), lit(4).as("d")))
+      .groupBy(col("user_id")).agg(max(col("d")).as("depth"))
+    depth.groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
   /** Day-of-week seasonal decomposition (the multiplicative seasonal
     * index of classical decomposition, restricted to the weekly cycle):
     * per weekday, the ratio of its mean daily revenue to the overall
@@ -996,6 +1040,7 @@ object SessionQueries {
     "q_gini_spend" -> (giniSpend _),
     "q_rfm" -> (rfm _),
     "q_seasonality" -> (seasonality _),
+    "q_funnel_steps" -> ((s, d) => funnelSteps(s, d)),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -1023,6 +1068,40 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS tms
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(tms) AS tp, min(tms) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.tms) AS tp, min(s1.t1) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.tms > s1.tp
+        |    AND e.tms <= s1.t1 + 43200000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.tms) AS tp, min(s2.t1) AS t1
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.tms > s2.tp
+        |    AND e.tms <= s2.t1 + 43200000
+        |  GROUP BY e.user_id),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.tms) AS tp
+        |  FROM e JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tms > s3.tp
+        |    AND e.tms <= s3.t1 + 43200000
+        |  GROUP BY e.user_id),
+        |d AS (
+        |  SELECT user_id, max(d) AS depth FROM (
+        |    SELECT user_id, 1 AS d FROM s1
+        |    UNION ALL SELECT user_id, 2 FROM s2
+        |    UNION ALL SELECT user_id, 3 FROM s3
+        |    UNION ALL SELECT user_id, 4 FROM s4)
+        |  GROUP BY user_id)
+        |SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_users
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
