@@ -128,6 +128,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("cms_agg", 1)(es => CmsAgg(es.head))
     inject("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     inject("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
+    inject("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))
     // 1-3 args like Spark's builtin: (key [, estimatedItems [, numBits]])
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),

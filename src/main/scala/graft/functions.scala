@@ -192,6 +192,16 @@ object functions {
     col(KmvAgg(ex(hash), Literal(k)).toAggregateExpression())
   }
 
+  /** Exact membership bitmap over a bounded id universe: packed 64-bit
+    * words out, fixed universe/8 bytes of state, word-wise-OR merges —
+    * the ClickHouse groupBitmap shape; set algebra via zip_with/
+    * bit_count column expressions. The exact counterpart of [[kmv_agg]]
+    * (see [[graft.exprs.BitmapAgg]] for the universe contract). */
+  def bitmap_agg(id: Column, universe: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(BitmapAgg(ex(id), Literal(universe)).toAggregateExpression())
+  }
+
   /** Point frequency estimate from a [[cms_agg]] sketch: min over rows of
     * the key's cell. Pure projection — pair with a scalar-subquery sketch. */
   def cms_estimate(sketch: Column, key: Column): Column =
@@ -340,6 +350,7 @@ object functions {
     rn("cms_agg", 1)(es => CmsAgg(es.head))
     rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
     rn("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
+    rn("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))

@@ -849,6 +849,43 @@ object SessionQueries {
       .select(col("n_users"), col("total_cents"), col("gini_ppm"))
   }
 
+  /** EXACT audience overlap via membership bitmaps
+    * (`graft.functions.bitmap_agg`, the ClickHouse groupBitmap shape) —
+    * the same click/view question [[kmvOverlap]] ESTIMATES, answered
+    * exactly while the id universe is bounded: one bitmap per event
+    * type (fixed universe/8 bytes of state through map-side partials),
+    * then the whole set algebra as zip_with/bit_count column
+    * expressions over the two word arrays. Because the bitmap is exact,
+    * the oracle is plain COUNT(DISTINCT)/INTERSECT SQL — no kernel
+    * replay, which is itself the correctness statement.
+    *
+    * Scale shape: two filtered single-pass aggregates (no distinct
+    * shuffle — the bitmap IS the distinct), scalar assembly; the
+    * documented boundary is the universe bound (here 2¹⁷ ids = 16 KiB
+    * per sketch; past ~2²⁶ switch to [[kmvOverlap]]). */
+  def bitmapOverlap(spark: SparkSession, dir: String, universe: Int = 262144): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val ev = events(spark, dir)
+    // two genuinely partial event-id cohorts: clicks vs high-value events
+    // (≈ half the value range) — their intersection is high-value clicks
+    def bm(pred: org.apache.spark.sql.Column) = scalarSubquery(
+      ev.filter(pred).agg(graft.functions.bitmap_agg(col("event_id"), universe)))
+    spark.range(1)
+      .select(bm(col("event_type") === "click").as("a"),
+        bm(col("value") > 100.0).as("b"))
+      .withColumn("n_click", expr(
+        "aggregate(transform(a, w -> CAST(bit_count(w) AS BIGINT)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("n_highval", expr(
+        "aggregate(transform(b, w -> CAST(bit_count(w) AS BIGINT)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("n_inter", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(bit_count(x & y) AS BIGINT)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("n_union", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(bit_count(x | y) AS BIGINT)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("jaccard_ppm", expr("(1000000 * n_inter) DIV greatest(n_union, 1)"))
+      .select(col("n_click"), col("n_highval"), col("n_inter"), col("n_union"),
+        col("jaccard_ppm"))
+  }
+
   /** RFM segmentation (the recency/frequency/monetary quintile grid —
     * direct-marketing's standard customer-value partition): per user the
     * last-active day, event count, and lifetime cents, each cut into
@@ -1041,6 +1078,7 @@ object SessionQueries {
     "q_rfm" -> (rfm _),
     "q_seasonality" -> (seasonality _),
     "q_funnel_steps" -> ((s, d) => funnelSteps(s, d)),
+    "q_bitmap_overlap" -> ((s, d) => bitmapOverlap(s, d)),
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
@@ -1068,6 +1106,25 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bitmap_overlap" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_id FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT DISTINCT event_id FROM events WHERE value > 100.0),
+        |s AS (SELECT
+        |  (SELECT count(*) FROM a) AS n_click,
+        |  (SELECT count(*) FROM b) AS n_highval,
+        |  (SELECT count(*) FROM (SELECT event_id FROM a INTERSECT
+        |                         SELECT event_id FROM b)) AS n_inter,
+        |  (SELECT count(*) FROM (SELECT event_id FROM a UNION
+        |                         SELECT event_id FROM b)) AS n_union)
+        |SELECT CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_highval AS BIGINT) AS n_highval,
+        |  CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST((1000000 * n_inter) // greatest(n_union, 1) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM s""".stripMargin,
     "q_funnel_steps" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS tms
