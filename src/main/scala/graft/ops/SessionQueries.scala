@@ -861,9 +861,10 @@ object SessionQueries {
     *
     * Scale shape: two filtered single-pass aggregates (no distinct
     * shuffle — the bitmap IS the distinct), scalar assembly; the
-    * documented boundary is the universe bound (here 2¹⁷ ids = 16 KiB
-    * per sketch; past ~2²⁶ switch to [[kmvOverlap]]). */
-  def bitmapOverlap(spark: SparkSession, dir: String, universe: Int = 262144): DataFrame = {
+    * documented boundary is the universe bound (here 2²¹ ids = 256 KiB
+    * per sketch, sized to hold the event-id space through sf1; past
+    * ~2²⁶ switch to [[kmvOverlap]]). */
+  def bitmapOverlap(spark: SparkSession, dir: String, universe: Int = 2097152): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
     val ev = events(spark, dir)
     // two genuinely partial event-id cohorts: clicks vs high-value events
