@@ -435,7 +435,34 @@ object StreamQueries {
     }
   }
 
+  /** Streaming exact distinct-users via the membership bitmap
+    * ([[graft.exprs.BitmapAgg]] in the streaming engine — the fourth
+    * and last custom aggregate on this path, completing the
+    * CMS / Misra-Gries / KMV / bitmap quartet): complete-mode global
+    * aggregate, ONE fixed universe/8-byte word array OR-merged across
+    * micro-batches. OR is idempotent and commutative, so any
+    * micro-batch arrival order yields the identical bitmap — exactness
+    * is the contract, and the oracle is plain COUNT(DISTINCT). */
+  def streamBitmap(spark: SparkSession, dir: String, universe: Int = 65536): DataFrame = {
+    val stream = eventsStream(spark, dir).select(col("user_id"))
+    val sketch = stream.agg(
+      graft.functions.bitmap_agg(col("user_id"), universe).as("bm"))
+    runBounded(spark, sketch, "graft_stream_bitmap",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      val bm = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        sinkDf.select(col("bm")))
+      Tables.events(spark, dir)
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .withColumn("bm", bm)
+        .withColumn("bitmap_count", expr(
+          "aggregate(transform(bm, w -> CAST(bit_count(w) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"))
+        .select(col("exact_distinct"), col("bitmap_count"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_bitmap" -> ((s, d) => streamBitmap(s, d)),
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d)),
     "q_stream_cms" -> (streamCms _),
@@ -450,6 +477,12 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exactness IS the check: the streaming OR-merged bitmap must count
+    // exactly the distinct users.
+    "q_stream_bitmap" ->
+      """SELECT count(DISTINCT user_id) AS exact_distinct,
+        |       count(DISTINCT user_id) AS bitmap_count
+        |FROM events""".stripMargin,
     // Full replay: streaming sketch == batch sketch (any-split law) ==
     // the oracle's ORDER BY h LIMIT k, estimator arithmetic included.
     "q_stream_kmv" ->

@@ -60,6 +60,29 @@ class LatticeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned JOIN between two lattice scans runs with zero exchanges") {
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real two-sided join
+    try {
+      val l = load(sites = 100).groupBy(col("r")).agg(count(lit(1)).as("na"))
+      val r = load(sites = 50).groupBy(col("r")).agg(count(lit(1)).as("nb"))
+      val j = l.join(r, "r")
+      val rows = j.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
+      assert(rows == (0 until 25).map((_, 100L, 50L)).toSet)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ should need no shuffle on either side:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pushdown and column pruning are visible in the scan, and an empty prune is fine") {
     val df = load().filter(col("r") === 7).select(col("r"))
     val plan = df.queryExecution.executedPlan.toString
