@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   *
   * Estimator (m = sketch size): distinct ≈ (k−1)·M / h_(k) when m = k
   * (hashes uniform on [0, M)); exact m when m &lt; k (the sketch saw
-  * every distinct hash). Deterministic given the hash — the caller
+  * every distinct hash). Hashes MUST be non-negative (pmod raw signed
+  * hashes like xxhash64 into [0, 2^31) first) — a negative input fails
+  * loudly at update time, since a negative h_(k) under signed comparison
+  * would silently yield a nonsensical estimate.
+  * Deterministic given the hash — the caller
   * supplies the hash column, so an oracle replaying the same hash
   * reproduces the estimate bit-for-bit.
   *
@@ -66,6 +70,12 @@ case class KmvAgg(
   override def createAggregationBuffer(): Buf = new Buf()
 
   private def add(buf: Buf, h: Long): Unit = {
+    if (h < 0L)
+      throw new IllegalArgumentException(
+        s"kmv_agg: negative hash $h — the (k-1)*M DIV h_(k) estimator " +
+          "assumes hashes uniform in [0, 2^31); pmod the hash into a " +
+          "non-negative range first (a silently accepted negative h_(k) " +
+          "would yield a nonsensical estimate)")
     if (buf.size < kVal) { buf.add(h); () }
     else if (h < buf.last()) {
       // full and h beats the current k-th smallest: swap it in (TreeSet

@@ -106,23 +106,34 @@ object GraphQueries {
     *
     * Scale shape: `n_1hop` is one aggregate over the edge list. The 2-hop
     * relation is edges self-joined on the middle node — a hash equi join
-    * whose output is Σ_mid indeg·outdeg rows, then a distinct on
-    * (src, dst2). That product term is the honest cost of EXACT distinct
-    * reach on any engine; at link-graph scale the standard mitigations
-    * compose here unchanged — cap hub mid-nodes (drop mids above a degree
-    * bound, as [[triangles]] does with orientation) or swap the distinct
-    * count for an HLL sketch merged over mids ([[RelationalQueries]]'s
-    * approx_count_distinct) when ±2% is acceptable. The bucket modulus
-    * keeps |V| fixed so both engines replay the same graph. */
-  def khopReach(spark: SparkSession, dir: String, buckets: Int = 300): DataFrame = {
+    * whose raw output is Σ_mid indeg·outdeg rows. On a power-law graph a
+    * hub mid makes that product explode, so the join carries a HUB CAP:
+    * mids with out-degree > `maxMidDeg` are excluded (loudly-by-rule,
+    * the same production guard as [[linkPredictRa]]'s `maxWedge` gate),
+    * which bounds the join output by maxMidDeg·|E| — LINEAR in the edge
+    * count, hub-proof. The oracle mirrors the cap explicitly. When exact
+    * full-graph reach is required instead, the distinct count swaps for
+    * an HLL sketch merged over mids ([[RelationalQueries]]'s
+    * approx_count_distinct) at ±2%. The bucket modulus keeps |V| fixed
+    * so both engines replay the same graph; the 300-bucket test graph is
+    * near-complete (out-degrees ≤ 299 < 1024), so the default cap keeps
+    * it intact — the cap's pruning behavior is exercised against a
+    * brute-force model on a hub-heavy fixture in AlgoEquivalenceSpec. */
+  def khopReach(spark: SparkSession, dir: String, buckets: Int = 300,
+                maxMidDeg: Int = 1024): DataFrame = {
     val e = lineitem(spark, dir).select(
         pmod(col("l_partkey"), lit(buckets.toLong)).as("src"),
         pmod(col("l_suppkey"), lit(buckets.toLong)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val hop1 = e.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+    // hub cap: only mids whose fan-out is bounded participate in hop 2
+    val mids = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .filter(col("od") <= maxMidDeg.toLong)
+      .select(col("src").as("mid"))
     val two = e.select(col("src"), col("dst").as("mid"))
-      .join(e.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .join(e.select(col("src").as("mid"), col("dst").as("dst2"))
+        .join(mids, Seq("mid"), "left_semi"), "mid")
       .filter(col("dst2") =!= col("src"))
       .select(col("src"), col("dst2")).distinct()
     val hop2 = two.groupBy(col("src")).agg(count(lit(1)).as("n_2hop"))
@@ -254,10 +265,16 @@ object GraphQueries {
 
   def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 3,
             buckets: Int = 300): DataFrame = {
+    // canonicalize BEFORE distinct: (a,b) and (b,a) are the same simple
+    // edge, so least/greatest-fold them or induced degrees double-count
+    // (standard Seidman k-core is over the simple undirected graph)
     val und = lineitem(spark, dir).select(
-        pmod(col("l_partkey"), lit(buckets.toLong)).as("x"),
-        pmod(col("l_suppkey"), lit(buckets.toLong)).as("y"))
-      .filter(col("x") =!= col("y")).distinct()
+        pmod(col("l_partkey"), lit(buckets.toLong)).as("a"),
+        pmod(col("l_suppkey"), lit(buckets.toLong)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
+      .distinct()
     val bidir = und.select(col("x").as("src"), col("y").as("dst"))
       .union(und.select(col("y").as("src"), col("x").as("dst")))
       .localCheckpoint(eager = true)
@@ -276,7 +293,8 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_kcore" ->
       """WITH und AS (
-        |  SELECT DISTINCT l_partkey % 300 AS x, l_suppkey % 300 AS y
+        |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS x,
+        |                  greatest(l_partkey % 300, l_suppkey % 300) AS y
         |  FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300),
         |e AS (
         |  SELECT x AS src, y AS dst FROM und
@@ -335,9 +353,11 @@ object GraphQueries {
         |  SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
         |  FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300),
         |h1 AS (SELECT src, count(*) AS n_1hop FROM e GROUP BY src),
+        |mids AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 1024),
         |e2 AS (
         |  SELECT DISTINCT a.src, b.dst AS dst2
-        |  FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src),
+        |  FROM e a JOIN e b ON a.dst = b.src
+        |  WHERE b.dst <> a.src AND a.dst IN (SELECT src FROM mids)),
         |h2 AS (SELECT src, count(*) AS n_2hop FROM e2 GROUP BY src)
         |SELECT h1.src AS node, h1.n_1hop,
         |       CAST(coalesce(h2.n_2hop, 0) AS BIGINT) AS n_2hop

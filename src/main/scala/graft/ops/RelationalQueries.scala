@@ -883,8 +883,12 @@ object RelationalQueries {
     val kept = filtered.count()
     val m = obs.get
     import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
-        m("max_qty").asInstanceOf[Double], kept))
+    // sum/max over an EMPTY observed stream are null — keep them null
+    // (Option lanes) so the audit row matches SQL aggregate semantics
+    // instead of unboxing null to 0/NPE
+    Seq((m("n_rows").asInstanceOf[Long],
+        Option(m("sum_cents")).map(_.asInstanceOf[Long]),
+        Option(m("max_qty")).map(_.asInstanceOf[Double]), kept))
       .toDF("n_rows", "sum_cents", "max_qty", "n_kept")
   }
 

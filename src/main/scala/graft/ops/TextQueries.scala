@@ -1160,19 +1160,30 @@ object TextQueries {
     * contributed to the mix. This is the op that assembles a training mix
     * ("30 docs from every source") from an unbalanced corpus.
     *
-    * Scale shape: one shuffle on source for the per-source ranking window;
-    * the hash order means no data-dependent skew in WHICH rows are kept.
-    * A pathologically hot source serializes its ranking partition exactly
-    * like any per-key top-k — the two-level salted top-k used by
-    * windowTopK applies verbatim when that matters. */
+    * Scale shape: built on the bounded-state [[graft.exprs.TopKAgg]]
+    * rather than a per-source `row_number` window — a window must shuffle
+    * and SORT every document of a source through ONE task (with a handful
+    * of sources at 100 TB that serializes the corpus through ≤|sources|
+    * reducers), while `topk_agg` carries ≤2·quota pairs of state per
+    * source with map-side partials, so only |sources|·quota fixed-width
+    * pairs ever shuffle. The kept doc ids then come back via a broadcast
+    * join against the corpus (inner, so the join output is the quota·
+    * |sources| picked rows, never the corpus). Order key: the md5 hash's
+    * first 15 hex chars as a 60-bit integer (lexicographic order over
+    * lowercase hex == numeric order, so the oracle ranks by
+    * `substring(h,1,15)` — same comparator), ties by doc_id. */
   def sourceMix(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    documents(spark, dir)
+    val docs = documents(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("h"), col("doc_id"))))
-      .filter(col("rank") <= quota)
+    // 60-bit numeric prefix of the md5: orders identically to the hex
+    // string; negated so topk_agg's "highest score" picks the SMALLEST h
+    val scored = docs.withColumn("neg_h60",
+      -expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)"))
+    val picks = scored.groupBy(col("source"))
+      .agg(graft.functions.topk_agg(col("doc_id"), col("neg_h60"), quota)
+        .as("pairs"))
+      .select(explode(col("pairs.key")).as("doc_id"))
+    docs.join(broadcast(picks), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_taken"),
         sum(col("n_chars")).as("sum_chars_taken"),
@@ -1967,7 +1978,8 @@ object TextQueries {
       """WITH ranked AS (
         |  SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
         |         row_number() OVER (PARTITION BY source
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+        |                    doc_id) AS rank
         |  FROM documents)
         |SELECT source, count(*) AS n_taken,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars_taken,

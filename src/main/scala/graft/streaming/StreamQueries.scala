@@ -442,7 +442,15 @@ object StreamQueries {
     * aggregate, ONE fixed universe/8-byte word array OR-merged across
     * micro-batches. OR is idempotent and commutative, so any
     * micro-batch arrival order yields the identical bitmap — exactness
-    * is the contract, and the oracle is plain COUNT(DISTINCT). */
+    * is the contract, and the oracle is plain COUNT(DISTINCT).
+    *
+    * Universe sizing (same ceiling discipline as `bitmapOverlap`'s
+    * event_id bound): the default 65536 covers `user_id` only through
+    * ~sf1 (~15k users at sf1; ~150k at sf10 would overflow). Beyond
+    * that, BitmapAgg's out-of-universe check aborts LOUDLY rather than
+    * silently dropping ids — size `universe` to the scale factor
+    * (~15k·sf, next power of two) or switch to [[streamKmv]] when an
+    * estimate suffices. */
   def streamBitmap(spark: SparkSession, dir: String, universe: Int = 65536): DataFrame = {
     val stream = eventsStream(spark, dir).select(col("user_id"))
     val sketch = stream.agg(

@@ -38,4 +38,13 @@ class InventorySpec extends AnyFunSuite {
     assert(coverage.contains(s"**Totals: $nQ registered queries, $nO with DuckDB oracles**"),
       s"COVERAGE.md totals != derived $nQ/$nO")
   }
+
+  test("COVERAGE.md row map is complete: every registered query appears by name") {
+    // r11 verdict: 4 registered queries were missing from the row-by-row
+    // map while the totals line stayed green — enforce the map itself
+    val coverage = read("COVERAGE.md")
+    val missing = SparkEntry.queries.keySet.filterNot(q => coverage.contains(s"`$q`"))
+    assert(missing.isEmpty,
+      s"registered queries with no COVERAGE.md row: ${missing.toSeq.sorted}")
+  }
 }

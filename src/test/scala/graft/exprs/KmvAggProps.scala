@@ -82,4 +82,13 @@ object KmvAggProps extends Properties("kmv_agg") {
       val fromFullSets = (as ++ bs).distinct.sorted.take(k)
       fromSketches == fromFullSets
     }
+
+  property("negative hash fails loudly (estimator precondition)") =
+    forAll(Gen.choose(Long.MinValue, -1L)) { h =>
+      val agg = mk(4)
+      val buf = agg.createAggregationBuffer()
+      try { agg.update(buf, row(h)); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("negative hash") && buf.isEmpty }
+    }
 }

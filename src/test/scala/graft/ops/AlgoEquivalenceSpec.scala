@@ -178,4 +178,115 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       assert(got == model, s"shards=$shards got=${got.size} model=${model.size}")
     }
   }
+
+  /** Brute-force 2-hop reach with the same mid-node out-degree cap the
+    * engine applies (cap = Int.MaxValue ⇒ uncapped exact reach). */
+  private def khopRef(edges: Seq[(Long, Long)], cap: Int): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val mids = outdeg.filter(_._2 <= cap).keySet
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val two = (for {
+      (src, mid) <- e
+      if mids(mid)
+      dst2 <- adj.getOrElse(mid, Set.empty)
+      if dst2 != src
+    } yield (src, dst2)).distinct
+    val h2 = two.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    outdeg.map { case (n, d) => n -> (d.toLong, h2.getOrElse(n, 0L)) }
+  }
+
+  test("khop hub cap: capped == brute force with cap, prunes ONLY hub mids") {
+    import spark.implicits._
+    // hub node 100 fans out to 10 targets; spokes route through it; a
+    // small normal cycle coexists so capped and uncapped reach differ
+    // only where the hub mediates
+    val edges: Seq[(Long, Long)] =
+      (200L to 209L).map(t => (100L, t)) ++              // hub out-degree 10
+      (1L to 5L).map(s => (s, 100L)) ++                  // spokes into the hub
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L),       // normal cycle + tail
+        (7L, 7L), (1L, 2L))                              // self-loop + dup: dropped
+    val dir = fixtureDir("khop_hub")
+    edges.toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    def run(cap: Int): Map[Long, (Long, Long)] =
+      GraphQueries.khopReach(spark, dir, buckets = 300, maxMidDeg = cap)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val capped = run(4)
+    val uncapped = run(1000)
+    assert(capped == khopRef(edges, 4))
+    assert(uncapped == khopRef(edges, Int.MaxValue))
+    // the cap actually trips on this fixture: hub-mediated reach vanishes
+    assert(capped != uncapped)
+    assert(capped(1L) == (2L, 3L),  // 1→2→{100,3,4}; mid 100 excluded (od 10 > 4)
+      s"got ${capped(1L)}")
+    assert(uncapped(1L)._2 == 13L)  // {100,3,4} + the hub's 10 targets
+    // the hub as SOURCE is untouched — only its role as a mid is capped
+    assert(capped(100L) == uncapped(100L) && capped(100L) == (10L, 0L))
+  }
+
+  test("kcore canonicalizes both edge orientations to one simple edge") {
+    import spark.implicits._
+    // triangle {1,2,3} with EVERY edge listed in both orientations, plus
+    // a whisker 4-1 both ways: simple-graph degrees are 2,2,2,1 — the
+    // pre-canonicalization bug double-counted these to 4,4,4,2
+    val both = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (1L, 4L), (4L, 1L))
+    val dir = fixtureDir("kcore_canon")
+    both.toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val deg2 = GraphQueries.kcore(spark, dir, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))  // whisker peeled
+    // k = 3 would keep the triangle ONLY under double-counting: must be empty
+    assert(GraphQueries.kcore(spark, dir, k = 3, rounds = 3).count() == 0L)
+  }
+
+  test("observeMetrics on an empty corpus: SQL aggregate semantics (nulls, not 0/NPE)") {
+    import spark.implicits._
+    val dir = fixtureDir("observe_empty")
+    Seq.empty[(Double, Double)].toDF("l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = RelationalQueries.observeMetrics(spark, dir).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("sum_cents")))
+    assert(r.isNullAt(r.fieldIndex("max_qty")))
+    assert(r.getLong(r.fieldIndex("n_kept")) == 0L)
+  }
+
+  test("sourceMix topk_agg formulation equals the per-source ranking window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // sources under, at, and over quota; doc ids interleaved so hash
+    // order differs from id order
+    val docs = (1 to 35).map(i => (i.toLong, "a")) ++
+      (36 to 38).map(i => (i.toLong, "b")) ++
+      (39 to 48).map(i => (i.toLong, "c"))
+    val dir = fixtureDir("source_mix")
+    docs.map { case (id, s) => (id, s"text $id", "en", s, 10L + id) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = TextQueries.sourceMix(spark, dir, quota = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    // plain window reference over the SAME comparator (h60 prefix, doc_id)
+    val ranked = Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(substring(col("h"), 1, 15), col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("n_chars")).as("sum"),
+        min(col("h")).as("first"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == ranked.toSeq)
+    // quota semantics: capped at 10, under-quota sources keep everything
+    val n = got.map(t => t._1 -> t._2).toMap
+    assert(n == Map("a" -> 10L, "b" -> 3L, "c" -> 10L))
+  }
 }
