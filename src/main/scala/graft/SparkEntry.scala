@@ -39,6 +39,9 @@ object SparkEntry {
       // Same operator, distance predicate: st_dwithin with envelope
       // expansion + exact post-filter.
       "q_spatial_dwithin" -> ((s, dir) => Pipelines.spatialDWithinRollup(s, dir)),
+      // Per-row distance COLUMN variant (non-foldable d, probe-side
+      // envelope expansion; NULL/short radii by closed-form rule).
+      "q_spatial_dwithin_col" -> (Pipelines.spatialDWithinColRollup _),
       // Spatial semi join (filter-by-any-match, semi-mode R-tree exec).
       "q_spatial_semi" -> (Pipelines.spatialSemiRollup _),
       // Partitioned large-large spatial join (grid cells + shuffled equi
@@ -129,6 +132,7 @@ object SparkEntry {
     ("q_geo_flagship_5880" -> Pipelines.flagship5880OracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
+    ("q_spatial_dwithin_col" -> Pipelines.spatialDWithinColOracleSql) +
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
     ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
     ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +

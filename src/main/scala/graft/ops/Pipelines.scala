@@ -255,6 +255,55 @@ object Pipelines {
       .orderBy(col("region_id"))
   }
 
+  /** st_dwithin join with a NON-FOLDABLE per-row distance COLUMN
+    * (Sedona's ST_DWithin join accepts a distance column the same way):
+    * each parcel carries its own search radius — NULL for a sparse
+    * deterministic subset (matches NOTHING, SQL null-predicate
+    * semantics), 10700 m on even (c+w) parity (reaches the adjacent
+    * region from edge parcels, like the foldable variant), 9000 m
+    * otherwise (own region only: the inter-region gap is ≥ 10000 m).
+    * Planned by SpatialJoinStrategy as the broadcast R-tree exec with
+    * the distance expression bound to the PROBE row — each probe expands
+    * its own envelope query (asserted in PlanShapeSpec). */
+  def spatialDWithinColRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    import GeoFixtures._
+    val parcels = parcelRelation(spark, dir)
+      .withColumn("c", expr(s"CAST(((px0 - $RegionX0) % $RegionStep) DIV $ParcelCell AS INT)"))
+      .withColumn("w", expr(s"CAST(((py0 - $RegionY0) % $RegionStep) DIV $ParcelCell AS INT)"))
+      .withColumn("dist_m", expr(
+        "CASE WHEN (c * 7 + w) % 97 = 13 THEN CAST(NULL AS DOUBLE) " +
+          "WHEN (c + w) % 2 = 0 THEN 10700.0D ELSE 9000.0D END"))
+      .select(col("parcel_geom"), col("dist_m"))
+    parcels
+      .join(broadcast(regionRelation(spark, dir)),
+        st_dwithin(col("parcel_geom"), col("region_geom"), col("dist_m")))
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("region_id"))
+  }
+
+  /** Closed-form mirror of the per-row-distance match set: non-null rows
+    * match their own region always; edge parcels reach the adjacent
+    * region only on the 10700 m (even-parity) branch. */
+  val spatialDWithinColOracleSql: String =
+    """WITH f AS (
+      |  SELECT CAST(l_partkey % 25 AS INTEGER) AS r,
+      |         CAST(((l_orderkey * 7 + l_linenumber) % 2500) % 50 AS INTEGER) AS c,
+      |         CAST(((l_orderkey * 7 + l_linenumber) % 2500) // 50 AS INTEGER) AS w
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT r, c, w, ((c * 7 + w) % 97 = 13) AS dist_null,
+      |         ((c + w) % 2 = 0) AS reach
+      |  FROM f),
+      |m AS (
+      |  SELECT r AS region_id FROM g WHERE NOT dist_null
+      |  UNION ALL SELECT r - 1 FROM g WHERE NOT dist_null AND reach AND c = 0  AND r % 5 > 0
+      |  UNION ALL SELECT r + 1 FROM g WHERE NOT dist_null AND reach AND c = 49 AND r % 5 < 4
+      |  UNION ALL SELECT r - 5 FROM g WHERE NOT dist_null AND reach AND w = 0  AND r // 5 > 0
+      |  UNION ALL SELECT r + 5 FROM g WHERE NOT dist_null AND reach AND w = 49 AND r // 5 < 4)
+      |SELECT region_id, count(*) AS n FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Closed-form mirror of the d=10700 match set: own region always;
     * the four adjacent regions exactly when the parcel sits in the
     * first/last parcel column/row AND that neighbor exists in the 5×5

@@ -126,21 +126,38 @@ object SpatialJoin {
                      leftGeomCol: String, rightGeomCol: String,
                      cellSize: Double,
                      outputCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    gridIntersectsOn(left, right, col(leftGeomCol), col(rightGeomCol),
+      cellSize, outputCols.map(col))
+  }
+
+  /** [[gridIntersects]] generalized to geometry EXPRESSIONS and attribute
+    * outputs — the form [[graft.plans.SpatialJoinStrategy]]'s stats-driven
+    * routing needs when it rewrites a declarative
+    * `join(r, st_intersects(lg, rg))` whose build side is too large to
+    * broadcast: the strategy hands the matched children back through the
+    * DataFrame API with the join's own geometry expressions (arbitrary,
+    * not necessarily bare columns) and re-plans the grid decomposition. */
+  def gridIntersectsOn(left: DataFrame, right: DataFrame,
+                       leftGeom: org.apache.spark.sql.Column,
+                       rightGeom: org.apache.spark.sql.Column,
+                       cellSize: Double,
+                       outputCols: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(cellSize > 0.0 && java.lang.Double.isFinite(cellSize),
       s"cellSize must be positive and finite, got $cellSize")
     // selective import: functions.left/right would shadow the parameters
     import org.apache.spark.sql.functions.{col, explode, expr, floor, greatest}
     import graft.functions.{st_envelope_bounds, st_intersects}
-    def withCells(df: DataFrame, geomCol: String, p: String): DataFrame =
-      df.withColumn(s"${p}_env", st_envelope_bounds(col(geomCol)))
+    def withCells(df: DataFrame, geom: org.apache.spark.sql.Column, p: String): DataFrame =
+      df.withColumn(s"${p}_env", st_envelope_bounds(geom))
         .withColumn(s"${p}_cell", explode(expr(
           s"""flatten(transform(
              |  sequence(floor(${p}_env.xmin / ${cellSize}D), floor(${p}_env.xmax / ${cellSize}D)),
              |  cx -> transform(
              |    sequence(floor(${p}_env.ymin / ${cellSize}D), floor(${p}_env.ymax / ${cellSize}D)),
              |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
-    val l = withCells(left, leftGeomCol, "gl")
-    val r = withCells(right, rightGeomCol, "gr")
+    val l = withCells(left, leftGeom, "gl")
+    val r = withCells(right, rightGeom, "gr")
     val cond =
       col("gl_cell") === col("gr_cell") &&
       // envelope overlap: free column math ahead of the WKB parse
@@ -149,10 +166,10 @@ object SpatialJoin {
       // reference-point dedup: exactly one common cell owns the pair
       floor(greatest(col("gl_env.xmin"), col("gr_env.xmin")) / cellSize) === col("gl_cell.cx") &&
       floor(greatest(col("gl_env.ymin"), col("gr_env.ymin")) / cellSize) === col("gl_cell.cy") &&
-      st_intersects(col(leftGeomCol), col(rightGeomCol))
+      st_intersects(leftGeom, rightGeom)
     val joined = l.join(r, cond, "inner")
       .drop("gl_env", "gl_cell", "gr_env", "gr_cell")
-    if (outputCols.isEmpty) joined else joined.select(outputCols.map(col): _*)
+    if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
   }
 
   /** k-nearest-neighbour join (Sedona `ST_KNN` analogue): for each left

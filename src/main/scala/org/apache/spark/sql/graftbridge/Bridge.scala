@@ -12,6 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an (already-analyzed) logical plan as a DataFrame — the hook a
+    * planner strategy needs to REWRITE a matched logical subtree with the
+    * DataFrame API (compose operators, re-analyze) and hand the result
+    * back via `planLater`. Same `Dataset.ofRows` Spark's own internals
+    * use; attributes keep their exprIds, so the rewritten subtree slots
+    * into the surrounding plan. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
   /** A 1-row/1-column DataFrame as a scalar-subquery expression — the form

@@ -220,6 +220,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("st_dwithin with a per-row distance COLUMN plans as the R-tree operator; null/negative match nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{st_dwithin, st_makeenvelope}
+    graft.functions.registerAll(spark)
+    // column-distance query's own plan
+    val p = planOf("q_spatial_dwithin_col")
+    assert(p.contains("BroadcastRTreeSpatialJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // per-row semantics on a closed-form fixture: unit squares at x = 10*i
+    // probing one dim square at [100,101]; radius column varies per row
+    val probe = spark.range(12).select(col("id"),
+      st_makeenvelope(col("id").cast("double") * 10.0, lit(0.0),
+        col("id").cast("double") * 10.0 + 1.0, lit(1.0)).as("g"),
+      when(col("id") === 3, lit(null).cast("double"))     // null: no match
+        .when(col("id") === 4, lit(-5.0))                  // negative: no match
+        .otherwise(greatest(lit(99.0) - col("id").cast("double") * 10.0, lit(0.0)))
+        .as("d"))                                          // EXACT gap to dim
+    val dim = spark.range(1).select(
+      st_makeenvelope(lit(100.0), lit(0.0), lit(101.0), lit(1.0)).as("h"))
+    val joined = probe.join(broadcast(dim), st_dwithin(col("g"), col("h"), col("d")))
+    val pc = joined.queryExecution.sparkPlan.toString
+    assert(pc.contains("BroadcastRTreeSpatialJoin"), pc.take(1500))
+    val got = joined.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    // id i <= 9: gap to dim = 99 - 10i and d = the exact gap (boundary is
+    // inclusive) => match, except null (3) and negative (4); i = 10
+    // overlaps dim with d = 0 => match; i = 11 has d = 0 but gap 9 => none
+    assert(got == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L), got.mkString(","))
+  }
+
   test("st_dwithin matches own region plus reachable edge neighbors only") {
     import org.apache.spark.sql.functions._
     // fixture arithmetic mirror of the d=10700 closed form (same logic as
@@ -290,7 +319,8 @@ class PlanShapeSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit(0.0)))
     intercept[IllegalArgumentException](graft.plans.BroadcastRTreeSpatialJoinExec(
       parcels.queryExecution.sparkPlan, regions.queryExecution.sparkPlan,
-      geomExpr, geomExpr, buildLeft = false, distance = Some(-1.0)))
+      geomExpr, geomExpr, buildLeft = false,
+      distance = Some(org.apache.spark.sql.catalyst.expressions.Literal(-1.0))))
   }
 
   test("API-form broadcastIntersects agrees with the strategy-planned join") {
@@ -334,6 +364,35 @@ class PlanShapeSpec extends AnyFunSuite {
       .groupBy((org.apache.spark.sql.functions.col("l_partkey") % 25).cast("int"))
       .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("stats-driven routing: the SAME declarative st_intersects join plans broadcast under threshold, grid above") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.st_intersects
+    val (parcels, regions) = parcelsAndRegions()
+    // identical declarative form — no broadcast() hint, no API switch
+    def declared() = parcels.join(regions,
+      st_intersects(col("parcel_geom"), col("region_geom")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // regions (25 rows) is stats-small under the default threshold
+      val under = declared().queryExecution.executedPlan.toString
+      assert(under.contains("BroadcastRTreeSpatialJoin"), under.take(2000))
+      // threshold off: neither side broadcastable — the strategy must now
+      // route to the grid-partitioned equi join, NOT BroadcastNestedLoopJoin
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val routed = declared()
+      val over = routed.queryExecution.executedPlan.toString
+      assert(!over.contains("BroadcastRTreeSpatialJoin"), over.take(2000))
+      assert(!over.contains("BroadcastNestedLoopJoin") && !over.contains("CartesianProduct"),
+        over.take(2000))
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"), over.take(2000))
+      // both routes compute the same join
+      val gridCounts = perRegionCounts(routed.select(col("region_id")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val bCounts = perRegionCounts(declared().select(col("region_id")))
+      assert(gridCounts == bCounts)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("grid join shuffles on the cell key - no broadcast, no nested loop - and matches the broadcast result") {
