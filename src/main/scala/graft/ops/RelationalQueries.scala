@@ -858,6 +858,46 @@ object RelationalQueries {
         sum(col("y").cast("bigint")).as("sum_y"))
       .orderBy(col("r"))
 
+  /** DSv2 AGGREGATE PUSHDOWN over the lattice source
+    * (`SupportsPushDownAggregates`): COUNT/MIN/MAX grouped by the
+    * partition key collapse to one closed-form summary row per region —
+    * the scan generates ZERO data rows (asserted in LatticeSourceSpec).
+    * The r-filter is consumed by partition pruning, so no residual
+    * Filter blocks the aggregate push. At 100 TB this is the "ask the
+    * storage layer" rung: a sharded external system answers per-shard
+    * COUNT/MIN/MAX from its own metadata instead of shipping rows. */
+  def latticeAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.LatticeSource")
+      .option("regions", 25).option("sites", 2500).option("keepMod", 7)
+      .load()
+      .filter(col("r") >= 5 && col("r") < 20)
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_sites"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+      .orderBy(col("r"))
+
+  /** DSv2 RUNTIME partition pruning (`SupportsRuntimeV2Filtering`, the
+    * source-side analogue of `q_bloom_join`'s semi-join reduction): the
+    * dim side filters on a NON-key column (`n_name`), so nothing can be
+    * inferred statically — only after the broadcast build executes does
+    * the IN(r, …) runtime predicate reach the source, which then opens
+    * readers for exactly the matching regions (LatticeSourceSpec proves
+    * the reader count). The join itself re-evaluates the condition, so
+    * pruning is pure I/O elimination, never a correctness dependency. */
+  def latticeRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_name").isin("NATION_2", "NATION_3", "NATION_17"))
+      .select(col("n_nationkey").cast("int").as("rk"))
+    spark.read.format("graft.sources.LatticeSource")
+      .option("regions", 25).option("sites", 2500).option("keepMod", 7)
+      .load()
+      .join(dim, col("r") === col("rk"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_sites"), sum(col("pos").cast("long")).as("sum_pos"))
+      .orderBy(col("r"))
+  }
+
   /** Observed-metrics pass (`Dataset.observe` / `CollectMetricsExec` —
     * Spark's mechanism for pipeline health counters that ride along on a
     * pass instead of costing a second scan): the observation watches the
@@ -895,6 +935,8 @@ object RelationalQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_observe" -> (observeMetrics _),
     "q_lattice_scan" -> (latticeScan _),
+    "q_lattice_agg" -> (latticeAgg _),
+    "q_lattice_runtime" -> (latticeRuntimeFilter _),
     "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
@@ -945,6 +987,27 @@ object RelationalQueries {
         |  max(l_quantity) AS max_qty,
         |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_kept
         |FROM lineitem""".stripMargin,
+    "q_lattice_agg" ->
+      """WITH p AS (
+        |  SELECT r.range AS r, s.range AS pos
+        |  FROM range(5, 20) r, range(0, 2500) s
+        |  WHERE s.range % 7 < 3)
+        |SELECT CAST(r AS INTEGER) AS r, count(*) AS n_sites,
+        |  CAST(min(pos) AS INTEGER) AS min_pos,
+        |  CAST(max(pos) AS INTEGER) AS max_pos
+        |FROM p GROUP BY r ORDER BY r""".stripMargin,
+    "q_lattice_runtime" ->
+      """WITH dim AS (
+        |  SELECT CAST(n_nationkey AS INTEGER) AS rk FROM nation
+        |  WHERE n_name IN ('NATION_2', 'NATION_3', 'NATION_17')),
+        |p AS (
+        |  SELECT r.range AS r, s.range AS pos
+        |  FROM range(0, 25) r, range(0, 2500) s
+        |  WHERE s.range % 7 < 3)
+        |SELECT CAST(p.r AS INTEGER) AS r, count(*) AS n_sites,
+        |  CAST(sum(pos) AS BIGINT) AS sum_pos
+        |FROM p JOIN dim ON p.r = dim.rk
+        |GROUP BY p.r ORDER BY p.r""".stripMargin,
     "q_lattice_scan" ->
       """WITH p AS (
         |  SELECT r.range AS r, s.range AS pos

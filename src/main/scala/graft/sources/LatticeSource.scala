@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -32,13 +33,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - SupportsPushDownFilters: predicates on `r` prune whole
   *     PARTITIONS at planning time (r is constant per partition, so
   *     evaluation at partition granularity is exact); pruned regions
-  *     never even generate. Pushed filters are still returned as
-  *     residuals, so Spark's own re-evaluation keeps correctness
-  *     independent of the pruning (belt and braces — the V1 JDBC
-  *     source's convention).
+  *     never even generate. Accepted `r` filters are CONSUMED (not
+  *     returned as residuals): partition-granularity evaluation is
+  *     exact for a partition-constant column, and consuming them is
+  *     what lets an aggregate above a filtered scan still push down
+  *     (Spark only pushes aggregates when no residual Filter remains).
   *   - SupportsPushDownRequiredColumns: the reader materializes only
   *     the pruned schema — `select(count(*))` generates zero field
   *     values per row.
+  *   - SupportsPushDownAggregates: COUNT(*) / MIN / MAX over the
+  *     generator-closed-form columns (`r`, `pos`), grouped by `r` or
+  *     ungrouped, collapse to ONE closed-form summary row per region
+  *     partition — zero data rows generated. Grouped-by-`r` pushdown is
+  *     COMPLETE (each region lives in exactly one partition, so the
+  *     per-partition row IS the final group); ungrouped is partial
+  *     (Spark merges the per-partition summaries).
+  *   - SupportsRuntimeV2Filtering: a join's build side can prune
+  *     partitions AT RUNTIME (dynamic partition pruning, the DSv2
+  *     analogue of `q_bloom_join`'s semi-join reduction) — an IN(r, …)
+  *     predicate arriving after the build side executes drops
+  *     non-matching regions before any reader opens.
   *
   * At 100 TB the same shape is how a sharded external system (a tile
   * server, a feature store, a range-partitioned KV store) binds into
@@ -73,6 +87,30 @@ object LatticeSource {
     (-6300000L + (r % 5).toLong * 60000L + (pos % 50).toLong * 1000L).toDouble
   def siteY(r: Int, pos: Int): Double =
     (-2000000L + (r / 5).toLong * 60000L + (pos / 50).toLong * 1000L).toDouble
+
+  /** Closed-form admitted-site count for one region: keepMod keeps
+    * `pos % keepMod < 3`. */
+  def admittedCount(sites: Int, keepMod: Int): Long =
+    if (keepMod <= 0) sites.toLong
+    else 3L * (sites / keepMod) + math.min(sites % keepMod, 3).toLong
+
+  /** Largest admitted pos (< sites), or -1 when none: 0 is always
+    * admitted for sites > 0, so the backward scan is bounded by keepMod
+    * steps. */
+  def maxAdmittedPos(sites: Int, keepMod: Int): Int = {
+    if (sites <= 0) -1
+    else if (keepMod <= 0) sites - 1
+    else {
+      var p = sites - 1
+      while (p >= 0 && p % keepMod >= 3) p -= 1
+      p
+    }
+  }
+
+  /** Test observability hook: readers opened since the counter was last
+    * reset — lets specs prove runtime filtering pruned partitions
+    * BEFORE any reader ran (local mode: executors share the JVM). */
+  val readersOpened = new java.util.concurrent.atomic.AtomicLong
 }
 
 private[sources] class LatticeTable(regions: Int, sites: Int, keepMod: Int)
@@ -86,26 +124,70 @@ private[sources] class LatticeTable(regions: Int, sites: Int, keepMod: Int)
 }
 
 private[sources] class LatticeScanBuilder(regions: Int, sites: Int, keepMod: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LatticeSource.Schema
+  private var pushedAgg: Option[Aggregation] = None
 
   /** A filter is accepted iff it constrains column `r` in a shape the
     * per-region pruner evaluates exactly; everything else stays with
-    * Spark. Accepted filters are ALSO returned as residuals (see class
-    * doc). */
+    * Spark. Accepted filters are CONSUMED (r is partition-constant, so
+    * partition-granularity evaluation is exact) — which is also what
+    * lets an aggregate above a filtered scan push down (see class doc). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(LatticeScanBuilder.prunesR)
-    filters
+    filters.filterNot(LatticeScanBuilder.prunesR)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) / MIN / MAX over the closed-form integer columns (`r`,
+    * `pos`), grouped by `r` or ungrouped. `x`/`y` min/max are NOT
+    * accepted: their extremum over the keepMod-thinned lattice is not a
+    * closed form worth maintaining — Spark computes them from rows.
+    *
+    * Known Spark interplay, accepted deliberately: a pushed-aggregate
+    * scan relation mints FRESH output attributes, which fails
+    * V2ScanPartitioningAndOrdering's references.subsetOf check and drops
+    * the scan's KeyGroupedPartitioning — so a pushed aggregate's output
+    * no longer storage-partition-joins exchange-free. That trade is
+    * right at any scale: the pushed plan ships |regions| closed-form
+    * summary rows (re-shuffling them is ~free) instead of scanning rows
+    * exchange-free. Aggregations the source does NOT accept (sum, x/y
+    * extrema) keep the row scan and its KeyGroupedPartitioning, which is
+    * what LatticeSourceSpec's SPJ tests exercise. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+              name: String): Boolean = e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array(name))
+      case _ => false
+    }
+    def intCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      isCol(e, "r") || isCol(e, "pos")
+    val groupsOk = agg.groupByExpressions.forall(isCol(_, "r")) &&
+      agg.groupByExpressions.length <= 1
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => intCol(m.column)
+        case m: Max => intCol(m.column)
+        case _ => false
+      }
+    if (groupsOk && aggsOk) { pushedAgg = Some(agg); true } else false
+  }
+
+  /** Grouped-by-`r` pushdown is COMPLETE: one region = one partition, so
+    * the per-partition summary row IS the final group. Ungrouped stays
+    * partial — Spark merges the per-partition summaries. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.length == 1 && pushAggregation(agg)
+
   override def build(): Scan =
-    new LatticeScan(regions, sites, keepMod, pushed, required)
+    new LatticeScan(regions, sites, keepMod, pushed, required, pushedAgg)
 }
 
 private[sources] object LatticeScanBuilder {
@@ -139,55 +221,188 @@ private[sources] case class LatticePartition(r: Int, sites: Int, keepMod: Int,
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](r))
 }
 
+/** One closed-form summary row per region — the pushed-aggregation
+  * partition. `r = -1` is the empty-global-summary sentinel (all regions
+  * statically pruned under an UNGROUPED aggregate: count 0, min/max
+  * null — what an aggregate over empty input returns). */
+private[sources] case class LatticeAggPartition(r: Int, sites: Int, keepMod: Int,
+                                                groupByR: Boolean,
+                                                aggSpec: Array[String])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](r))
+}
+
 private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
-                                   pushed: Array[Filter], required: StructType)
-  extends Scan with Batch with SupportsReportPartitioning {
-  override def readSchema(): StructType = required
+                                   pushed: Array[Filter], required: StructType,
+                                   agg: Option[Aggregation] = None)
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsRuntimeV2Filtering {
+
+  /** Compact serializable spec of each pushed aggregate ("count",
+    * "min_r", "max_pos", …) — evaluated in the reader. */
+  private val aggSpec: Array[String] = agg.map(_.aggregateExpressions.map {
+    case _: CountStar => "count"
+    case m: Min => s"min_${LatticeScan.colName(m.column)}"
+    case m: Max => s"max_${LatticeScan.colName(m.column)}"
+    case f => throw new IllegalStateException(s"unpushable aggregate $f")
+  }).getOrElse(Array.empty)
+  private def groupByR: Boolean = agg.exists(_.groupByExpressions.nonEmpty)
+
+  override def readSchema(): StructType = agg match {
+    case None => required
+    case Some(_) =>
+      // contract: grouping columns first, then one field per aggregate
+      val groupFields =
+        if (groupByR) Seq(StructField("r", IntegerType, nullable = false)) else Nil
+      val aggFields = aggSpec.toSeq.map {
+        case "count" => StructField("count_star", LongType, nullable = false)
+        case s => StructField(s, IntegerType, nullable = true)
+      }
+      StructType(groupFields ++ aggFields)
+  }
+
   override def description(): String =
-    s"graft_lattice pushed=[${pushed.mkString(", ")}] read=[${required.fieldNames.mkString(",")}]"
+    s"graft_lattice pushed=[${pushed.mkString(", ")}] " +
+      s"read=[${readSchema().fieldNames.mkString(",")}]" +
+      agg.map(a => s" pushedAgg=[${aggSpec.mkString(",")}" +
+        s" groupBy=${if (groupByR) "r" else "<none>"}]").getOrElse("")
   override def toBatch: Batch = this
+
+  /** Runtime (DPP) predicates on `r`, applied on top of the planning-time
+    * pushed filters. Best-effort by contract: unparseable predicates
+    * prune nothing (the join re-evaluates its own condition). */
+  @volatile private var runtimeRs: Option[Set[Int]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("r"))
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.flatMap(LatticeScan.admittedRs)
+    if (sets.nonEmpty) runtimeRs = Some(sets.reduce(_ intersect _))
+  }
+
+  private def admittedRegions: Seq[Int] =
+    (0 until regions)
+      .filter(r => pushed.forall(LatticeScanBuilder.admits(_, r)))
+      .filter(r => runtimeRs.forall(_.contains(r)))
 
   /** The data IS key-grouped by `r` (one region per InputPartition, key
     * reported via [[HasPartitionKey]]): with
     * `spark.sql.sources.v2.bucketing.enabled=true` an aggregation or
     * join keyed on `r` plans with NO Exchange under it — the DSv2
     * storage-partitioned contract (SPARK-37375), the scale device that
-    * makes a pre-sharded external system join shuffle-free. */
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.identity("r")),
-      (0 until regions).count(r => pushed.forall(LatticeScanBuilder.admits(_, r))))
+    * makes a pre-sharded external system join shuffle-free. An UNGROUPED
+    * pushed aggregate has no `r` in its output — partitioning is
+    * unknowable, not key-grouped. */
+  override def outputPartitioning(): Partitioning = {
+    val n = (0 until regions).count(r => pushed.forall(LatticeScanBuilder.admits(_, r)))
+    if (agg.isEmpty || groupByR)
+      new KeyGroupedPartitioning(Array(Expressions.identity("r")), n)
+    else new UnknownPartitioning(math.max(n, 1))
+  }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val idx = required.fieldNames.map(LatticeSource.Schema.fieldIndex)
-    (0 until regions)
-      .filter(r => pushed.forall(LatticeScanBuilder.admits(_, r)))
-      .map(r => LatticePartition(r, sites, keepMod, idx): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case None =>
+      val idx = required.fieldNames.map(LatticeSource.Schema.fieldIndex)
+      admittedRegions.map(r => LatticePartition(r, sites, keepMod, idx): InputPartition)
+        .toArray
+    case Some(_) =>
+      val rs = admittedRegions
+      if (rs.isEmpty && !groupByR)
+        // ungrouped aggregate over zero partitions: one sentinel summary
+        // (count 0 / null extrema) so the merged result is SQL-correct
+        Array(LatticeAggPartition(-1, sites, keepMod, groupByR, aggSpec))
+      else if (rs.isEmpty) Array.empty
+      else rs.map(r =>
+        LatticeAggPartition(r, sites, keepMod, groupByR, aggSpec): InputPartition)
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val lp = p.asInstanceOf[LatticePartition]
-        new PartitionReader[InternalRow] {
-          private var pos = -1
-          override def next(): Boolean = {
-            pos += 1
-            if (lp.keepMod > 0)
-              while (pos < lp.sites && pos % lp.keepMod >= 3) pos += 1
-            pos < lp.sites
-          }
-          override def get(): InternalRow = {
-            val vals = lp.fieldIdx.map {
-              case 0 => lp.r: Any
-              case 1 => pos: Any
-              case 2 => LatticeSource.siteX(lp.r, pos): Any
-              case 3 => LatticeSource.siteY(lp.r, pos): Any
+        LatticeSource.readersOpened.incrementAndGet()
+        p match {
+          case lp: LatticePartition => new PartitionReader[InternalRow] {
+            private var pos = -1
+            override def next(): Boolean = {
+              pos += 1
+              if (lp.keepMod > 0)
+                while (pos < lp.sites && pos % lp.keepMod >= 3) pos += 1
+              pos < lp.sites
             }
-            new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            override def get(): InternalRow = {
+              val vals = lp.fieldIdx.map {
+                case 0 => lp.r: Any
+                case 1 => pos: Any
+                case 2 => LatticeSource.siteX(lp.r, pos): Any
+                case 3 => LatticeSource.siteY(lp.r, pos): Any
+              }
+              new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            }
+            override def close(): Unit = ()
           }
-          override def close(): Unit = ()
+          case ap: LatticeAggPartition => new PartitionReader[InternalRow] {
+            private var emitted = false
+            override def next(): Boolean = !emitted && {
+              emitted = true
+              // a region with zero admitted sites contributes NO group
+              ap.r == -1 || LatticeSource.admittedCount(ap.sites, ap.keepMod) > 0
+            }
+            override def get(): InternalRow = {
+              val empty = ap.r == -1 ||
+                LatticeSource.admittedCount(ap.sites, ap.keepMod) == 0
+              val n = if (empty) 0L else LatticeSource.admittedCount(ap.sites, ap.keepMod)
+              val maxPos = LatticeSource.maxAdmittedPos(ap.sites, ap.keepMod)
+              val aggVals: Seq[Any] = ap.aggSpec.toSeq.map {
+                case "count" => n: Any
+                case "min_r" => if (empty) null else ap.r: Any
+                case "max_r" => if (empty) null else ap.r: Any
+                case "min_pos" => if (empty) null else 0: Any
+                case "max_pos" => if (empty) null else maxPos: Any
+                case s => throw new IllegalStateException(s"unknown agg spec $s")
+              }
+              val vals: Seq[Any] =
+                (if (ap.groupByR) Seq(ap.r: Any) else Nil) ++ aggVals
+              new GenericInternalRow(vals.toArray)
+            }
+            override def close(): Unit = ()
+          }
         }
       }
     }
+}
+
+private[sources] object LatticeScan {
+  def colName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
+      case other => throw new IllegalStateException(s"not a column: $other")
+    }
+
+  /** Parse a runtime predicate into the admitted `r` set; None = cannot
+    * parse (prune nothing). Handles IN(r, lit…) and =(r, lit) — the
+    * shapes dynamic partition pruning produces. */
+  def admittedRs(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[Int]] = {
+    type VExpr = org.apache.spark.sql.connector.expressions.Expression
+    def lit(e: VExpr): Option[Int] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.dataType == IntegerType =>
+        Some(l.value.asInstanceOf[Int])
+      case _ => None
+    }
+    def isR(e: VExpr): Boolean = e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("r"))
+      case _ => false
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isR(p.children()(0)) =>
+        val vs = p.children().drop(1).map(lit)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if p.children().length == 2 && isR(p.children()(0)) =>
+        lit(p.children()(1)).map(Set(_))
+      case "=" if p.children().length == 2 && isR(p.children()(1)) =>
+        lit(p.children()(0)).map(Set(_))
+      case _ => None
+    }
+  }
 }

@@ -45,13 +45,17 @@ class LatticeSourceSpec extends AnyFunSuite {
     val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
-      val agg = load(sites = 100).groupBy(col("r")).agg(count(lit(1)).as("n"))
+      // sum(pos) is NOT an accepted pushdown aggregate, so the row scan
+      // (and its KeyGroupedPartitioning) survives — the shape this
+      // storage-partitioned device exists for
+      val agg = load(sites = 100).groupBy(col("r"))
+        .agg(sum(col("pos").cast("long")).as("n"))
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"groupBy(r) over the key-grouped source should not shuffle:\n${plan.take(1200)}")
       // and the values are still right
       assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
-        (0 until 25).map((_, 100L)).toSet)
+        (0 until 25).map((_, 4950L)).toSet)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
@@ -69,11 +73,13 @@ class LatticeSourceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real two-sided join
     try {
-      val l = load(sites = 100).groupBy(col("r")).agg(count(lit(1)).as("na"))
-      val r = load(sites = 50).groupBy(col("r")).agg(count(lit(1)).as("nb"))
+      // sum: not pushdown-accepted, so both row scans keep their
+      // key-grouped partitioning and the join lines partitions up
+      val l = load(sites = 100).groupBy(col("r")).agg(sum(col("pos").cast("long")).as("na"))
+      val r = load(sites = 50).groupBy(col("r")).agg(sum(col("pos").cast("long")).as("nb"))
       val j = l.join(r, "r")
       val rows = j.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSet
-      assert(rows == (0 until 25).map((_, 100L, 50L)).toSet)
+      assert(rows == (0 until 25).map((_, 4950L, 1225L)).toSet)
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"SPJ should need no shuffle on either side:\n${plan.take(1500)}")
@@ -81,6 +87,54 @@ class LatticeSourceSpec extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("aggregate pushdown collapses to closed-form summary rows: zero data rows generated") {
+    // grouped (COMPLETE pushdown): one summary row per region, readers
+    // never iterate sites — assert the plan AND values vs the row path
+    val agg = load(sites = 100, keepMod = 7).filter(col("r") < 5)
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[count,min_pos,max_pos groupBy=r]"), plan.take(1200))
+    assert(plan.contains("pushed=[LessThan(r,5)]"), plan.take(1200)) // filter CONSUMED, not residual
+    val got = agg.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val wantN = LatticeSource.admittedCount(100, 7)
+    val wantMx = LatticeSource.maxAdmittedPos(100, 7)
+    assert(got == (0 until 5).map(r => (r, wantN, 0, wantMx)).toSet, got)
+    // ungrouped (partial pushdown): per-partition summaries merged by Spark
+    val g = load(sites = 100, keepMod = 7)
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx")).collect()(0)
+    assert((g.getLong(0), g.getInt(1)) == (25L * wantN, wantMx))
+    // every partition statically pruned + ungrouped: SQL empty-aggregate
+    // semantics (count 0, null extrema), via the sentinel summary row
+    val e = load().filter(col("r") === 99)
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn")).collect()(0)
+    assert(g != null && e.getLong(0) == 0L && e.isNullAt(1))
+    // a non-accepted aggregate (sum) keeps the row-scan path — and the
+    // two paths agree on the shared count/min/max semantics
+    val s2 = load(sites = 100, keepMod = 7).filter(col("r") < 5)
+      .groupBy(col("r")).agg(sum(col("pos").cast("long")).as("s"))
+    assert(!s2.queryExecution.executedPlan.toString.contains("pushedAgg="))
+    assert(s2.count() == 5L)
+  }
+
+  test("runtime V2 filtering: a join's build side prunes partitions before readers open") {
+    // the dim filters on a NON-key column, so nothing is inferable
+    // statically — only the DPP runtime IN(r, ...) can prune the source
+    val dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .filter(col("n_name").isin("NATION_2", "NATION_3"))
+      .select(col("n_nationkey").cast("int").as("rk"))
+    LatticeSource.readersOpened.set(0)
+    val j = load(sites = 1000).join(dim, col("r") === col("rk"))
+      .groupBy(col("rk")).count()
+    val rows = j.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows == Set((2, 1000L), (3, 1000L)))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan.take(1500))
+    // 2 of 25 partitions opened readers; pruning happened BEFORE any read
+    assert(LatticeSource.readersOpened.get() == 2L,
+      s"readersOpened=${LatticeSource.readersOpened.get()}")
   }
 
   test("pushdown and column pruning are visible in the scan, and an empty prune is fine") {
