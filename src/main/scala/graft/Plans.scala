@@ -100,6 +100,30 @@ object Plans {
         "column set. The scan also reports KeyGroupedPartitioning on r " +
         "(one region per partition), so under v2 bucketing the keyed " +
         "aggregate needs no exchange (LatticeSourceSpec asserts it)."),
+    Entry("q_lattice_agg",
+      "DSv2 AGGREGATE pushdown: the scan line shows pushedAgg=[count," +
+        "min_pos,max_pos groupBy=r] and read=[r,count_star,min_pos," +
+        "max_pos] — the source answers COUNT/MIN/MAX per region from " +
+        "generator closed forms, ONE summary row per partition, zero " +
+        "data rows generated; the r-filter is consumed by partition " +
+        "pruning so no residual Filter blocks the push."),
+    Entry("q_lattice_runtime",
+      "DSv2 RUNTIME partition pruning: the lattice scan carries " +
+        "RuntimeFilters: [dynamicpruningexpression(r IN dynamicpruning#N)] " +
+        "fed by the dim side's broadcast — the dim filters on a NON-key " +
+        "column, so only the runtime IN can prune; 3 of 25 region " +
+        "partitions ever open a reader (LatticeSourceSpec counts them)."),
+    Entry("q_spatial_dwithin_col",
+      "st_dwithin with a PER-ROW distance column: planned as the same " +
+        "BroadcastRTreeSpatialJoin exec, the distance expression bound " +
+        "to the probe side — each probe row expands its own envelope " +
+        "query; NULL/negative radii match nothing row-locally. No BNLJ."),
+    Entry("q_source_mix",
+      "Bounded-state per-source top-k: partial_topk_agg runs map-side " +
+        "(ObjectHashAggregate) so only |sources|*quota fixed-width pairs " +
+        "shuffle — no per-source row_number window, no single-reducer " +
+        "sort of a whole source; the picked ids broadcast back against " +
+        "the corpus (inner join output = the picks, never the corpus)."),
     Entry("q_areal_interp",
       "Areal interpolation: the zone-pair stage is the broadcast R-tree " +
         "st_intersects join (25-row source side broadcast), overlay " +
