@@ -42,6 +42,8 @@ object SparkEntry {
       // Per-row distance COLUMN variant (non-foldable d, probe-side
       // envelope expansion; NULL/short radii by closed-form rule).
       "q_spatial_dwithin_col" -> (Pipelines.spatialDWithinColRollup _),
+      // Partitioned large-large distance join (expand-by-d cell cover).
+      "q_spatial_dwithin_partitioned" -> (Pipelines.spatialDWithinPartitionedRollup _),
       // Spatial semi join (filter-by-any-match, semi-mode R-tree exec).
       "q_spatial_semi" -> (Pipelines.spatialSemiRollup _),
       // Partitioned large-large spatial join (grid cells + shuffled equi
@@ -133,6 +135,7 @@ object SparkEntry {
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +
     ("q_spatial_dwithin" -> Pipelines.spatialDWithinOracleSql) +
     ("q_spatial_dwithin_col" -> Pipelines.spatialDWithinColOracleSql) +
+    ("q_spatial_dwithin_partitioned" -> Pipelines.spatialDWithinPartitionedOracleSql) +
     ("q_spatial_semi" -> Pipelines.spatialSemiOracleSql) +
     ("q_spatial_join_partitioned" -> Pipelines.spatialJoinPartitionedOracleSql) +
     ("q_knn_join" -> Pipelines.spatialKnnOracleSql) +

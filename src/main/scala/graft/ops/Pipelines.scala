@@ -461,6 +461,23 @@ object Pipelines {
 
   val spatialJoinPartitionedOracleSql: String = spatialJoinOracleSql
 
+  /** Partitioned large-large DISTANCE join (`SpatialJoin.gridDWithin`,
+    * d = 10700): the scale path a too-large `broadcastDWithin` build side
+    * routes to — left envelopes expand by d before the cell cover, one
+    * cell equi join, envelope-within-d prefilter, exact st_dwithin,
+    * reference-point dedup. Same match set as the broadcast variant, so
+    * the same closed-form oracle gates both plans. */
+  def spatialDWithinPartitionedRollup(spark: SparkSession, dir: String): DataFrame =
+    SpatialJoin.gridDWithin(
+        parcelRelation(spark, dir).select(col("parcel_geom")),
+        regionRelation(spark, dir),
+        "parcel_geom", "region_geom", d = 10700.0, cellSize = 25000.0)
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("region_id"))
+
+  val spatialDWithinPartitionedOracleSql: String = spatialDWithinOracleSql
+
   /** Closed-form oracle for `flagship(to5880 = false, gapBuffer = 0)`:
     * parcels are disjoint 400 m squares fully inside their region, so the
     * clipped union area is exactly 160000 · count(DISTINCT parcel index). */

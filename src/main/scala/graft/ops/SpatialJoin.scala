@@ -172,6 +172,76 @@ object SpatialJoin {
     if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
   }
 
+  /** Partitioned large-large DISTANCE join — [[gridIntersects]]'s device
+    * applied to `st_dwithin`: the LEFT side's envelope is expanded by the
+    * distance BEFORE the cell cover (so any pair within `d` provably
+    * shares a cell), the cell equi join is the only shuffle,
+    * envelope-within-d column math prunes candidates ahead of the WKB
+    * parse, exact `st_dwithin` verifies, and the reference-point rule on
+    * the (expanded-left ∩ right) envelope intersection keeps exactly one
+    * cell per pair. This is the plan a too-large `broadcastDWithin` build
+    * side routes to — without it, large-large distance joins had no
+    * partitioned alternative. */
+  def gridDWithin(left: DataFrame, right: DataFrame,
+                  leftGeomCol: String, rightGeomCol: String,
+                  d: Double, cellSize: Double,
+                  outputCols: Seq[String] = Nil): DataFrame = {
+    require(d >= 0.0 && java.lang.Double.isFinite(d),
+      s"distance must be non-negative and finite, got $d")
+    import org.apache.spark.sql.functions.{col, lit}
+    gridDWithinOn(left, right, col(leftGeomCol), col(rightGeomCol),
+      lit(d), cellSize, outputCols.map(col))
+  }
+
+  /** [[gridDWithin]] generalized to expression geometries and a distance
+    * COLUMN over the left side (the strategy's rewrite form — mirrors
+    * [[gridIntersectsOn]]). Per-row semantics match the broadcast exec:
+    * a NULL or negative distance matches nothing (the guarded expansion
+    * goes NULL, the cell sequence goes NULL, and explode drops the row). */
+  def gridDWithinOn(left: DataFrame, right: DataFrame,
+                    leftGeom: org.apache.spark.sql.Column,
+                    rightGeom: org.apache.spark.sql.Column,
+                    distance: org.apache.spark.sql.Column,
+                    cellSize: Double,
+                    outputCols: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    require(cellSize > 0.0 && java.lang.Double.isFinite(cellSize),
+      s"cellSize must be positive and finite, got $cellSize")
+    import org.apache.spark.sql.functions.{col, explode, expr, floor, greatest, when}
+    import graft.functions.{st_dwithin, st_envelope_bounds}
+    // guarded per-row expansion: NULL/negative d -> NULL -> row drops
+    val l = left
+      .withColumn("gd", when(distance >= 0.0, distance))
+      .withColumn("gl_env", st_envelope_bounds(leftGeom))
+      .withColumn("gl_cell", explode(expr(
+        s"""flatten(transform(
+           |  sequence(floor((gl_env.xmin - gd) / ${cellSize}D), floor((gl_env.xmax + gd) / ${cellSize}D)),
+           |  cx -> transform(
+           |    sequence(floor((gl_env.ymin - gd) / ${cellSize}D), floor((gl_env.ymax + gd) / ${cellSize}D)),
+           |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
+    val r = right
+      .withColumn("gr_env", st_envelope_bounds(rightGeom))
+      .withColumn("gr_cell", explode(expr(
+        s"""flatten(transform(
+           |  sequence(floor(gr_env.xmin / ${cellSize}D), floor(gr_env.xmax / ${cellSize}D)),
+           |  cx -> transform(
+           |    sequence(floor(gr_env.ymin / ${cellSize}D), floor(gr_env.ymax / ${cellSize}D)),
+           |    cy -> named_struct('cx', cx, 'cy', cy))))""".stripMargin)))
+    val cond =
+      col("gl_cell") === col("gr_cell") &&
+      // envelope-within-d: free column math ahead of the WKB parse
+      col("gl_env.xmin") - col("gd") <= col("gr_env.xmax") &&
+      col("gr_env.xmin") <= col("gl_env.xmax") + col("gd") &&
+      col("gl_env.ymin") - col("gd") <= col("gr_env.ymax") &&
+      col("gr_env.ymin") <= col("gl_env.ymax") + col("gd") &&
+      // reference-point dedup over the (expanded-left ∩ right) envelopes
+      floor(greatest(col("gl_env.xmin") - col("gd"), col("gr_env.xmin")) / cellSize) === col("gl_cell.cx") &&
+      floor(greatest(col("gl_env.ymin") - col("gd"), col("gr_env.ymin")) / cellSize) === col("gl_cell.cy") &&
+      st_dwithin(leftGeom, rightGeom, col("gd"))
+    val joined = l.join(r, cond, "inner")
+      .drop("gd", "gl_env", "gl_cell", "gr_env", "gr_cell")
+    if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
+  }
+
   /** k-nearest-neighbour join (Sedona `ST_KNN` analogue): for each left
     * row, the `k` right rows whose geometries are nearest by exact JTS
     * euclidean distance (ties broken arbitrarily, like Sedona). Same

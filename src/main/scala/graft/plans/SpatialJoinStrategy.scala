@@ -103,7 +103,7 @@ object SpatialJoinStrategy extends SparkStrategy {
           BroadcastRTreeSpatialJoinExec(
             planLater(left), planLater(right), leftGeom, rightGeom,
             buildLeft = true, distance) :: Nil
-        else if (!semi && distance.isEmpty)
+        else if (!semi)
           // stats-driven routing: NEITHER side fits under
           // autoBroadcastJoinThreshold (the same size-in-bytes signal
           // Spark's own broadcast selection reads) — rewrite the matched
@@ -111,7 +111,19 @@ object SpatialJoinStrategy extends SparkStrategy {
           // of falling through to BroadcastNestedLoopJoin. At 100 TB this
           // is the difference between a plan that runs and one that
           // collects a terabyte to the driver (or O(|L|·|R|) probes).
-          gridRewrite(left, right, leftGeom, rightGeom)
+          distance match {
+            case None => gridRewrite(left, right, leftGeom, rightGeom)
+            case Some(d) if d.foldable || d.references.subsetOf(left.outputSet) =>
+              gridRewriteDWithin(left, right, leftGeom, rightGeom, d,
+                origOutput = left.output ++ right.output)
+            case Some(d) if d.references.subsetOf(right.outputSet) =>
+              // expand the side that carries the distance: same
+              // decomposition with the roles swapped (st_dwithin is
+              // symmetric); output order restored by the projection
+              gridRewriteDWithin(right, left, rightGeom, leftGeom, d,
+                origOutput = left.output ++ right.output)
+            case _ => Nil
+          }
         else Nil // no valid orientation: fall back to default planning
       case None => Nil
     }
@@ -142,6 +154,25 @@ object SpatialJoinStrategy extends SparkStrategy {
       Bridge.column(leftGeom), Bridge.column(rightGeom),
       cellSizeConf,
       (left.output ++ right.output).map(a => Bridge.column(a)))
+    planLater(rewritten.queryExecution.analyzed) :: Nil
+  }
+
+  /** Same routing for `st_dwithin`: the side carrying the distance
+    * expression becomes the expanded (cell-cover-by-d) side of
+    * [[graft.ops.SpatialJoin.gridDWithinOn]]; `origOutput` restores the
+    * matched join's left-then-right attribute order regardless of which
+    * side was expanded. */
+  private def gridRewriteDWithin(expandSide: LogicalPlan, otherSide: LogicalPlan,
+                                 expandGeom: Expression, otherGeom: Expression,
+                                 dist: Expression,
+                                 origOutput: Seq[Attribute]): Seq[SparkPlan] = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rewritten = graft.ops.SpatialJoin.gridDWithinOn(
+      Bridge.ofRows(spark, expandSide), Bridge.ofRows(spark, otherSide),
+      Bridge.column(expandGeom), Bridge.column(otherGeom),
+      Bridge.column(dist), cellSizeConf,
+      origOutput.map(a => Bridge.column(a)))
     planLater(rewritten.queryExecution.analyzed) :: Nil
   }
 }

@@ -395,6 +395,69 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("grid dwithin shuffles on the cell key - no nested loop - and matches the broadcast result") {
+    val (parcels, regions) = parcelsAndRegions()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SpatialJoin.gridDWithin(parcels, regions,
+        "parcel_geom", "region_geom", d = 10700.0, cellSize = 25000.0,
+        outputCols = Seq("region_id"))
+      val counts = perRegionCounts(df)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+      val broadcastCounts = perRegionCounts(SpatialJoin.broadcastDWithin(
+        parcels, regions, "parcel_geom", "region_geom", 10700.0,
+        outputCols = Seq("region_id")))
+      assert(counts == broadcastCounts)
+      // d = 0 degenerates to the intersects match set on these fixtures
+      assert(perRegionCounts(SpatialJoin.gridDWithin(parcels, regions,
+          "parcel_geom", "region_geom", d = 0.0, cellSize = 25000.0,
+          outputCols = Seq("region_id"))) ==
+        perRegionCounts(SpatialJoin.gridIntersects(parcels, regions,
+          "parcel_geom", "region_geom", cellSize = 25000.0,
+          outputCols = Seq("region_id"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stats-driven routing covers st_dwithin: broadcast under threshold, grid above, column distance too") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.st_dwithin
+    val (parcels, regions) = parcelsAndRegions()
+    def declared() = parcels.join(regions,
+      st_dwithin(col("parcel_geom"), col("region_geom"),
+        org.apache.spark.sql.functions.lit(10700.0)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val under = declared().queryExecution.executedPlan.toString
+      assert(under.contains("BroadcastRTreeSpatialJoin"), under.take(2000))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val routed = declared()
+      val over = routed.queryExecution.executedPlan.toString
+      assert(!over.contains("BroadcastRTreeSpatialJoin") &&
+        !over.contains("BroadcastNestedLoopJoin") && !over.contains("CartesianProduct"),
+        over.take(2000))
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"), over.take(2000))
+      val gridCounts = perRegionCounts(routed.select(col("region_id")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(gridCounts == perRegionCounts(declared().select(col("region_id"))))
+      // per-row distance column routes to the grid plan too (expansion
+      // per probe row), with identical results to the broadcast path
+      val withD = parcels.withColumn("pd", org.apache.spark.sql.functions.lit(10700.0))
+      def declaredCol() = withD.join(regions,
+        st_dwithin(col("parcel_geom"), col("region_geom"), col("pd")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val colRouted = declaredCol()
+      val pc = colRouted.queryExecution.executedPlan.toString
+      assert(!pc.contains("BroadcastRTreeSpatialJoin") &&
+        !pc.contains("BroadcastNestedLoopJoin"), pc.take(2000))
+      val colCounts = perRegionCounts(colRouted.select(col("region_id")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(colCounts == perRegionCounts(declaredCol().select(col("region_id"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grid join shuffles on the cell key - no broadcast, no nested loop - and matches the broadcast result") {
     val (parcels, regions) = parcelsAndRegions()
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
