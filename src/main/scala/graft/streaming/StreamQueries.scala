@@ -469,7 +469,34 @@ object StreamQueries {
     }
   }
 
+  /** Streaming bounded-state TOP-K ([[graft.exprs.TopKAgg]] in the
+    * streaming engine — fifth custom TypedImperativeAggregate on this
+    * path, joining the CMS / Misra-Gries / KMV / bitmap quartet): the k
+    * highest-value events seen so far, complete-mode global aggregate
+    * carrying ≤2k (key, score) pairs of state across micro-batches. The
+    * prune law (a pair outside a partial's top k can never enter the
+    * global top k) is exactly the any-merge-order streaming guarantee,
+    * so the streaming result equals the batch `ORDER BY score DESC, key
+    * LIMIT k` — which is the DuckDB oracle, estimator-free and exact.
+    * At scale this is the streaming leaderboard primitive: state is k
+    * fixed-width pairs, never the stream. */
+  def streamTopk(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    val stream = eventsStream(spark, dir)
+      .select(col("event_id"), cents.as("cents"))
+    val sketch = stream.agg(
+      graft.functions.topk_agg(col("event_id"), col("cents"), k).as("pairs"))
+    runBounded(spark, sketch, "graft_stream_topk",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      sinkDf.select(posexplode(col("pairs")).as(Seq("pos", "p")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("p.key").as("event_id"), col("p.score").as("cents"))
+        .orderBy(col("rank"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk" -> ((s, d) => streamTopk(s, d)),
     "q_stream_bitmap" -> ((s, d) => streamBitmap(s, d)),
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d)),
@@ -485,6 +512,16 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact: streaming bounded-state top-k == batch ORDER BY ... LIMIT k
+    // (the TopKAgg prune law under any micro-batch split).
+    "q_stream_topk" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT CAST(row_number() OVER (ORDER BY cents DESC, event_id) AS INTEGER)
+        |         AS rank,
+        |       event_id, cents
+        |FROM c ORDER BY cents DESC, event_id LIMIT 32""".stripMargin,
     // Exactness IS the check: the streaming OR-merged bitmap must count
     // exactly the distinct users.
     "q_stream_bitmap" ->
