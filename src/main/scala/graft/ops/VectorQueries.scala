@@ -82,6 +82,61 @@ object VectorQueries {
           .withColumn("sim", cosineAgainst(q)), k)
     }
 
+  /** int8 SCALAR-QUANTIZATION ANN (the SQ sibling of [[annPq]], the
+    * standard memory/bandwidth lever before PQ: 4 bytes/dim → 1): every
+    * vector gets a per-vector symmetric scale `sc = max|v|/127` (the
+    * [[embQuantize]] codec), its components round to int8 codes, and the
+    * search scores candidates by the INTEGER dot product of codes —
+    * exact int arithmetic both engines replay bit-for-bit — ranked by
+    * `dot_int · sc` (the per-vector dequantization; the query's own
+    * scale is a positive constant across candidates, so it cannot change
+    * the order and is dropped). Approximates DOT-product search; the
+    * recall-vs-exact-dot audit lives in QueriesSpec.
+    *
+    * Scale shape: one projection pass, TakeOrderedAndProject top-k — at
+    * 100 TB the int8 codes column is 4× smaller than the float corpus
+    * and the integer dot kernel is SIMD-friendly; compose with the IVF
+    * routing ([[annIvf]]) for sublinear candidate sets. */
+  def annSq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    queryVectorOpt(spark, dir) match {
+      case None => emptyRankedSq(spark)
+      case Some(q) =>
+        val sqScale = q.map(math.abs).max / 127.0
+        if (sqScale == 0.0) emptyRankedSq(spark)
+        else {
+          val qq: Seq[Long] = q.map(x => math.floor(x / sqScale + 0.5).toLong)
+          val embD = transform(col("embedding"), x => x.cast("double"))
+          val base = Par.fanOut(embeddings(spark, dir))
+            .filter(col("vec_id") =!= QueryVecId)
+            .withColumn("v", embD)
+            .withColumn("sc",
+              array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+            .withColumn("qv", when(col("sc") === 0.0,
+                transform(col("v"), _ => lit(0L)))
+              .otherwise(transform(col("v"),
+                x => floor(x / col("sc") + lit(0.5)).cast("long"))))
+            .withColumn("dot_q", aggregate(
+              zip_with(col("qv"), typedlit(qq), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x))
+            .withColumn("score", col("dot_q").cast("double") * col("sc"))
+          val top = base.orderBy(col("score").desc, col("vec_id")).limit(k)
+          top.withColumn("rank",
+              row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+            .select(col("rank"), col("vec_id"), col("dot_q"))
+            .orderBy(col("rank"))
+        }
+    }
+
+  private def emptyRankedSq(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("vec_id", LongType),
+        StructField("dot_q", LongType))))
+  }
+
   /** Sign bucket: bit i set iff embedding[i] >= 0 (random-hyperplane LSH
     * with axis-aligned planes — deterministic, so DuckDB can mirror it). */
   private def signBucket(emb: Column): Column =
@@ -666,6 +721,7 @@ object VectorQueries {
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_wcss" -> ((s, d) => wcss(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
+    "q_ann_sq" -> ((s, d) => annSq(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_emb_norms" -> (embNorms _),
@@ -843,7 +899,33 @@ object VectorQueries {
         |SELECT CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rank,
         |  vec_id, ROUND(dist, 4) AS adc_dist
         |FROM sc ORDER BY dist, vec_id LIMIT 5""".stripMargin,
-    "q_sim_topk" ->
+        "q_ann_sq" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |qs AS (SELECT list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sq FROM q),
+         |qq AS (
+         |  SELECT list_transform(q.qv,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) / qs.sq + 0.5) AS BIGINT)) AS qc
+         |  FROM q, qs),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+         |  FROM embeddings WHERE vec_id <> $QueryVecId),
+         |codes AS (
+         |  SELECT vec_id, sc,
+         |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) END AS qv
+         |  FROM e),
+         |d AS (
+         |  SELECT c.vec_id, c.sc,
+         |    CAST(list_sum(list_transform(list_zip(c.qv, qq.qc),
+         |      p -> p[1] * p[2])) AS BIGINT) AS dot_q
+         |  FROM codes c, qq)
+         |SELECT CAST(row_number() OVER (ORDER BY CAST(dot_q AS DOUBLE) * sc DESC, vec_id)
+         |         AS INTEGER) AS rank,
+         |       vec_id, dot_q
+         |FROM d ORDER BY rank LIMIT 10""".stripMargin,
+"q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (
          |  SELECT e.vec_id, $cosineSql AS sim

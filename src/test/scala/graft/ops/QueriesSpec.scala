@@ -133,6 +133,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(est - exactOrders).toDouble / exactOrders < 0.05, s"$est vs $exactOrders")
   }
 
+  test("int8 SQ search recall: quantized top-10 vs exact dot-product top-10") {
+    import org.apache.spark.sql.functions._
+    // exact float dot-product ranking (the target SQ approximates)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val exact = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0L)
+      .withColumn("dot", aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")), typedlit(q),
+          (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("dot").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val sq = VectorQueries.annSq(spark, dir).collect().map(_.getLong(1)).toSet
+    val recall = (exact & sq).size / 10.0
+    assert(recall >= 0.8, s"SQ recall@10 = $recall (exact=$exact sq=$sq)")
+  }
+
   test("sharded packing conserves per-source docs and tokens") {
     import org.apache.spark.sql.functions._
     // sharding changes sequence boundaries, never membership: per-source
