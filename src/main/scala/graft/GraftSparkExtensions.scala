@@ -120,6 +120,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_npoints", 1)(es => StNPoints(es.head))
     inject("st_union_agg", 1)(es => StUnionAgg(es.head))
     inject("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
+    inject("mrl_agg", 2)(es => MrlAgg(es.head, es(1)))
     inject("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     inject("minhash_bands", 4)(es => MinHashBands(es))
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))

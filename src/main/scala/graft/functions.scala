@@ -181,6 +181,18 @@ object functions {
     col(MgAgg(ex(key), Literal(k)).toAggregateExpression())
   }
 
+  /** MRL mergeable quantile summary over a BIGINT stream: value-sorted
+    * (v, w) weighted sample, O(k·log(N/k)) state through map-side
+    * partials, deterministic rank-error bound ≈ N·log2(N/k)/(2k) under
+    * ANY merge tree (see [[graft.exprs.MrlAgg]]). Gate through the
+    * rank-window contract audit; completes the mergeable-summary family
+    * (frequency / heavy hitters / distinct / membership / extremes /
+    * QUANTILES). */
+  def mrl_agg(x: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(MrlAgg(ex(x), Literal(k)).toAggregateExpression())
+  }
+
   /** KMV distinct sketch over a BIGINT hash stream: the k smallest
     * distinct hashes as a sorted array, ≤k longs of state through
     * map-side partials. Unlike HLL the sketches compose under set
@@ -349,6 +361,7 @@ object functions {
     rn("topk_agg", 3)(es => TopKAgg(es.head, es(1), es(2)))
     rn("cms_agg", 1)(es => CmsAgg(es.head))
     rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
+    rn("mrl_agg", 2)(es => MrlAgg(es.head, es(1)))
     rn("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
     rn("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))

@@ -445,6 +445,56 @@ object RelationalQueries {
       .orderBy(col("p_label"))
   }
 
+  /** House mergeable-quantile sketch audit ([[graft.exprs.MrlAgg]] —
+    * the sketch family's quantile member): build the MRL summary over
+    * exact price cents, read the four quantile estimates off its
+    * cumulative weights, then AUDIT each estimate's exact rank interval
+    * against the deterministic N·L/(2k) error bound (widened to 2% — the
+    * analytic bound is ≈1% at these scales). Same contract-mirror device
+    * as [[approxPercentileAudit]]: the oracle emits the exact counts and
+    * TRUE, so a sketch defect is a hash mismatch. The sketch relation is
+    * ≤ k·L rows, so the cumulative window is bounded, never data-sized. */
+  def quantileSketchAudit(spark: SparkSession, dir: String, k: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val v = lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("x"))
+    val sk = v.agg(graft.functions.mrl_agg(col("x"), k).as("sk"))
+    // per-value weights -> cumulative ranks (bounded relation: <= k*levels)
+    val cum = sk.select(explode(col("sk")).as("p"))
+      .groupBy(col("p.v").as("v")).agg(sum(col("p.w")).as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val nTotal = scalarSubquery(v.agg(count(lit(1))))
+    // estimate per target: min v whose cumulative weight reaches ceil(q*N)
+    val ests = ps.map { p =>
+      scalarSubquery(cum
+        .withColumn("n", nTotal)
+        .filter(col("cum") >= ceil(lit(p) * col("n")).cast("long"))
+        .agg(min(col("v"))))
+    }
+    val rankAggs = ps.indices.flatMap { i =>
+      Seq(
+        coalesce(sum(when(col("x") < ests(i), 1L).otherwise(0L)), lit(0L))
+          .as(s"rlt$i"),
+        coalesce(sum(when(col("x") <= ests(i), 1L).otherwise(0L)), lit(0L))
+          .as(s"rle$i"))
+    }
+    val one = v.agg(count(lit(1)).as("n"), rankAggs: _*)
+    val stackExpr = ps.indices
+      .map(i => s"'p${(ps(i) * 100).toInt}', ${ps(i)}D, rlt$i, rle$i")
+      .mkString(s"stack(${ps.size}, ", ", ", ")")
+    one.select(col("n"), expr(s"$stackExpr AS (p_label, p, r_lt, r_le)"))
+      .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+      .withColumn("bound", ceil(col("n") * lit(0.02)).cast("long"))
+      .select(col("p_label"), col("n"),
+        (col("n") === 0L ||
+          (col("target") <= col("r_le") + col("bound") &&
+           col("target") >= col("r_lt") + 1L - col("bound"))).as("in_spec"))
+      .orderBy(col("p_label"))
+  }
+
   /** Pareto-frontier (skyline) selection per group: the lineitems no other
     * lineitem dominates on (price ↓, quantity ↑) — the data-curation
     * frontier shape ("cheapest document at every quality level"). The 2-D
@@ -965,6 +1015,7 @@ object RelationalQueries {
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
     "q_approx_pct_audit" -> (approxPercentileAudit _),
+    "q_quantile_sketch" -> ((s, d) => quantileSketchAudit(s, d)),
     "q_skyline" -> ((s: SparkSession, d: String) => skyline(s, d)),
     "q_chi_square" -> (chiSquare _),
     "q_string_agg" -> (stringAgg _),
@@ -1073,6 +1124,14 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
     // The contract mirror: n and the rank bounds are pure arithmetic; the
     // sketch's guarantee pins `holds` to true (see approxPercentileAudit).
+    "q_quantile_sketch" -> {
+      val rows = Seq("p25", "p50", "p75", "p95")
+      val branches = rows.map { label =>
+        s"""SELECT '$label' AS p_label, count(*) AS n, true AS in_spec
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY p_label")
+    },
     "q_approx_pct_audit" -> {
       val rows = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
       val branches = rows.map { case (p, label) =>

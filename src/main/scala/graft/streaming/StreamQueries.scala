@@ -495,7 +495,62 @@ object StreamQueries {
     }
   }
 
+  /** Streaming mergeable QUANTILES ([[graft.exprs.MrlAgg]] in the
+    * streaming engine — sixth custom TypedImperativeAggregate on this
+    * path, completing the summary family with quantiles next to
+    * frequency/heavy-hitters/distinct/membership/top-k): complete-mode
+    * global aggregate, O(k·log(N/k)) longs of level-buffer state merged
+    * across micro-batches. The output is merge-order-dependent, so the
+    * checked contract is the DETERMINISTIC rank-error bound: each
+    * estimate's exact rank interval must fall within 2% of its target
+    * (analytic bound ≈1% at these scales; no failure probability). The
+    * oracle mirrors the contract — exact counts + TRUE — so a defect is
+    * a hash mismatch. */
+  def streamQuantile(spark: SparkSession, dir: String, k: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    val stream = eventsStream(spark, dir).select(cents.as("x"))
+    val sketch = stream.agg(graft.functions.mrl_agg(col("x"), k).as("sk"))
+    runBounded(spark, sketch, "graft_stream_mrl",
+      finalWatermarkBatch = false, outputMode = "complete") { sinkDf =>
+      import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val v = Tables.events(spark, dir).select(cents.as("x"))
+      val cum = sinkDf.select(explode(col("sk")).as("p"))
+        .groupBy(col("p.v").as("v")).agg(sum(col("p.w")).as("w"))
+        .withColumn("cum", sum(col("w")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      val nTotal = scalarSubquery(v.agg(count(lit(1))))
+      val ests = ps.map { p =>
+        scalarSubquery(cum
+          .withColumn("n", nTotal)
+          .filter(col("cum") >= ceil(lit(p) * col("n")).cast("long"))
+          .agg(min(col("v"))))
+      }
+      val rankAggs = ps.indices.flatMap { i =>
+        Seq(
+          coalesce(sum(when(col("x") < ests(i), 1L).otherwise(0L)), lit(0L))
+            .as(s"rlt$i"),
+          coalesce(sum(when(col("x") <= ests(i), 1L).otherwise(0L)), lit(0L))
+            .as(s"rle$i"))
+      }
+      val one = v.agg(count(lit(1)).as("n"), rankAggs: _*)
+      val stackExpr = ps.indices
+        .map(i => s"'p${(ps(i) * 100).toInt}', ${ps(i)}D, rlt$i, rle$i")
+        .mkString(s"stack(${ps.size}, ", ", ", ")")
+      one.select(col("n"), expr(s"$stackExpr AS (p_label, p, r_lt, r_le)"))
+        .withColumn("target", ceil(col("p") * col("n")).cast("long"))
+        .withColumn("bound", ceil(col("n") * lit(0.02)).cast("long"))
+        .select(col("p_label"), col("n"),
+          (col("n") === 0L ||
+            (col("target") <= col("r_le") + col("bound") &&
+             col("target") >= col("r_lt") + 1L - col("bound"))).as("in_spec"))
+        .orderBy(col("p_label"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_quantile" -> ((s, d) => streamQuantile(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopk(s, d)),
     "q_stream_bitmap" -> ((s, d) => streamBitmap(s, d)),
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
@@ -512,6 +567,15 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Contract mirror (the q_quantile_sketch device): the deterministic
+    // MRL rank-error bound must hold for every estimate — exact n + TRUE.
+    "q_stream_quantile" -> {
+      val branches = Seq("p25", "p50", "p75", "p95").map { label =>
+        s"""SELECT '$label' AS p_label, count(*) AS n, true AS in_spec
+           |FROM events""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY p_label")
+    },
     // Exact: streaming bounded-state top-k == batch ORDER BY ... LIMIT k
     // (the TopKAgg prune law under any micro-batch split).
     "q_stream_topk" ->
