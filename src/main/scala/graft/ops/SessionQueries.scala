@@ -228,6 +228,52 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Gap-fill by LINEAR INTERPOLATION — [[resampleLocf]]'s sibling for
+    * continuous signals (sensor series, prices): missing grid hours take
+    * the straight line between the surrounding observations,
+    * INTEGER-EXACT via the sign-split DIV device (numerator and
+    * denominator kept non-negative in both branches, so Spark's
+    * truncating DIV and DuckDB's flooring `//` agree bit-for-bit); the
+    * tail past the last observation falls back to LOCF. Observed points
+    * interpolate to themselves (the (hour − h_prev) factor is zero).
+    *
+    * Scale shape: identical to [[resampleLocf]] — ONE shuffle on
+    * user_id; the grid explode, all four gap-bracketing windows and the
+    * final aggregate reuse that partitioning. */
+  def resampleLinear(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("user_id"),
+        expr("ts DIV 1000000L DIV 3600000L").as("hour"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("v_micros"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(max(col("v_micros")).as("sample"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val back = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_prev", last(col("sample"), ignoreNulls = true).over(back))
+      .withColumn("h_prev",
+        last(when(col("sample").isNotNull, col("hour")), ignoreNulls = true).over(back))
+      .withColumn("v_next", first(col("sample"), ignoreNulls = true).over(fwd))
+      .withColumn("h_next",
+        first(when(col("sample").isNotNull, col("hour")), ignoreNulls = true).over(fwd))
+      .withColumn("interp", expr(
+        """CASE WHEN v_next IS NULL OR h_next = h_prev THEN v_prev
+          |     WHEN v_next >= v_prev THEN
+          |       v_prev + ((v_next - v_prev) * (hour - h_prev)) DIV (h_next - h_prev)
+          |     ELSE
+          |       v_prev - ((v_prev - v_next) * (hour - h_prev)) DIV (h_next - h_prev)
+          |END""".stripMargin))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("sample")).as("n_observed"),
+        sum(col("interp")).as("sum_interp_micros"))
+      .orderBy(col("user_id"))
+  }
+
   /** Interval union — total COVERED time per user when each event opens a
     * 30-minute activity interval and intervals overlap (the
     * watch-time/uptime measure naive sum-of-durations double-counts).
@@ -1098,6 +1144,7 @@ object SessionQueries {
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_resample_locf" -> (resampleLocf _),
+    "q_resample_linear" -> (resampleLinear _),
     "q_interval_union" -> ((s, d) => intervalUnion(s, d)),
     "q_retention" -> (retention _),
     "q_event_type_agg" -> (eventTypeAgg _),
@@ -1608,6 +1655,45 @@ object SessionQueries {
         |       count(*) AS n_segments,
         |       CAST(sum(covered_ms) AS BIGINT) AS covered_ms
         |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_resample_linear" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |         (epoch_ns(ts) // 1000000) // 3600000 AS hour,
+        |         max(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sample
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM bounds),
+        |br AS (
+        |  SELECT g.user_id, g.hour, h.sample,
+        |    last_value(h.sample IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+        |    last_value(CASE WHEN h.sample IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_prev,
+        |    first_value(h.sample IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+        |    first_value(CASE WHEN h.sample IS NOT NULL THEN g.hour END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h_next
+        |  FROM grid g LEFT JOIN hourly h USING (user_id, hour)),
+        |f AS (
+        |  SELECT user_id, hour, sample,
+        |    CASE WHEN v_next IS NULL OR h_next = h_prev THEN v_prev
+        |         WHEN v_next >= v_prev THEN
+        |           v_prev + ((v_next - v_prev) * (hour - h_prev)) // (h_next - h_prev)
+        |         ELSE
+        |           v_prev - ((v_prev - v_next) * (hour - h_prev)) // (h_next - h_prev)
+        |    END AS interp
+        |  FROM br)
+        |SELECT user_id, count(*) AS n_points,
+        |       CAST(count(sample) AS BIGINT) AS n_observed,
+        |       CAST(sum(interp) AS BIGINT) AS sum_interp_micros
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_resample_locf" ->
       """WITH hourly AS (
         |  SELECT user_id,

@@ -79,6 +79,13 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
       val kmv = s.sql(
         "SELECT kmv_agg(CAST(x AS BIGINT), 4) AS sk FROM range(10) t(x)").head()
       assert(kmv.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
+      // mrl_agg in pure SQL: k larger than the stream keeps every value
+      // at level 0 (weight 1) — the summary IS the sorted stream
+      val mrl = s.sql(
+        "SELECT mrl_agg(CAST(x AS BIGINT), 64) AS sk FROM range(10) t(x)").head()
+      val pairs = mrl.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs == (0L until 10L).map((_, 1L)))
       s.catalog.dropTempView("ev_sql")
     } finally {
       SparkSession.clearActiveSession()
