@@ -25,6 +25,40 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // R-tree join instead of BroadcastNestedLoopJoin (SURVEY §2.3)
     ext.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
 
+    // table-valued function rung: graft_series(start, end[, step]) is a
+    // SQL-surface dense-axis generator that plans DIRECTLY as the catalyst
+    // Range node (splittable, no data source, closed-form statistics — the
+    // same node `SELECT * FROM range(...)` plans to). The builder runs at
+    // resolution time, so argument validation surfaces as analysis errors.
+    // This is the fourth injection mechanism the engine exercises
+    // (function / optimizer rule / planner strategy / table function).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_series"),
+      new ExpressionInfo("graft.GraftSparkExtensions", "graft_series"),
+      (es: Seq[Expression]) => {
+        def longArg(e: Expression, what: String): Long = {
+          require(e.foldable && e.eval() != null,
+            s"graft_series: $what must be a non-null integer literal")
+          e.eval() match {
+            case i: java.lang.Integer => i.longValue()
+            case l: java.lang.Long => l.longValue()
+            case s: java.lang.Short => s.longValue()
+            case b: java.lang.Byte => b.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_series: $what must be integral, got $other")
+          }
+        }
+        val (start, end, step) = es match {
+          case Seq(a, b) => (longArg(a, "start"), longArg(b, "end"), 1L)
+          case Seq(a, b, c) =>
+            (longArg(a, "start"), longArg(b, "end"), longArg(c, "step"))
+          case _ => throw new IllegalArgumentException(
+            s"graft_series takes (start, end[, step]); got ${es.length} arguments")
+        }
+        require(step != 0, "graft_series: step must be non-zero")
+        org.apache.spark.sql.catalyst.plans.logical.Range(start, end, step, None)
+      }))
+
     // same arity validation as functions.registerAll: wrong SQL-text arity
     // raises Spark's named analysis error, not IndexOutOfBoundsException
     def inject(name: String, n: Int)(builder: Seq[Expression] => Expression): Unit =
@@ -126,6 +160,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))
     inject("hamming64", 2)(es => Hamming64(es.head, es(1)))
     inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
+    inject("explode_ngrams", 2)(es => ExplodeNgrams(es.head, es(1)))
     inject("cms_agg", 1)(es => CmsAgg(es.head))
     inject("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     inject("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))

@@ -280,3 +280,79 @@ case class NGramJaccard(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): NGramJaccard =
     copy(first = a, second = b, third = c)
 }
+
+/** explode_ngrams(text, n) — a native Catalyst GENERATOR (the UDTF rung
+  * of the extension ladder, alongside scalar Expressions, the
+  * TypedImperativeAggregates, the optimizer Rule, the planner Strategy
+  * and the DSv2 source): one input row fans out to one output row per
+  * character n-gram, as `(pos INT, gram STRING)` with `pos` 1-based.
+  *
+  * Why a Generator and not `explode(expr(...))`: every array-building
+  * formulation (`split`, `sequence`+`transform`, `regexp_extract_all`)
+  * MATERIALIZES an O(len) array per document before the Generate node
+  * consumes it — for 100 KB documents that is ~100k short strings held
+  * live per in-flight row, and at 100 TB the per-task peak is
+  * rows_in_flight × len allocations. This Generator yields each gram
+  * lazily from an Iterator (Spark's GenerateExec projects each element
+  * to unsafe rows immediately), so per-row transient state is ONE gram
+  * regardless of document length. Same laziness contract as Spark's own
+  * `Stack`/`JsonTuple` generators.
+  *
+  * Positions/lengths count Unicode code points (`UTF8String.numChars`),
+  * matching DuckDB's character semantics for `length`/`substr` so the
+  * oracle can replay grams with `generate_series` + `substr`. */
+case class ExplodeNgrams(first: Expression, second: Expression)
+    extends Generator with CodegenFallback
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "explode_ngrams"
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+
+  @transient private lazy val nVal: Int = second.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (STRING text, INT n), got (${first.dataType.sql}, ${second.dataType.sql})")
+    else if (second.dataType != IntegerType || !second.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be an INT literal")
+    else if (second.eval() == null || second.eval().asInstanceOf[Int] <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = first.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val s = t.asInstanceOf[UTF8String]
+      val n = nVal
+      val last = s.numChars() - n // inclusive last 0-based start
+      if (last < 0) Iterator.empty
+      else new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private[this] var i = 0
+        // one reused row: GenerateExec copies each element into the
+        // output UnsafeRow before advancing, so per-element reuse is safe
+        // (the same contract Spark's Stack generator relies on)
+        private[this] val row = new GenericInternalRow(2)
+        override def hasNext: Boolean = i <= last
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          row.update(0, i + 1)
+          row.update(1, s.substring(i, i + n))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExplodeNgrams =
+    copy(first = l, second = r)
+}

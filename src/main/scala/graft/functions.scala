@@ -150,6 +150,11 @@ object functions {
   def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
   def ngram_jaccard(a: Column, b: Column, shingleLen: Column): Column =
     col(NGramJaccard(ex(a), ex(b), ex(shingleLen)))
+  /** Lazy character n-gram GENERATOR: one row per gram, `(pos, gram)`,
+    * pos 1-based. Use with a multi-alias select:
+    * `df.select(explode_ngrams(col("text"), lit(3)).as(Seq("pos","gram")))`. */
+  def explode_ngrams(text: Column, n: Column): Column =
+    col(ExplodeNgrams(ex(text), ex(n)))
 
   // ---- aggregates ----
   /** Grouped geometric union (Sedona `ST_Union_Aggr` analogue). */
@@ -370,6 +375,7 @@ object functions {
     r2("simhash64", SimHash64)
     r2("hamming64", Hamming64)
     rn("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))
+    r2("explode_ngrams", ExplodeNgrams)
     // runtime-filter surface in SQL text: build the bloom in a scalar
     // subquery, probe with might_contain —
     //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim),

@@ -1115,7 +1115,36 @@ object SessionQueries {
                |END""".stripMargin).as("excursion_ppm"))
   }
 
+  /** Zero-filled hour-of-day event density over the `graft_series` TABLE
+    * FUNCTION (`GraftSparkExtensions.injectTableFunction` — the TVF rung
+    * of the extension ladder): the dense axis comes from SQL-surface
+    * `graft_series(0, 24)`, which resolves straight to the catalyst
+    * `Range` node (no data source, closed-form stats, splittable).
+    *
+    * Scale shape: events AGGREGATE to ≤24 rows BEFORE touching the grid,
+    * so the dense-axis left join is a 24×24 join of two bounded
+    * relations — never "join the grid against the corpus and hope the
+    * 24-key shuffle doesn't skew". The zero-fill (hours with no events
+    * survive with count 0) is the property a bare GROUP BY can't give. */
+  def tvfHourGrid(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("graft_events_tvf")
+    spark.sql(
+      """WITH e AS (
+        |  SELECT (ts DIV 3600000000000L) % 24 AS hour,
+        |         count(*) AS n_events,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |  FROM graft_events_tvf WHERE value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT g.id AS hour,
+        |  coalesce(e.n_events, CAST(0 AS BIGINT)) AS n_events,
+        |  coalesce(e.sum_cents, CAST(0 AS BIGINT)) AS sum_cents
+        |FROM graft_series(0, 24) g
+        |LEFT JOIN e ON g.id = e.hour
+        |ORDER BY hour""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tvf_grid" -> (tvfHourGrid _),
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
@@ -1154,6 +1183,18 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tvf_grid" ->
+      """WITH g AS (SELECT unnest(range(0, 24)) AS hour),
+        |e AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT g.hour, CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(e.sum_cents, 0) AS BIGINT) AS sum_cents
+        |FROM g LEFT JOIN e ON g.hour = e.hour
+        |ORDER BY g.hour""".stripMargin,
     "q_bitmap_overlap" ->
       """WITH a AS (
         |  SELECT DISTINCT event_id FROM events WHERE event_type = 'click'),

@@ -336,6 +336,33 @@ object TextQueries {
         sum(size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))).as("sym_tokens"))
       .orderBy(col("source"))
 
+  /** Per-language top character trigrams via the native
+    * [[graft.exprs.ExplodeNgrams]] GENERATOR — the UDTF rung of the
+    * extension ladder doing real corpus work: language-model-ish
+    * character statistics (the same counts that feed real lang-ID and
+    * tokenizer-training pipelines).
+    *
+    * Scale shape: the generator streams one gram at a time (never an
+    * O(doc_len) per-row array — see the ExplodeNgrams scaladoc), the
+    * (lang, gram) count aggregate takes map-side partials, and the
+    * top-k window runs on the AGGREGATED relation — bounded by
+    * |langs| × charset³, independent of corpus size — so the window is
+    * safe where sourceMix's was not. */
+  def ngramExplode(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Par.fanOut(documents(spark, dir))
+      .select(col("lang"),
+        graft.functions.explode_ngrams(col("text"), lit(3)).as(Seq("pos", "gram")))
+    val counts = grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("gram"), col("cnt"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Marker-frequency language-ID heuristic (the n-gram-counting shape of
     * real lang-ID, deterministic and oracle-mirrorable). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -1621,6 +1648,7 @@ object TextQueries {
     "q_jaccard_tokens" -> (jaccardTokens _),
     "q_text_stats" -> (textStats _),
     "q_token_regex" -> (tokenRegex _),
+    "q_ngram_explode" -> ((s, d) => ngramExplode(s, d)),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
@@ -1988,6 +2016,24 @@ object TextQueries {
         |GROUP BY source ORDER BY source""".stripMargin,
     // md5 is the engine-shared hash (the sourceMix device); positions are
     // 1-based on both sides (posexplode+1 == generate_subscripts)
+    // grams replayed via unnest(range(...)) + substr — DuckDB's substr
+    // counts characters, matching ExplodeNgrams' code-point positions
+    "q_ngram_explode" ->
+      """WITH p AS (
+        |  SELECT lang, text,
+        |    unnest(range(1, CAST(greatest(length(text) - 1, 1) AS BIGINT))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram FROM p),
+        |c AS (
+        |  SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, gram, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram)
+        |      AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT lang, gram, cnt, rk FROM r WHERE rk <= 15
+        |ORDER BY lang, rk""".stripMargin,
     "q_span_corrupt" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

@@ -87,6 +87,34 @@ class GraftSparkExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(pairs == (0L until 10L).map((_, 1L)))
       s.catalog.dropTempView("ev_sql")
+      // explode_ngrams is a GENERATOR: in SQL text it fans one row out to
+      // len-n+1 rows via LATERAL VIEW, with 1-based positions and
+      // code-point substrings
+      val gen = s.sql(
+        """SELECT pos, gram FROM (SELECT 'abcd' AS t)
+          |LATERAL VIEW explode_ngrams(t, 3) AS pos, gram
+          |ORDER BY pos""".stripMargin).collect()
+      assert(gen.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "abc"), (2, "bcd")))
+      // and in projection position with a multi-alias (ExtractGenerator)
+      val gen2 = s.sql(
+        "SELECT explode_ngrams('abc', 2) AS (pos, gram)").collect()
+      assert(gen2.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "ab"), (2, "bc")))
+      // graft_series is a TABLE FUNCTION (injectTableFunction): it must
+      // plan as the catalyst Range node — no data source, no exchange —
+      // and honor start/end/step semantics including negative steps
+      val tvf = s.sql("SELECT id FROM graft_series(3, 9, 2) ORDER BY id")
+      assert(tvf.queryExecution.optimizedPlan.toString.contains("Range"),
+        tvf.queryExecution.optimizedPlan.toString)
+      assert(tvf.collect().map(_.getLong(0)).toSeq == Seq(3L, 5L, 7L))
+      assert(s.sql("SELECT id FROM graft_series(5, 2, -2) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L, 5L))
+      // resolution-time validation: non-literal args and step=0 are
+      // analysis-time failures, not runtime ones
+      assert(intercept[Exception](
+        s.sql("SELECT id FROM graft_series(0, 10, 0)")).getMessage
+        .contains("step"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
