@@ -948,6 +948,24 @@ object RelationalQueries {
       .orderBy(col("r"))
   }
 
+  /** DSv2 TOP-N pushdown over the lattice source
+    * (`SupportsPushDownTopN`): `ORDER BY r, pos LIMIT 40` reaches the
+    * scan, so each region partition stops GENERATING after its first 40
+    * admitted sites (generation order is pos-ascending, r is
+    * partition-constant — the partition-local prefix is exactly the
+    * partition-local top-n). The push is partial: Spark's
+    * TakeOrderedAndProject still merges across partitions, but the scan
+    * emits ≤ 40·|regions| rows instead of all ~26.8k
+    * (LatticeSourceSpec proves the generated-row count). At 100 TB this
+    * is "give me the first page" against a sharded ordered store
+    * without scanning any shard past the page size. */
+  def latticeTopN(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.LatticeSource")
+      .option("regions", 25).option("sites", 2500).option("keepMod", 7)
+      .load()
+      .orderBy(col("r"), col("pos"))
+      .limit(40)
+
   /** Observed-metrics pass (`Dataset.observe` / `CollectMetricsExec` —
     * Spark's mechanism for pipeline health counters that ride along on a
     * pass instead of costing a second scan): the observation watches the
@@ -987,6 +1005,7 @@ object RelationalQueries {
     "q_lattice_scan" -> (latticeScan _),
     "q_lattice_agg" -> (latticeAgg _),
     "q_lattice_runtime" -> (latticeRuntimeFilter _),
+    "q_lattice_topn" -> (latticeTopN _),
     "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
@@ -1059,6 +1078,15 @@ object RelationalQueries {
         |  CAST(sum(pos) AS BIGINT) AS sum_pos
         |FROM p JOIN dim ON p.r = dim.rk
         |GROUP BY p.r ORDER BY p.r""".stripMargin,
+    "q_lattice_topn" ->
+      """WITH p AS (
+        |  SELECT r.range AS r, s.range AS pos
+        |  FROM range(0, 25) r, range(0, 2500) s
+        |  WHERE s.range % 7 < 3)
+        |SELECT CAST(r AS INTEGER) AS r, CAST(pos AS INTEGER) AS pos,
+        |  CAST(-6300000 + (r % 5) * 60000 + (pos % 50) * 1000 AS DOUBLE) AS x,
+        |  CAST(-2000000 + (r // 5) * 60000 + (pos // 50) * 1000 AS DOUBLE) AS y
+        |FROM p ORDER BY r, pos LIMIT 40""".stripMargin,
     "q_lattice_scan" ->
       """WITH p AS (
         |  SELECT r.range AS r, s.range AS pos

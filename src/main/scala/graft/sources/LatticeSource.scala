@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -48,6 +48,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     COMPLETE (each region lives in exactly one partition, so the
   *     per-partition row IS the final group); ungrouped is partial
   *     (Spark merges the per-partition summaries).
+  *   - SupportsPushDownLimit / SupportsPushDownTopN: `LIMIT n` — and
+  *     `ORDER BY <asc prefix of (r, pos)> LIMIT n` — cap generation at
+  *     n rows PER PARTITION (the generation order is pos-ascending and
+  *     r is partition-constant, so the partition-local prefix IS the
+  *     partition-local top-n). Both are PARTIAL pushes: Spark keeps the
+  *     global Limit / TakeOrderedAndProject, but each reader now emits
+  *     at most n rows instead of the whole region.
   *   - SupportsRuntimeV2Filtering: a join's build side can prune
   *     partitions AT RUNTIME (dynamic partition pruning, the DSv2
   *     analogue of `q_bloom_join`'s semi-join reduction) — an IN(r, …)
@@ -111,6 +118,11 @@ object LatticeSource {
     * reset — lets specs prove runtime filtering pruned partitions
     * BEFORE any reader ran (local mode: executors share the JVM). */
   val readersOpened = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test observability hook: data rows emitted by row-scan readers
+    * since last reset (flushed once per reader on close) — lets specs
+    * prove a pushed limit capped GENERATION, not just the result. */
+  val rowsEmitted = new java.util.concurrent.atomic.AtomicLong
 }
 
 private[sources] class LatticeTable(regions: Int, sites: Int, keepMod: Int)
@@ -125,11 +137,12 @@ private[sources] class LatticeTable(regions: Int, sites: Int, keepMod: Int)
 
 private[sources] class LatticeScanBuilder(regions: Int, sites: Int, keepMod: Int)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LatticeSource.Schema
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
 
   /** A filter is accepted iff it constrains column `r` in a shape the
     * per-region pruner evaluates exactly; everything else stays with
@@ -186,8 +199,38 @@ private[sources] class LatticeScanBuilder(regions: Int, sites: Int, keepMod: Int
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     agg.groupByExpressions.length == 1 && pushAggregation(agg)
 
+  /** Partial by contract for BOTH limit and top-N (the diamond default
+    * needs one explicit pick): Spark keeps the global Limit /
+    * TakeOrderedAndProject; the source just stops generating early. */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Plain LIMIT caps generation per partition. Never combined with a
+    * pushed aggregate — the summary path already emits <= 1 row. */
+  override def pushLimit(l: Int): Boolean =
+    pushedAgg.isEmpty && l >= 0 && { pushedLimit = Some(l); true }
+
+  /** ORDER BY <cols> LIMIT n pushes when every sort key is an ASCENDING
+    * column drawn from {r, pos}: r is partition-constant and rows
+    * generate in pos-ascending order, so under any such ordering the
+    * partition-local top-n IS the first n generated rows. (NULLS
+    * placement is irrelevant — both columns are non-nullable.) Partial
+    * push: Spark's TakeOrderedAndProject still does the global merge. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val prefixOk = orders.nonEmpty && orders.forall { o =>
+      o.direction() == SortDirection.ASCENDING && (o.expression() match {
+        case n: NamedReference =>
+          n.fieldNames.sameElements(Array("r")) ||
+            n.fieldNames.sameElements(Array("pos"))
+        case _ => false
+      })
+    }
+    prefixOk && pushLimit(l)
+  }
+
   override def build(): Scan =
-    new LatticeScan(regions, sites, keepMod, pushed, required, pushedAgg)
+    new LatticeScan(regions, sites, keepMod, pushed, required, pushedAgg, pushedLimit)
 }
 
 private[sources] object LatticeScanBuilder {
@@ -213,7 +256,8 @@ private[sources] object LatticeScanBuilder {
 }
 
 private[sources] case class LatticePartition(r: Int, sites: Int, keepMod: Int,
-                                             fieldIdx: Array[Int])
+                                             fieldIdx: Array[Int],
+                                             limit: Int = Int.MaxValue)
   extends InputPartition with HasPartitionKey {
   /** Each partition holds exactly one region — report it, so Spark's
     * storage-partitioned machinery can line partitions up without a
@@ -234,7 +278,8 @@ private[sources] case class LatticeAggPartition(r: Int, sites: Int, keepMod: Int
 
 private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
                                    pushed: Array[Filter], required: StructType,
-                                   agg: Option[Aggregation] = None)
+                                   agg: Option[Aggregation] = None,
+                                   limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsRuntimeV2Filtering {
 
@@ -265,7 +310,8 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
     s"graft_lattice pushed=[${pushed.mkString(", ")}] " +
       s"read=[${readSchema().fieldNames.mkString(",")}]" +
       agg.map(a => s" pushedAgg=[${aggSpec.mkString(",")}" +
-        s" groupBy=${if (groupByR) "r" else "<none>"}]").getOrElse("")
+        s" groupBy=${if (groupByR) "r" else "<none>"}]").getOrElse("") +
+      limit.map(l => s" pushedLimit=$l").getOrElse("")
   override def toBatch: Batch = this
 
   /** Runtime (DPP) predicates on `r`, applied on top of the planning-time
@@ -302,8 +348,9 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case None =>
       val idx = required.fieldNames.map(LatticeSource.Schema.fieldIndex)
-      admittedRegions.map(r => LatticePartition(r, sites, keepMod, idx): InputPartition)
-        .toArray
+      val cap = limit.getOrElse(Int.MaxValue)
+      admittedRegions.map(r =>
+        LatticePartition(r, sites, keepMod, idx, cap): InputPartition).toArray
     case Some(_) =>
       val rs = admittedRegions
       if (rs.isEmpty && !groupByR)
@@ -323,11 +370,15 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
         p match {
           case lp: LatticePartition => new PartitionReader[InternalRow] {
             private var pos = -1
+            private var emitted = 0L
             override def next(): Boolean = {
+              if (emitted >= lp.limit) return false
               pos += 1
               if (lp.keepMod > 0)
                 while (pos < lp.sites && pos % lp.keepMod >= 3) pos += 1
-              pos < lp.sites
+              val has = pos < lp.sites
+              if (has) emitted += 1
+              has
             }
             override def get(): InternalRow = {
               val vals = lp.fieldIdx.map {
@@ -338,7 +389,10 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
               }
               new GenericInternalRow(vals.asInstanceOf[Array[Any]])
             }
-            override def close(): Unit = ()
+            // one atomic add per READER, not per row — the counter is
+            // test observability, not a hot-path cost
+            override def close(): Unit =
+              LatticeSource.rowsEmitted.addAndGet(emitted)
           }
           case ap: LatticeAggPartition => new PartitionReader[InternalRow] {
             private var emitted = false

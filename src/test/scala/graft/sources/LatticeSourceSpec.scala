@@ -147,4 +147,33 @@ class LatticeSourceSpec extends AnyFunSuite {
     val none = load().filter(col("r") === 99)
     assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
   }
+
+  test("top-N pushdown caps generation per partition; non-ascending orders don't push") {
+    // ORDER BY r, pos LIMIT 40: every sort key is an ASC column of
+    // (r, pos) => pushed. Each of the 25 region partitions emits at
+    // most 40 rows instead of admittedCount(2500, 7) ≈ 1072.
+    LatticeSource.rowsEmitted.set(0)
+    val top = load(keepMod = 7).orderBy(col("r"), col("pos")).limit(40)
+    assert(top.queryExecution.executedPlan.toString.contains("pushedLimit=40"),
+      top.queryExecution.executedPlan.toString.take(1200))
+    val got = top.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val wantPos = (0 until 2500).filter(_ % 7 < 3).take(40)
+    assert(got.toSeq == wantPos.map((0, _)), got.take(5).toSeq)
+    assert(LatticeSource.rowsEmitted.get() <= 40L * 25,
+      s"rowsEmitted=${LatticeSource.rowsEmitted.get()}")
+    // plain LIMIT (no sort) pushes too — generation capped the same way
+    LatticeSource.rowsEmitted.set(0)
+    assert(load(keepMod = 7).limit(5).collect().length == 5)
+    assert(LatticeSource.rowsEmitted.get() <= 5L * 25,
+      s"rowsEmitted=${LatticeSource.rowsEmitted.get()}")
+    // DESC ordering violates the generation-order contract: not pushed,
+    // result still correct (Spark sorts the full scan)
+    LatticeSource.rowsEmitted.set(0)
+    val desc = load(keepMod = 7).orderBy(col("pos").desc).limit(3)
+    assert(!desc.queryExecution.executedPlan.toString.contains("pushedLimit"))
+    assert(desc.collect().map(_.getInt(1)).toSeq ==
+      Seq.fill(3)(LatticeSource.maxAdmittedPos(2500, 7)))
+    assert(LatticeSource.rowsEmitted.get() == 25L * LatticeSource.admittedCount(2500, 7),
+      s"rowsEmitted=${LatticeSource.rowsEmitted.get()}")
+  }
 }
