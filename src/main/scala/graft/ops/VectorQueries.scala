@@ -548,6 +548,24 @@ object VectorQueries {
     }
   }
 
+  /** PQ encode-and-reconstruct as one per-row expression: per subspace,
+    * the nearest trained codeword (L2, smallest-index tie-break — index
+    * order IS cid order, see [[trainPqBooks]]) replaces the sub-vector;
+    * the concatenation is the ADC reconstruction. Shared by [[annPq]]
+    * and [[annIvfPq]]. */
+  private def pqReconstruction(books: Array[Array[Seq[Double]]],
+                               m: Int, sub: Int): Column = {
+    val bookLit = typedlit(books.map(_.toSeq).toSeq)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    flatten(transform(sequence(lit(0), lit(m - 1)), s => {
+      val codes = element_at(bookLit, s + 1)
+      val sv = slice(embD, s * lit(sub) + lit(1), lit(sub))
+      val dists = transform(codes,
+        c => foldSum(zip_with(sv, c, (a, b) => (a - b) * (a - b))))
+      element_at(codes, array_position(dists, array_min(dists)).cast("int"))
+    }))
+  }
+
   /** Product-quantization ANN (IVF-PQ's compression half, Jégou et al.
     * 2011): every vector is encoded as 8 sub-codes (nearest trained
     * codebook entry per 8-dim subspace) and ranked by the distance from
@@ -574,15 +592,7 @@ object VectorQueries {
     }
     val q = qOpt.get
     val sub = q.length / m
-    val bookLit = typedlit(books.map(_.toSeq).toSeq)
-    val embD = transform(col("embedding"), x => x.cast("double"))
-    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), s => {
-      val codes = element_at(bookLit, s + 1)
-      val sv = slice(embD, s * lit(sub) + lit(1), lit(sub))
-      val dists = transform(codes,
-        c => foldSum(zip_with(sv, c, (a, b) => (a - b) * (a - b))))
-      element_at(codes, array_position(dists, array_min(dists)).cast("int"))
-    }))
+    val recon = pqReconstruction(books, m, sub)
     val qlit = typedlit(q)
     val scored = Par.fanOut(embeddings(spark, dir))
       .filter(col("vec_id") =!= QueryVecId)
@@ -593,6 +603,54 @@ object VectorQueries {
         row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
       .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("adc_dist"))
       .orderBy(col("rank"))
+  }
+
+  /** IVF-PQ ANN — the composed production funnel (Jégou et al. 2011,
+    * the IndexIVFPQ shape): the trained coarse quantizer prunes the
+    * corpus to `nprobe` inverted lists, PQ asymmetric distance scores
+    * ONLY the surviving candidates on their reconstructions, the top
+    * `cands` ADC survivors get one exact cosine pass, and the final
+    * top-k ranks on exact similarity.
+    *
+    * Scale shape — this is the 100 TB ANN plan, composed from pieces
+    * each already proven separately ([[annIvf]], [[annPq]]): list_id is
+    * the partition key so unprobed lists never leave storage; the fleet
+    * scans 64-byte PQ codes, not vectors; only `cands` full vectors are
+    * touched by the exact re-rank (in a code-resident deployment, the
+    * only point rows are fetched); both top-k's are
+    * TakeOrderedAndProject — no shuffle carries more than `cands`
+    * fixed-width rows. Centroids and codebooks are driver-side constants
+    * (k×dims + m×ksub×sub doubles), the reference's bounds-probe class
+    * of read. */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+               nlist: Int = 8, m: Int = 8, ksub: Int = 16,
+               cands: Int = 20): DataFrame = {
+    val centroids = trainedCentroids(spark, dir, nlist)
+    val books = trainedPqBooks(spark, dir, m, ksub)
+    val qOpt = queryVectorOpt(spark, dir)
+    if (qOpt.isEmpty || centroids.isEmpty || books.isEmpty)
+      return emptyRanked(spark)
+    val q = qOpt.get
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = centroids.map { case (cid, cv) => (cid, l2(q, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val distToCentroids = array(centroids.map { case (_, cv) =>
+      foldSum(zip_with(embD, typedlit(cv), (a, b) => (a - b) * (a - b)))
+    }: _*)
+    val cidsLit = typedlit(centroids.map(_._1).toSeq)
+    val sub = q.length / m
+    val candDf = Par.fanOut(embeddings(spark, dir))
+      .withColumn("dists", distToCentroids)
+      .withColumn("list_id", element_at(cidsLit,
+        expr("array_position(dists, array_min(dists))").cast("int")))
+      .filter(col("list_id").isin(probed.map(Int.box): _*) &&
+        col("vec_id") =!= QueryVecId)
+      .withColumn("adc", foldSum(zip_with(typedlit(q),
+        pqReconstruction(books, m, sub), (a, b) => (a - b) * (a - b))))
+      .orderBy(col("adc"), col("vec_id")).limit(cands)
+    rankTop(candDf.withColumn("sim", cosineAgainst(q)), k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
@@ -718,6 +776,7 @@ object VectorQueries {
     "q_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     "q_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "q_ann_pq" -> ((s, d) => annPq(s, d)),
+    "q_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_wcss" -> ((s, d) => wcss(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
@@ -849,6 +908,64 @@ object VectorQueries {
     // Spark's first-position-of-min over cid-ordered codes) ->
     // reconstruction -> one left-to-right list_sum over the 64-term
     // squared-diff list (== Spark's zip_with fold, bit-for-bit).
+    // IVF-PQ replay: coarse chain (shared CTEs) for probes + list
+    // assignment, PQ chain (p-prefixed, mirroring q_ann_pq) for ADC,
+    // candidate cut by (adc, vec_id), exact-cosine re-rank on survivors
+    "q_ann_ivfpq" ->
+      s"""WITH $trainedCentroidCtes,
+         |probes AS (SELECT cid FROM d2 WHERE vec_id = $QueryVecId
+         |           ORDER BY dist, cid LIMIT 2),
+         |sub AS (
+         |  SELECT vec_id, t.s, v[CAST(t.s*8+1 AS BIGINT):CAST(t.s*8+8 AS BIGINT)] AS sv
+         |  FROM ev, range(8) t(s)),
+         |pc0 AS (SELECT s, CAST(vec_id AS INTEGER) AS cid, sv AS ce
+         |        FROM sub WHERE vec_id < 16),
+         |pd1 AS (
+         |  SELECT sub.vec_id, sub.s, pc0.cid,
+         |    list_sum(list_transform(list_zip(sub.sv, pc0.ce),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |  FROM sub JOIN pc0 ON sub.s = pc0.s),
+         |pa1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+         |    FROM pd1) WHERE rn = 1),
+         |pm1 AS (
+         |  SELECT pa1.s, pa1.cid, t.i,
+         |    CAST(sum(CAST(sub.sv[t.i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+         |  FROM pa1 JOIN sub ON pa1.vec_id = sub.vec_id AND pa1.s = sub.s,
+         |       range(1, 9) t(i)
+         |  GROUP BY pa1.s, pa1.cid, t.i),
+         |pc1 AS (SELECT s, cid, list(m ORDER BY i) AS ce FROM pm1 GROUP BY s, cid),
+         |pd2 AS (
+         |  SELECT sub.vec_id, sub.s, pc1.cid,
+         |    list_sum(list_transform(list_zip(sub.sv, pc1.ce),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |  FROM sub JOIN pc1 ON sub.s = pc1.s
+         |  WHERE sub.vec_id <> $QueryVecId),
+         |pa2 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+         |    FROM pd2) WHERE rn = 1),
+         |rec AS (
+         |  SELECT pa2.vec_id, flatten(list(pc1.ce ORDER BY pa2.s)) AS r
+         |  FROM pa2 JOIN pc1 ON pa2.s = pc1.s AND pa2.cid = pc1.cid
+         |  GROUP BY pa2.vec_id),
+         |q AS (SELECT v AS qv FROM ev WHERE vec_id = $QueryVecId),
+         |adc AS (
+         |  SELECT rec.vec_id,
+         |    list_sum(list_transform(list_zip(q.qv, rec.r),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS adist
+         |  FROM rec JOIN a2 ON rec.vec_id = a2.vec_id, q
+         |  WHERE a2.cid IN (SELECT cid FROM probes)),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 20),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q)
+         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+         |       vec_id, ROUND(sim, 4) AS sim
+         |FROM scored ORDER BY rank LIMIT 5""".stripMargin,
     "q_ann_pq" ->
       """WITH ev AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
