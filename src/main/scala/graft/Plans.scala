@@ -113,6 +113,33 @@ object Plans {
         "fed by the dim side's broadcast — the dim filters on a NON-key " +
         "column, so only the runtime IN can prune; 3 of 25 region " +
         "partitions ever open a reader (LatticeSourceSpec counts them)."),
+    Entry("q_lattice_topn",
+      "DSv2 TOP-N pushdown: the scan line shows pushedLimit=40 — each " +
+        "region partition stops GENERATING after its first 40 admitted " +
+        "sites (generation order is pos-ascending, r partition-constant, " +
+        "so the local prefix is the local top-n); the push is partial, " +
+        "TakeOrderedAndProject does the global merge over <=40*25 rows " +
+        "instead of ~26.8k (LatticeSourceSpec counts emitted rows)."),
+    Entry("q_ngram_explode",
+      "Native Catalyst GENERATOR: Generate explode_ngrams streams one " +
+        "gram at a time — no O(doc_len) array materializes per row " +
+        "(every split/sequence/transform formulation builds one); the " +
+        "(lang, gram) count aggregate takes map-side partials, and the " +
+        "top-k window runs on the AGGREGATED charset-bounded relation, " +
+        "never on the corpus."),
+    Entry("q_tvf_grid",
+      "Injected TABLE FUNCTION: graft_series(0, 24) plans directly as " +
+        "the catalyst Range node (no data source, closed-form stats); " +
+        "events aggregate to <=24 rows BEFORE the dense-axis left join, " +
+        "so the zero-fill join is 24x24 — the grid never joins the " +
+        "corpus."),
+    Entry("q_ann_ivfpq",
+      "IVF-PQ funnel: coarse assignment and ADC scoring are pure per-row " +
+        "projections against centroid/codebook literals (no join " +
+        "anywhere); the probed-list filter prunes before ADC; both " +
+        "cut-offs (top-20 ADC candidates, top-5 exact) execute as " +
+        "TakeOrderedAndProject — no shuffle carries more than the " +
+        "candidate set."),
     Entry("q_spatial_dwithin_col",
       "st_dwithin with a PER-ROW distance column: planned as the same " +
         "BroadcastRTreeSpatialJoin exec, the distance expression bound " +
@@ -135,6 +162,9 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
+      // same injection path as Verify/Bench — the graft_series TVF is
+      // only reachable through the extensions mechanism
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

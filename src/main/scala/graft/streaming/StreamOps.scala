@@ -109,3 +109,65 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 }
+
+/** `transformWithState` processor (Spark 4's arbitrary-stateful-processing
+  * API — the successor to flatMapGroupsWithState, built for the RocksDB
+  * state store): per-user spend-MILESTONE accounting. Each user carries one
+  * fixed-size state record (cumulative exact cents, upward milestone
+  * crossings, event count); every input batch folds its rows in
+  * deterministic (tms, event_id) order and emits the RUNNING totals.
+  *
+  * "Upward crossings" counts how many `stepCents` boundaries the running
+  * balance crosses UPWARD — `max(0, floorDiv(new) − floorDiv(old))` per
+  * event — which is path-dependent (a dip below a boundary and recovery
+  * re-counts it), i.e. a statistic only ordered stateful processing can
+  * produce, not any order-insensitive aggregate. floorDiv matches
+  * DuckDB's flooring `//`, so the oracle replays it with a running-sum
+  * window, integer-exact.
+  *
+  * Scale shape: state is 3 longs per user under RocksDB (Spark requires
+  * the RocksDB provider for transformWithState — its changelog
+  * checkpointing is what makes 100 GB-state streams commit in O(delta));
+  * emission is one row per active user per batch. */
+object MilestoneOps {
+  case class TwsEvent(user_id: Long, tms: Long, event_id: Long, cents: Long)
+  case class MilestoneState(cum: Long, cross: Long, n: Long)
+  case class MilestoneOut(user_id: Long, n_events: Long, cum_cents: Long,
+                          up_crossings: Long)
+
+  class MilestoneProcessor(stepCents: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvent, MilestoneOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[MilestoneState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MilestoneState]("milestone",
+        org.apache.spark.sql.Encoders.product[MilestoneState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[MilestoneOut] = {
+      var s = if (st.exists()) st.get() else MilestoneState(0L, 0L, 0L)
+      // deterministic fold order inside the batch: the iterator arrives in
+      // partition order, which is not a contract — sort by (tms, event_id)
+      rows.toSeq.sortBy(e => (e.tms, e.event_id)).foreach { e =>
+        val next = s.cum + e.cents
+        val up = math.max(0L,
+          Math.floorDiv(next, stepCents) - Math.floorDiv(s.cum, stepCents))
+        s = MilestoneState(next, s.cross + up, s.n + 1)
+      }
+      st.update(s)
+      Iterator.single(MilestoneOut(key, s.n, s.cum, s.cross))
+    }
+  }
+
+  /** The milestone stream: group by user, run the processor. Callers set
+    * the RocksDB provider (mandatory for transformWithState). */
+  def milestones(events: Dataset[TwsEvent], stepCents: Long): Dataset[MilestoneOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MilestoneProcessor(stepCents),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+}

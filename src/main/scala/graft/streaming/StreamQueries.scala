@@ -549,7 +549,41 @@ object StreamQueries {
     }
   }
 
+  /** `transformWithState` per-user spend milestones
+    * ([[MilestoneOps.MilestoneProcessor]] — Spark 4's arbitrary-stateful
+    * API, mandatory-RocksDB) run by the real streaming engine: running
+    * exact-cents balance, event count, and path-dependent UPWARD
+    * $100-boundary crossings per user. Emission is running totals per
+    * batch; the finish keeps each user's most-advanced row (n_events is
+    * monotone per key), so the result is batch-count-invariant. The
+    * oracle replays the fold with a (tms, event_id)-ordered running-sum
+    * window — floorDiv == DuckDB's flooring `//`, all integer. */
+  def streamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stream = eventsStream(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000000L").as("tms"),
+        col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .as[MilestoneOps.TwsEvent]
+    val out = MilestoneOps.milestones(stream, stepCents = 10000L)
+    spark.conf.set("graft.stream.stateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runBounded(spark, out.toDF(), "graft_stream_tws",
+      finalWatermarkBatch = false) { sinkDf =>
+      sinkDf
+        .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("cum_cents"),
+          col("up_crossings"))
+        .orderBy(col("user_id"))
+    } finally spark.conf.unset("graft.stream.stateStoreProvider")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tws" -> (streamTws _),
     "q_stream_quantile" -> ((s, d) => streamQuantile(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopk(s, d)),
     "q_stream_bitmap" -> ((s, d) => streamBitmap(s, d)),
@@ -567,6 +601,27 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // transformWithState milestone fold: running-sum window in
+    // (tms, event_id) order; prev cum = cum - cents, DuckDB // floors
+    // like Math.floorDiv, greatest(0, ...) keeps only upward crossings
+    "q_stream_tws" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, cents,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, cents, cum,
+        |    greatest(0, (cum // 10000) - ((cum - cents) // 10000)) AS up
+        |  FROM c)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cum_cents,
+        |  CAST(sum(up) AS BIGINT) AS up_crossings
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Contract mirror (the q_quantile_sketch device): the deterministic
     // MRL rank-error bound must hold for every estimate — exact n + TRUE.
     "q_stream_quantile" -> {

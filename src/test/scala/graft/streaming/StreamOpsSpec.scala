@@ -146,4 +146,61 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.contains(("2024-01-01 00:01:00.0", "view", 1L)))
     } finally q.stop()
   }
+
+  test("transformWithState carries milestone state across micro-batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import MilestoneOps._
+    val input = MemoryStream[TwsEvent]
+    val out = milestones(input.toDS(), stepCents = 100L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = try {
+      out.toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // batch 1: user 1 climbs to 150 (crosses 100 once)
+      input.addData(TwsEvent(1L, B + 1, 10L, 80L), TwsEvent(1L, B + 2, 11L, 70L))
+      q.processAllAvailable()
+      // batch 2: dip below 100 then recover — the SAME boundary counts
+      // again (path dependence), and state carried cum=150 across batches
+      input.addData(TwsEvent(1L, B + 3, 12L, -60L), TwsEvent(1L, B + 4, 13L, 40L))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // per-batch running emissions: (n=2, cum=150, cross=1) then
+      // (n=4, cum=130, cross=2)
+      assert(rows.toSet == Set((1L, 2L, 150L, 1L), (1L, 4L, 130L, 2L)), rows.toSeq)
+      // within-batch fold order is (tms, event_id), not arrival order:
+      // offered reversed, same result as sorted
+      input.addData(TwsEvent(2L, B + 9, 21L, 30L), TwsEvent(2L, B + 8, 20L, 80L))
+      q.processAllAvailable()
+      val u2 = spark.table("tws_out")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 2L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(u2 == Set((2L, 110L, 1L)), u2)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("tws_out")
+    }
+  }
+
+  test("RocksDB state store provider yields identical results through the provider seam") {
+    // the production-state-scale path: graft.stream.stateStoreProvider
+    // routes every StreamQueries run through RocksDB instead of the
+    // HDFS-backed default. Same query, both providers, identical output —
+    // the seam is a pure storage swap, never a semantics change. Uses a
+    // STATEFUL query (watermarked windowed counts) so RocksDB actually
+    // carries the aggregation state across micro-batches.
+    val dir = "/root/testdata/sf0.001"
+    val default = StreamQueries.streamWindowCounts(spark, dir).collect().toSet
+    spark.conf.set("graft.stream.stateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamQueries.streamWindowCounts(spark, dir).collect().toSet
+      assert(rocks == default, s"rocks=${rocks.size} default=${default.size}")
+      assert(rocks.nonEmpty)
+    } finally spark.conf.unset("graft.stream.stateStoreProvider")
+  }
 }
