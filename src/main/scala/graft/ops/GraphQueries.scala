@@ -281,7 +281,42 @@ object GraphQueries {
     kcoreRounds(bidir, k, rounds)
   }
 
+  /** Bounded-depth BFS as a RECURSIVE CTE (`WITH RECURSIVE` — new SQL
+    * surface in Spark 4): hop distance and bounded-path counts from node
+    * 0 over a sparsified edge graph, the transitive-closure shape
+    * (reachability, BOM explosion, org-chart rollup) expressed
+    * declaratively. `min(depth)` outside the recursion gives BFS
+    * distance; `count(*)` exposes the UNION ALL semantics (every bounded
+    * path survives), which is exactly what the oracle replays.
+    *
+    * Scale judgment, stated honestly: Spark's recursive CTEs support
+    * UNION ALL only, so the working set is PATHS, not nodes — it grows
+    * as out_degreeᵈᵉᵖᵗʰ. Right when depth × branching is bounded (this
+    * graph: ≤100 nodes, sparsified out-degree ≈14, depth ≤3 ⇒ ≤3k
+    * rows at ANY corpus scale, since the node space is value-capped by
+    * the mod). For unbounded vocabularies use the frontier-dedup
+    * iterative form ([[khopReach]]'s device) — semi-naive evaluation
+    * with per-level DISTINCT, which UNION ALL recursion cannot express. */
+  def recursiveBfs(spark: SparkSession, dir: String, maxDepth: Int = 3): DataFrame = {
+    lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("src"),
+        pmod(col("l_suppkey"), lit(100L)).as("dst"))
+      .filter(pmod(col("src") * 31 + col("dst"), lit(7L)) === 0L)
+      .distinct()
+      .createOrReplaceTempView("graft_edges_rec")
+    spark.sql(
+      s"""WITH RECURSIVE reach(node, depth) AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r JOIN graft_edges_rec e ON e.src = r.node
+         |  WHERE r.depth < $maxDepth)
+         |SELECT node, min(depth) AS hops, count(*) AS n_paths
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_cte" -> ((s, d) => recursiveBfs(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_link_predict" -> ((s, d) => linkPredictRa(s, d)),
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -291,6 +326,22 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical UNION ALL recursion — DuckDB's WITH RECURSIVE has the
+    // same bounded-path semantics, so hops AND n_paths replay exactly
+    "q_recursive_cte" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT (l_partkey % 100) AS src, (l_suppkey % 100) AS dst
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 100) * 31 + (l_suppkey % 100)) % 7 = 0),
+        |reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node, CAST(min(depth) AS INTEGER) AS hops,
+        |  count(*) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q_kcore" ->
       """WITH und AS (
         |  SELECT DISTINCT least(l_partkey % 300, l_suppkey % 300) AS x,

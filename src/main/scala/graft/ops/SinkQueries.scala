@@ -67,6 +67,29 @@ object SinkQueries {
       .orderBy(col("lang"))
   }
 
+  /** XML sink/scan parity (Spark 4's built-in XML source — `rowTag`
+    * element per record): documents out as XML, schema'd read back,
+    * aggregate. The text column exercises the escape path (&, <, >,
+    * quotes must round-trip through XML entities); equal sum-of-lengths
+    * against the parquet source proves unescape∘escape = identity, the
+    * same device as the JSON loop. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/xml_interchange"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4)
+      .write.mode("overwrite").option("rowTag", "doc").xml(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema).option("rowTag", "doc").xml(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** ORC sink/scan parity: the third columnar interchange format Spark
     * ships natively (zlib ORC out, schema'd read back, aggregate). The
     * oracle aggregates the source parquet directly — equal results prove
@@ -462,6 +485,7 @@ object SinkQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
@@ -539,6 +563,11 @@ object SinkQueries {
         |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
         |  AND epoch_ns(ts) BETWEEN tlo + (thi - tlo) // 4 AND tlo + (thi - tlo) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

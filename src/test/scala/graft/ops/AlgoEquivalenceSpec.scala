@@ -289,4 +289,57 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     val n = got.map(t => t._1 -> t._2).toMap
     assert(n == Map("a" -> 10L, "b" -> 3L, "c" -> 10L))
   }
+
+  test("recursive-CTE BFS equals iterative frontier BFS (hops) and path counting (n_paths)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial shape: a cycle (0->7->14->0), a diamond giving node 28
+    // two 2-hop paths, a node reachable only at max depth, and an
+    // unreachable component. recursiveBfs derives edges as
+    // (partkey % 100, suppkey % 100) sparsified by (src*31 + dst) % 7 == 0
+    // ≡ (3·src + dst) % 7 == 0 — node ids that are multiples of 7 satisfy
+    // it for every edge, plus one off-residue edge (0->1) the sparsifier
+    // must drop on BOTH sides.
+    val edges = Seq((0L, 7L), (7L, 14L), (14L, 0L), // cycle back to the seed
+      (0L, 21L), (7L, 28L), (21L, 28L),             // diamond: 28 two ways
+      (28L, 35L),                                   // depth-3-only node
+      (70L, 77L),                                   // unreachable from 0
+      (0L, 1L))                                     // dropped by sparsifier
+    val dir = fixtureDir("recursive_bfs")
+    edges.map { case (s, d) => (s, d, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+      new java.sql.Timestamp(0L)) }
+      .toDF("l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      .withColumn("l_orderkey", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val got = GraphQueries.recursiveBfs(spark, dir, maxDepth = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    // reference: iterative frontier BFS + per-depth path counting over the
+    // SAME sparsified edge set, in plain Scala
+    val kept = edges.filter { case (s, d) => (s * 31 + d) % 7 == 0 }
+    val adj = kept.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // paths(depth) = multiset of nodes reachable by a path of that length
+    var level = Map(0L -> 1L)
+    var acc = scala.collection.mutable.Map(0L -> Map(0 -> 1L))
+    for (d <- 1 to 3) {
+      val next = scala.collection.mutable.Map[Long, Long]()
+      for ((n, c) <- level; m <- adj.getOrElse(n, Nil))
+        next(m) = next.getOrElse(m, 0L) + c
+      level = next.toMap
+      for ((m, c) <- level)
+        acc(m) = acc.getOrElse(m, Map.empty) + (d -> (acc.getOrElse(m, Map.empty).getOrElse(d, 0L) + c))
+    }
+    val want = acc.map { case (node, byDepth) =>
+      (node, byDepth.keys.min, byDepth.values.sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want\nkept=$kept")
+    // seed is at hop 0 with TWO bounded paths (itself + the 3-cycle back)
+    assert(got.nonEmpty && got.head._1 == 0L && got.head._2 == 0 &&
+      got.head._3 == 2L)
+    assert(!got.exists(_._1 == 70L)) // other component unreachable
+    assert(!got.exists(_._1 == 1L)) // sparsifier dropped the off-residue edge
+  }
 }
