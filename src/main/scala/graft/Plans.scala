@@ -133,6 +133,25 @@ object Plans {
         "events aggregate to <=24 rows BEFORE the dense-axis left join, " +
         "so the zero-fill join is 24x24 — the grid never joins the " +
         "corpus."),
+    Entry("q_lateral_topn",
+      "LATERAL correlated subquery with ORDER BY + LIMIT: Catalyst " +
+        "decorrelates the per-region top-2 into ONE broadcast join + " +
+        "aggregate + WindowGroupLimit (Partial below the exchange, so " +
+        "each map task forwards at most 2 rows per region) + row_number " +
+        "— identical physical work to the hand-rolled window top-N; " +
+        "nothing executes per outer row, no nested-loop join."),
+    Entry("q_variant_extract",
+      "VARIANT schema-on-read: parse_json and every variant_get path " +
+        "extraction are projections inside the scan's codegen stage; " +
+        "the binary VARIANT encoding is parsed once per row and " +
+        "navigated by offset for all 7 lanes. Exactly one hash exchange " +
+        "(the group keys); partial aggregation combines map-side."),
+    Entry("q_sql_udf",
+      "SQL-defined functions: the analyzer INLINES graft_cents/" +
+        "graft_disc_band into the expression tree (plan shows the CASE/" +
+        "floor bodies, no ScalaUDF eval boundary, codegen intact); the " +
+        "band TABLE function is a 3-row LocalRelation joined AFTER the " +
+        "aggregate collapses the fact side to 3 rows."),
     Entry("q_ann_ivfpq",
       "IVF-PQ funnel: coarse assignment and ADC scoring are pure per-row " +
         "projections against centroid/codebook literals (no join " +

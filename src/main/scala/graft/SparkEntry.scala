@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, AuditQueries, GraphQueries, JdbcQueries, Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, SpatialCluster, TextQueries, VectorQueries}
+import graft.ops.{AsofJoin, AuditQueries, GraphQueries, JdbcQueries, Multimodal, Pipelines, RelationalQueries, SessionQueries, SinkQueries, SpatialCluster, SqlSurfaceQueries, TextQueries, VectorQueries}
 import graft.streaming.StreamQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,7 +24,7 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
     SessionQueries.all ++ SinkQueries.all ++ Multimodal.all ++ AsofJoin.all ++
     StreamQueries.all ++ JdbcQueries.all ++ AuditQueries.all ++ GraphQueries.all ++
-    SpatialCluster.all ++
+    SpatialCluster.all ++ SqlSurfaceQueries.all ++
     Map[String, (SparkSession, String) => DataFrame](
       // A1+F1-F8: the full spatial pipeline, closed-form-area variant
       // (st_geomfromwkt/makevalid/buffer/union_agg/intersection/area).
@@ -129,7 +129,8 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles ++
     SessionQueries.oracles ++ SinkQueries.oracles ++ AsofJoin.oracles ++
     Multimodal.oracles ++ StreamQueries.oracles ++ JdbcQueries.oracles ++
-    AuditQueries.oracles ++ GraphQueries.oracles ++ SpatialCluster.oracles +
+    AuditQueries.oracles ++ GraphQueries.oracles ++ SpatialCluster.oracles ++
+    SqlSurfaceQueries.oracles +
     ("q_geo_flagship" -> Pipelines.flagshipOracleSql) +
     ("q_geo_flagship_5880" -> Pipelines.flagship5880OracleSql) +
     ("q_spatial_join" -> Pipelines.spatialJoinOracleSql) +

@@ -563,6 +563,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("SQL UDFs inline: plan carries the expanded CASE/floor trees, no UDF eval boundary") {
+    val df = SqlSurfaceQueries.sqlUdf(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    assert(p.contains("CASE WHEN"), s"graft_disc_band body should be inlined:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("floor"), s"graft_cents body should be inlined:\n${p.take(2000)}")
+  }
+
+  test("LATERAL top-N decorrelates: WindowGroupLimit with a partial below the shuffle, no per-row subquery") {
+    val df = SqlSurfaceQueries.lateralTopN(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(2500))
+    assert(p.contains("Partial"), s"group-limit should prune below the exchange:\n${p.take(2500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("pipe-syntax WHERE before AGGREGATE reaches the parquet scan as a pushed filter") {
+    val p = SqlSurfaceQueries.pipeSyntax(spark, dir).queryExecution.sparkPlan.toString
+    assert(p.contains("GreaterThan(l_quantity,5.0)"), p.take(2000))
+  }
+
+  test("variant pipeline: parse+extract are scan-stage expressions; only the group keys shuffle") {
+    val df = SqlSurfaceQueries.variantExtract(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints the initial plan after the final one — audit the final only
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("variant_get"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly the group-key exchange, got $exchanges:\n${p.take(2500)}")
+  }
+
   test("whole-stage codegen survives around the spatial expressions") {
     // CodegenFallback expressions must not disable codegen for the rest of
     // the plan: the executed flagship still contains WholeStageCodegen
