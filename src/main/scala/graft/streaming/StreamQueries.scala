@@ -159,6 +159,55 @@ object StreamQueries {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantics the inner
+    * join ([[streamStreamJoin]]) cannot express: a click with NO view in
+    * its following hour still surfaces, as a null-view row EMITTED BY THE
+    * WATERMARK (the engine holds the unmatched left row in state until the
+    * watermark proves no matching view can still arrive, then flushes it
+    * null-extended in a later micro-batch — here the trailing no-data
+    * batch). The funnel-abandonment shape: matched and timed-out-unmatched
+    * in one operator.
+    *
+    * Determinism device: which unmatched clicks flush is decided by the
+    * final watermark `wm = min(max click-ms, max view-ms) − 2 h` (min
+    * across both inputs' watermarks — Spark's default multi-watermark
+    * policy), with engine-internal ±strictness at the exact eviction
+    * boundary `c_ts + 1 h = wm`. Both the finish step and the oracle keep
+    * a null row only when it clears the boundary by ≥5 s
+    * (`c_ts + 1h ≤ wm − 5000`), so no boundary-interpretation row can
+    * differ — the q_geo_flagship_5880 margin device applied to time.
+    * Unflushed end-of-stream state is discarded by both, matched rows all
+    * emit in the data batch, so the output is a pure function of the data. */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(eventType: String, idAs: String) =
+      eventsStream(spark, dir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${idAs}_user"),
+          col("event_id").as(s"${idAs}_id"),
+          timestamp_millis(expr("ts DIV 1000000")).as(s"${idAs}_ts"))
+        .withWatermark(s"${idAs}_ts", "2 hours")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    // the final watermark is a constant of the corpus — compute it from
+    // the batch table (same file the stream reads)
+    val wmRow = Tables.events(spark, dir)
+      .agg(max(when(col("event_type") === "click", expr("ts DIV 1000000"))).as("mc"),
+        max(when(col("event_type") === "view", expr("ts DIV 1000000"))).as("mv"))
+      .collect()(0)
+    val wm = math.min(wmRow.getLong(0), wmRow.getLong(1)) - WatermarkMs
+    runBounded(spark, joined, "graft_stream_outer") {
+      _.filter(col("v_id").isNotNull ||
+          unix_millis(col("c_ts")) + lit(3600000L) <= lit(wm - 5000L))
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(col("v_id")).as("n_matched"),
+          count(when(col("v_id").isNull, lit(1))).as("n_flushed_unmatched"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** Streaming gap sessionization (`StreamOps.sessionize`,
     * flatMapGroupsWithState + EventTimeTimeout) run end-to-end by the
     * engine on the bounded corpus. Emission on a single-batch replay is
@@ -595,6 +644,7 @@ object StreamQueries {
     "q_stream_foreach_upsert" -> (streamForeachUpsert _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
+    "q_stream_outer_join" -> (streamOuterJoin _),
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_session_window" -> (streamSessionWindow _),
     "q_stream_static_join" -> (streamStaticJoin _),
@@ -717,6 +767,31 @@ object StreamQueries {
         | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // left-outer mirror: matched pairs all emit; a null row survives iff
+    // the click clears the eviction boundary (c_ts + 1h <= wm - 5s, wm =
+    // min side-max - 2h) — the same margin predicate the finish step
+    // applies to the engine's emissions
+    "q_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(tms) FROM c),
+        |                    (SELECT max(tms) FROM v)) - 7200000 AS w),
+        |j AS (
+        |  SELECT c.user_id, c.tms, v.event_id AS v_id
+        |  FROM c LEFT JOIN v
+        |    ON c.user_id = v.user_id
+        |   AND v.tms >= c.tms AND v.tms <= c.tms + 3600000)
+        |SELECT user_id,
+        |       CAST(count(v_id) AS BIGINT) AS n_matched,
+        |       CAST(count(CASE WHEN v_id IS NULL THEN 1 END) AS BIGINT)
+        |         AS n_flushed_unmatched
+        |FROM j, wm
+        |WHERE v_id IS NOT NULL OR tms + 3600000 <= wm.w - 5000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // batch mirror of the native session_window append emission: islands
     // with session_window's half-open >= gap boundary, emitted iff the
     // session END (last event + gap) <= final watermark (max event-ms −
