@@ -90,6 +90,39 @@ object SinkQueries {
       .orderBy(col("lang"))
   }
 
+  /** DSv2 transactional-sink roundtrip ([[graft.sources.LedgerSink]] —
+    * staged task files, atomic manifest commit, abort-safe): per-key event
+    * rollup written through the sink in OVERWRITE mode with the sink's
+    * OWN declared layout (`RequiresDistributionAndOrdering`: clustered by
+    * event_type, ordered by day — Spark plans the exchange+sort the sink
+    * requires, not whatever the query ended with), then read back via the
+    * manifest and re-aggregated. Equal results against the oracle's
+    * direct aggregate prove the whole write protocol — distribution
+    * re-layout, framing codec, manifest resolve — is value-faithful.
+    * The abort/atomicity half of the contract is spec'd in
+    * `LedgerSinkSpec` (a poisoned overwrite leaves v1 readable). */
+  def ledgerRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/ledger_interchange"
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("ts DIV 86400000000000L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .write.format("graft.sources.LedgerSink").option("path", path)
+      .option("clusterBy", "event_type").option("orderBy", "day")
+      .mode("overwrite").save()
+    spark.read.format("graft.sources.LedgerSink").option("path", path).load()
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        count(lit(1)).as("n_days"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** ORC sink/scan parity: the third columnar interchange format Spark
     * ships natively (zlib ORC out, schema'd read back, aggregate). The
     * oracle aggregates the source parquet directly — equal results prove
@@ -488,6 +521,7 @@ object SinkQueries {
     "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_ledger_roundtrip" -> (ledgerRoundtrip _),
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_zorder" -> (zorderRoundtrip _),
@@ -563,6 +597,20 @@ object SinkQueries {
         |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
         |  AND epoch_ns(ts) BETWEEN tlo + (thi - tlo) // 4 AND tlo + (thi - tlo) // 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ledger_roundtrip" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |       count(*) AS n_days,
+        |       CAST(min(day) AS BIGINT) AS min_day,
+        |       CAST(max(day) AS BIGINT) AS max_day
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
