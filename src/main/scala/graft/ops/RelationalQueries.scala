@@ -41,6 +41,44 @@ object RelationalQueries {
         max(col("l_orderkey")).as("max_key"))
       .orderBy(col("l_returnflag"))
 
+  /** Scalable contiguous id assignment: `row_number() OVER (ORDER BY …)`
+    * semantics WITHOUT the one-reducer global window (an empty PARTITION BY
+    * routes the whole table through a single task — the classic
+    * cluster-killer). The distributed device is the TeraSort shape:
+    * `repartitionByRange` on the total-order key (one sampled range
+    * shuffle), sort WITHIN each partition, then `zipWithIndex` — which
+    * runs one O(P) count job and stamps `global = partitionOffset +
+    * localIndex` per task; the driver ever sees only P partition counts.
+    * Every stage is parallel at any table size.
+    *
+    * The key (l_orderkey, l_linenumber) is unique, so the order is total
+    * and the assignment a pure function of the data (range-boundary
+    * sampling randomness moves rows between partitions but never changes
+    * rank). Output proves the exact id↦row MAPPING, not just the id set:
+    * per 10k-id bucket, count/min/max plus a checksum correlating each id
+    * with its row's key residue — any swap of two ids breaks it. The
+    * oracle replays with DuckDB's actual row_number. */
+  def stableIds(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+    val sorted = keyed
+      .repartitionByRange(32, col("l_orderkey"), col("ln"))
+      .sortWithinPartitions(col("l_orderkey"), col("ln"))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(sorted.schema.fields :+ StructField("id", LongType, nullable = false))
+    val withId = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i + 1L)
+      }, schema)
+    withId
+      .groupBy(expr("(id - 1) DIV 10000").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("id") * (col("l_orderkey") % 97L)).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** S3/P4: projection + predicate pushed into the Parquet scan (the
     * reference pushed these into Postgres via a SQL subquery,
     * process_geodata.py:165-174; Catalyst does it for free). */
@@ -1009,6 +1047,7 @@ object RelationalQueries {
     "q_entity_resolution" -> (entityResolution _),
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
+    "q_stable_ids" -> (stableIds _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
     "q_j1_broadcast_agg" -> (j1BroadcastAgg _),
@@ -1315,6 +1354,19 @@ object RelationalQueries {
     "q_s3_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the oracle USES the one-reducer window the engine avoids — same
+    // function of the data, different machine shape
+    "q_stable_ids" ->
+      """WITH ids AS (
+        |  SELECT l_orderkey,
+        |         CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+        |              AS BIGINT) AS id
+        |  FROM lineitem)
+        |SELECT (id - 1) // 10000 AS bucket, count(*) AS n,
+        |       CAST(min(id) AS BIGINT) AS min_id,
+        |       CAST(max(id) AS BIGINT) AS max_id,
+        |       CAST(sum(id * (l_orderkey % 97)) AS BIGINT) AS checksum
+        |FROM ids GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_p1_derive" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1.0 - l_discount) AS revenue
