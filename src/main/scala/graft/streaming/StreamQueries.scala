@@ -197,7 +197,12 @@ object StreamQueries {
       .agg(max(when(col("event_type") === "click", expr("ts DIV 1000000"))).as("mc"),
         max(when(col("event_type") === "view", expr("ts DIV 1000000"))).as("mv"))
       .collect()(0)
-    val wm = math.min(wmRow.getLong(0), wmRow.getLong(1)) - WatermarkMs
+    // a side with no rows never advances its watermark, so nothing can
+    // flush (engine keeps the min policy at the initial watermark) — the
+    // SQL-null max maps to that, not to 0 (the ADVICE observeMetrics rule)
+    val wm =
+      if (wmRow.isNullAt(0) || wmRow.isNullAt(1)) Long.MinValue
+      else math.min(wmRow.getLong(0), wmRow.getLong(1)) - WatermarkMs
     runBounded(spark, joined, "graft_stream_outer") {
       _.filter(col("v_id").isNotNull ||
           unix_millis(col("c_ts")) + lit(3600000L) <= lit(wm - 5000L))
@@ -778,8 +783,13 @@ object StreamQueries {
         |  FROM events),
         |c AS (SELECT * FROM e WHERE event_type = 'click'),
         |v AS (SELECT * FROM e WHERE event_type = 'view'),
-        |wm AS (SELECT least((SELECT max(tms) FROM c),
-        |                    (SELECT max(tms) FROM v)) - 7200000 AS w),
+        |-- DuckDB's least() SKIPS nulls; an empty side must yield NULL
+        |-- (no watermark, nothing flushes), so spell the strict form
+        |wm AS (SELECT CASE WHEN (SELECT max(tms) FROM c) IS NULL
+        |                     OR (SELECT max(tms) FROM v) IS NULL THEN NULL
+        |              ELSE least((SELECT max(tms) FROM c),
+        |                         (SELECT max(tms) FROM v)) - 7200000
+        |              END AS w),
         |j AS (
         |  SELECT c.user_id, c.tms, v.event_id AS v_id
         |  FROM c LEFT JOIN v
