@@ -294,6 +294,57 @@ object StreamQueries {
     }
   }
 
+  /** State-store introspection — Spark's `statestore` / `state-metadata`
+    * batch readers over a streaming checkpoint (the debugging surface for
+    * "what is this stateful query actually holding?"): run a keyed
+    * streaming aggregation (update mode, no watermark — the keyed-total
+    * shape whose state is exactly one buffer row per key), then read the
+    * persisted state BACK as a DataFrame and oracle it. The state read
+    * proves three things end to end: the checkpointed buffers hold the
+    * exact group totals (count+sum per event_type, not approximations or
+    * partials), the metadata describes the layout we pinned (state
+    * partition count), and AvailableNow folded the corpus into a single
+    * committed batch (maxBatchId = 0).
+    *
+    * Scale shape: the readers scan the state files directly — one task
+    * per state partition, never through the streaming engine — which is
+    * why this is the production tool for state-size audits and skew
+    * hunts on checkpoints too big to re-run. Watermarked operators evict
+    * (their retained window is the watermark horizon); this keyed-total
+    * shape retains |keys| rows by design. */
+  def streamStateInspect(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${graft.ops.SinkQueries.OutBase}/state_inspect"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val sink = s"graft_state_inspect_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // state layout is fixed at first checkpoint: pin it (4 partitions)
+    // so the metadata assertion is environment-independent
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      eventsStream(spark, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.catalog.dropTempView(sink)
+    val meta = spark.read.format("state-metadata").load(s"$base/ckpt")
+      .select(col("numPartitions"), col("maxBatchId")).collect()(0)
+    spark.read.format("statestore").load(s"$base/ckpt")
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").as("sum_cents"))
+      .withColumn("n_batches", lit(meta.getLong(1) + 1L))
+      .withColumn("n_state_partitions", lit(meta.getInt(0)))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming parquet FILE sink with exactly-once semantics: the stream
     * writes partition files plus a `_spark_metadata` commit log, and a
     * batch read of the directory trusts ONLY committed files — a crashed
@@ -646,6 +697,7 @@ object StreamQueries {
     "q_stream_cms" -> (streamCms _),
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_file_sink" -> (streamFileSink _),
+    "q_state_inspect" -> (streamStateInspect _),
     "q_stream_foreach_upsert" -> (streamForeachUpsert _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
@@ -772,6 +824,16 @@ object StreamQueries {
         | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // the state buffers hold the exact keyed totals; batch/layout
+    // constants pinned by the query (AvailableNow single batch, 4 state
+    // partitions set at first checkpoint)
+    "q_state_inspect" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(1 AS BIGINT) AS n_batches,
+        |       4 AS n_state_partitions
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // left-outer mirror: matched pairs all emit; a null row survives iff
     // the click clears the eviction boundary (c_ts + 1h <= wm - 5s, wm =
     // min side-max - 2h) — the same margin predicate the finish step
