@@ -294,6 +294,85 @@ object StreamQueries {
     }
   }
 
+  /** Late-data discipline under a MULTI-batch arrival order — the one
+    * watermark semantic a single-batch replay cannot show: rows arriving
+    * AFTER the watermark passed their window. The corpus is staged into
+    * three files (newest time-slice first, then mid, then oldest) and
+    * streamed with `maxFilesPerTrigger=1`, so the engine sees time flowing
+    * BACKWARD across batches — the adversarial arrival order.
+    *
+    * Probe-pinned engine rules this query (and its oracle) encode exactly,
+    * with integer-ms arithmetic and NO margins:
+    *   - Spark keeps DUAL watermarks (SPARK-40925): late-row filtering
+    *     uses the ONE-BATCH-LAGGED value, eviction the current one. So
+    *     batch 1's mid-slice rows are accepted even though they sit far
+    *     below the eviction watermark (the documented grace), while
+    *     batch 2's old-slice rows face wm_late = max(batch-0 ts) − 2 h.
+    *   - The drop rule is inclusive: a row is dropped iff its
+    *     window_end ≤ wm_late (equality probed and pinned).
+    * Update mode + max(n)-per-window makes every ACCEPTED row visible
+    * (append mode would hide accepted-late rows in never-closing
+    * windows); dropped rows are visible as counts that stay at the
+    * earlier batches' value. Slice boundaries derive from min/max event
+    * time by integer arithmetic both engines replay. */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${graft.ops.SinkQueries.OutBase}/stream_late"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(expr("ts DIV 1000000").as("tms"))
+    val bounds = e.agg(min(col("tms")).as("lo"), max(col("tms")).as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val t34 = lo + (hi - lo) * 3 / 4 // Long division == DIV for non-negatives
+    val t12 = lo + (hi - lo) / 2
+
+    def stage(name: String, cond: org.apache.spark.sql.Column, mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      e.filter(cond).select(timestamp_millis(col("tms")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    val now = System.currentTimeMillis()
+    stage("0_new.parquet", col("tms") >= t34, now - 90000) // carries max ts
+    stage("1_mid.parquet", col("tms") >= t12 && col("tms") < t34, now - 60000)
+    stage("2_old.parquet", col("tms") < t12, now - 30000) // the late slice
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val sink = s"graft_stream_late_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    val out = spark.table(sink)
+      // counts are monotone across update emissions: max = final accepted
+      .groupBy(unix_millis(col("window.start")).as("w_start_ms"))
+      .agg(max(col("n")).as("n_final"))
+      .orderBy(col("w_start_ms"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** State-store introspection — Spark's `statestore` / `state-metadata`
     * batch readers over a streaming checkpoint (the debugging surface for
     * "what is this stateful query actually holding?"): run a keyed
@@ -698,6 +777,7 @@ object StreamQueries {
     "q_stream_window" -> (streamWindowCounts _),
     "q_stream_file_sink" -> (streamFileSink _),
     "q_state_inspect" -> (streamStateInspect _),
+    "q_stream_late_data" -> (streamLateData _),
     "q_stream_foreach_upsert" -> (streamForeachUpsert _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamStreamJoin _),
@@ -824,6 +904,23 @@ object StreamQueries {
         | AND v.tms >= c.tms AND v.tms <= c.tms + 3600000
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // the dual-watermark replay: batch-0 (newest quarter) and batch-1
+    // (mid slice) rows are all accepted — batch 1's late filter uses the
+    // one-batch-lagged watermark (still unset); batch-2 (oldest half)
+    // rows face wm_late = hi - 2h and are dropped iff window_end <= wm
+    // (inclusive, probe-pinned). All arithmetic integer ms.
+    "q_stream_late_data" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events WHERE ts IS NOT NULL),
+        |bounds AS (SELECT min(tms) AS lo, max(tms) AS hi FROM e),
+        |kept AS (
+        |  SELECT (tms // 3600000) * 3600000 AS w_start
+        |  FROM e, bounds
+        |  WHERE tms >= lo + (hi - lo) // 2  -- batches 0/1: always accepted
+        |     OR (tms // 3600000) * 3600000 + 3600000 > hi - 7200000)
+        |SELECT w_start AS w_start_ms, count(*) AS n_final
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // the state buffers hold the exact keyed totals; batch/layout
     // constants pinned by the query (AvailableNow single batch, 4 state
     // partitions set at first checkpoint)
