@@ -199,9 +199,60 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
+  /** Raw-file ingestion via the built-in `binaryFile` source — how an
+    * image corpus actually ENTERS Spark (one file per object: path,
+    * mtime, length, content), before anything repacks it into parquet.
+    * Real BMP files are staged through [[MediaCodec.encodeBmp]] (test
+    * scaffolding — the capped id set keeps the fixture a few hundred
+    * files; production points the same reader at the object store), read
+    * back by the source with a glob filter, ids recovered from paths
+    * with `regexp_extract`, and the contents run through the REAL BMP
+    * decoder. The oracle replays the generator closed forms, so a defect
+    * anywhere in the loop — encoder, source framing (`length` vs actual
+    * bytes is cross-checked), path parsing, decoder — breaks the hash.
+    *
+    * Scale shape: binaryFile scans are embarrassingly parallel (one task
+    * per file batch) and decode is partition-local; nothing shuffles but
+    * the 5 final aggregates. The known 100 TB caveat is SMALL-FILE
+    * listing pressure — the fix is this exact pipeline writing
+    * (id, payload) parquet once ([[mediaTable]]'s shape) and all later
+    * passes reading that. */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"${SinkQueries.OutBase}/binary_ingest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    new java.io.File(base).mkdirs()
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 720)
+      .as[Long].collect().sorted
+    ids.foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, s"item_$id.bmp"), synthesize(id).payload)
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(base)
+      .select(regexp_extract(col("path"), "item_(\\d+)\\.bmp$", 1).cast("long").as("item_id"),
+        col("length"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, len, bytes) =>
+        val img = decodeBmp(bytes)
+        var s = 0L
+        img.rgb.foreach(b => s += (b & 0xff))
+        (id, len, bytes.length.toLong, s, img.rgb.length.toLong)
+      })
+      .toDF("item_id", "src_len", "n_bytes", "level_sum", "n_units")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("item_id")).as("sum_ids"),
+        sum(col("src_len")).as("sum_src_len"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("level_sum")).as("sum_levels"),
+        sum(col("n_units")).as("sum_units"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_sampled" -> (sampledStats _),
+    "q_binary_ingest" -> (binaryIngest _),
   )
 
   /** The oracle mirrors the deterministic GENERATOR (not the container):
@@ -209,6 +260,26 @@ object Multimodal {
     * codec defect surfaces as a stat mismatch. All per-item stats are
     * exact integers; the single mean division is the last operation. */
   val oracles: Map[String, String] = Map(
+    // image-lane generator closed forms over the same capped id set:
+    // n_bytes = 54-byte header + h padded rows; level sum replays the
+    // (id*7+i) channel ramp; src_len must equal n_bytes (source framing)
+    "q_binary_ingest" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    54 + (6 + doc_id % 5) * (((3 * (8 + doc_id % 9) + 3) // 4) * 4) AS n_bytes,
+        |    list_sum(list_transform(
+        |      range((8 + doc_id % 9) * (6 + doc_id % 5)),
+        |      i -> (doc_id * 7 + i) % 256 + (doc_id * 7 + i + 85) % 256
+        |           + (doc_id * 7 + i + 170) % 256)) AS level_sum,
+        |    (8 + doc_id % 9) * (6 + doc_id % 5) * 3 AS n_units
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 720)
+        |SELECT count(*) AS n_items,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(n_bytes) AS BIGINT) AS sum_src_len,
+        |       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |       CAST(sum(level_sum) AS BIGINT) AS sum_levels,
+        |       CAST(sum(n_units) AS BIGINT) AS sum_units
+        |FROM f""".stripMargin,
     "q_mm_features" ->
       """WITH f AS (
         |  SELECT doc_id,

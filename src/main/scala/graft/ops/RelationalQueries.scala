@@ -711,6 +711,38 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** PERMISSIVE corrupt-record handling — the malformed-input discipline
+    * of a real ingest (a 100 TB JSON feed ALWAYS carries broken rows, and
+    * a FAILFAST parse loses the batch): a deterministic subset of the
+    * events `props` JSON is truncated mid-object, then parsed with
+    * `from_json` in PERMISSIVE mode with a declared
+    * `columnNameOfCorruptRecord` — malformed rows land whole in the
+    * corrupt column (quarantine lane, nothing thrown, batch survives),
+    * well-formed rows parse normally. The rollup audits both lanes:
+    * corrupt count (= the corruption rule, proving no well-formed row was
+    * misclassified), parsed count, and the extracted-field sum over the
+    * surviving lane only. Per-row expression work inside the scan's
+    * codegen stage; one group-key exchange. */
+  def corruptRecords(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    events(spark, dir)
+      .filter(col("props").isNotNull)
+      .withColumn("js",
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 1)")) // drop the closing brace
+          .otherwise(col("props")))
+      .withColumn("p", from_json(col("js"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("p.k")).as("n_parsed"),
+        count(col("p._bad")).as("n_corrupt"),
+        sum(col("p.k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Winsorized aggregation — clip each group's values at its own exact
     * discrete p05/p95 before summing (the outlier-robust rollup every
     * metrics pipeline runs before a mean is trusted). Prices move in exact
@@ -1048,6 +1080,7 @@ object RelationalQueries {
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
     "q_stable_ids" -> (stableIds _),
+    "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
     "q_j1_broadcast_agg" -> (j1BroadcastAgg _),
@@ -1354,6 +1387,17 @@ object RelationalQueries {
     "q_s3_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the corruption rule IS the oracle: truncated rows (event_id % 7 = 0)
+    // must all land in the quarantine lane and no others
+    "q_corrupt_records" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_parsed,
+        |       CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN event_id % 7 <> 0
+        |                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                END) AS BIGINT) AS sum_k
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle USES the one-reducer window the engine avoids — same
     // function of the data, different machine shape
     "q_stable_ids" ->
