@@ -326,6 +326,13 @@ object StreamQueries {
       .filter(col("ts").isNotNull)
       .select(expr("ts DIV 1000000").as("tms"))
     val bounds = e.agg(min(col("tms")).as("lo"), max(col("tms")).as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) {
+      // empty corpus: no slices to stage, no stream to run — the result
+      // is the empty window relation (SQL-null bounds, not unboxed 0s)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("w_start_ms", LongType), StructField("n_final", LongType))))
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val t34 = lo + (hi - lo) * 3 / 4 // Long division == DIV for non-negatives
     val t12 = lo + (hi - lo) / 2
@@ -413,8 +420,18 @@ object StreamQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     spark.catalog.dropTempView(sink)
-    val meta = spark.read.format("state-metadata").load(s"$base/ckpt")
-      .select(col("numPartitions"), col("maxBatchId")).collect()(0)
+    val metaRows = spark.read.format("state-metadata").load(s"$base/ckpt")
+      .select(col("numPartitions"), col("maxBatchId")).collect()
+    if (metaRows.isEmpty) {
+      // empty corpus: AvailableNow commits no batch, so there is no state
+      // to introspect — the empty relation, not an unboxed metadata row
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("n", LongType), StructField("sum_cents", LongType),
+          StructField("n_batches", LongType), StructField("n_state_partitions", IntegerType))))
+    }
+    val meta = metaRows(0)
     spark.read.format("statestore").load(s"$base/ckpt")
       .select(col("key.event_type").as("event_type"),
         col("value.count").as("n"),
