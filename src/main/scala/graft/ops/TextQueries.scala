@@ -1632,7 +1632,91 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The fixed merge table for [[bpeEncode]] — rank-ordered, English-ish
+    * bigrams so the merges actually fire on the corpus. Outputs are
+    * unique and no merge contains the space boundary token. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"))
+
+  /** BPE ENCODE — the apply half of the tokenizer loop
+    * ([[bpePairStats]] is the train half): normalize (ROOT-locale
+    * lowercase, keep `[a-z ]`), split to character tokens, then apply the
+    * fixed rank-ordered merge table; each merge is one greedy
+    * left-to-right non-overlapping pass. Space stays a token no merge
+    * touches, so words never fuse. Per-lang rollup: docs, letter chars,
+    * tokens, and the compression ratio as integer ppm (guarded for a
+    * letterless lang — zh survives normalization only via embedded Latin).
+    *
+    * Two correctness devices: (1) for THIS shape of merge list (unique
+    * outputs; a merged token never recreates an earlier pair's adjacency,
+    * since merging never deletes tokens and only manufactures new longer
+    * ones) the sequential per-merge pass equals priority-rank greedy BPE;
+    * (2) each pass over delimiter-wrapped text (`⟨t⟩⟨h⟩` → `⟨th⟩`) equals
+    * one standard left-to-right string `replace` — which is how the
+    * DuckDB oracle replays the encoder exactly, with no UDF on either
+    * side. `BpeEncodeProps` pins array-encoder == replace-chain on
+    * adversarial inputs (overlap runs, identical-pair merges).
+    *
+    * Scale shape: per-row partition-local encode (the classic corpus
+    * tokenization pass), zero shuffle until the ≤|langs| rollup. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = BpeMerges
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).as[(Long, String, String)]
+      .mapPartitions(_.map { case (_, lang, text) =>
+        val norm = normalizeAz(text)
+        val toks = applyMerges(norm.map(_.toString).toArray, merges)
+        val nSpace = norm.count(_ == ' ')
+        (lang, (norm.length - nSpace).toLong, (toks.length - nSpace).toLong)
+      })
+      .toDF("lang", "n_chars", "n_tokens")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("""CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (sum(n_chars) * 1000000) DIV sum(n_tokens) END""")
+          .as("chars_per_token_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** ROOT-locale lowercase, then keep only `[a-z ]` (code-unit filter —
+    * multi-char lowercasings like İ→i̇ contribute their ASCII parts,
+    * matching the oracle's regexp). */
+  private[ops] def normalizeAz(text: String): String = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || c == ' ') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One greedy left-to-right non-overlapping pass per merge, in rank
+    * order — the array form of the oracle's replace chain. */
+  private[ops] def applyMerges(initial: Array[String],
+                               merges: Seq[(String, String)]): Array[String] = {
+    var toks = initial
+    merges.foreach { case (a, b) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out.toArray
+    }
+    toks
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_encode" -> (bpeEncode _),
     "q_containment_join" -> ((s, d) => containmentJoin(s, d)),
     "q_bpe_pair_stats" -> ((s, d) => bpePairStats(s, d)),
     "q_pii_scrub" -> (piiScrub _),
@@ -1708,7 +1792,40 @@ object TextQueries {
       |  FROM p
       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 4) >= 0.7)""".stripMargin
 
+  /** The oracle's replace-chain form of [[bpeEncode]]: wrap each kept
+    * character in ⟨⟩ delimiters (no shared separator chars, so one
+    * left-to-right `replace` per merge is exhaustive), chain the merges
+    * in rank order, count remaining ⟨ tokens. Generated from the SAME
+    * [[BpeMerges]] list, so engine and oracle can never drift. */
+  private def bpeEncodeOracleSql: String = {
+    val chain = BpeMerges.foldLeft(
+      "regexp_replace(norm, '(.)', '⟨\\1⟩', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '⟨$a⟩⟨$b⟩', '⟨$a$b⟩')"
+    }
+    s"""WITH d AS (
+       |  SELECT lang, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS norm
+       |  FROM documents),
+       |e AS (
+       |  SELECT lang,
+       |    length(replace(norm, ' ', '')) AS n_chars,
+       |    length(norm) - length(replace(norm, ' ', '')) AS n_space,
+       |    $chain AS enc
+       |  FROM d),
+       |t AS (
+       |  SELECT lang, n_chars,
+       |    (length(enc) - length(replace(enc, '⟨', ''))) - n_space AS n_tokens
+       |  FROM e)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+       |       ELSE (sum(n_chars) * 1000000) // sum(n_tokens) END AS BIGINT)
+       |    AS chars_per_token_ppm
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_encode" -> bpeEncodeOracleSql,
     // Containment over hashed trigram sets is hash-invariant (same
     // argument as the setsim oracle): DuckDB's hash() replaces xxhash64
     // with negligible collision odds on this gram universe. The brute
