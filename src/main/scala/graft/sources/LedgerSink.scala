@@ -280,21 +280,65 @@ private[sources] class LedgerWriter(schema: StructType, dir: String,
 // ---------- read path ----------
 
 private[sources] class LedgerScanBuilder(schema: StructType, path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = schema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def description(): String = s"LedgerSink scan of $path"
-    override def planInputPartitions(): Array[InputPartition] =
-      LedgerSink.readManifest(path).map(_.files).getOrElse(Seq.empty)
-        .map(f => LedgerFilePartition(path, f._1): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new LedgerReaderFactory(schema, required)
+  /** Ungrouped COUNT(*) is answered FROM THE MANIFEST — the per-file row
+    * counts each task reported at commit — with zero data files opened.
+    * COMPLETE pushdown: the scan's single metadata row IS the result.
+    * This is the warehouse-sink property (Iceberg/Delta answer the same
+    * query from their manifests); `LedgerSinkSpec` proves it by deleting
+    * a data file and counting anyway. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
   }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(agg)
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType =
+      if (countPushed) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+      else required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"LedgerSink scan of $path${if (countPushed) " pushedAgg=[COUNT(*) from manifest]" else ""}"
+    override def planInputPartitions(): Array[InputPartition] =
+      if (countPushed)
+        Array(LedgerCountPartition(
+          LedgerSink.readManifest(path).map(_.files.map(_._2).sum).getOrElse(0L)))
+      else
+        LedgerSink.readManifest(path).map(_.files).getOrElse(Seq.empty)
+          .map(f => LedgerFilePartition(path, f._1): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      if (countPushed) new LedgerCountReaderFactory
+      else new LedgerReaderFactory(schema, required)
+  }
+}
+
+private[sources] case class LedgerCountPartition(total: Long) extends InputPartition
+
+private[sources] class LedgerCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val total = partition.asInstanceOf[LedgerCountPartition].total
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(1); row.update(0, total); row
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class LedgerFilePartition(dir: String, file: String)

@@ -143,6 +143,25 @@ class LedgerSinkSpec extends AnyFunSuite {
     assert(scanDesc.contains("ReadSchema") || scanDesc.contains("Ledger"), scanDesc.take(800))
   }
 
+  test("COUNT(*) is answered from the manifest with zero data files opened") {
+    val dir = tmpDir("countpush")
+    sample(300).repartition(5).write.format(Fmt).option("path", dir)
+      .mode(SaveMode.Append).save()
+    val df = readBack(dir)
+    assert(df.count() == 300)
+    // the proof: destroy every data file; the manifest-only count still
+    // answers, while any row-reading query fails
+    new File(dir).listFiles().filter(_.getName.endsWith(".ledger"))
+      .foreach(f => assert(f.delete()))
+    assert(readBack(dir).count() == 300)
+    val plan = readBack(dir).groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[COUNT(*) from manifest]"), plan.take(1200))
+    intercept[Exception] { readBack(dir).select("k").collect() }
+    // counts with a filter must NOT be manifest-answered (and now throw,
+    // since they genuinely need the deleted rows)
+    intercept[Exception] { readBack(dir).filter(col("k") > 2).count() }
+  }
+
   test("unsupported column types are rejected loudly at table resolution") {
     import spark.implicits._
     val dir = tmpDir("types")
