@@ -315,7 +315,41 @@ object GraphQueries {
          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** Bounded-hop weighted single-source shortest path — Bellman-Ford
+    * unrolled for `rounds` relaxations from node 0 over the thinned
+    * bucket graph, with a deterministic integer weight derived from the
+    * edge endpoints (so both engines rebuild the identical weighted
+    * graph). After k rounds the distance is the exact minimum cost over
+    * walks of ≤ k edges — precisely what the oracle's depth-bounded
+    * recursive CTE enumerates, so the two formulations (relaxation vs
+    * path enumeration) check each other.
+    *
+    * Scale shape per round: ONE hash equi join of the edge list against
+    * the current |V|-bounded distance relation + a min-aggregate with
+    * map-side partials (the same kernel as [[labelProp]]); rounds unroll
+    * declaratively into one Catalyst plan. The relaxation form carries
+    * |V| state per round regardless of path count — the enumeration
+    * form the oracle runs is exponential in depth and exists only as a
+    * small-graph check. */
+  def sssp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val edges = lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("src"),
+        pmod(col("l_suppkey"), lit(100L)).as("dst"))
+      .filter(pmod(col("src") * 31 + col("dst"), lit(7L)) === 0L)
+      .distinct()
+      .withColumn("w", pmod(col("src") * 13 + col("dst") * 17, lit(97L)) + 1L)
+    val init = spark.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
+    val dist = (1 to rounds).foldLeft(init) { (cur, _) =>
+      val relaxed = edges
+        .join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      cur.unionAll(relaxed).groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_recursive_cte" -> ((s, d) => recursiveBfs(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
     "q_link_predict" -> ((s, d) => linkPredictRa(s, d)),
@@ -326,6 +360,23 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // depth-bounded walk ENUMERATION: min cost over walks of <= 3 edges
+    // equals 3 rounds of Bellman-Ford relaxation — two independent
+    // formulations of the same quantity
+    "q_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst, 1 + (src * 13 + dst * 17) % 97 AS w FROM (
+        |    SELECT DISTINCT (l_partkey % 100) AS src, (l_suppkey % 100) AS dst
+        |    FROM lineitem
+        |    WHERE ((l_partkey % 100) * 31 + (l_suppkey % 100)) % 7 = 0)),
+        |reach(node, cost, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.cost + e.w, r.depth + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node, CAST(min(cost) AS BIGINT) AS dist
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     // identical UNION ALL recursion — DuckDB's WITH RECURSIVE has the
     // same bounded-path semantics, so hops AND n_paths replay exactly
     "q_recursive_cte" ->

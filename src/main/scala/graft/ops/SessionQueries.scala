@@ -308,6 +308,122 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** EWMA smoothing — per-user exponentially weighted moving average of
+    * the spend series, the feature-engineering smoother every
+    * click-stream model consumes (recency-weighted activity level).
+    * Dyadic half-life form, truncated at 8 taps and scaled by 256 so it
+    * is INTEGER-EXACT: w_t = Σ_{j=0..7} 2^(7−j) · cents_{t−j} (missing
+    * taps at the head of a user's history contribute 0, exactly the
+    * "EWMA warms up from zero" convention). Reported per user: the
+    * smoothed value at the LAST event (selected by `max_by` over the
+    * (tms, event_id) total order — an aggregate, not a second window)
+    * plus the sum of all smoothed values as a whole-series checksum.
+    *
+    * Scale shape: ONE shuffle on user_id; the 8-tap lag window and the
+    * final per-user aggregate both reuse it. The taps are a fixed
+    * constant, so state per row is bounded; no unbounded frame. */
+  def ewma(spark: SparkSession, dir: String, taps: Int = 8): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val weighted = (0 until taps).map { j =>
+      coalesce(lag(col("cents"), j).over(byUser), lit(0L)) * lit(1L << (taps - 1 - j))
+    }.reduce(_ + _)
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000L").as("tms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("w", weighted)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("max_by(w, struct(tms, event_id))").as("ewma_last_x256"),
+        sum(col("w")).as("sum_ewma_x256"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Multi-touch attribution — the marketing-analytics classic: credit
+    * each purchase's revenue to a touch channel under BOTH the
+    * first-touch and last-touch models in one pass. A touch is any
+    * view/click strictly preceding the purchase in the per-user
+    * (tms, event_id) total order; purchases with no preceding touch
+    * credit the 'organic' channel. The two models are the two ends of
+    * the same ignoreNulls carry window (first() / last() over the
+    * strictly-preceding frame), so one user-partitioned sort serves both.
+    *
+    * Scale shape: ONE shuffle on user_id shared by both carry windows,
+    * then a tiny (model, channel) rollup. No event self-join — the
+    * naive purchase×touch formulation is quadratic per user. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val beforeMe = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+    val credited = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000000L").as("tms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("ft", first(touch, ignoreNulls = true).over(beforeMe))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(beforeMe))
+      .filter(col("event_type") === "purchase")
+    credited.select(lit("first").as("model"),
+        coalesce(col("ft"), lit("organic")).as("channel"), col("cents"))
+      .unionAll(credited.select(lit("last").as("model"),
+        coalesce(col("lt"), lit("organic")).as("channel"), col("cents")))
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("attributed_cents"))
+      .orderBy(col("model"), col("channel"))
+  }
+
+  /** Activity streaks — gaps-and-islands over each user's distinct
+    * active DAYS (the "7-day streak" engagement metric). The classic
+    * device: on the per-user day sequence, `day − row_number()` is
+    * constant exactly within a run of consecutive days, so grouping on
+    * that anchor yields the islands without any self-join.
+    *
+    * Scale shape: one (user, day) distinct (map-side partial), then ONE
+    * user shuffle reused by the row_number window, the island rollup and
+    * the per-user summary. Integer epoch-day math throughout. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 86400000000000L").as("day"))
+      .distinct()
+      .withColumn("anchor", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  /** OHLC bars — the time-series resample every market/metrics store
+    * runs: per day, the opening value, high, low, close, volume and
+    * turnover of the event value series. Open/close select by the
+    * (tms, event_id) total order via `min_by`/`max_by` — so the WHOLE
+    * query is one hash aggregate with map-side partials and NO window
+    * function at all (the windowed formulation sorts every group; the
+    * aggregate formulation keeps 2 candidate rows per partition per
+    * day — the 100 TB-correct shape).
+    *
+    * Oracle note: DuckDB lacks arg_min over a composite key, so the
+    * oracle replays open/close with row_number windows — two independent
+    * formulations checking each other. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("ts DIV 86400000000000L").as("day"),
+        col("event_id"), expr("ts DIV 1000000L").as("tms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day"))
+      .agg(expr("min_by(cents, struct(tms, event_id))").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        expr("max_by(cents, struct(tms, event_id))").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("turnover_cents"))
+      .orderBy(col("day"))
+  }
+
   /** Cohort retention (D1) — for each activity day, how many of its
     * active users return the NEXT day. The standard growth metric,
     * computed as one distinct (user, day) relation self-joined on
@@ -1172,6 +1288,10 @@ object SessionQueries {
     "q_cooccurrence" -> (cooccurrence _),
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
+    "q_ewma" -> ((s, d) => ewma(s, d)),
+    "q_attribution" -> (attribution _),
+    "q_streaks" -> (streaks _),
+    "q_ohlc" -> (ohlcBars _),
     "q_resample_locf" -> (resampleLocf _),
     "q_resample_linear" -> (resampleLinear _),
     "q_interval_union" -> ((s, d) => intervalUnion(s, d)),
@@ -1183,6 +1303,84 @@ object SessionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, tms, event_id,
+        |    coalesce(lag(cents, 0) OVER win, 0) * 128 +
+        |    coalesce(lag(cents, 1) OVER win, 0) * 64 +
+        |    coalesce(lag(cents, 2) OVER win, 0) * 32 +
+        |    coalesce(lag(cents, 3) OVER win, 0) * 16 +
+        |    coalesce(lag(cents, 4) OVER win, 0) * 8 +
+        |    coalesce(lag(cents, 5) OVER win, 0) * 4 +
+        |    coalesce(lag(cents, 6) OVER win, 0) * 2 +
+        |    coalesce(lag(cents, 7) OVER win, 0) * 1 AS w,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tms DESC, event_id DESC) AS rd
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tms, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(CASE WHEN rd = 1 THEN w END) AS BIGINT) AS ewma_last_x256,
+        |  CAST(sum(w) AS BIGINT) AS sum_ewma_x256
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS tms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, cents,
+        |    first_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+        |                IGNORE NULLS) OVER win AS ft,
+        |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+        |               IGNORE NULLS) OVER win AS lt
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tms, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT 'first' AS model, coalesce(ft, 'organic') AS channel, cents
+        |  FROM c WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'last' AS model, coalesce(lt, 'organic') AS channel, cents
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT model, channel, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM m GROUP BY model, channel ORDER BY model, channel""".stripMargin,
+    "q_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, anchor, count(*) AS len FROM i GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_id,
+        |    epoch_ns(ts) // 1000000 AS tms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT day, cents,
+        |    row_number() OVER (PARTITION BY day ORDER BY tms, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY day ORDER BY tms DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT day,
+        |  CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open,
+        |  CAST(max(cents) AS BIGINT) AS high,
+        |  CAST(min(cents) AS BIGINT) AS low,
+        |  CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS turnover_cents
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q_tvf_grid" ->
       """WITH g AS (SELECT unnest(range(0, 24)) AS hour),
         |e AS (

@@ -191,6 +191,66 @@ class QueriesSpec extends AnyFunSuite {
     taken.foreach { case (s, n) => assert(n == math.min(10L, sizes(s)), s"$s: $n") }
   }
 
+  test("ewma: per-user smoothed mass is bracketed by 128x and 255x raw mass") {
+    import org.apache.spark.sql.functions._
+    // each cents value feeds <= 8 downstream taps with weights
+    // 128+64+...+1 = 255, and always its own row at weight 128, so
+    // 128*S <= sum_w <= 255*S per user — exact bracket, no tolerance
+    val raw = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy(col("user_id")).agg(sum(col("c")).as("s"))
+    val bad = SessionQueries.ewma(spark, dir).join(raw, "user_id")
+      .filter(col("sum_ewma_x256") < col("s") * 128L ||
+              col("sum_ewma_x256") > col("s") * 255L)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("attribution: both models conserve total purchase revenue and count") {
+    import org.apache.spark.sql.functions._
+    val m = SessionQueries.attribution(spark, dir)
+      .groupBy(col("model"))
+      .agg(sum(col("n_purchases")).as("n"), sum(col("attributed_cents")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("first") == m("last"), "first/last models must redistribute, not change, totals")
+    val purchases = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")))
+      .head()
+    assert(m("first") == ((purchases.getLong(0), purchases.getLong(1))))
+  }
+
+  test("streaks: islands partition each user's active days") {
+    import org.apache.spark.sql.functions._
+    val st = SessionQueries.streaks(spark, dir)
+    val activeDays = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 86400000000000L").as("day")).distinct().count()
+    assert(st.agg(sum(col("n_active_days"))).head().getLong(0) == activeDays)
+    assert(st.filter(col("max_streak") > col("n_active_days")).count() == 0)
+    assert(st.filter(col("n_streaks") < 1).count() == 0)
+  }
+
+  test("ohlc: bars are internally consistent (low <= open,close <= high)") {
+    import org.apache.spark.sql.functions._
+    val bars = SessionQueries.ohlcBars(spark, dir)
+    val bad = bars.filter(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close") ||
+      col("low") > col("high")).count()
+    assert(bad == 0)
+  }
+
+  test("sssp: source at zero, and a fourth relaxation round never increases a distance") {
+    import org.apache.spark.sql.functions._
+    val d3 = GraphQueries.sssp(spark, dir, rounds = 3)
+    assert(d3.filter(col("node") === 0L && col("dist") === 0L).count() == 1)
+    val d4 = GraphQueries.sssp(spark, dir, rounds = 4)
+    // Bellman-Ford monotonicity: more rounds only shrink distances, and
+    // every round-3-reachable node stays reachable
+    val grew = d3.as("a").join(d4.as("b"), "node", "left")
+      .filter(col("b.dist").isNull || col("b.dist") > col("a.dist")).count()
+    assert(grew == 0)
+  }
+
   test("scd2 intervals tile each user's timeline without gap or overlap") {
     import org.apache.spark.sql.functions._
     val iv = SessionQueries.scd2(spark, dir)
