@@ -282,6 +282,57 @@ object VectorQueries {
       .select(col("label"), col("n"), col("inertia_micro"))
       .orderBy(col("label"))
 
+  /** Feature COVARIANCE matrix — the pairwise complement of [[wcss]]'s
+    * diagonal scatter: per label, cov(dim_i, dim_j) for every i ≤ j over
+    * the leading `dims` embedding dimensions (the feature-drift /
+    * whitening / redundancy-pruning statistic every training pipeline
+    * computes before touching a model). Sufficient-statistics identity:
+    * n²·cov = n·Σxy − Σx·Σy, so NO mean ever materializes and the whole
+    * operator is ONE grouped aggregate.
+    *
+    * Exactness device: floats enter the proven double→DECIMAL(18,9)→
+    * integer w = v·10⁹ funnel (see [[wcss]]); all sums run in
+    * DECIMAL(38,0) lanes; the micro-scaled covariance divides once at
+    * the end, SIGN-SPLIT because covariance can be negative and Spark's
+    * DIV truncates while DuckDB's // floors.
+    *
+    * Scale shape: each row expands to the d(d+1)/2 index pairs (36 at
+    * d=8) in a single generator pass — never the exploded-dims self-join
+    * on vec_id, which would shuffle the corpus twice and build n·d²
+    * rows through a join. One (label, i, j) aggregate with map-side
+    * partials; |labels|·36 rows out; nothing reaches the driver. */
+  def featureCov(spark: SparkSession, dir: String, dims: Int = 8): DataFrame = {
+    val d1 = dims - 1
+    Par.fanOut(embeddings(spark, dir))
+      .withColumn("w", expr(
+        s"""transform(slice(embedding, 1, $dims),
+           |  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT))""".stripMargin))
+      .select(col("label"), explode(expr(
+        s"""flatten(transform(sequence(0, $d1), i ->
+           |  transform(sequence(i, $d1), j ->
+           |    struct(i AS i, j AS j,
+           |           element_at(w, i + 1) AS wi,
+           |           element_at(w, j + 1) AS wj))))""".stripMargin)).as("p"))
+      .select(col("label"), col("p.i").as("i"), col("p.j").as("j"),
+        col("p.wi").as("wi"), col("p.wj").as("wj"))
+      .groupBy(col("label"), col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(wi AS DECIMAL(38,0)) * wj")).as("sxy"),
+        sum(expr("CAST(wi AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(wj AS DECIMAL(38,0))")).as("sy"))
+      .withColumn("scaled", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("cov_micro", expr(
+        """CASE WHEN scaled >= 0 THEN
+          |  CAST((1000000 * scaled)
+          |       DIV (CAST(n AS DECIMAL(38,0)) * n * 1000000000000000000) AS BIGINT)
+          |ELSE
+          |  -CAST((1000000 * -scaled)
+          |        DIV (CAST(n AS DECIMAL(38,0)) * n * 1000000000000000000) AS BIGINT)
+          |END""".stripMargin))
+      .select(col("label"), col("i"), col("j"), col("n"), col("cov_micro"))
+      .orderBy(col("label"), col("i"), col("j"))
+  }
+
   def embCentroid(spark: SparkSession, dir: String, dims: Int = 16): DataFrame =
     Par.fanOut(embeddings(spark, dir))
       // slice BEFORE the explode: generate `dims` rows per vector, not
@@ -779,6 +830,7 @@ object VectorQueries {
     "q_ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "q_emb_centroid" -> ((s, d) => embCentroid(s, d)),
     "q_wcss" -> ((s, d) => wcss(s, d)),
+    "q_feature_cov" -> ((s, d) => featureCov(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
     "q_ann_sq" -> ((s, d) => annSq(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -838,6 +890,37 @@ object VectorQueries {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // n^2-scaled sufficient-statistics identity replayed in HUGEINT
+    // lanes; sign-split division (Spark DIV truncates, DuckDB // floors)
+    "q_feature_cov" ->
+      """WITH w AS (
+        |  SELECT label,
+        |    list_transform(embedding[1:8],
+        |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS w
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT label, i.range AS i, j.range AS j,
+        |    w[CAST(i.range + 1 AS INTEGER)] AS wi,
+        |    w[CAST(j.range + 1 AS INTEGER)] AS wj
+        |  FROM w, range(0, 8) i, range(0, 8) j WHERE j.range >= i.range),
+        |a AS (
+        |  SELECT label, i, j, count(*) AS n,
+        |    sum(CAST(wi AS HUGEINT) * wj) AS sxy,
+        |    sum(CAST(wi AS HUGEINT)) AS sx,
+        |    sum(CAST(wj AS HUGEINT)) AS sy
+        |  FROM p GROUP BY label, i, j),
+        |s AS (SELECT label, i, j, n,
+        |        CAST(n AS HUGEINT) * sxy - sx * sy AS scaled FROM a)
+        |SELECT label, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  CASE WHEN scaled >= 0 THEN
+        |    CAST((1000000 * scaled)
+        |         // (CAST(n AS HUGEINT) * n * 1000000000000000000) AS BIGINT)
+        |  ELSE
+        |    -CAST((1000000 * -scaled)
+        |          // (CAST(n AS HUGEINT) * n * 1000000000000000000) AS BIGINT)
+        |  END AS cov_micro
+        |FROM s ORDER BY label, i, j""".stripMargin,
     // SemDeDup replay: the shared trained-centroid chain assigns every
     // vector (a2), in-cluster pairs get the same left-to-right cosine,
     // and all outputs are integer counts.

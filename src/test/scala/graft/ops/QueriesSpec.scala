@@ -251,6 +251,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(grew == 0)
   }
 
+  test("feature covariance: full triangle per label, constant n, non-negative diagonal") {
+    import org.apache.spark.sql.functions._
+    val cov = VectorQueries.featureCov(spark, dir)
+    // 8 dims -> 36 (i <= j) pairs per label, one n per label
+    val shape = cov.groupBy(col("label"))
+      .agg(count(lit(1)).as("pairs"), countDistinct(col("n")).as("nn"))
+      .filter(col("pairs") =!= 36 || col("nn") =!= 1).count()
+    assert(shape == 0)
+    // diagonal entries are variances: n^2-scaled Cauchy-Schwarz keeps
+    // them >= 0 exactly (truncation only shrinks magnitude)
+    assert(cov.filter(col("i") === col("j") && col("cov_micro") < 0).count() == 0)
+  }
+
   test("scd2 intervals tile each user's timeline without gap or overlap") {
     import org.apache.spark.sql.functions._
     val iv = SessionQueries.scd2(spark, dir)
