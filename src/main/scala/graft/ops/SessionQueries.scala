@@ -424,6 +424,38 @@ object SessionQueries {
       .orderBy(col("day"))
   }
 
+  /** TWAP — time-weighted average value per user: the integral of the
+    * last-observation step function over the user's observed span,
+    * divided by that span (the metric that makes irregular sampling
+    * honest: a value that held for 6 hours counts 6 hours, not one
+    * sample). Each observation holds until the next one (lead), so the
+    * weighted mass is Σ cents·Δms — pure integer; the last observation
+    * closes the span with weight 0, and single-event users fall back to
+    * the plain value. Emitted as the exact mass, the span, and their
+    * truncating quotient (all operands non-negative, so Spark DIV and
+    * DuckDB // agree).
+    *
+    * Scale shape: ONE shuffle on user_id shared by the lead window and
+    * the rollup — the same contract as [[sessionize]]. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000L").as("tms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("dur_ms", coalesce(lead(col("tms"), 1).over(byUser) - col("tms"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("dur_ms")).as("mass_cents_ms"),
+        sum(col("dur_ms")).as("span_ms"),
+        expr("max_by(cents, struct(tms, event_id))").as("last_cents"))
+      .withColumn("twap_cents", expr(
+        "CASE WHEN span_ms = 0 THEN last_cents ELSE mass_cents_ms DIV span_ms END"))
+      .select(col("user_id"), col("n_events"), col("mass_cents_ms"),
+        col("span_ms"), col("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cohort retention (D1) — for each activity day, how many of its
     * active users return the NEXT day. The standard growth metric,
     * computed as one distinct (user, day) relation self-joined on
@@ -1289,6 +1321,7 @@ object SessionQueries {
     "q_scd2" -> (scd2 _),
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_ewma" -> ((s, d) => ewma(s, d)),
+    "q_twap" -> (twap _),
     "q_attribution" -> (attribution _),
     "q_streaks" -> (streaks _),
     "q_ohlc" -> (ohlcBars _),
@@ -1326,6 +1359,28 @@ object SessionQueries {
         |  CAST(max(CASE WHEN rd = 1 THEN w END) AS BIGINT) AS ewma_last_x256,
         |  CAST(sum(w) AS BIGINT) AS sum_ewma_x256
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, tms, event_id, cents,
+        |    coalesce(lead(tms, 1) OVER win - tms, 0) AS dur_ms,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tms DESC, event_id DESC) AS rd
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents * dur_ms) AS BIGINT) AS mass_cents_ms,
+        |    CAST(sum(dur_ms) AS BIGINT) AS span_ms,
+        |    CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS last_cents
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_events, mass_cents_ms, span_ms,
+        |  CASE WHEN span_ms = 0 THEN last_cents
+        |       ELSE mass_cents_ms // span_ms END AS twap_cents
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS tms,

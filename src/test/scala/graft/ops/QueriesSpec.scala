@@ -230,6 +230,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(st.filter(col("n_streaks") < 1).count() == 0)
   }
 
+  test("twap: bracketed by per-user min/max cents and span equals first-to-last gap") {
+    import org.apache.spark.sql.functions._
+    val tw = SessionQueries.twap(spark, dir)
+    val bounds = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts DIV 1000000L").as("tms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy(col("user_id"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        (max(col("tms")) - min(col("tms"))).as("gap"))
+    val joined = tw.join(bounds, "user_id")
+    // a time-weighted mean of the step function can't leave [lo, hi]
+    assert(joined.filter(col("twap_cents") < col("lo") ||
+      col("twap_cents") > col("hi")).count() == 0)
+    // durations tile the observed span exactly
+    assert(joined.filter(col("span_ms") =!= col("gap")).count() == 0)
+  }
+
   test("ohlc: bars are internally consistent (low <= open,close <= high)") {
     import org.apache.spark.sql.functions._
     val bars = SessionQueries.ohlcBars(spark, dir)
