@@ -175,6 +175,20 @@ object Plans {
         "st_intersects join (25-row source side broadcast), overlay " +
         "weights are per-pair scalar work, and the only exchange under " +
         "the weighted sum carries |targets| grouping keys."),
+    Entry("q_ohlc",
+      "OHLC bars with NO window function: open/close select via " +
+        "min_by/max_by over the (tms,event_id) struct order, so the " +
+        "whole query is one partial+final aggregate pair — each map " +
+        "task carries 2 candidate rows per day instead of sorting " +
+        "every group the way the row_number formulation (the oracle) " +
+        "would."),
+    Entry("q_feature_cov",
+      "Pairwise covariance without a self-join: the per-row generator " +
+        "expands each vector to its 36 (i<=j) index pairs in the scan " +
+        "stage, and the ONLY exchange carries the (label,i,j) keys of a " +
+        "partial+final HashAggregate in whole-stage codegen. The " +
+        "n^2-scaled identity keeps every lane DECIMAL(38,0)-exact; no " +
+        "mean, no second pass, nothing on the driver."),
   )
 
 
