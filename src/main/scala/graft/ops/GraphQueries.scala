@@ -348,7 +348,37 @@ object GraphQueries {
     dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
   }
 
+  /** Exact connected components as a first-class GRAPH operator — the
+    * one classic missing between [[labelProp]] (bounded rounds,
+    * approximate) and [[TextQueries.dedupClusters]] (the same kernel on
+    * near-dup pairs): runs the two-level union-find engine
+    * ([[TextQueries.connectedComponents]]: per-partition edge
+    * contraction, then one-task forest labeling or the log-diameter
+    * min-label/pointer-jump tail) over the thinned bucket graph and
+    * rolls up per-component size. The %13 thinning leaves a 4-component
+    * structure at test scale, so the rollup is non-trivial.
+    *
+    * Oracle: DuckDB computes each node's component as min(node id over
+    * the bidirected transitive closure) via a fixpoint recursive CTE —
+    * component label = min member on both sides, two completely
+    * different algorithms agreeing. Closure is |V|² worst case: an
+    * oracle-side-only cost (|V| = 100 buckets); the engine side never
+    * materializes reachability. */
+  def graphCc(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("a_id"),
+        pmod(col("l_suppkey"), lit(100L)).as("b_id"))
+      .filter(pmod(col("a_id") * 31 + col("b_id"), lit(13L)) === 0L &&
+        col("a_id") =!= col("b_id"))
+      .distinct()
+    TextQueries.connectedComponents(spark, edges)
+      .groupBy(col("rep").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("component"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_cc" -> (graphCc _),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_recursive_cte" -> ((s, d) => recursiveBfs(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
@@ -360,6 +390,24 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // bidirected transitive closure to a fixpoint (recursive CTE with
+    // set-union dedup), component = min reachable node id — a different
+    // algorithm than the engine's union-find, same partition of V
+    "q_graph_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT (l_partkey % 100) AS a, (l_suppkey % 100) AS b
+        |  FROM lineitem
+        |  WHERE ((l_partkey % 100) * 31 + (l_suppkey % 100)) % 13 = 0
+        |    AND (l_partkey % 100) != (l_suppkey % 100)),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |reach(src, node) AS (
+        |  SELECT node AS src, node FROM nodes
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.node),
+        |comp AS (SELECT src, min(node) AS component FROM reach GROUP BY src)
+        |SELECT component, count(*) AS n_nodes
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
     // depth-bounded walk ENUMERATION: min cost over walks of <= 3 edges
     // equals 3 rounds of Bellman-Ford relaxation — two independent
     // formulations of the same quantity

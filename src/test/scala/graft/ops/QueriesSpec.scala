@@ -256,6 +256,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("graph cc: component sizes match a driver-side brute-force union-find") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("a"),
+        pmod(col("l_suppkey"), lit(100L)).as("b"))
+      .filter(pmod(col("a") * 31 + col("b"), lit(13L)) === 0L && col("a") =!= col("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).map { case (rep, ns) => rep -> ns.length.toLong }
+    val got = GraphQueries.graphCc(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("sssp: source at zero, and a fourth relaxation round never increases a distance") {
     import org.apache.spark.sql.functions._
     val d3 = GraphQueries.sssp(spark, dir, rounds = 3)
