@@ -249,10 +249,84 @@ object Multimodal {
         sum(col("n_units")).as("sum_units"))
   }
 
+  /** Per-image 4×4 patch embedding from DECODED pixels: cell c = Σ gray
+    * over the pixels whose integer grid bucket is c (gx = x·4 DIV w,
+    * gy = y·4 DIV h) — the "resize to a tiny grid and compare" kernel
+    * behind perceptual image retrieval, computed on the real
+    * decode-side bytes so a codec defect shifts every downstream score. */
+  case class ImageCells(item_id: Long, cells: Array[Long])
+
+  private[ops] def imageCells(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[ImageCells] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.modality == "image")
+      .mapPartitions { it =>
+        it.map { m =>
+          val img = decodeBmp(m.payload)
+          val cells = new Array[Long](16)
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val c = (y * 4 / img.height) * 4 + (x * 4 / img.width)
+              val p = (y * img.width + x) * 3
+              cells(c) += (img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) +
+                (img.rgb(p + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageCells(m.item_id, cells)
+        }
+      }
+  }
+
+  /** Probe ids for [[mmRetrieval]] — image-modality ids (≡ 0 mod 3)
+    * present at every test scale (doc_id < 500 at sf0.001). */
+  private[ops] val RetrievalProbes: Seq[Long] = Seq(0L, 33L, 150L, 300L, 498L)
+
+  /** Multimodal retrieval end to end — the chain a perceptual image
+    * search runs: decode the REAL container bytes → 4×4 patch
+    * embedding → score every candidate against each probe by integer
+    * cos² ppm (dot²·10⁶ DIV (‖a‖²·‖b‖²) — all sums non-negative, so no
+    * sign split and no sqrt) → top-3 per probe.
+    *
+    * Scale shape: the probe side is 5 rows and BROADCASTS; scoring is
+    * per-candidate-row scalar work (zip_with/aggregate over 16-long
+    * arrays); ranking is the bounded-state `topk_agg` (≤2k pairs of
+    * state per probe with map-side partials) — NOT a per-probe
+    * row_number window, which would sort every candidate through
+    * |probes| window partitions. The oracle replays the generator
+    * closed form for the cells, so the decode path is load-bearing. */
+  def mmRetrieval(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cells = imageCells(spark, dir).toDF()
+    val probes = cells
+      .filter(col("item_id").isin(RetrievalProbes: _*))
+      .select(col("item_id").as("probe_id"), col("cells").as("pc"))
+    val cands = cells.select(col("item_id").as("cand_id"), col("cells").as("cc"))
+    cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(pc, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("na", expr(
+        "aggregate(transform(pc, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("nb", expr(
+        "aggregate(transform(cc, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("cos2_ppm", expr(
+        """CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
+          |     DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)""".stripMargin))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.topk_agg(col("cand_id"), col("cos2_ppm"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.key").as("cand_id"), col("col.score").as("cos2_ppm"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_sampled" -> (sampledStats _),
     "q_binary_ingest" -> (binaryIngest _),
+    "q_mm_retrieval" -> ((s, d) => mmRetrieval(s, d)),
   )
 
   /** The oracle mirrors the deterministic GENERATOR (not the container):
@@ -260,6 +334,44 @@ object Multimodal {
     * codec defect surfaces as a stat mismatch. All per-item stats are
     * exact integers; the single mean division is the last operation. */
   val oracles: Map[String, String] = Map(
+    // the retrieval chain replayed from the GENERATOR (never the
+    // container): per image the 4x4 cell sums come from the (id*7+i)
+    // channel ramp bucketed by the same integer grid; scores and the
+    // top-3 rank replay in HUGEINT lanes with the (score desc, cand asc)
+    // total order topk_agg guarantees
+    "q_mm_retrieval" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT id, w, h, i.range AS i FROM img, range(0, 160) i
+        |  WHERE i.range < w * h),
+        |cells AS (
+        |  SELECT id,
+        |    ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS c,
+        |    sum((id * 7 + i) % 256 + (id * 7 + i + 85) % 256
+        |        + (id * 7 + i + 170) % 256) AS s
+        |  FROM px GROUP BY 1, 2),
+        |pr AS (SELECT id AS probe_id, c, s FROM cells
+        |       WHERE id IN (0, 33, 150, 300, 498)),
+        |sc AS (
+        |  SELECT pr.probe_id, ca.id AS cand_id,
+        |    sum(CAST(pr.s AS HUGEINT) * ca.s) AS dot,
+        |    sum(CAST(pr.s AS HUGEINT) * pr.s) AS na,
+        |    sum(CAST(ca.s AS HUGEINT) * ca.s) AS nb
+        |  FROM pr JOIN cells ca ON pr.c = ca.c AND ca.id != pr.probe_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT probe_id, cand_id,
+        |    CAST((dot * dot * 1000000) // (na * nb) AS BIGINT) AS cos2_ppm
+        |  FROM sc),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, cos2_ppm,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cos2_ppm DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id, cos2_ppm
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     // image-lane generator closed forms over the same capped id set:
     // n_bytes = 54-byte header + h padded rows; level sum replays the
     // (id*7+i) channel ramp; src_len must equal n_bytes (source framing)

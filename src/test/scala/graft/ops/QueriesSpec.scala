@@ -256,6 +256,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("mm retrieval: dense 1..3 ranks per probe, no self-match, scores non-increasing") {
+    import org.apache.spark.sql.functions._
+    val r = Multimodal.mmRetrieval(spark, dir).collect()
+    val byProbe = r.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 33L, 150L, 300L, 498L))
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 3), s"probe $p ranks")
+      assert(rows.forall(_.getLong(2) != p), s"probe $p self-match")
+      val scores = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"probe $p order")
+    }
+  }
+
   test("graph cc: component sizes match a driver-side brute-force union-find") {
     import org.apache.spark.sql.functions._
     val edges = Tables.lineitem(spark, dir)
