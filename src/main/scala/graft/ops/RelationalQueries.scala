@@ -1070,7 +1070,29 @@ object RelationalQueries {
       .toDF("n_rows", "sum_cents", "max_qty", "n_kept")
   }
 
+  /** Key-skew profiler — the diagnostic every 100 TB shuffle tuning
+    * session starts with: the log₂-octave histogram of per-key group
+    * sizes (how many join/agg keys carry 1–1 rows, 2–3, 4–7, …, and
+    * what the hottest key holds). A flat profile means hash partitioning
+    * is safe; a heavy top octave is the signal to salt
+    * ([[skewSaltedAgg]]) or AQE-split. Octave = bit length − 1, the same
+    * log-free integer device as [[TextQueries.zipfOctaves]].
+    *
+    * Scale shape: two grouped aggregates, both with map-side partials —
+    * the per-key count shuffles |keys| rows, the octave rollup ≤64.
+    * Nothing sorts, nothing is driver-side. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("rows_per_key"))
+      .withColumn("octave", (length(bin(col("rows_per_key"))) - 1).cast("int"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("rows_per_key")).as("sum_rows"),
+        max(col("rows_per_key")).as("max_rows"))
+      .orderBy(col("octave"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile" -> (skewProfile _),
     "q_observe" -> (observeMetrics _),
     "q_lattice_scan" -> (latticeScan _),
     "q_lattice_agg" -> (latticeAgg _),
@@ -1122,6 +1144,15 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH k AS (
+        |  SELECT l_partkey, count(*) AS rows_per_key
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(length(bin(rows_per_key)) - 1 AS INTEGER) AS octave,
+        |  count(*) AS n_keys,
+        |  CAST(sum(rows_per_key) AS BIGINT) AS sum_rows,
+        |  CAST(max(rows_per_key) AS BIGINT) AS max_rows
+        |FROM k GROUP BY 1 ORDER BY octave""".stripMargin,
     "q_observe" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))

@@ -456,6 +456,42 @@ object SessionQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Conversion-latency distribution — signup → first purchase: the
+    * funnel metric [[funnelSteps]] does NOT give (it counts depth, not
+    * latency). Per converting user, Δms between the first signup and
+    * the first purchase strictly after it; reported as one row of exact
+    * order statistics: count, min, LOWER MEDIAN (element ⌈n/2⌉ of the
+    * (Δ, user) total order — deterministic, no interpolation, engine-
+    * identical), max, and total.
+    *
+    * Scale shape: two per-user min-aggregates and a hash join — all on
+    * the user key. The median window runs over the ALREADY-AGGREGATED
+    * ≤|users| relation (the same size class as the |days| windows in
+    * [[userGrowth]]/[[cusum]]), never over raw events. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000000L").as("tms"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("t0"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("tms") > col("t0"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("tms")).as("t1"))
+      .select(col("user_id"), (col("t1") - col("t0")).as("delta_ms"))
+    import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
+    val n = scalarSubquery(conv.agg(count(lit(1))))
+    conv
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("delta_ms"), col("user_id"))).cast("long"))
+      .withColumn("n", n)
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("n").as("n_converters"), col("delta_ms").as("median_ms"))
+      .crossJoin(conv.agg(min(col("delta_ms")).as("min_ms"),
+        max(col("delta_ms")).as("max_ms"), sum(col("delta_ms")).as("sum_ms")))
+      .select(col("n_converters"), col("min_ms"), col("median_ms"),
+        col("max_ms"), col("sum_ms"))
+  }
+
   /** Cohort retention (D1) — for each activity day, how many of its
     * active users return the NEXT day. The standard growth metric,
     * computed as one distinct (user, day) relation self-joined on
@@ -1322,6 +1358,7 @@ object SessionQueries {
     "q_funnel" -> ((s, d) => funnel(s, d)),
     "q_ewma" -> ((s, d) => ewma(s, d)),
     "q_twap" -> (twap _),
+    "q_time_to_convert" -> (timeToConvert _),
     "q_attribution" -> (attribution _),
     "q_streaks" -> (streaks _),
     "q_ohlc" -> (ohlcBars _),
@@ -1359,6 +1396,30 @@ object SessionQueries {
         |  CAST(max(CASE WHEN rd = 1 THEN w END) AS BIGINT) AS ewma_last_x256,
         |  CAST(sum(w) AS BIGINT) AS sum_ewma_x256
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS tms FROM events),
+        |s AS (
+        |  SELECT user_id, min(tms) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(e.tms) - min(s.t0) AS delta_ms
+        |  FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tms > s.t0
+        |  GROUP BY e.user_id),
+        |r AS (
+        |  SELECT delta_ms,
+        |    row_number() OVER (ORDER BY delta_ms, user_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM conv),
+        |med AS (SELECT n, delta_ms AS median_ms FROM r WHERE rn = (n + 1) // 2)
+        |SELECT CAST(med.n AS BIGINT) AS n_converters,
+        |  CAST(a.min_ms AS BIGINT) AS min_ms,
+        |  CAST(med.median_ms AS BIGINT) AS median_ms,
+        |  CAST(a.max_ms AS BIGINT) AS max_ms,
+        |  CAST(a.sum_ms AS BIGINT) AS sum_ms
+        |FROM med, (SELECT min(delta_ms) AS min_ms, max(delta_ms) AS max_ms,
+        |           sum(delta_ms) AS sum_ms FROM conv) a""".stripMargin,
     "q_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,

@@ -256,6 +256,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("skew profile: octaves conserve keys and rows, max stays in octave range") {
+    import org.apache.spark.sql.functions._
+    val p = RelationalQueries.skewProfile(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    assert(p.agg(sum(col("sum_rows"))).head().getLong(0) == li.count())
+    assert(p.agg(sum(col("n_keys"))).head().getLong(0) ==
+      li.select(countDistinct(col("l_partkey"))).head().getLong(0))
+    // a count in octave o satisfies 2^o <= count < 2^(o+1)
+    val bad = p.filter(expr("max_rows < shiftleft(1L, octave)") ||
+      expr("max_rows >= shiftleft(2L, octave)")).count()
+    assert(bad == 0)
+  }
+
+  test("time to convert: median bracketed by min/max and consistent with mean bounds") {
+    import org.apache.spark.sql.functions._
+    val r = SessionQueries.timeToConvert(spark, dir).head()
+    val (n, lo, med, hi, total) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n > 0 && lo <= med && med <= hi)
+    assert(total >= n * lo && total <= n * hi)
+  }
+
   test("mm retrieval: dense 1..3 ranks per probe, no self-match, scores non-increasing") {
     import org.apache.spark.sql.functions._
     val r = Multimodal.mmRetrieval(spark, dir).collect()
