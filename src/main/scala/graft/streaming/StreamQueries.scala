@@ -783,7 +783,44 @@ object StreamQueries {
     } finally spark.conf.unset("graft.stream.stateStoreProvider")
   }
 
+  /** Streaming OHLC bars — the batch [[graft.ops.SessionQueries.ohlcBars]]
+    * aggregate run AS A STREAM: tumbling 1-day event-time windows under
+    * the 2 h watermark, open/close selected by `min_by`/`max_by` over the
+    * (tms, event_id) total order INSIDE the streaming aggregate (state =
+    * two candidate pairs + 3 scalars per open window — bounded, mergeable
+    * across micro-batches, no sort anywhere). Append mode: a bar emits
+    * exactly when the watermark closes its day, so the oracle keeps the
+    * established closed-window rule (window_end ≤ max(tms) − 2 h).
+    *
+    * The point: every prior streaming aggregate here is either a count/
+    * sum shape or a custom sketch — this one proves Spark's ORDERED
+    * extremum aggregates (min_by/max_by with a struct key) hold their
+    * per-window state correctly across batch boundaries, which is what a
+    * market-bar or sensor-bar product actually ships. */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("tts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("tms", expr("ts DIV 1000000L"))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withWatermark("tts", "2 hours")
+    val bars = s.groupBy(window(col("tts"), "1 day"))
+      .agg(expr("min_by(cents, struct(tms, event_id))").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        expr("max_by(cents, struct(tms, event_id))").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("turnover_cents"))
+      .select(unix_millis(col("window.start")).as("day_start_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("turnover_cents"))
+    runBounded(spark, bars, "graft_stream_ohlc") {
+      _.orderBy(col("day_start_ms"))
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ohlc" -> (streamOhlc _),
     "q_stream_tws" -> (streamTws _),
     "q_stream_quantile" -> ((s, d) => streamQuantile(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopk(s, d)),
@@ -805,6 +842,32 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the batch OHLC mirror (row_number open/close formulation) gated by
+    // the closed-window rule: a day's bar exists iff its end cleared the
+    // final watermark (window_end <= max(tms) - 2h, probe-pinned)
+    "q_stream_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT epoch_ns(ts) // 1000000 AS tms, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT (tms // 86400000) * 86400000 AS day_start_ms, cents,
+         |    row_number() OVER (PARTITION BY tms // 86400000
+         |                       ORDER BY tms, event_id) AS ra,
+         |    row_number() OVER (PARTITION BY tms // 86400000
+         |                       ORDER BY tms DESC, event_id DESC) AS rd
+         |  FROM e)
+         |SELECT day_start_ms,
+         |  CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open,
+         |  CAST(max(cents) AS BIGINT) AS high,
+         |  CAST(min(cents) AS BIGINT) AS low,
+         |  CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close,
+         |  count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS turnover_cents
+         |FROM r GROUP BY day_start_ms
+         |HAVING day_start_ms + 86400000 <=
+         |  (SELECT max(tms) FROM e) - $WatermarkMs
+         |ORDER BY day_start_ms""".stripMargin,
     // transformWithState milestone fold: running-sum window in
     // (tms, event_id) order; prev cum = cum - cents, DuckDB // floors
     // like Math.floorDiv, greatest(0, ...) keeps only upward crossings
