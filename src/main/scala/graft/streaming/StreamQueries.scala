@@ -159,6 +159,43 @@ object StreamQueries {
     }
   }
 
+  /** Stream-stream LEFT SEMI interval join — completes the streaming join
+    * family (inner [[streamStreamJoin]], left outer [[streamOuterJoin]]):
+    * each click emits AT MOST ONCE, on the first view the same user
+    * produces within the following hour, and never again (the engine
+    * marks the matched left row in state instead of re-emitting per
+    * match). The existence-check shape — "which impressions converted" —
+    * without the inner join's match-multiplicity blowup: at 100 TB a hub
+    * user with V views per click pays 1 output row here vs V there, and
+    * the join state still expires by the same watermark + time-bound
+    * reasoning.
+    *
+    * Determinism: every matched click emits in the data batch itself
+    * (all matches are present in the bounded single-batch replay), and
+    * unmatched clicks produce nothing in append mode — no flush-boundary
+    * rows exist, so unlike the outer join no margin device is needed.
+    * The batch mirror is the plain EXISTS semi join. */
+  def streamSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(eventType: String, idAs: String) =
+      eventsStream(spark, dir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${idAs}_user"),
+          col("event_id").as(s"${idAs}_id"),
+          timestamp_millis(expr("ts DIV 1000000")).as(s"${idAs}_ts"))
+        .withWatermark(s"${idAs}_ts", "2 hours")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    runBounded(spark, joined, "graft_stream_semi", finalWatermarkBatch = false) {
+      _.groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_converted_clicks"),
+          min(unix_millis(col("c_ts"))).as("first_click_ms"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** Stream-stream LEFT OUTER interval join — the semantics the inner
     * join ([[streamStreamJoin]]) cannot express: a click with NO view in
     * its following hour still surfaces, as a null-view row EMITTED BY THE
@@ -821,6 +858,7 @@ object StreamQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_ohlc" -> (streamOhlc _),
+    "q_stream_semi_join" -> (streamSemiJoin _),
     "q_stream_tws" -> (streamTws _),
     "q_stream_quantile" -> ((s, d) => streamQuantile(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopk(s, d)),
@@ -845,6 +883,23 @@ object StreamQueries {
     // the batch OHLC mirror (row_number open/close formulation) gated by
     // the closed-window rule: a day's bar exists iff its end cleared the
     // final watermark (window_end <= max(tms) - 2h, probe-pinned)
+    // semi-join mirror: clicks with >= 1 same-user view in (c, c+1h];
+    // every such click emits exactly once in the data batch, so the
+    // EXISTS replay is the whole semantics (no flush boundary exists)
+    "q_stream_semi_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms
+        |  FROM events)
+        |SELECT c.user_id,
+        |       count(*) AS n_converted_clicks,
+        |       min(c.tms) AS first_click_ms
+        |FROM e c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM e v
+        |  WHERE v.event_type = 'view' AND v.user_id = c.user_id
+        |    AND v.tms >= c.tms AND v.tms <= c.tms + 3600000)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_stream_ohlc" ->
       s"""WITH e AS (
          |  SELECT epoch_ns(ts) // 1000000 AS tms, event_id,
