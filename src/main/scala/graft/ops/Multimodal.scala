@@ -217,6 +217,57 @@ object Multimodal {
     * listing pressure — the fix is this exact pipeline writing
     * (id, payload) parquet once ([[mediaTable]]'s shape) and all later
     * passes reading that. */
+  /** Per-item framed audio analysis — the signal-DSP stage of a media
+    * pipeline (VAD / loudness windows / peak picking): decode the REAL
+    * PCM16 WAV container, split the sample stream into fixed 32-sample
+    * frames, score each frame by its exact integer energy Σs², and keep
+    * each item's PEAK frame (argmax, ties to the lowest frame index —
+    * a total order). Emission is the per-peak-frame-index rollup, all
+    * integer-exact.
+    *
+    * Scale shape: decode + framing + argmax are per-row partition-local
+    * (one pass over the samples, O(1) state per frame); only the 4
+    * fixed-width ints per item reach the exchange — the payload bytes
+    * never shuffle. The oracle replays the sample GENERATOR, so a codec
+    * defect (chunk-walk off-by-one, endianness, sign) breaks the hash. */
+  def audioFrameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 32
+    val perItem = mediaTable(spark, dir)
+      .filter(col("modality") === "audio")
+      .as[MediaItem]
+      .mapPartitions { it =>
+        it.map { m =>
+          val au = decodeWav(m.payload)
+          val nf = au.samples.length / frameLen
+          var bestF = 0
+          var bestE = Long.MinValue
+          var total = 0L
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var j = 0
+            while (j < frameLen) {
+              val s = au.samples(f * frameLen + j).toLong
+              e += s * s
+              j += 1
+            }
+            total += e
+            if (e > bestE) { bestE = e; bestF = f }
+            f += 1
+          }
+          (m.item_id, bestF, bestE, total, nf)
+        }
+      }
+      .toDF("item_id", "peak_frame", "peak_energy", "total_energy", "n_frames")
+    perItem.groupBy(col("peak_frame").cast("int").as("peak_frame"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("peak_energy")).as("sum_peak_energy"),
+        sum(col("total_energy")).as("sum_total_energy"),
+        sum(col("n_frames")).as("sum_frames"))
+      .orderBy(col("peak_frame"))
+  }
+
   def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = s"${SinkQueries.OutBase}/binary_ingest"
@@ -326,6 +377,7 @@ object Multimodal {
     "q_mm_features" -> (featureStats _),
     "q_mm_sampled" -> (sampledStats _),
     "q_binary_ingest" -> (binaryIngest _),
+    "q_mm_audio_energy" -> (audioFrameEnergy _),
     "q_mm_retrieval" -> ((s, d) => mmRetrieval(s, d)),
   )
 
@@ -392,6 +444,32 @@ object Multimodal {
         |       CAST(sum(level_sum) AS BIGINT) AS sum_levels,
         |       CAST(sum(n_units) AS BIGINT) AS sum_units
         |FROM f""".stripMargin,
+    // audio-lane generator replay: samples (id*31 + i*17) % 2048 - 1024,
+    // n = 64 + id%129 of them, full 32-sample frames only; per-frame
+    // energy sum(s^2), peak = (energy DESC, frame ASC) row 1 — the same
+    // total order the Scala argmax (strict >) implements
+    "q_mm_audio_energy" ->
+      """WITH au AS (
+        |  SELECT doc_id AS id, 64 + doc_id % 129 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (
+        |  SELECT id, f.range AS f,
+        |    list_sum(list_transform(range(32),
+        |      j -> CAST((id * 31 + (f.range * 32 + j) * 17) % 2048 - 1024 AS BIGINT)
+        |           * ((id * 31 + (f.range * 32 + j) * 17) % 2048 - 1024))) AS energy
+        |  FROM au, range(0, 6) f WHERE f.range < n // 32),
+        |pk AS (
+        |  SELECT id, f, energy,
+        |    row_number() OVER (PARTITION BY id ORDER BY energy DESC, f ASC) AS rk,
+        |    sum(energy) OVER (PARTITION BY id) AS tot,
+        |    count(*) OVER (PARTITION BY id) AS nf
+        |  FROM fr)
+        |SELECT CAST(f AS INTEGER) AS peak_frame,
+        |       count(*) AS n_items,
+        |       CAST(sum(energy) AS BIGINT) AS sum_peak_energy,
+        |       CAST(sum(tot) AS BIGINT) AS sum_total_energy,
+        |       CAST(sum(nf) AS BIGINT) AS sum_frames
+        |FROM pk WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mm_features" ->
       """WITH f AS (
         |  SELECT doc_id,
