@@ -448,6 +448,57 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic epoch reshuffle WITHOUT a sort: training loops need a
+    * different global order every epoch, and the naive device — shuffle
+    * 100 TB by `rand(seed)` and totally order it — pays a full-corpus
+    * range-exchange per epoch. This operator replaces it with a
+    * closed-form bijection on the contiguous id space: `pos_e(id) =
+    * (A·id + e·1000003) mod N` with A prime and coprime to N is a
+    * PERMUTATION of [0, N), so `shard = pos DIV ceil(N/S)` is a balanced
+    * deterministic shard assignment — a pure per-row projection, zero
+    * shuffle, reproducible on any cluster, and a new epoch is a new
+    * constant, not a new sort. (Non-contiguous ids first pass through the
+    * [[graft.ops.RelationalQueries.stableIds]] TeraSort-shape assignment
+    * — one range exchange EVER, amortized over all epochs.)
+    *
+    * The modular product runs in the DECIMAL(38,0) lane (A·id ≈ 2.6e9·N
+    * overflows BIGINT past N ≈ 3.5e9; decimal is exact to 1e38). A is
+    * picked as the first of three fixed primes not dividing N — a prime
+    * divides N only when N is its multiple, so the chain never exhausts —
+    * and the oracle replays the same CASE chain.
+    *
+    * Output proves the permutation per (epoch, shard): exact shard
+    * occupancy (every shard full at ceil(N/S) except the tail), pos
+    * range coverage, the id-set checksum (epoch-varying: WHICH ids land
+    * in a shard changes per epoch), and a pos↦id pairing checksum that
+    * any two-row swap breaks. */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 3,
+                   shards: Int = 16): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"))
+    // the ONLY driver-side value: one count scalar (any planner's cost)
+    val n = docs.count()
+    require(n > 0, "epochShuffle: empty corpus")
+    val a = Seq(2654435761L, 2654435789L, 2654435863L).find(n % _ != 0).get
+    val shardSize = (n + shards - 1) / shards
+    docs.crossJoin(broadcast(
+        spark.range(1, epochs + 1L).toDF("epoch")))
+      .withColumn("pos",
+        expr(s"""CAST(pmod(CAST(doc_id AS DECIMAL(38,0)) * $a
+                |          + CAST(epoch AS DECIMAL(38,0)) * 1000003,
+                |          CAST($n AS DECIMAL(38,0))) AS BIGINT)""".stripMargin))
+      .withColumn("shard", expr(s"pos DIV ${shardSize}L"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        expr("CAST(pmod(sum(CAST(doc_id AS DECIMAL(38,0))), 1000000007) AS BIGINT)")
+          .as("id_checksum"),
+        expr("""CAST(pmod(sum(CAST(pos AS DECIMAL(38,0)) * (doc_id % 97)),
+               |          1000000007) AS BIGINT)""".stripMargin)
+          .as("pairing_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   /** Deterministic stratified sampling: per-stratum (language) keep-rates
     * from a broadcast-joined rates dimension, membership decided by the
     * same RNG-free multiplicative doc_id hash as [[trainSplit]]. The rates
@@ -1740,6 +1791,7 @@ object TextQueries {
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_train_split" -> (trainSplit _),
+    "q_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_top_terms" -> ((s, d) => topTerms(s, d)),
     "q_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
@@ -2431,6 +2483,30 @@ object TextQueries {
           |ORDER BY doc_id""".stripMargin),
     // inner mod mirrors Spark's pmod (non-negative) — plain % would send
     // every negative doc_id to 'train' while Spark distributes it
+    // the affine-permutation replay: same N-count, same 3-prime CASE
+    // chain for A, HUGEINT product lane, same floor shard split; checksum
+    // mods match Spark's pmod because every operand is non-negative
+    "q_epoch_shuffle" ->
+      """WITH c AS (SELECT count(*) AS n FROM documents),
+        |p AS (SELECT n,
+        |        CASE WHEN n % 2654435761 != 0 THEN 2654435761
+        |             WHEN n % 2654435789 != 0 THEN 2654435789
+        |             ELSE 2654435863 END AS a,
+        |        (n + 15) // 16 AS ss FROM c),
+        |m AS (
+        |  SELECT e.range AS epoch, d.doc_id,
+        |    CAST((CAST(d.doc_id AS HUGEINT) * p.a + e.range * 1000003) % p.n
+        |         AS BIGINT) AS pos,
+        |    p.ss
+        |  FROM documents d, range(1, 4) e, p)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, pos // ss AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(CAST(doc_id AS HUGEINT)) % 1000000007 AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(pos AS HUGEINT) * (doc_id % 97)) % 1000000007 AS BIGINT)
+        |    AS pairing_checksum
+        |FROM m GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
     "q_train_split" ->
       """WITH b AS (
         |  SELECT lang,
