@@ -79,6 +79,41 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Exact equi-depth binning (quantile discretization, the ML feature-
+    * preprocessing op): every row gets the decile of its `l_extendedprice`
+    * under the TOTAL order (cents, orderkey, linenumber) — ties split
+    * across bucket boundaries by the unique key, so bucket populations
+    * are exactly ⌈N/10⌉/⌊N/10⌋ regardless of value skew, where a
+    * value-histogram scheme degenerates on heavy ties and `ntile` hits
+    * the one-reducer global-window ceiling. The exact global rank comes
+    * from the [[stableIds]] TeraSort shape (range exchange + local sort +
+    * `zipWithIndex`), so every stage is parallel at any N: equi-depth
+    * binning costs ONE range shuffle, same as writing sorted output.
+    * (When ±ε-quantile boundaries suffice, [[quantileSketch]] is the
+    * exchange-free alternative; this is the exact path.) */
+  def equidepthBins(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val keyed = lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
+    val n = keyed.count()
+    val sorted = keyed
+      .repartitionByRange(32, col("cents"), col("l_orderkey"), col("ln"))
+      .sortWithinPartitions(col("cents"), col("l_orderkey"), col("ln"))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(sorted.schema.fields :+ StructField("rank0", LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), i)
+      }, schema)
+    ranked
+      .groupBy(expr(s"(rank0 * $buckets) DIV ${n}L").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** S3/P4: projection + predicate pushed into the Parquet scan (the
     * reference pushed these into Postgres via a SQL subquery,
     * process_geodata.py:165-174; Catalyst does it for free). */
@@ -1102,6 +1137,7 @@ object RelationalQueries {
     "q_s1_bounds" -> (s1Bounds _),
     "q_s2_range_partition" -> (s2RangePartition _),
     "q_stable_ids" -> (stableIds _),
+    "q_equidepth_bins" -> ((s, d) => equidepthBins(s, d)),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
@@ -1431,6 +1467,20 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle USES the one-reducer window the engine avoids — same
     // function of the data, different machine shape
+    // equi-depth replay with the one-reducer window the engine avoids;
+    // bucket = (rank0 * 10) // N over the identical total order
+    "q_equidepth_bins" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (ORDER BY floor(l_extendedprice * 100 + 0.5),
+        |                            l_orderkey, l_linenumber) - 1 AS BIGINT) AS rank0,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT (rank0 * 10) // n AS bucket, count(*) AS n_rows,
+        |       CAST(min(cents) AS BIGINT) AS min_cents,
+        |       CAST(max(cents) AS BIGINT) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stable_ids" ->
       """WITH ids AS (
         |  SELECT l_orderkey,
