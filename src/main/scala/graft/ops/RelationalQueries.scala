@@ -79,6 +79,45 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** TPC-H Q3 (shipping priority) verbatim on the house schema — the
+    * canonical 3-table OLAP probe: segment-filtered customers × open
+    * orders × shipped-later lineitems, revenue rollup, top 10. Declared
+    * entirely: Catalyst pushes both date predicates into the scans,
+    * broadcasts the filtered customer side while its size-stats clear the
+    * threshold (at TPC-H SF100k it exceeds them and AQE flips to a
+    * shuffled hash join on o_custkey — the right plan at each scale,
+    * chosen by stats, not hand-wired), and the LIMIT 10 rides
+    * TakeOrderedAndProject (per-partition top-10, never a global sort).
+    * Revenue in the exact 10⁻⁴-dollar lane: per-row
+    * `floor(price·(1−disc)·10⁴ + 0.5)` is one identical IEEE expression
+    * in both engines, then integer sums; ties broken by o_orderkey so
+    * the top-10 is a total order. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "TIMESTAMP '1998-06-01 00:00:00'"
+    val cust = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = orders(spark, dir)
+      .filter(expr(s"o_orderdate < $cutoff"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = lineitem(spark, dir)
+      .filter(expr(s"l_shipdate > $cutoff"))
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("rev"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_e4"))
+      .select(col("o_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC so
+        // the cast is instant-preserving
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("orderdate_ms"),
+        col("o_orderpriority"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("orderdate_ms").asc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   /** Exact equi-depth binning (quantile discretization, the ML feature-
     * preprocessing op): every row gets the decile of its `l_extendedprice`
     * under the TOTAL order (cents, orderkey, linenumber) — ties split
@@ -1138,6 +1177,7 @@ object RelationalQueries {
     "q_s2_range_partition" -> (s2RangePartition _),
     "q_stable_ids" -> (stableIds _),
     "q_equidepth_bins" -> ((s, d) => equidepthBins(s, d)),
+    "q_tpch_q3" -> (tpchQ3 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
@@ -1467,6 +1507,21 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle USES the one-reducer window the engine avoids — same
     // function of the data, different machine shape
+    "q_tpch_q3" ->
+      """SELECT o_orderkey,
+        |       CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_e4 DESC, orderdate_ms ASC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     // equi-depth replay with the one-reducer window the engine avoids;
     // bucket = (rank0 * 10) // N over the identical total order
     "q_equidepth_bins" ->

@@ -41,6 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("TPC-H Q3: both date filters pushed, customer side broadcast at this scale, top-10 is TakeOrderedAndProject") {
+    val p = planOf("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+  }
+
   test("bucketed join is a shuffle-free sort-merge join") {
     // the plain join: any hashpartitioning exchange in the EXECUTED plan
     // could only come from the join inputs, so its absence proves the
