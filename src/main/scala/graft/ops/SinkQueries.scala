@@ -516,7 +516,48 @@ object SinkQueries {
     }
   }
 
+  /** Dynamic partition overwrite — the partition-level upsert every
+    * partitioned lake table needs: a backfill that recomputes SOME
+    * day-partitions must replace exactly those directories and leave the
+    * rest byte-untouched (static overwrite mode would drop the whole
+    * table; per-partition manual deletes race readers). Protocol here:
+    * (1) full per-day rollup written `partitionBy(day_id)` in static
+    * overwrite; (2) a corrected recompute of the `day_id % 10 = 3` days
+    * (cents doubled — a visible, deterministic "fix") written in
+    * `partitionOverwriteMode=dynamic`, which replaces ONLY the partitions
+    * the new frame contains; (3) read-back rollup proves untouched days
+    * kept v1 values and selected days carry v2. Partition pruning on the
+    * read side comes free from the directory layout. The conf is
+    * set/restored around the single write — session state leaks nothing. */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/dyn_overwrite"
+    val ev = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("(ts DIV 1000000) DIV 86400000").as("day_id"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val rollup = ev.groupBy(col("day_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    rollup.write.mode("overwrite").partitionBy("day_id").parquet(path)
+    val fixed = rollup.filter(col("day_id") % 10 === 3)
+      .withColumn("sum_cents", col("sum_cents") * 2)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fixed.write.mode("overwrite").partitionBy("day_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(path)
+      .groupBy(col("day_id").cast("long").as("day_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("day_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dynamic_overwrite" -> (dynamicOverwrite _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_xml_roundtrip" -> (xmlRoundtrip _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -534,6 +575,20 @@ object SinkQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // untouched days keep the v1 rollup; day_id % 10 = 3 days carry the
+    // doubled-cents v2 — the dynamic-overwrite law as one CASE
+    "q_dynamic_overwrite" ->
+      """WITH r AS (
+        |  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day_id, event_type,
+        |         count(*) AS n,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT CAST(day_id AS BIGINT) AS day_id,
+        |       count(*) AS n_types,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN day_id % 10 = 3 THEN sum_cents * 2
+        |                     ELSE sum_cents END) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY day_id ORDER BY day_id""".stripMargin,
     "q_version_diff" ->
       """WITH v1 AS (
         |  SELECT o_orderpriority, count(*) AS n1,
