@@ -118,6 +118,41 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 (local supplier volume) verbatim on the house schema — the
+    * 6-table join with Q5's signature NON-star edge: the fact row joins
+    * customer AND supplier, and `c_nationkey = s_nationkey` correlates
+    * the two dimension arms (revenue only where the customer bought from
+    * a same-nation supplier). Declared as plain joins: Catalyst reorders,
+    * broadcasts every dimension arm that clears size stats (region →
+    * nation → the filtered year of orders is the only big probe), and the
+    * nation equality lands as a post-join filter exactly where the manual
+    * plan would put it. One year of orders, ASIA region, revenue per
+    * nation in the exact 10⁻⁴-dollar lane. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = nation(spark, dir)
+      .join(region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = orders(spark, dir)
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
   /** Exact equi-depth binning (quantile discretization, the ML feature-
     * preprocessing op): every row gets the decile of its `l_extendedprice`
     * under the TOTAL order (cents, orderkey, linenumber) — ties split
@@ -1178,6 +1213,7 @@ object RelationalQueries {
     "q_stable_ids" -> (stableIds _),
     "q_equidepth_bins" -> ((s, d) => equidepthBins(s, d)),
     "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q5" -> (tpchQ5 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
@@ -1507,6 +1543,22 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle USES the one-reducer window the engine avoids — same
     // function of the data, different machine shape
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "q_tpch_q3" ->
       """SELECT o_orderkey,
         |       CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
