@@ -338,7 +338,11 @@ object GraphQueries {
       .filter(pmod(col("src") * 31 + col("dst"), lit(7L)) === 0L)
       .distinct()
       .withColumn("w", pmod(col("src") * 13 + col("dst") * 17, lit(97L)) + 1L)
-    val init = spark.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
+    // source node 0 via a NON-FOLDABLE expression: a lit(0) key would be
+    // foldable-propagated into the first relaxation join's condition,
+    // degrading the hash equi join to a nested loop
+    val init = spark.range(1)
+      .select(pmod(col("id"), lit(1L)).as("node"), lit(0L).as("d"))
     val dist = (1 to rounds).foldLeft(init) { (cur, _) =>
       val relaxed = edges
         .join(cur.withColumnRenamed("node", "src"), "src")
@@ -377,8 +381,58 @@ object GraphQueries {
       .orderBy(col("component"))
   }
 
+  /** Degree assortativity (Newman 2002) — do hubs link to hubs? The
+    * standard mixing diagnostic for link graphs: the Pearson correlation
+    * of endpoint degrees over all edge ends. Crawl graphs are typically
+    * DISassortative (hubs link to leaves, r < 0); a strongly assortative
+    * or near-zero r changes which sampling/pruning strategies are safe
+    * on the web graph feeding a training corpus.
+    *
+    * Exactness device: over the symmetrized end list (each undirected
+    * edge contributes both ordered orientations) the x- and y-marginals
+    * coincide, so r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — every term an
+    * exact integer. The raw moments are emitted as BIGINTs alongside the
+    * coefficient in signed ppm (sign split from magnitude, the
+    * [[SessionQueries.abTest]] device, both factors in DECIMAL(38,0)
+    * lanes: n·Σx² ≈ 10³⁶ at 10¹² ends stays inside precision 38).
+    *
+    * Scale shape: the degree rollup and the final moment aggregate both
+    * take map-side partials; degrees attach to ends via two hash equi
+    * joins on the node key (the |V|-row side shuffles, never collects);
+    * output is one row. Self-loops are excluded and both orientations of
+    * a pair fold to one simple edge before symmetrization ([[kcore]]'s
+    * canonicalization). */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(100L)).as("u"),
+        pmod(col("l_suppkey"), lit(100L)).as("v"))
+    val e = raw
+      .select(least(col("u"), col("v")).as("x"), greatest(col("u"), col("v")).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val ends = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+    val deg = ends.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    ends
+      .join(deg.select(col("a").as("na"), col("d").as("dx")), col("a") === col("na"))
+      .join(deg.select(col("a").as("nb"), col("d").as("dy")), col("b") === col("nb"))
+      .agg(count(lit(1)).as("n_ends"), sum(col("dx")).as("s_x"),
+        sum(col("dx") * col("dx")).as("s_xx"),
+        sum(col("dx") * col("dy")).as("s_xy"))
+      .withColumn("num", expr(
+        "CAST(n_ends AS DECIMAL(38,0)) * s_xy - CAST(s_x AS DECIMAL(38,0)) * s_x"))
+      .withColumn("den", expr(
+        "CAST(n_ends AS DECIMAL(38,0)) * s_xx - CAST(s_x AS DECIMAL(38,0)) * s_x"))
+      .select(col("n_ends"), col("s_x"), col("s_xx"), col("s_xy"),
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)")
+          .as("r_sign"),
+        expr("""CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+               |ELSE CAST((1000000 * abs(num)) DIV den AS BIGINT) END""".stripMargin)
+          .as("r_ppm_abs"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_cc" -> (graphCc _),
+    "q_assortativity" -> (degreeAssortativity _),
     "q_sssp" -> ((s, d) => sssp(s, d)),
     "q_recursive_cte" -> ((s, d) => recursiveBfs(s, d)),
     "q_kcore" -> ((s, d) => kcore(s, d)),
@@ -390,6 +444,34 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same canonicalized simple graph, same exact integer moments
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_partkey % 100, l_suppkey % 100) AS x,
+        |         greatest(l_partkey % 100, l_suppkey % 100) AS y
+        |  FROM lineitem
+        |  WHERE (l_partkey % 100) <> (l_suppkey % 100)),
+        |ends AS (SELECT x AS a, y AS b FROM e
+        |         UNION ALL SELECT y AS a, x AS b FROM e),
+        |deg AS (SELECT a AS node, count(*) AS d FROM ends GROUP BY a),
+        |m AS (
+        |  SELECT count(*) AS n_ends,
+        |         CAST(sum(da.d) AS BIGINT) AS s_x,
+        |         CAST(sum(da.d * db.d) AS BIGINT) AS s_xy,
+        |         CAST(sum(da.d * da.d) AS BIGINT) AS s_xx
+        |  FROM ends JOIN deg da ON ends.a = da.node
+        |            JOIN deg db ON ends.b = db.node),
+        |z AS (
+        |  SELECT *,
+        |    CAST(n_ends AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_x AS num,
+        |    CAST(n_ends AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x AS den
+        |  FROM m)
+        |SELECT n_ends, s_x, s_xx, s_xy,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |       AS INT) AS r_sign,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |       ELSE (1000000 * abs(num)) // den END AS BIGINT) AS r_ppm_abs
+        |FROM z""".stripMargin,
     // bidirected transitive closure to a fixpoint (recursive CTE with
     // set-union dedup), component = min reachable node id — a different
     // algorithm than the engine's union-find, same partition of V

@@ -355,7 +355,17 @@ object Multimodal {
       .filter(col("item_id").isin(RetrievalProbes: _*))
       .select(col("item_id").as("probe_id"), col("cells").as("pc"))
     val cands = cells.select(col("item_id").as("cand_id"), col("cells").as("cc"))
-    cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+    // replicate-the-tiny-side join, expressed as a broadcast HASH join on
+    // a constant-valued key (not a join-condition-only nested loop): the
+    // build side is |probes| rows, the stream side stays where it is, and
+    // the != predicate filters post-join — same all-pairs-vs-5 semantics,
+    // no BNLJ node. The key must be NON-FOLDABLE (id%1, not lit(1)):
+    // ConstantFolding erases a literal key and the join degenerates back
+    // to a nested loop.
+    cands.withColumn("j", pmod(col("cand_id"), lit(1L)))
+      .join(broadcast(probes.withColumn("j", pmod(col("probe_id"), lit(1L)))), "j")
+      .drop("j")
+      .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("dot", expr(
         "aggregate(zip_with(pc, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
       .withColumn("na", expr(

@@ -153,6 +153,37 @@ object RelationalQueries {
       .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
+  /** TPC-H Q18 (large-volume customer) on the house schema — the
+    * aggregate-then-semi-join shape: find orders whose total line quantity
+    * clears a threshold, then enrich the survivors with order and customer
+    * attributes. Written as the textbook Spark rewrite of Q18's
+    * `o_orderkey IN (SELECT ... HAVING)` — the HAVING aggregate is computed
+    * ONCE and its (tiny) survivor set joined back, instead of re-scanning
+    * lineitem for the outer re-aggregation the literal SQL implies.
+    *
+    * Scale shape: the quantity rollup takes map-side partials (sum over
+    * the orderkey, the fact table's natural clustering key); the HAVING
+    * filter shrinks 15M orders/TB to a thin tail, so AQE converts both
+    * join-backs to broadcasts at runtime; `TakeOrderedAndProject` caps the
+    * result without a global sort. Quantities are integral by TPC-H
+    * construction, summed in the exact BIGINT lane; o_totalprice in cents. */
+  def tpchQ18(spark: SparkSession, dir: String, minQty: Long = 300L): DataFrame = {
+    val bigOrders = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("orderdate_ms"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("totalprice_cents"),
+        col("sum_qty"))
+      .orderBy(col("totalprice_cents").desc, col("orderdate_ms"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Exact equi-depth binning (quantile discretization, the ML feature-
     * preprocessing op): every row gets the decile of its `l_extendedprice`
     * under the TOTAL order (cents, orderkey, linenumber) — ties split
@@ -1214,6 +1245,7 @@ object RelationalQueries {
     "q_equidepth_bins" -> ((s, d) => equidepthBins(s, d)),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
+    "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
@@ -1559,6 +1591,22 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    // the oracle states Q18's literal aggregate-then-join; the engine's
+    // single-aggregation rewrite is the same function of the data
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |       sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, orderdate_ms, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_tpch_q3" ->
       """SELECT o_orderkey,
         |       CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,

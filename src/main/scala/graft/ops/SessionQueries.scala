@@ -480,16 +480,21 @@ object SessionQueries {
       .select(col("user_id"), (col("t1") - col("t0")).as("delta_ms"))
     import org.apache.spark.sql.graftbridge.Bridge.scalarSubquery
     val n = scalarSubquery(conv.agg(count(lit(1))))
+    // min/max/sum ride in as ONE struct-valued scalar subquery — a
+    // 1-row crossJoin would plan a nested-loop node for the same value
+    val stats = scalarSubquery(conv
+      .agg(min(col("delta_ms")).as("mn"), max(col("delta_ms")).as("mx"),
+        sum(col("delta_ms")).as("sm"))
+      .select(struct(col("mn"), col("mx"), col("sm")).as("s")))
     conv
       .withColumn("rn", row_number().over(
         Window.orderBy(col("delta_ms"), col("user_id"))).cast("long"))
       .withColumn("n", n)
       .filter(col("rn") === expr("(n + 1) DIV 2"))
-      .select(col("n").as("n_converters"), col("delta_ms").as("median_ms"))
-      .crossJoin(conv.agg(min(col("delta_ms")).as("min_ms"),
-        max(col("delta_ms")).as("max_ms"), sum(col("delta_ms")).as("sum_ms")))
-      .select(col("n_converters"), col("min_ms"), col("median_ms"),
-        col("max_ms"), col("sum_ms"))
+      .withColumn("s", stats)
+      .select(col("n").as("n_converters"), col("s.mn").as("min_ms"),
+        col("delta_ms").as("median_ms"), col("s.mx").as("max_ms"),
+        col("s.sm").as("sum_ms"))
   }
 
   /** Cohort retention (D1) — for each activity day, how many of its
@@ -1046,6 +1051,50 @@ object SessionQueries {
         expr("z_sq_micro > 3841600").as("significant_95"))
   }
 
+  /** Deterministic Poisson bootstrap — the cluster-scale resampling
+    * device (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012): a classic bootstrap needs B global n-sized
+    * resamples (impossible without B full shuffles of the corpus), while
+    * the Poisson bootstrap gives each row an iid Poisson(1) weight per
+    * replicate, turning resampling into ONE streaming pass with B
+    * counters per group — the only bootstrap that survives 100 TB.
+    *
+    * Determinism device: the "draw" for (order, replicate b) is the
+    * 60-bit md5 prefix of `orderkey:b` — a uniform both engines compute
+    * bit-identically — inverted through the Poisson(1) CDF whose six
+    * cumulative thresholds are fixed 15-hex-digit string literals
+    * (lexicographic order over fixed-width lowercase hex == numeric
+    * order, the sourceMix comparator). Weights cap at 6 (P(W>5) ≈ 6e-4;
+    * the cap is part of the operator's definition, shared by the oracle).
+    *
+    * Output: per (o_orderpriority, replicate) the effective row count,
+    * exact resampled spend in cents, and the replicate mean via integer
+    * DIV — the across-replicate dispersion of `mean_cents` IS the
+    * bootstrap standard error of the group mean.
+    *
+    * Scale shape: explode(sequence(0, B-1)) is a per-row generator (no
+    * shuffle); the single aggregate takes map-side partials, so ≤
+    * |groups|·B fixed-width rows ever shuffle regardless of corpus size. */
+  def poissonBootstrap(spark: SparkSession, dir: String, reps: Int = 32): DataFrame = {
+    // floor(2^60 · P(W≤k)) for W ~ Poisson(1), k = 0..5, as fixed-width hex
+    val cdfHex = Seq("5e2d58d8b3bce00", "bc5ab1b16779c00", "eb715e1dc158300",
+      "fb23979734a2580", "ff1025f59174e00", "ffd90f3ba405600")
+    val u = "substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))), 1, 15)"
+    val w = cdfHex.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < '$t' THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", expr(w))
+      .groupBy(col("priority"), col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("sum_cents"))
+      .withColumn("mean_cents",
+        expr("CASE WHEN n_eff > 0 THEN sum_cents DIV n_eff ELSE NULL END"))
+      .orderBy(col("priority"), col("b"))
+  }
+
   /** Gini concentration of spend (the Lorenz-curve coefficient, the
     * standard whale-dependence metric for revenue): per-user lifetime
     * value in exact cents, then G = (2·Σᵢ i·yᵢ − (n+1)·Σy) / (n·Σy)
@@ -1334,6 +1383,7 @@ object SessionQueries {
     "q_cusum" -> (cusum _),
     "q_user_growth" -> (userGrowth _),
     "q_ab_test" -> (abTest _),
+    "q_poisson_bootstrap" -> ((s, d) => poissonBootstrap(s, d)),
     "q_gini_spend" -> (giniSpend _),
     "q_rfm" -> (rfm _),
     "q_seasonality" -> (seasonality _),
@@ -1627,6 +1677,39 @@ object SessionQueries {
         |  CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
         |  z_sign, z_sq_micro, z_sq_micro > 3841600 AS significant_95
         |FROM e""".stripMargin,
+    // same md5-hex draw, same six CDF thresholds, same weight cap
+    "q_poisson_bootstrap" ->
+      """WITH reps AS (SELECT unnest(range(32)) AS b),
+        |w AS (
+        |  SELECT o_orderpriority AS priority, b,
+        |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < '5e2d58d8b3bce00' THEN 0
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < 'bc5ab1b16779c00' THEN 1
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < 'eb715e1dc158300' THEN 2
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < 'fb23979734a2580' THEN 3
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < 'ff1025f59174e00' THEN 4
+        |         WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |                         || CAST(b AS VARCHAR)), 1, 15)
+        |              < 'ffd90f3ba405600' THEN 5
+        |         ELSE 6 END AS w,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN reps)
+        |SELECT priority, CAST(b AS INT) AS b,
+        |  CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+        |  CASE WHEN sum(w) > 0
+        |       THEN CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT)
+        |       ELSE NULL END AS mean_cents
+        |FROM w GROUP BY priority, b ORDER BY priority, b""".stripMargin,
     "q_gini_spend" ->
       """WITH pu AS (
         |  SELECT user_id,

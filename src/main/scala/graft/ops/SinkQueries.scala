@@ -548,7 +548,12 @@ object SinkQueries {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.read.parquet(path)
+    // explicit read schema (data + partition columns): the read never
+    // depends on inference, so an all-empty corpus (a partitioned dir
+    // with no partition subdirs) reads back as a typed empty relation
+    spark.read
+      .schema("event_type STRING, n BIGINT, sum_cents BIGINT, day_id BIGINT")
+      .parquet(path)
       .groupBy(col("day_id").cast("long").as("day_id"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("n")).as("n_events"),

@@ -475,13 +475,16 @@ object TextQueries {
   def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 3,
                    shards: Int = 16): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
-    // the ONLY driver-side value: one count scalar (any planner's cost)
-    val n = docs.count()
-    require(n > 0, "epochShuffle: empty corpus")
+    // the ONLY driver-side value: one count scalar (any planner's cost);
+    // an empty corpus degrades to n=1 constants over zero rows — the
+    // aggregate output is empty either way, nothing throws
+    val n = math.max(documents(spark, dir).count(), 1L)
     val a = Seq(2654435761L, 2654435789L, 2654435863L).find(n % _ != 0).get
     val shardSize = (n + shards - 1) / shards
-    docs.crossJoin(broadcast(
-        spark.range(1, epochs + 1L).toDF("epoch")))
+    // per-row epoch generator — a 3-wide explode, not a cross join (the
+    // generator keeps the plan join-free; a broadcast cross join against
+    // the 3-row epoch relation would plan a nested loop)
+    docs.withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
       .withColumn("pos",
         expr(s"""CAST(pmod(CAST(doc_id AS DECIMAL(38,0)) * $a
                 |          + CAST(epoch AS DECIMAL(38,0)) * 1000003,
