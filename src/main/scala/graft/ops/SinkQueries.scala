@@ -561,7 +561,53 @@ object SinkQueries {
       .orderBy(col("day_id"))
   }
 
+  /** Point-lookup keys for [[parquetBloom]] — a mix of present keys (the
+    * orderkey space starts at 0 at every scale) and one absent probe, so
+    * the read path exercises both bloom-hit and bloom-reject row groups. */
+  private[ops] val BloomKeys: Seq[Long] = Seq(1L, 7L, 500L, 4096L, 9999L, 123456789L)
+
+  /** Parquet bloom-filter point-lookup path — the storage-level device
+    * for needle-in-haystack reads at 100 TB: min/max row-group stats
+    * prune SORTED columns, but an unsorted high-cardinality id column
+    * (every key in every row group's min/max range) skips nothing — a
+    * bloom filter per row group rejects groups that cannot contain the
+    * probed keys without reading a page. Writes lineitem with a bloom on
+    * l_orderkey (ndv-sized), small row groups so skipping is real at
+    * test scale, then answers an IN-list point lookup from the read-back.
+    * `ParquetBloomSpec` opens the footer and asserts the filter exists
+    * and answers membership; the oracle replays the lookup on the source
+    * table, so the whole write→read loop is load-bearing.
+    *
+    * Scale shape: the write is one pass; the lookup scan reads only
+    * bloom-surviving row groups (IO ∝ hits, not corpus) and the rollup
+    * aggregates a handful of rows. */
+  def parquetBloom(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$OutBase/parquet_bloom"
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+      // parquet-mr only materializes a bloom for non-dictionary pages; at
+      // production cardinality the id column falls out of dictionary by
+      // itself — at test scale it must be forced out or no filter lands
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      // ~256 KiB row groups: many groups per file even at sf0.01, so the
+      // bloom actually gates IO in the spec's skipping assertion
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_orderkey").isin(BloomKeys: _*))
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        max(col("l_linenumber")).as("max_line"))
+      .orderBy(col("orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parquet_bloom" -> (parquetBloom _),
     "q_dynamic_overwrite" -> (dynamicOverwrite _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_xml_roundtrip" -> (xmlRoundtrip _),
@@ -580,6 +626,15 @@ object SinkQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the point lookup replayed on the source table — any loss in the
+    // bloom-filtered write→read loop is a hash mismatch
+    "q_parquet_bloom" ->
+      """SELECT l_orderkey AS orderkey, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       max(l_linenumber) AS max_line
+        |FROM lineitem
+        |WHERE l_orderkey IN (1, 7, 500, 4096, 9999, 123456789)
+        |GROUP BY l_orderkey ORDER BY orderkey""".stripMargin,
     // untouched days keep the v1 rollup; day_id % 10 = 3 days carry the
     // doubled-cents v2 — the dynamic-overwrite law as one CASE
     "q_dynamic_overwrite" ->

@@ -843,6 +843,64 @@ object TextQueries {
     * float arithmetic anywhere.
     *
     * Scale shape: per-row projections + ONE bounded-key rollup. */
+  /** MinHash estimator-error audit — the measurement that justifies (or
+    * indicts) every LSH dedup threshold: over blocked candidate pairs,
+    * compare the k-permutation MinHash ESTIMATE of Jaccard (fraction of
+    * agreeing signature positions) against the EXACT shingle-set Jaccard,
+    * and histogram the error in 1/k steps. E[matches/k] = J is the
+    * MinHash identity; this op shows the realized spread at k=8, which is
+    * what picks band/row counts for a production dedup pass.
+    *
+    * Determinism device: permutation i hashes shingle s as the 15-hex
+    * md5 prefix of "i:s" — signature position i = the MINIMUM such
+    * string (fixed-width lowercase hex: lexicographic == numeric order),
+    * so both engines draw identical permutations with no JVM-private
+    * mixing in the loop. Word-3-gram shingles; docs with <3 tokens have
+    * no shingle set and are excluded (documented, shared by the oracle).
+    *
+    * Scale shape: signatures are k tiny strings computed ONCE per doc
+    * before the join; candidate pairs come from (lang, length-decile)
+    * blocking — never all-pairs — and the exact set-intersect runs only
+    * inside blocks, the fuzzyJoin discipline. One block-key equi join +
+    * one 9-bucket aggregate with map-side partials. */
+  def minhashAudit(spark: SparkSession, dir: String, perms: Int = 8): DataFrame = {
+    val step = 1000000L / perms
+    val docs = Par.fanOut(documents(spark, dir))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("sh", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws('_', toks[i-1], toks[i], toks[i+1])))
+          |ELSE array() END""".stripMargin))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${perms - 1}), i ->
+           |  array_min(transform(sh, s ->
+           |    substring(md5(concat(CAST(i AS STRING), ':', s)), 1, 15))))""".stripMargin))
+      .withColumn("blk", expr("concat(lang, ':', CAST(size(toks) DIV 10 AS STRING))"))
+      .select(col("doc_id"), col("blk"), col("sh"), col("sig"))
+    val a = docs.select(col("blk"), col("doc_id").as("a_id"),
+      col("sh").as("sha"), col("sig").as("siga"))
+    val b = docs.select(col("blk"), col("doc_id").as("b_id"),
+      col("sh").as("shb"), col("sig").as("sigb"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+      .withColumn("uni", expr("size(sha) + size(shb) - inter"))
+      .withColumn("exact_ppm", expr("(1000000 * CAST(inter AS BIGINT)) DIV uni"))
+      .withColumn("matches", expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), m -> m))"))
+      .withColumn("est_ppm", col("matches").cast("long") * lit(step))
+      // bucket at 1/(8k) — finer than the estimate's own 1/k granularity,
+      // so the histogram resolves the within-one-step error mass too
+      .withColumn("err_bucket",
+        expr(s"CAST(abs(est_ppm - exact_ppm) DIV ${step / 8}L AS INT)"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("sum_exact_ppm"),
+        sum(col("matches").cast("long")).as("sum_matches"))
+      .orderBy(col("err_bucket"))
+  }
+
   def readability(spark: SparkSession, dir: String): DataFrame = {
     Par.fanOut(documents(spark, dir))
       .select(col("lang"),
@@ -1782,6 +1840,7 @@ object TextQueries {
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "q_fuzzy_join" -> ((s, d) => fuzzyJoin(s, d)),
     "q_dedup_minhash" -> ((s, d) => dedupMinhash(s, d)),
+    "q_minhash_audit" -> ((s, d) => minhashAudit(s, d)),
     "q_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "q_jaccard_tokens" -> (jaccardTokens _),
     "q_text_stats" -> (textStats _),
@@ -2332,6 +2391,43 @@ object TextQueries {
     // relation, brute-forced: hashed 5-gram shingle sets per doc, a
     // size-ratio prefilter (J >= t forces |A|/|B| within t), exact
     // intersect on survivors. Banded 8x8 MinHash was verified to have
+    // same md5 permutation draw, same word-3-gram shingles, same blocks
+    "q_minhash_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    lang || ':' || CAST(len(toks) // 10 AS VARCHAR) AS blk,
+        |    list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
+        |           || '_' || toks[CAST(i+3 AS INT)])) AS sh
+        |  FROM d WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, blk, sh,
+        |    list_transform(range(8), i ->
+        |      list_min(list_transform(sh, t ->
+        |        substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15)))) AS sig
+        |  FROM s WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.sh AS sha, b.sh AS shb, a.sig AS siga, b.sig AS sigb
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT len(list_intersect(sha, shb)) AS inter,
+        |    len(sha) + len(shb) - len(list_intersect(sha, shb)) AS uni,
+        |    len(list_filter(range(8),
+        |      i -> siga[CAST(i+1 AS INT)] = sigb[CAST(i+1 AS INT)])) AS matches
+        |  FROM p),
+        |f AS (
+        |  SELECT (1000000 * inter) // uni AS exact_ppm, matches,
+        |         matches * 125000 AS est_ppm
+        |  FROM e)
+        |SELECT CAST(abs(est_ppm - exact_ppm) // 15625 AS INT) AS err_bucket,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(exact_ppm) AS BIGINT) AS sum_exact_ppm,
+        |       CAST(sum(matches) AS BIGINT) AS sum_matches
+        |FROM f GROUP BY err_bucket ORDER BY err_bucket""".stripMargin,
     // 100% recall on the gate corpus, so candidate pruning loses nothing
     // and both engines produce identical pairs + jaccard values.
     "q_dedup_minhash" ->
