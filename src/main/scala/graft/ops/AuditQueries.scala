@@ -155,7 +155,54 @@ object AuditQueries {
       |WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757
       |END AS BIGINT)""".stripMargin
 
+  /** Merkle-style bucket checksums — the device that verifies a 100 TB
+    * replicated/migrated table WITHOUT moving data (Cassandra
+    * anti-entropy repair, cross-region copy validation): digest every row
+    * to a 60-bit integer, fold digests per key-range bucket with an
+    * ORDER-INDEPENDENT modular sum, compare bucket digests between the
+    * two sides, and ship only the MISMATCHED buckets — the repair set.
+    * Data movement is O(buckets + diff), never O(rows); recursing into a
+    * mismatched bucket with finer buckets is the same query again.
+    *
+    * The "replica" here is the same table with a deterministic fault
+    * injected (orders ≡ 0 mod 997, first line: +1 cent) so the output is
+    * the non-trivial repair set and the oracle replays both sides. Row
+    * digest = 60-bit md5 prefix of the '|'-joined fields (the house
+    * cross-engine hash); bucket digest = Σ digests mod 2⁶¹−1 in
+    * DECIMAL(38) lanes — commutative, so map-side partials apply and
+    * no order is ever imposed.
+    *
+    * Scale shape: two scans (in production: one per replica, co-located
+    * with its data), each one aggregate with map-side partials shuffling
+    * |buckets| fixed-width rows; the digest compare joins two
+    * |buckets|-row relations. */
+  def tableChecksum(spark: SparkSession, dir: String, bucketSize: Long = 500L): DataFrame = {
+    val Mersenne61 = "2305843009213693951" // 2^61 - 1
+    def digest(rows: DataFrame): DataFrame = rows
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat_ws('|',
+          |  CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+          |  CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin))
+      .groupBy(expr(s"l_orderkey DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), $Mersenne61) AS BIGINT)")
+          .as("digest"))
+    val base = lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val replica = base.withColumn("cents",
+      when(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1,
+        col("cents") + 1).otherwise(col("cents")))
+    digest(base).select(col("bucket"), col("n_rows").as("n_base"),
+        col("digest").as("d_base"))
+      .join(digest(replica).select(col("bucket"), col("n_rows").as("n_replica"),
+        col("digest").as("d_replica")), Seq("bucket"), "full_outer")
+      .filter(col("d_base").isNull || col("d_replica").isNull ||
+        col("d_base") =!= col("d_replica") || col("n_base") =!= col("n_replica"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum" -> ((s, d) => tableChecksum(s, d)),
     "q_profile" -> (profile _),
     "q_expectations" -> (expectations _),
     "q_ref_integrity" -> (refIntegrity _),
@@ -163,6 +210,41 @@ object AuditQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both replicas replayed; DuckDB reads the 60-bit hex via the
+    // '0x'-prefix cast (it has no conv()); Σ mod 2^61-1 in HUGEINT
+    "q_table_checksum" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rep AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 997 = 0 AND l_linenumber = 1
+        |              THEN cents + 1 ELSE cents END AS cents
+        |  FROM base),
+        |db AS (
+        |  SELECT l_orderkey // 500 AS bucket, count(*) AS n_base,
+        |    CAST(sum(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |        || CAST(l_linenumber AS VARCHAR) || '|'
+        |        || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT))
+        |      % 2305843009213693951 AS BIGINT) AS d_base
+        |  FROM base GROUP BY 1),
+        |dr AS (
+        |  SELECT l_orderkey // 500 AS bucket, count(*) AS n_replica,
+        |    CAST(sum(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |        || CAST(l_linenumber AS VARCHAR) || '|'
+        |        || CAST(cents AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT))
+        |      % 2305843009213693951 AS BIGINT) AS d_replica
+        |  FROM rep GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(db.bucket, dr.bucket) AS bucket,
+        |         n_base, d_base, n_replica, d_replica
+        |  FROM db FULL OUTER JOIN dr ON db.bucket = dr.bucket)
+        |SELECT bucket, n_base, d_base, n_replica, d_replica
+        |FROM j
+        |WHERE d_base IS NULL OR d_replica IS NULL
+        |   OR d_base <> d_replica OR n_base <> n_replica
+        |ORDER BY bucket""".stripMargin,
     "q_profile" -> {
       val branches = ProfileCols.map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
