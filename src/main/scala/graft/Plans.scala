@@ -182,6 +182,40 @@ object Plans {
         "task carries 2 candidate rows per day instead of sorting " +
         "every group the way the row_number formulation (the oracle) " +
         "would."),
+    Entry("q_tpch_q18",
+      "Q18 as aggregate-then-join: the per-order quantity rollup takes " +
+        "partial+final HashAggregate (never a re-scan for the outer " +
+        "re-aggregation), the HAVING tail is the thin build side AQE " +
+        "broadcasts at runtime, and the top-100 is " +
+        "TakeOrderedAndProject — no global sort, no second lineitem " +
+        "pass."),
+    Entry("q_poisson_bootstrap",
+      "Poisson bootstrap as ONE streaming pass: the 32-replicate " +
+        "explode is a per-row Generate (no shuffle, no join against a " +
+        "replicate relation), weights are scalar md5 work inside the " +
+        "scan stage, and the single partial+final HashAggregate " +
+        "shuffles only |groups|*B fixed-width rows — the classic " +
+        "bootstrap's B global resamples never exist."),
+    Entry("q_minhash_audit",
+      "Signatures are computed ONCE per doc in the scan-side project " +
+        "(k tiny strings), BEFORE the block-key equi join — the " +
+        "quadratic inside-block pair work carries precomputed sigs, " +
+        "never recomputes md5 per pair; one 9-bucket partial+final " +
+        "aggregate on top. No all-pairs join anywhere."),
+    Entry("q_table_checksum",
+      "Anti-entropy checksums: each replica is one scan into a " +
+        "partial+final HashAggregate (the modular digest sum is " +
+        "commutative, so map-side partials apply), the compare is a " +
+        "|buckets|-row full-outer hash join, and the output is only " +
+        "the mismatched buckets — O(buckets+diff) movement, O(rows) " +
+        "never leaves the scan stage."),
+    Entry("q_parquet_bloom",
+      "Point lookup on the bloom-filtered table: the IN-list lands in " +
+        "PushedFilters (In(l_orderkey, ...)) so row-group pruning sees " +
+        "it — min/max can't prune an unsorted id column, the per-group " +
+        "bloom (asserted present in the footers by ParquetBloomSpec) " +
+        "is what rejects non-matching groups; above the scan it's one " +
+        "partial+final aggregate."),
     Entry("q_feature_cov",
       "Pairwise covariance without a self-join: the per-row generator " +
         "expands each vector to its 36 (i<=j) index pairs in the scan " +

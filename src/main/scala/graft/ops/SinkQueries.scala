@@ -606,8 +606,57 @@ object SinkQueries {
       .orderBy(col("orderkey"))
   }
 
+  /** Targeted delete with partition-pruned rewrite — the right-to-erasure
+    * kernel (the Delta/Iceberg DELETE shape) on plain partitioned
+    * parquet: given an erasure KEY LIST (a relation, not a predicate —
+    * the form that scales to millions of keys via anti-join), derive the
+    * affected partitions FROM THE KEYS ALONE (bucket = key mod N needs no
+    * table scan), rewrite only those partitions with the survivors
+    * (dynamic partition overwrite swaps exactly the affected
+    * directories), and leave every untouched partition's files as
+    * written. Deletion cost ∝ affected partitions + |erasure list|,
+    * never ∝ table size.
+    *
+    * The read-back rollup proves both halves: erased keys gone from the
+    * rewritten buckets AND untouched buckets byte-identical to the
+    * original load (a wrongly-nuked partition drops rows the oracle
+    * still counts). Erasure list: orderkeys ≡ 0 mod 50 — multiples of 50
+    * mod 16 are even, so exactly the 8 even buckets rewrite and the 8
+    * odd buckets must survive from the ORIGINAL write. */
+  def targetedDelete(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val path = s"$OutBase/targeted_delete"
+    val src = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(buckets.toLong)))
+    src.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val erase = src.filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").as("k"), col("bucket").as("b"))
+    val affected = erase.select(col("b")).distinct()
+    val survivors = src
+      .join(broadcast(affected), col("bucket") === col("b"), "left_semi")
+      .join(erase.select(col("k")), col("o_orderkey") === col("k"), "left_anti")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, bucket BIGINT")
+      .parquet(path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(pmod(sum(CAST(o_orderkey AS DECIMAL(38,0))), 1000000007) AS BIGINT)")
+          .as("key_checksum"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_parquet_bloom" -> (parquetBloom _),
+    "q_targeted_delete" -> ((s, d) => targetedDelete(s, d)),
     "q_dynamic_overwrite" -> (dynamicOverwrite _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_xml_roundtrip" -> (xmlRoundtrip _),
@@ -626,6 +675,18 @@ object SinkQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // delete semantics replayed relationally: drop keys = 0 mod 50, roll
+    // up per bucket — a wrongly-rewritten or wrongly-skipped partition
+    // diverges in count, checksum, or cents
+    "q_targeted_delete" ->
+      """SELECT o_orderkey % 16 AS bucket, count(*) AS n_rows,
+        |  CAST(((sum(o_orderkey) % 1000000007) + 1000000007) % 1000000007
+        |       AS BIGINT) AS key_checksum,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey % 50 <> 0
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the point lookup replayed on the source table — any loss in the
     // bloom-filtered write→read loop is a hash mismatch
     "q_parquet_bloom" ->
