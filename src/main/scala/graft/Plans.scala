@@ -197,10 +197,11 @@ object Plans {
         "shuffles only |groups|*B fixed-width rows — the classic " +
         "bootstrap's B global resamples never exist."),
     Entry("q_minhash_audit",
-      "Signatures are computed ONCE per doc in the scan-side project " +
-        "(k tiny strings), BEFORE the block-key equi join — the " +
-        "quadratic inside-block pair work carries precomputed sigs, " +
-        "never recomputes md5 per pair; one 9-bucket partial+final " +
+      "Signatures are scan-side projections (k tiny strings per doc, " +
+        "linear md5 work in each join branch), BEFORE the block-key " +
+        "equi join — the inside-block pair stage carries precomputed " +
+        "sigs and a deterministic 1-in-4 pair sample gates the exact " +
+        "intersect (the only quadratic term); one partial+final " +
         "aggregate on top. No all-pairs join anywhere."),
     Entry("q_table_checksum",
       "Anti-entropy checksums: each replica is one scan into a " +

@@ -209,6 +209,15 @@ object functions {
     col(KmvAgg(ex(hash), Literal(k)).toAggregateExpression())
   }
 
+  /** RE-aggregates stored [[kmv_agg]] sketch columns into the sketch of
+    * their union (merge == rebuild, the mergeable-summaries law) — the
+    * "sketch once, roll up anywhere" cube device; see
+    * [[graft.exprs.KmvMergeAgg]]. */
+  def kmv_merge_agg(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(KmvMergeAgg(ex(sketch), Literal(k)).toAggregateExpression())
+  }
+
   /** Exact membership bitmap over a bounded id universe: packed 64-bit
     * words out, fixed universe/8 bytes of state, word-wise-OR merges —
     * the ClickHouse groupBitmap shape; set algebra via zip_with/
@@ -368,6 +377,7 @@ object functions {
     rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
     rn("mrl_agg", 2)(es => MrlAgg(es.head, es(1)))
     rn("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
+    rn("kmv_merge_agg", 2)(es => KmvMergeAgg(es.head, es(1)))
     rn("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))

@@ -957,6 +957,43 @@ object SessionQueries {
         col("inter_est"), col("inter_exact"), col("jaccard_ppm"))
   }
 
+  /** Sketch re-aggregation rollup — the "sketch once, roll up anywhere"
+    * cube pattern (ClickHouse AggregatingMergeTree, Druid sketch
+    * columns): build ONE KMV sketch per (event_type, day) cell — the
+    * materialized daily cube — then answer the per-type distinct-user
+    * question by MERGING the stored sketches (`kmv_merge_agg`), never
+    * re-touching raw events. The mergeable-summaries law (merge ==
+    * rebuild, property-tested in `KmvAggProps`) makes the re-aggregated
+    * estimate bit-identical to a direct sketch of the raw data — which
+    * is exactly what lets the oracle compute the k smallest distinct
+    * hashes straight from events. Exact audit + error ppm ride along.
+    *
+    * Scale shape: the cube build is one aggregate with ≤k longs of
+    * state per cell (map-side partials); the rollup re-aggregates
+    * |cells| rows, each k longs — raw data is touched once at cube
+    * build, every later rollup reads only sketches. */
+  def sketchReagg(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val M = 2147483648L // hash modulus 2^31
+    val ev = events(spark, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000L").as("day"),
+        pmod(pmod(col("user_id"), lit(1000000007L)) * lit(2654435761L), lit(M)).as("h"),
+        col("user_id"))
+    val dailyCube = ev.groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.kmv_agg(col("h"), k).as("sk"))
+    val reagg = dailyCube.groupBy(col("event_type"))
+      .agg(graft.functions.kmv_merge_agg(col("sk"), k).as("sk"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    reagg.join(exact, "event_type")
+      .withColumn("n_est", expr(
+        s"CASE WHEN size(sk) < $k THEN CAST(size(sk) AS BIGINT) " +
+          s"ELSE (CAST(${k - 1} AS BIGINT) * $M) DIV element_at(sk, $k) END"))
+      .withColumn("err_ppm", expr(
+        "(1000000 * abs(n_est - n_exact)) DIV greatest(n_exact, 1)"))
+      .select(col("event_type"), col("n_est"), col("n_exact"), col("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Theil–Sen robust trend estimator (Theil 1950, Sen 1968) over the
     * daily revenue series: the MEDIAN of all pairwise slopes — 29.3%
     * breakdown point, so outlier days (an ingest gap, a flash spike) do
@@ -1379,6 +1416,7 @@ object SessionQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tvf_grid" -> (tvfHourGrid _),
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
+    "q_sketch_reagg" -> ((s, d) => sketchReagg(s, d)),
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
     "q_user_growth" -> (userGrowth _),
@@ -1785,6 +1823,35 @@ object SessionQueries {
         |       ELSE (1000000 * abs(c)) // (CAST(n0 AS HUGEINT) * s0)
         |       END AS BIGINT) AS excursion_ppm
         |FROM top WHERE rn = 1""".stripMargin,
+    // merge == rebuild: the oracle takes the k smallest distinct hashes
+    // straight from raw events per type — the law the engine's stored-
+    // sketch rollup is proven equal to
+    "q_sketch_reagg" ->
+      """WITH hh AS (
+        |  SELECT DISTINCT event_type,
+        |    (((user_id % 1000000007 + 1000000007) % 1000000007)
+        |     * 2654435761) % 2147483648 AS h
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |  FROM hh),
+        |sk AS (
+        |  SELECT event_type, count(*) AS m, max(h) AS hk
+        |  FROM rk WHERE r <= 64 GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type),
+        |e AS (
+        |  SELECT sk.event_type,
+        |    CASE WHEN m < 64 THEN m ELSE (63 * 2147483648) // hk END AS n_est,
+        |    n_exact
+        |  FROM sk JOIN ex ON sk.event_type = ex.event_type)
+        |SELECT event_type, CAST(n_est AS BIGINT) AS n_est,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST((1000000 * abs(n_est - n_exact)) // greatest(n_exact, 1)
+        |       AS BIGINT) AS err_ppm
+        |FROM e ORDER BY event_type""".stripMargin,
     "q_kmv_overlap" ->
       """WITH ha AS (
         |  SELECT DISTINCT

@@ -884,6 +884,11 @@ object TextQueries {
     val b = docs.select(col("blk"), col("doc_id").as("b_id"),
       col("sh").as("shb"), col("sig").as("sigb"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      // deterministic 1-in-4 pair sample: an estimator audit is itself a
+      // sampled measurement — the error histogram's SHAPE is the product,
+      // and the hash sample keeps it unbiased while paying a quarter of
+      // the exact-intersect work (the audit's only quadratic term)
+      .filter(expr("pmod(a_id * 31 + b_id, 4) = 0"))
       .withColumn("inter", expr("size(array_intersect(sha, shb))"))
       .withColumn("uni", expr("size(sha) + size(shb) - inter"))
       .withColumn("exact_ppm", expr("(1000000 * CAST(inter AS BIGINT)) DIV uni"))
@@ -2412,7 +2417,8 @@ object TextQueries {
         |  FROM s WHERE len(sh) > 0),
         |p AS (
         |  SELECT a.sh AS sha, b.sh AS shb, a.sig AS siga, b.sig AS sigb
-        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |    AND (a.doc_id * 31 + b.doc_id) % 4 = 0),
         |e AS (
         |  SELECT len(list_intersect(sha, shb)) AS inter,
         |    len(sha) + len(shb) - len(list_intersect(sha, shb)) AS uni,

@@ -83,6 +83,55 @@ object KmvAggProps extends Properties("kmv_agg") {
       fromSketches == fromFullSets
     }
 
+  property("kmv_merge_agg(stored sketches) == kmv_agg(raw union) — merge == rebuild") =
+    forAll(for {
+      k <- Gen.choose(1, 12)
+      chunks <- Gen.listOf(Gen.listOf(Gen.choose(0L, 150L)))
+      nSplits <- Gen.choose(1, 4)
+    } yield (k, chunks, nSplits)) { case (k, chunks, nSplits) =>
+      // per-chunk KmvAgg sketches (the stored cube cells)...
+      val cells = chunks.map(c => sketchOf(k, c, 1))
+      // ...re-aggregated through KmvMergeAgg under any partial split
+      val mergeAgg = KmvMergeAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = true),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+      val bufs = Array.fill(nSplits)(mergeAgg.createAggregationBuffer())
+      cells.zipWithIndex.foreach { case (sk, i) =>
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sk.map(_.asInstanceOf[Any]).toArray)
+        mergeAgg.update(bufs(i % nSplits),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](arr)))
+      }
+      val reagg = mergeAgg.eval(bufs.reduceLeft(mergeAgg.merge))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      reagg == chunks.flatten.distinct.sorted.take(k)
+    }
+
+  property("kmv_merge_agg rejects an oversized (different-k) sketch") =
+    forAll(Gen.choose(1, 8)) { k =>
+      val mergeAgg = KmvMergeAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = true),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+      val buf = mergeAgg.createAggregationBuffer()
+      val tooBig = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0L to k.toLong).map(_.asInstanceOf[Any]).toArray) // k+1 values
+      try {
+        mergeAgg.update(buf,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](tooBig)))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("same k") }
+    }
+
   property("negative hash fails loudly (estimator precondition)") =
     forAll(Gen.choose(Long.MinValue, -1L)) { h =>
       val agg = mk(4)
