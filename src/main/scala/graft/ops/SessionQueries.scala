@@ -957,6 +957,43 @@ object SessionQueries {
         col("inter_est"), col("inter_exact"), col("jaccard_ppm"))
   }
 
+  /** Peak concurrency per day — the sweep-line occupancy operator
+    * (concurrent sessions / licenses in use / live connections): each
+    * user's active span for a day becomes a (+1 at start, −1 at end)
+    * event pair, and the running sum of the time-ordered deltas is the
+    * live count whose per-day MAX is the answer.
+    *
+    * Determinism device: the window orders by (t, delta DESC) with the
+    * DEFAULT RANGE frame, so all PEERS (same t, same delta) share the
+    * block-end running value — starts count before ends at the same
+    * millisecond (touching spans overlap, the closed-interval
+    * convention), and the within-block permutation both engines might
+    * disagree on never surfaces. A single-event span (+1 and −1 at the
+    * same t) is counted during its +1 block.
+    *
+    * Scale shape: one (user, day) rollup with map-side partials builds
+    * the spans; the sweep window partitions by DAY — the sort is
+    * |active users that day| per task, never the corpus; a
+    * hotter-than-memory day would swap in the two-phase global-rank
+    * device (`ops.Ranks`). One shuffle serves both the window and the
+    * final per-day aggregate. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val spans = events(spark, dir)
+      .withColumn("tms", expr("ts DIV 1000000L"))
+      .withColumn("day", expr("tms DIV 86400000L"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("tms")).as("t0"), max(col("tms")).as("t1"))
+    val pts = spans.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+      .union(spans.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").desc) // default RANGE frame: peers share
+    pts.withColumn("live", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(sum(when(col("delta") === 1L, 1L)).as("n_users"),
+        max(col("live")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Sketch re-aggregation rollup — the "sketch once, roll up anywhere"
     * cube pattern (ClickHouse AggregatingMergeTree, Druid sketch
     * columns): build ONE KMV sketch per (event_type, day) cell — the
@@ -1417,6 +1454,7 @@ object SessionQueries {
     "q_tvf_grid" -> (tvfHourGrid _),
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
     "q_sketch_reagg" -> ((s, d) => sketchReagg(s, d)),
+    "q_max_concurrency" -> (maxConcurrency _),
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
     "q_user_growth" -> (userGrowth _),
@@ -1823,6 +1861,27 @@ object SessionQueries {
         |       ELSE (1000000 * abs(c)) // (CAST(n0 AS HUGEINT) * s0)
         |       END AS BIGINT) AS excursion_ppm
         |FROM top WHERE rn = 1""".stripMargin,
+    // same sweep: RANGE-framed running sum over (t, delta DESC) peers
+    "q_max_concurrency" ->
+      """WITH spans AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |         min(epoch_ns(ts) // 1000000) AS t0,
+        |         max(epoch_ns(ts) // 1000000) AS t1
+        |  FROM events GROUP BY user_id, day),
+        |pts AS (
+        |  SELECT day, t0 AS t, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT day, t1 AS t, -1 AS delta FROM spans),
+        |sw AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t ASC, delta DESC
+        |                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS live
+        |  FROM pts)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+        |  CAST(max(live) AS BIGINT) AS max_concurrent
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin,
     // merge == rebuild: the oracle takes the k smallest distinct hashes
     // straight from raw events per type — the law the engine's stored-
     // sketch rollup is proven equal to
