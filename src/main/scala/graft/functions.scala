@@ -198,6 +198,15 @@ object functions {
     col(MrlAgg(ex(x), Literal(k)).toAggregateExpression())
   }
 
+  /** RE-aggregates stored [[mrl_agg]] quantile summaries (level structure
+    * recovered from the power-of-two weights) — the quantile member of
+    * the sketch-rollup family; see [[graft.exprs.MrlMergeAgg]]. Bound,
+    * not bit-equality, is the contract: gate through the rank audit. */
+  def mrl_merge_agg(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    col(MrlMergeAgg(ex(sketch), Literal(k)).toAggregateExpression())
+  }
+
   /** KMV distinct sketch over a BIGINT hash stream: the k smallest
     * distinct hashes as a sorted array, ≤k longs of state through
     * map-side partials. Unlike HLL the sketches compose under set
@@ -376,6 +385,7 @@ object functions {
     rn("cms_agg", 1)(es => CmsAgg(es.head))
     rn("mg_agg", 2)(es => MgAgg(es.head, es(1)))
     rn("mrl_agg", 2)(es => MrlAgg(es.head, es(1)))
+    rn("mrl_merge_agg", 2)(es => MrlMergeAgg(es.head, es(1)))
     rn("kmv_agg", 2)(es => KmvAgg(es.head, es(1)))
     rn("kmv_merge_agg", 2)(es => KmvMergeAgg(es.head, es(1)))
     rn("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))

@@ -957,6 +957,59 @@ object SessionQueries {
         col("inter_est"), col("inter_exact"), col("jaccard_ppm"))
   }
 
+  /** Quantile-sketch re-aggregation audit — the quantile member of the
+    * "sketch once, roll up anywhere" family ([[sketchReagg]] is the
+    * distinct-count member): per (event_type, day) MRL summaries of
+    * exact value cents are the stored daily cube; `mrl_merge_agg`
+    * reconstructs each summary's level structure from its power-of-two
+    * weights and folds the cube per type WITHOUT re-touching raw events;
+    * the per-type median estimate then faces the exact rank audit.
+    *
+    * Unlike KMV, MRL merge is bound-preserving, not bit-equal to
+    * rebuild — so the OUTPUT is the audit verdict (n, in_spec), never
+    * the merge-order-dependent estimate itself; the oracle emits the
+    * exact counts and TRUE (the [[RelationalQueries.quantileSketchAudit]]
+    * contract-mirror device). Bound: the deterministic N·L/(2k) rank
+    * error survives any merge tree (Agarwal et al. 2013); at k=512 and
+    * these scales the analytic bound is ≈1%, audited at 2% — L grows as
+    * log₂(N/k), so a 10¹²-row deployment re-widens the gate accordingly.
+    *
+    * Scale shape: cube build = one aggregate, O(k log) state per cell;
+    * the rollup re-aggregates |cells| sketch rows; the estimate readout
+    * windows over the BOUNDED weights relation (≤ k·L rows per type);
+    * the audit is one conditional aggregate over the raw relation. */
+  def quantileReagg(spark: SparkSession, dir: String, k: Int = 512): DataFrame = {
+    val v = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("ts DIV 86400000000000L").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val cube = v.groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.mrl_agg(col("cents"), k).as("sk"))
+    val merged = cube.groupBy(col("event_type"))
+      .agg(graft.functions.mrl_merge_agg(col("sk"), k).as("sk"))
+    val weights = merged.select(col("event_type"), explode(col("sk")).as("p"))
+      .groupBy(col("event_type"), col("p.v").as("v")).agg(sum(col("p.w")).as("w"))
+    val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cum = weights.withColumn("cum",
+      sum(col("w")).over(Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val est = cum.join(n, "event_type")
+      .filter(col("cum") >= ceil(col("n") * 0.5).cast("long"))
+      .groupBy(col("event_type")).agg(min(col("v")).as("est"))
+    v.join(est, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("r_le"))
+      .withColumn("target", ceil(col("n") * 0.5).cast("long"))
+      .withColumn("bound", ceil(col("n") * 0.02).cast("long"))
+      .select(col("event_type"), col("n"),
+        (col("n") === 0L ||
+          (col("target") <= col("r_le") + col("bound") &&
+           col("target") >= col("r_lt") + 1L - col("bound"))).as("in_spec"))
+      .orderBy(col("event_type"))
+  }
+
   /** Peak concurrency per day — the sweep-line occupancy operator
     * (concurrent sessions / licenses in use / live connections): each
     * user's active span for a day becomes a (+1 at start, −1 at end)
@@ -1455,6 +1508,7 @@ object SessionQueries {
     "q_kmv_overlap" -> ((s, d) => kmvOverlap(s, d)),
     "q_sketch_reagg" -> ((s, d) => sketchReagg(s, d)),
     "q_max_concurrency" -> (maxConcurrency _),
+    "q_quantile_reagg" -> ((s, d) => quantileReagg(s, d)),
     "q_theil_sen" -> (theilSen _),
     "q_cusum" -> (cusum _),
     "q_user_growth" -> (userGrowth _),
@@ -1861,6 +1915,12 @@ object SessionQueries {
         |       ELSE (1000000 * abs(c)) // (CAST(n0 AS HUGEINT) * s0)
         |       END AS BIGINT) AS excursion_ppm
         |FROM top WHERE rn = 1""".stripMargin,
+    // contract mirror (quantileSketchAudit device): exact n + TRUE — a
+    // re-agg defect beyond the rank bound is a hash mismatch
+    "q_quantile_reagg" ->
+      """SELECT event_type, count(*) AS n, true AS in_spec
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same sweep: RANGE-framed running sum over (t, delta DESC) peers
     "q_max_concurrency" ->
       """WITH spans AS (

@@ -80,4 +80,94 @@ object MrlAggProps extends Properties("mrl_agg") {
       rt.levels.map(_.toSeq) == buf.levels.map(_.toSeq) &&
         rt.totalWeight == buf.totalWeight
     }
+
+  /** Drive [[MrlMergeAgg]] the way Spark would: each chunk's MrlAgg
+    * OUTPUT (the (v, w) pairs) re-enters through update(), partials
+    * merge, and the combined summary must keep weight conservation AND
+    * the rank bound over the union stream — the re-aggregation contract
+    * `q_quantile_reagg` gates on. */
+  private def reagg(k: Int, chunks: Seq[Seq[Long]], nSplits: Int): MrlAgg.Buf = {
+    val mergeAgg = MrlMergeAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType, nullable = false))),
+          containsNull = false),
+        nullable = true),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+    val bufs = Array.fill(nSplits)(mergeAgg.createAggregationBuffer())
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val cell = new MrlAgg.Buf()
+      c.foreach(v => cell.add(v, k))
+      val pairs = cell.weightedSorted
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        pairs.map { case (v, w) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v, w)): Any
+        })
+      mergeAgg.update(bufs(i % nSplits),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](arr)))
+    }
+    bufs.reduceLeft(mergeAgg.merge)
+  }
+
+  private val chunkGen = for {
+    k <- Gen.choose(8, 64)
+    chunks <- Gen.listOf(Gen.listOfN(200, Gen.choose(-500L, 500L)))
+    nSplits <- Gen.choose(1, 4)
+  } yield (k, chunks, nSplits)
+
+  property("mrl_merge_agg conserves total weight over stored sketches") =
+    forAll(chunkGen) { case (k, chunks, nSplits) =>
+      reagg(k, chunks, nSplits).totalWeight == chunks.map(_.length).sum.toLong
+    }
+
+  property("mrl_merge_agg median stays rank-accurate within N*L/(2k)") =
+    forAll(chunkGen) { case (k, chunks, nSplits) =>
+      val xs = chunks.flatten
+      xs.isEmpty || {
+        val buf = reagg(k, chunks, nSplits)
+        val sorted = xs.sorted.toIndexedSeq
+        val n = xs.length.toLong
+        val bound = (n * buf.levels.length.toLong) / (2L * k) + 1L
+        val est = buf.quantile(0.5)
+        val target = math.max(1L, math.ceil(0.5 * n).toLong)
+        val rLt = sorted.count(_ < est).toLong
+        val rLe = sorted.count(_ <= est).toLong
+        val dist =
+          if (target < rLt + 1) rLt + 1 - target
+          else if (target > rLe) target - rLe
+          else 0L
+        dist <= bound
+      }
+    }
+
+  property("mrl_merge_agg rejects a non-power-of-two weight") =
+    forAll(Gen.choose(8, 64)) { k =>
+      val mergeAgg = MrlMergeAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("w",
+                org.apache.spark.sql.types.LongType, nullable = false))),
+            containsNull = false),
+          nullable = true),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+      val bad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](7L, 3L))))
+      try {
+        mergeAgg.update(mergeAgg.createAggregationBuffer(),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](bad)))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("power of two") }
+    }
 }
