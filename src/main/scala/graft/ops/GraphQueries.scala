@@ -394,7 +394,10 @@ object GraphQueries {
     * exact integer. The raw moments are emitted as BIGINTs alongside the
     * coefficient in signed ppm (sign split from magnitude, the
     * [[SessionQueries.abTest]] device, both factors in DECIMAL(38,0)
-    * lanes: n·Σx² ≈ 10³⁶ at 10¹² ends stays inside precision 38).
+    * lanes). Precision ceiling: the ppm multiplier needs |num| ≤ 10³² —
+    * comfortable for any real graph (10⁹ ends × 10⁶-degree hubs →
+    * |num| ≈ 10²⁷); past it the DECIMAL lane yields NULL ppm (never a
+    * wrong value) while the BIGINT moments stay exact.
     *
     * Scale shape: the degree rollup and the final moment aggregate both
     * take map-side partials; degrees attach to ends via two hash equi
