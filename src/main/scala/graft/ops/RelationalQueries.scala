@@ -153,6 +153,42 @@ object RelationalQueries {
       .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
+  /** TPC-H Q1 (pricing summary report) verbatim on the house schema —
+    * THE canonical scan-heavy OLAP aggregate: one pass over shipped
+    * lineitems, 2-key grouping, eight measures. Every money lane is
+    * exact integer (cents / 10⁻⁴ / 10⁻⁶ dollars): the disc_price and
+    * charge products are floored AFTER the full IEEE product — both
+    * engines execute the identical multiply chain — and the averages are
+    * integer DIV by the group count, so no float accumulates in any
+    * order-dependent sum.
+    *
+    * Scale shape: the textbook map-side-partial plan — filter pushed to
+    * the scan, partial+final HashAggregate over ≤6 groups, whole-stage
+    * codegen end to end; shuffle volume is |groups| rows at any corpus
+    * size. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(expr("l_shipdate < TIMESTAMP '1998-06-01 00:00:00'"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("base_cents"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("disc_e4"),
+        expr("""CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               |           * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("charge_e6"),
+        expr("CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)").as("disc_ppm"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("base_cents")).as("sum_base_cents"),
+        sum(col("disc_e4")).as("sum_disc_e4"),
+        sum(col("charge_e6")).as("sum_charge_e6"),
+        sum(col("disc_ppm")).as("sum_disc_ppm"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", expr("sum_qty DIV count_order"))
+      .withColumn("avg_price_cents", expr("sum_base_cents DIV count_order"))
+      .withColumn("avg_disc_ppm", expr("sum_disc_ppm DIV count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** TPC-H Q18 (large-volume customer) on the house schema — the
     * aggregate-then-semi-join shape: find orders whose total line quantity
     * clears a threshold, then enrich the survivors with order and customer
@@ -1246,6 +1282,7 @@ object RelationalQueries {
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
+    "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
     "q_p1_derive" -> (p1Derive _),
@@ -1591,6 +1628,28 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |                AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_charge_e6,
+        |  CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_disc_ppm,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS avg_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // count(*)
+        |       AS BIGINT) AS avg_price_cents,
+        |  CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) // count(*)
+        |       AS BIGINT) AS avg_disc_ppm
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // the oracle states Q18's literal aggregate-then-join; the engine's
     // single-aggregation rewrite is the same function of the data
     "q_tpch_q18" ->

@@ -187,6 +187,38 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end near-dup dedup with representative selection — the
+    * composite a production corpus-dedup pass actually ships ("cluster
+    * the near-dups, KEEP THE BEST ONE of each cluster, count what was
+    * removed"): MinHash-LSH candidate pairs → exact-Jaccard verify →
+    * union-find clusters → per-cluster argmax under the deterministic
+    * quality order (longest text wins, ties to the smaller doc_id).
+    * Output: one row per multi-doc cluster with the kept doc and the
+    * removal accounting.
+    *
+    * Scale shape: inherits [[dedupClusters]]'s banded-LSH + two-level
+    * union-find (no all-pairs anywhere); the keep choice is ONE
+    * `max_by(doc_id, struct(n_chars, -doc_id))` aggregate over the
+    * cluster relation — map-side partials, no per-cluster window sort.
+    * The oracle replays the argmax with a row_number window over the
+    * recursive-CTE closure. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = connectedComponents(spark,
+        minhashPairRelation(spark, dir).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+    documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("max_by(doc_id, struct(n_chars, -doc_id))").as("kept_doc_id"),
+        expr("max_by(n_chars, struct(n_chars, -doc_id))").as("chars_kept"),
+        sum(col("n_chars")).as("chars_total"))
+      .withColumn("chars_removed", col("chars_total") - col("chars_kept"))
+      .select(col("cluster_rep"), col("n_members"), col("kept_doc_id"),
+        col("chars_kept"), col("chars_removed"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Connected components over an (a_id, b_id) edge relation — the
     * union-find engine behind [[dedupClusters]] and
     * [[SpatialCluster.dbscan]]. Two-level: per-partition edge contraction
@@ -1857,6 +1889,7 @@ object TextQueries {
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_train_split" -> (trainSplit _),
     "q_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -2575,6 +2608,29 @@ object TextQueries {
     // connected components over the same exact near-dup relation as
     // q_dedup_minhash's oracle (MATERIALIZED: the pair CTE feeds both
     // directions of the edge list), labeled by recursive min-reachability
+    // the closure relabeled, joined to documents, argmax by the same
+    // (n_chars DESC, doc_id ASC) order via a row_number window
+    "q_dedup_keep_best" ->
+      (pairsCteSql + ",\n" +
+        """e AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |      UNION ALL SELECT b_id, a_id FROM pairs),
+          |r(u, l) AS (
+          |  SELECT DISTINCT u, u FROM e
+          |  UNION
+          |  SELECT e.v, r.l FROM r JOIN e ON r.u = e.u
+          |),
+          |cl AS (SELECT u AS doc_id, min(l) AS cluster_rep FROM r GROUP BY u),
+          |rk AS (
+          |  SELECT cl.cluster_rep, d.doc_id, d.n_chars,
+          |    row_number() OVER (PARTITION BY cl.cluster_rep
+          |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+          |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+          |SELECT cluster_rep, count(*) AS n_members,
+          |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+          |  CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS chars_kept,
+          |  CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
+          |       AS BIGINT) AS chars_removed
+          |FROM rk GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin),
     "q_dedup_clusters" ->
       (pairsCteSql + ",\n" +
         """e AS (SELECT a_id AS u, b_id AS v FROM pairs
