@@ -394,10 +394,12 @@ object GraphQueries {
     * exact integer. The raw moments are emitted as BIGINTs alongside the
     * coefficient in signed ppm (sign split from magnitude, the
     * [[SessionQueries.abTest]] device, both factors in DECIMAL(38,0)
-    * lanes). Precision ceiling: the ppm multiplier needs |num| ≤ 10³² —
-    * comfortable for any real graph (10⁹ ends × 10⁶-degree hubs →
-    * |num| ≈ 10²⁷); past it the DECIMAL lane yields NULL ppm (never a
-    * wrong value) while the BIGINT moments stay exact.
+    * lanes). The raw moments s_xx/s_xy themselves accumulate in
+    * DECIMAL(38,0) with the cast BEFORE the multiply — at 10⁹ ends with
+    * 10⁶-degree hubs a dx·dy term is ~10¹² and the sum ~10²¹, past
+    * BIGINT. Precision ceiling: the ppm multiplier needs |num| ≤ 10³² —
+    * comfortable for any real graph (|num| ≈ 10²⁷ at that scale); past
+    * it the DECIMAL lane yields NULL ppm (never a wrong value).
     *
     * Scale shape: the degree rollup and the final moment aggregate both
     * take map-side partials; degrees attach to ends via two hash equi
@@ -418,9 +420,13 @@ object GraphQueries {
     ends
       .join(deg.select(col("a").as("na"), col("d").as("dx")), col("a") === col("na"))
       .join(deg.select(col("a").as("nb"), col("d").as("dy")), col("b") === col("nb"))
+      // raw moments accumulate in DECIMAL(38,0): at 1e9 ends with
+      // 1e6-degree hubs a per-term dx·dy is ~1e12 and the SUM ~1e21 —
+      // past BIGINT, which non-ANSI Spark would wrap silently. The cast
+      // happens BEFORE the multiply so the product lane is exact too.
       .agg(count(lit(1)).as("n_ends"), sum(col("dx")).as("s_x"),
-        sum(col("dx") * col("dx")).as("s_xx"),
-        sum(col("dx") * col("dy")).as("s_xy"))
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("s_xx"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("s_xy"))
       .withColumn("num", expr(
         "CAST(n_ends AS DECIMAL(38,0)) * s_xy - CAST(s_x AS DECIMAL(38,0)) * s_x"))
       .withColumn("den", expr(
@@ -460,8 +466,8 @@ object GraphQueries {
         |m AS (
         |  SELECT count(*) AS n_ends,
         |         CAST(sum(da.d) AS BIGINT) AS s_x,
-        |         CAST(sum(da.d * db.d) AS BIGINT) AS s_xy,
-        |         CAST(sum(da.d * da.d) AS BIGINT) AS s_xx
+        |         CAST(sum(CAST(da.d AS HUGEINT) * db.d) AS HUGEINT) AS s_xy,
+        |         CAST(sum(CAST(da.d AS HUGEINT) * da.d) AS HUGEINT) AS s_xx
         |  FROM ends JOIN deg da ON ends.a = da.node
         |            JOIN deg db ON ends.b = db.node),
         |z AS (
@@ -469,7 +475,9 @@ object GraphQueries {
         |    CAST(n_ends AS HUGEINT) * s_xy - CAST(s_x AS HUGEINT) * s_x AS num,
         |    CAST(n_ends AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x AS den
         |  FROM m)
-        |SELECT n_ends, s_x, s_xx, s_xy,
+        |SELECT n_ends, s_x,
+        |  CAST(s_xx AS DECIMAL(38,0)) AS s_xx,
+        |  CAST(s_xy AS DECIMAL(38,0)) AS s_xy,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
         |       AS INT) AS r_sign,
         |  CAST(CASE WHEN den = 0 THEN 0

@@ -178,15 +178,23 @@ object RelationalQueries {
                |           * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("charge_e6"),
         expr("CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)").as("disc_ppm"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // money lanes accumulate in DECIMAL(38,0) (the tableChecksum
+      // convention): per-row charge_e6 is ~1e11, so a BIGINT sum lane
+      // wraps silently past ~1e8 rows per group in non-ANSI Spark while
+      // DuckDB sums in HUGEINT — DECIMAL keeps both engines exact at any
+      // corpus size. sum_qty stays BIGINT: qty ≤ 50 by TPC-H construction,
+      // so that lane holds past 1e17 rows per group.
       .agg(sum(col("qty")).as("sum_qty"),
-        sum(col("base_cents")).as("sum_base_cents"),
-        sum(col("disc_e4")).as("sum_disc_e4"),
-        sum(col("charge_e6")).as("sum_charge_e6"),
-        sum(col("disc_ppm")).as("sum_disc_ppm"),
+        sum(col("base_cents").cast("decimal(38,0)")).as("sum_base_cents"),
+        sum(col("disc_e4").cast("decimal(38,0)")).as("sum_disc_e4"),
+        sum(col("charge_e6").cast("decimal(38,0)")).as("sum_charge_e6"),
+        sum(col("disc_ppm").cast("decimal(38,0)")).as("sum_disc_ppm"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", expr("sum_qty DIV count_order"))
-      .withColumn("avg_price_cents", expr("sum_base_cents DIV count_order"))
-      .withColumn("avg_disc_ppm", expr("sum_disc_ppm DIV count_order"))
+      .withColumn("avg_price_cents",
+        expr("CAST(sum_base_cents DIV count_order AS BIGINT)"))
+      .withColumn("avg_disc_ppm",
+        expr("CAST(sum_disc_ppm DIV count_order AS BIGINT)"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q18 (large-volume customer) on the house schema — the
@@ -1632,14 +1640,14 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-        |       AS BIGINT) AS sum_base_cents,
+        |       AS DECIMAL(38,0)) AS sum_base_cents,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-        |                AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |                AS BIGINT)) AS DECIMAL(38,0)) AS sum_disc_e4,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |                      * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
         |    AS sum_charge_e6,
-        |  CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS sum_disc_ppm,
+        |  CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
+        |       AS DECIMAL(38,0)) AS sum_disc_ppm,
         |  count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS avg_qty,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // count(*)

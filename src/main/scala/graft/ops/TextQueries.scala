@@ -859,22 +859,6 @@ object TextQueries {
       .orderBy(col("octave"))
   }
 
-  /** Corpus readability scoring — Flesch reading ease (Flesch 1948,
-    * the `textstat` default every data-quality pipeline reaches for)
-    * per language: 206.835 − 1.015·(words/sentences) −
-    * 84.6·(syllables/word), computed from per-language TOTALS (the
-    * standard corpus-level form). Syllables use the classic vowel-group
-    * approximation ([aeiouy]+ runs — the same heuristic textstat's
-    * fallback uses), sentences the terminal-period count.
-    *
-    * Exactness device: counts are integers (token filter, char-diff
-    * period count, regexp_extract_all run count — identical greedy
-    * semantics in both engines for a plain character class), and the
-    * Flesch formula is emitted in micro units with the constants
-    * pre-scaled (206835000, 1015000, 84600000) and integer DIV — no
-    * float arithmetic anywhere.
-    *
-    * Scale shape: per-row projections + ONE bounded-key rollup. */
   /** MinHash estimator-error audit — the measurement that justifies (or
     * indicts) every LSH dedup threshold: over blocked candidate pairs,
     * compare the k-permutation MinHash ESTIMATE of Jaccard (fraction of
@@ -890,37 +874,64 @@ object TextQueries {
     * mixing in the loop. Word-3-gram shingles; docs with <3 tokens have
     * no shingle set and are excluded (documented, shared by the oracle).
     *
-    * Scale shape: signatures are k tiny strings computed ONCE per doc
-    * before the join; candidate pairs come from (lang, length-decile)
-    * blocking — never all-pairs — and the exact set-intersect runs only
-    * inside blocks, the fuzzyJoin discipline. One block-key equi join +
-    * one 9-bucket aggregate with map-side partials. */
-  def minhashAudit(spark: SparkSession, dir: String, perms: Int = 8): DataFrame = {
+    * Scale shape — bounded by construction, never quadratic in the
+    * corpus: blocks are (lang, length-decile) keys whose CARDINALITY is
+    * bounded, so block SIZE grows with the corpus; the audit therefore
+    * samples each block down to `capPerBlock` documents chosen by the
+    * deterministic md5 order (the [[sourceMix]] device: bounded-state
+    * [[graft.exprs.TopKAgg]] carries ≤2·cap pairs per block with
+    * map-side partials — no per-block sort, nothing unbounded ever
+    * shuffles). The expensive per-doc signature kernel (k·|shingles| md5
+    * calls) runs ONLY on the ≤|blocks|·cap survivors of a broadcast
+    * pick-back join, and candidate pairs are generated in-array from the
+    * per-block survivor list (≤cap·(cap−1)/2 per block, the
+    * [[dedupMinhash]] bucket discipline) — no self-join, so the kernel
+    * is never evaluated twice per doc. Total pair work is
+    * |blocks|·cap²/2 — a CONSTANT once the corpus saturates the blocks,
+    * which is exactly what an estimator audit (a sampled measurement by
+    * nature) should cost. The cap is a loud, documented parameter; the
+    * oracle replays the identical md5-ranked sample via `row_number`. */
+  def minhashAudit(spark: SparkSession, dir: String, perms: Int = 8,
+                   capPerBlock: Int = 32): DataFrame = {
     val step = 1000000L / perms
-    val docs = Par.fanOut(documents(spark, dir))
+    val base = Par.fanOut(documents(spark, dir))
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("blk", expr("concat(lang, ':', CAST(size(toks) DIV 10 AS STRING))"))
+    // per-block deterministic doc sample: keep the capPerBlock docs with
+    // the SMALLEST md5(doc_id) (negated 60-bit prefix so topk's "highest
+    // score" picks them), ties by doc_id — bounded state, no window sort
+    val picks = base
+      .select(col("doc_id"), col("blk"),
+        (-expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .as("neg_h60"))
+      .groupBy(col("blk"))
+      .agg(graft.functions.topk_agg(col("doc_id"), col("neg_h60"), capPerBlock)
+        .as("pairs"))
+      .select(explode(col("pairs.key")).as("doc_id"))
+    val docs = base.join(broadcast(picks), Seq("doc_id"))
       .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  array_distinct(transform(sequence(1, size(toks) - 2),
-          |    i -> concat_ws('_', toks[i-1], toks[i], toks[i+1])))
-          |ELSE array() END""".stripMargin))
-      .filter(size(col("sh")) > 0)
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws('_', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${perms - 1}), i ->
            |  array_min(transform(sh, s ->
            |    substring(md5(concat(CAST(i AS STRING), ':', s)), 1, 15))))""".stripMargin))
-      .withColumn("blk", expr("concat(lang, ':', CAST(size(toks) DIV 10 AS STRING))"))
-      .select(col("doc_id"), col("blk"), col("sh"), col("sig"))
-    val a = docs.select(col("blk"), col("doc_id").as("a_id"),
-      col("sh").as("sha"), col("sig").as("siga"))
-    val b = docs.select(col("blk"), col("doc_id").as("b_id"),
-      col("sh").as("shb"), col("sig").as("sigb"))
-    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
-      // deterministic 1-in-4 pair sample: an estimator audit is itself a
-      // sampled measurement — the error histogram's SHAPE is the product,
-      // and the hash sample keeps it unbiased while paying a quarter of
-      // the exact-intersect work (the audit's only quadratic term)
-      .filter(expr("pmod(a_id * 31 + b_id, 4) = 0"))
+      .select(col("blk"), col("doc_id"), col("sh"), col("sig"))
+    // in-block (a < b) pairs from the ≤cap survivor list — the
+    // dedupMinhash bucket device; collect_list is bounded by the cap
+    docs
+      .groupBy(col("blk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh"), col("sig"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    struct(x.sh AS sha, y.sh AS shb,
+          |           x.sig AS siga, y.sig AS sigb))))""".stripMargin)).as("p"))
+      .select(col("p.sha").as("sha"), col("p.shb").as("shb"),
+        col("p.siga").as("siga"), col("p.sigb").as("sigb"))
       .withColumn("inter", expr("size(array_intersect(sha, shb))"))
       .withColumn("uni", expr("size(sha) + size(shb) - inter"))
       .withColumn("exact_ppm", expr("(1000000 * CAST(inter AS BIGINT)) DIV uni"))
@@ -938,6 +949,22 @@ object TextQueries {
       .orderBy(col("err_bucket"))
   }
 
+  /** Corpus readability scoring — Flesch reading ease (Flesch 1948,
+    * the `textstat` default every data-quality pipeline reaches for)
+    * per language: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word), computed from per-language TOTALS (the
+    * standard corpus-level form). Syllables use the classic vowel-group
+    * approximation ([aeiouy]+ runs — the same heuristic textstat's
+    * fallback uses), sentences the terminal-period count.
+    *
+    * Exactness device: counts are integers (token filter, char-diff
+    * period count, regexp_extract_all run count — identical greedy
+    * semantics in both engines for a plain character class), and the
+    * Flesch formula is emitted in micro units with the constants
+    * pre-scaled (206835000, 1015000, 84600000) and integer DIV — no
+    * float arithmetic anywhere.
+    *
+    * Scale shape: per-row projections + ONE bounded-key rollup. */
   def readability(spark: SparkSession, dir: String): DataFrame = {
     Par.fanOut(documents(spark, dir))
       .select(col("lang"),
@@ -1437,15 +1464,29 @@ object TextQueries {
     * metric those cannot express (transpositions, small in-word edits).
     *
     * Scale shape: one hash equi join on the blocking key — never an
-    * all-pairs join; candidate volume is Σ block², controlled by the
-    * block granularity exactly like the LSH bucket caps. The Levenshtein
-    * kernel (O(60²) ints) runs only on candidates. Rollup per language:
+    * all-pairs join. Block keys have bounded CARDINALITY (lang ×
+    * decile), so block SIZE grows with the corpus; each block is first
+    * sampled down to `capPerBlock` docs by the deterministic md5 order
+    * (bounded-state [[graft.exprs.TopKAgg]] + broadcast pick-back, the
+    * [[minhashAudit]]/[[sourceMix]] device), bounding candidate volume
+    * at Σ cap² — constant once blocks saturate. The Levenshtein kernel
+    * (O(60²) ints) runs only on candidates. Rollup per language:
     * pairs checked, matches, closest distance. */
-  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 15): DataFrame = {
-    val d = Par.fanOut(documents(spark, dir))
+  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 15,
+                capPerBlock: Int = 64): DataFrame = {
+    val d0 = Par.fanOut(documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 60).as("pre"),
         expr("CAST(size(split(text, ' ')) AS BIGINT) DIV 10").as("tb"))
+    val picks = d0
+      .select(col("doc_id"), col("lang"), col("tb"),
+        (-expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .as("neg_h60"))
+      .groupBy(col("lang"), col("tb"))
+      .agg(graft.functions.topk_agg(col("doc_id"), col("neg_h60"), capPerBlock)
+        .as("pairs"))
+      .select(explode(col("pairs.key")).as("doc_id"))
+    val d = d0.join(broadcast(picks), Seq("doc_id"))
     val a = d.select(col("lang"), col("tb"), col("doc_id").as("a_id"), col("pre").as("a_pre"))
     val b = d.select(col("lang"), col("tb"), col("doc_id").as("b_id"), col("pre").as("b_pre"))
     a.join(b, Seq("lang", "tb"))
@@ -2221,10 +2262,16 @@ object TextQueries {
         |         AS cum_cover_micros
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH d AS (
+      """WITH d0 AS (
         |  SELECT doc_id, lang, substr(text, 1, 60) AS pre,
         |         len(string_split(text, ' ')) // 10 AS tb
         |  FROM documents),
+        |c AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, tb
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+        |    AS rk
+        |  FROM d0),
+        |d AS (SELECT doc_id, lang, pre, tb FROM c WHERE rk <= 64),
         |p AS (
         |  SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
         |  FROM d a JOIN d b
@@ -2424,34 +2471,41 @@ object TextQueries {
         |    CAST(CASE WHEN sa >= 9223372036854775808::HUGEINT THEN sa - 18446744073709551616::HUGEINT ELSE sa END AS BIGINT),
         |    CAST(CASE WHEN sb >= 9223372036854775808::HUGEINT THEN sb - 18446744073709551616::HUGEINT ELSE sb END AS BIGINT))) <= 6
         |ORDER BY a_id, b_id""".stripMargin,
-    // The LSH pipeline's contract is "the exact >= 0.7 n-gram-Jaccard
-    // near-dup relation, found without all-pairs work". The oracle IS that
-    // relation, brute-forced: hashed 5-gram shingle sets per doc, a
-    // size-ratio prefilter (J >= t forces |A|/|B| within t), exact
-    // intersect on survivors. Banded 8x8 MinHash was verified to have
-    // same md5 permutation draw, same word-3-gram shingles, same blocks
+    // Replays the identical md5 permutation draw, word-3-gram shingles,
+    // (lang, decile) blocks AND the per-block 32-doc md5-ranked sample:
+    // row_number over (md5(doc_id) 15-hex prefix, doc_id) mirrors
+    // topk_agg's (score desc = hash asc, key asc) total order exactly —
+    // fixed-width lowercase hex compares lexicographically == numerically
     "q_minhash_audit" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x != '') AS toks
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id,
-        |    lang || ':' || CAST(len(toks) // 10 AS VARCHAR) AS blk,
+        |  SELECT doc_id, toks,
+        |    lang || ':' || CAST(len(toks) // 10 AS VARCHAR) AS blk
+        |  FROM d WHERE len(toks) >= 3),
+        |c AS (
+        |  SELECT doc_id, toks, blk,
+        |    row_number() OVER (PARTITION BY blk
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+        |      AS rk
+        |  FROM s),
+        |k AS (
+        |  SELECT doc_id, blk,
         |    list_distinct(list_transform(range(len(toks) - 2),
         |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |           || '_' || toks[CAST(i+3 AS INT)])) AS sh
-        |  FROM d WHERE len(toks) >= 3),
+        |  FROM c WHERE rk <= 32),
         |g AS (
         |  SELECT doc_id, blk, sh,
         |    list_transform(range(8), i ->
         |      list_min(list_transform(sh, t ->
         |        substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15)))) AS sig
-        |  FROM s WHERE len(sh) > 0),
+        |  FROM k),
         |p AS (
         |  SELECT a.sh AS sha, b.sh AS shb, a.sig AS siga, b.sig AS sigb
-        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |    AND (a.doc_id * 31 + b.doc_id) % 4 = 0),
+        |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id),
         |e AS (
         |  SELECT len(list_intersect(sha, shb)) AS inter,
         |    len(sha) + len(shb) - len(list_intersect(sha, shb)) AS uni,

@@ -290,6 +290,78 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(n == Map("a" -> 10L, "b" -> 3L, "c" -> 10L))
   }
 
+  test("minhashAudit per-block cap: capped == windowed reference; cap >= block == full all-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // one saturated block (14 docs, token counts 10..19 => decile 1) where
+    // a cap of 6 binds, one small block (5 docs, decile 0) it never touches;
+    // overlapping token runs so exact Jaccard spans (0, 1)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omi",
+      "pi", "rho", "sigma", "tau", "ups")
+    val big = (1 to 14).map { i =>
+      val n = 10 + (i % 10)
+      (i.toLong, (0 until n).map(j => words((i + j) % words.length)).mkString(" "))
+    }
+    val small = (15 to 19).map { i =>
+      (i.toLong, (0 until 3 + (i % 4)).map(j => words((2 * i + j) % words.length)).mkString(" "))
+    }
+    val dir = fixtureDir("minhash_audit")
+    (big ++ small).map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference: window row_number over the SAME comparator
+    // (md5 15-hex prefix, doc_id) + the pre-r13 self-join formulation
+    def refAudit(cap: Int): Seq[(Int, Long, Long, Long)] = {
+      val base = Tables.documents(spark, dir)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("blk", expr("concat(lang, ':', CAST(size(toks) DIV 10 AS STRING))"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("blk"))
+          .orderBy(substring(md5(col("doc_id").cast("string")), 1, 15), col("doc_id"))))
+        .filter(col("rk") <= cap)
+        .withColumn("sh", expr(
+          """array_distinct(transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws('_', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
+        .withColumn("sig", expr(
+          """transform(sequence(0, 7), i ->
+            |  array_min(transform(sh, s ->
+            |    substring(md5(concat(CAST(i AS STRING), ':', s)), 1, 15))))""".stripMargin))
+      val a = base.select(col("blk"), col("doc_id").as("a_id"),
+        col("sh").as("sha"), col("sig").as("siga"))
+      val b = base.select(col("blk"), col("doc_id").as("b_id"),
+        col("sh").as("shb"), col("sig").as("sigb"))
+      a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+        .withColumn("inter", expr("size(array_intersect(sha, shb))"))
+        .withColumn("uni", expr("size(sha) + size(shb) - inter"))
+        .withColumn("exact_ppm", expr("(1000000 * CAST(inter AS BIGINT)) DIV uni"))
+        .withColumn("matches", expr(
+          "size(filter(zip_with(siga, sigb, (x, y) -> x = y), m -> m))"))
+        .withColumn("est_ppm", col("matches").cast("long") * lit(125000L))
+        .withColumn("err_bucket",
+          expr("CAST(abs(est_ppm - exact_ppm) DIV 15625L AS INT)"))
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("exact_ppm")).as("sum_exact_ppm"),
+          sum(col("matches").cast("long")).as("sum_matches"))
+        .orderBy(col("err_bucket")).collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    def run(cap: Int): Seq[(Int, Long, Long, Long)] =
+      TextQueries.minhashAudit(spark, dir, capPerBlock = cap).collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // binding cap: identical md5-ranked sample and identical histogram
+    assert(run(6) == refAudit(6))
+    // non-binding cap: the capped operator IS the full all-pairs audit
+    assert(run(1000) == refAudit(1000))
+    // the binding cap really bound: 6C2 + 5C2 = 25 pairs vs 14C2 + 5C2 = 101
+    assert(run(6).map(_._2).sum == 25L)
+    assert(run(1000).map(_._2).sum == 101L)
+  }
+
   test("recursive-CTE BFS equals iterative frontier BFS (hops) and path counting (n_paths)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

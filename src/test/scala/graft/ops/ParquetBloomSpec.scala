@@ -5,7 +5,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.filter2.predicate.FilterApi
 import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
 
@@ -16,10 +15,18 @@ class ParquetBloomSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("written footers carry a bloom filter on l_orderkey that answers membership") {
+  /** Each test runs the write itself so it passes standalone — without
+    * this, `listFiles()` on the never-written dir returns null and the
+    * second test NPEs instead of failing cleanly. */
+  private def writtenFiles(): Array[java.io.File] = {
     SinkQueries.parquetBloom(spark, dir).collect() // runs the write
-    val files = new java.io.File(s"${SinkQueries.OutBase}/parquet_bloom")
-      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val listed = new java.io.File(s"${SinkQueries.OutBase}/parquet_bloom").listFiles()
+    assert(listed != null, "parquet_bloom output dir missing after write")
+    listed.filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("written footers carry a bloom filter on l_orderkey that answers membership") {
+    val files = writtenFiles()
     assert(files.nonEmpty)
     val conf = new Configuration()
     var sawFilter = false
@@ -48,8 +55,7 @@ class ParquetBloomSpec extends AnyFunSuite {
     // 123456789 never occurs (orderkeys are dense from 0); a correct bloom
     // rejects it in MOST groups — require at least one rejection so the
     // skipping path is provably reachable
-    val files = new java.io.File(s"${SinkQueries.OutBase}/parquet_bloom")
-      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val files = writtenFiles()
     val conf = new Configuration()
     var rejected = false
     files.foreach { f =>
