@@ -447,9 +447,14 @@ object SinkQueries {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   private def ensurePrioVersions(spark: SparkSession, dir: String): Unit = synchronized {
-    if (dir == prioVersionsPublished.get(spark) &&
-        scala.util.Try(Materialize.version(spark, OutBase, "prio_rollup", "v2").schema)
-          .isSuccess) return
+    // existence probe is a pure filesystem check (the committed-write
+    // marker both versions carry) — the previous spark.read.schema probe
+    // cost two driver-side metadata jobs on EVERY diff call, a fixed tax
+    // on the measured CDF read
+    def committed(v: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(OutBase, "prio_rollup", "versions", v, "_SUCCESS"))
+    if (dir == prioVersionsPublished.get(spark) && committed("v1") && committed("v2"))
+      return
     versionRollback(spark, dir) // publishes v1 (half) and v2 (full)
     prioVersionsPublished.put(spark, dir)
   }
