@@ -363,15 +363,24 @@ object Pipelines {
     * integral fixture coordinates (dx² + dy² with dx = axis gap), whose
     * per-probe top-k multiset sum is identical under any tie break.
     * Ordering by JTS double distance equals ordering by integer d²:
-    * sqrt is strictly monotone and injective at these magnitudes. */
+    * sqrt is strictly monotone and injective at these magnitudes.
+    *
+    * Since r13 the entry point is the STATS-ROUTED [[SpatialJoin.knn]]:
+    * the 25-row region side is estimate-small under
+    * `autoBroadcastJoinThreshold`, so the router plans the broadcast
+    * R-tree variant here — the same declarative call plans the grid
+    * decomposition in [[spatialKnnPartitionedRollup]]. */
   def spatialKnnRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    knnPairsRollup(SpatialJoin.broadcastKnn(
+    knnPairsRollup(SpatialJoin.knn(
       parcelRelation(spark, dir), regionRelation(spark, dir),
-      "parcel_geom", "region_geom", k,
+      "parcel_geom", "region_geom", k, cellSize = 60000.0,
       outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0")))
 
-  /** The same k=3 kNN join through [[SpatialJoin.gridKnn]] — neither side
-    * broadcasts; the build side shuffles once on its reference cell and
+  /** The SAME declarative [[SpatialJoin.knn]] call routed to the
+    * grid-partitioned plan — the broadcast threshold is suppressed for
+    * the call (the build side is then stats-large by definition), which
+    * is exactly how a 100 TB-build-side job presents: neither side
+    * broadcasts, the build side shuffles once on its reference cell and
     * each probe derives its candidate cells from the broadcast per-cell
     * histogram. Cell pitch 60 km = the fixture's region step, so every
     * region owns one reference cell, the per-probe prefix is 1-3 cells,
@@ -381,11 +390,17 @@ object Pipelines {
     * closed-form oracle as the broadcast variant: same result, different
     * physical plan — that is the point (the device of
     * q_spatial_join_partitioned). */
-  def spatialKnnPartitionedRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    knnPairsRollup(SpatialJoin.gridKnn(
-      parcelRelation(spark, dir), regionRelation(spark, dir),
-      "parcel_geom", "region_geom", k, cellSize = 60000.0,
-      outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0")))
+  def spatialKnnPartitionedRollup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try
+      knnPairsRollup(SpatialJoin.knn(
+        parcelRelation(spark, dir), regionRelation(spark, dir),
+        "parcel_geom", "region_geom", k, cellSize = 60000.0,
+        outputCols = Seq("own_region", "px0", "py0", "rx0", "ry0")))
+    finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 
   /** Tie-invariant aggregate over kNN pairs (see [[spatialKnnRollup]]'s
     * exactness argument): per-pair SQUARED rectangle distance in exact

@@ -242,6 +242,31 @@ object SpatialJoin {
     if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
   }
 
+  /** Stats-routed kNN join — ONE declarative entry point that picks the
+    * physical strategy the way Spark's own join planning (and this
+    * engine's intersects/dwithin routing in
+    * [[graft.plans.SpatialJoinStrategy]]) does: if the build side's
+    * estimated `sizeInBytes` clears `autoBroadcastJoinThreshold`, plan
+    * [[broadcastKnn]] (driver-collected R-tree, branch-and-bound kNN,
+    * probe side never shuffles); otherwise [[gridKnn]] (both sides
+    * large: the build side shuffles ONCE on its reference cell, probes
+    * hash-join on the packed cell key). The signal is the optimized
+    * plan's statistics — the SAME estimate Catalyst's broadcast
+    * selection reads, so DSv2 sources reporting real stats
+    * (LatticeSource, LedgerSink) route correctly too. The loud
+    * `collectBuildSide` guard stays as the backstop for a mis-estimated
+    * build side. */
+  def knn(left: DataFrame, right: DataFrame,
+          leftGeomCol: String, rightGeomCol: String, k: Int,
+          cellSize: Double, outputCols: Seq[String] = Nil): DataFrame = {
+    val threshold = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val buildBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && buildBytes <= threshold)
+      broadcastKnn(left, right, leftGeomCol, rightGeomCol, k, outputCols)
+    else
+      gridKnn(left, right, leftGeomCol, rightGeomCol, k, cellSize, outputCols)
+  }
+
   /** k-nearest-neighbour join (Sedona `ST_KNN` analogue): for each left
     * row, the `k` right rows whose geometries are nearest by exact JTS
     * euclidean distance (ties broken arbitrarily, like Sedona). Same

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -281,7 +281,7 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
                                    agg: Option[Aggregation] = None,
                                    limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsRuntimeV2Filtering {
+  with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Compact serializable spec of each pushed aggregate ("count",
     * "min_r", "max_pos", …) — evaluated in the reader. */
@@ -343,6 +343,37 @@ private[sources] class LatticeScan(regions: Int, sites: Int, keepMod: Int,
     if (agg.isEmpty || groupByR)
       new KeyGroupedPartitioning(Array(Expressions.identity("r")), n)
     else new UnknownPartitioning(math.max(n, 1))
+  }
+
+  /** EXACT statistics from the generator's closed forms, reflecting every
+    * pushdown the scan accepted (filters → admitted regions, limit →
+    * per-partition cap, aggregate → summary-row counts). Catalyst reads
+    * these through `DataSourceV2ScanRelation.computeStats`, so a join
+    * against a small lattice AUTO-broadcasts under
+    * `autoBroadcastJoinThreshold` — without stats a DSv2 relation
+    * defaults to `spark.sql.defaultSizeInBytes` (Long.Max) and can NEVER
+    * win a broadcast decision. This is the rung that lets the
+    * stats-driven spatial routing (SpatialJoinStrategy) and Spark's own
+    * join planning see REAL sizes from DSv2 relations. */
+  override def estimateStatistics(): Statistics = {
+    val nRegions = admittedRegions.size.toLong
+    val rows: Long = agg match {
+      case Some(_) if groupByR => nRegions
+      case Some(_) => 1L
+      case None =>
+        val perRegion = math.min(
+          LatticeSource.admittedCount(sites, keepMod),
+          limit.getOrElse(Int.MaxValue).toLong)
+        nRegions * perRegion
+    }
+    val width = math.max(readSchema().defaultSize, 1)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          if (rows > Long.MaxValue / width) Long.MaxValue else rows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = agg match {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -306,11 +306,41 @@ private[sources] class LedgerScanBuilder(schema: StructType, path: String)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     pushAggregation(agg)
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType =
       if (countPushed) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
       else required
     override def toBatch: Batch = this
+
+    /** EXACT statistics from the commit manifest — the same per-file row
+      * counts that answer the pushed COUNT(*), summed at planning time
+      * with zero data files opened (the Iceberg/Delta manifest-stats
+      * property). sizeInBytes prorates the on-disk bytes of
+      * manifest-listed files by the pruned-column width, so a join
+      * against a small ledger table auto-broadcasts; without this a DSv2
+      * relation reports `spark.sql.defaultSizeInBytes` (Long.Max) and
+      * never wins a broadcast decision. */
+    override def estimateStatistics(): Statistics = {
+      val manifest = LedgerSink.readManifest(path)
+      val rows: Long =
+        if (countPushed) 1L
+        else manifest.map(_.files.map(_._2).sum).getOrElse(0L)
+      val diskBytes = manifest.map(_.files.map { case (f, _) =>
+        new File(path, f).length()
+      }.sum).getOrElse(0L)
+      val full = math.max(schema.defaultSize, 1)
+      val pruned = math.max(readSchema().defaultSize, 1)
+      val bytes =
+        if (countPushed) 16L
+        else if (diskBytes > Long.MaxValue / pruned) Long.MaxValue
+        else math.max(diskBytes * pruned / full, rows)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
+    }
     override def description(): String =
       s"LedgerSink scan of $path${if (countPushed) " pushedAgg=[COUNT(*) from manifest]" else ""}"
     override def planInputPartitions(): Array[InputPartition] =

@@ -505,6 +505,41 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stats-routed kNN: the SAME declarative knn call plans broadcast under threshold, grid above") {
+    val (parcels, regions) = parcelsAndRegions()
+    // identical declarative form — no API switch, no hint
+    def routed() = SpatialJoin.knn(parcels, regions,
+      "parcel_geom", "region_geom", 3, cellSize = 60000.0,
+      outputCols = Seq("region_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // regions (25 rows of nation.parquet) is stats-small by default:
+      // the broadcast R-tree path has NO join exec at all — pure
+      // mapPartitions over the probe side ("Join" alone would false-match
+      // the SpatialJoin lambda class name in the plan string)
+      val under = routed().queryExecution.executedPlan.toString
+      Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+        assert(!under.contains(j), s"$j in broadcast-route plan: ${under.take(2000)}"))
+      assert(under.contains("MapPartitions"), under.take(2000))
+      val bcast = perRegionCounts(routed())
+      // threshold off: build side is stats-large by definition — the
+      // router must take the grid decomposition (ONE hash equi join on
+      // the cell key), never a nested loop and never a driver collect
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gridDf = routed()
+      val over = gridDf.queryExecution.executedPlan.toString
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        over.take(2000))
+      assert(!over.contains("BroadcastNestedLoopJoin") && !over.contains("CartesianProduct"),
+        over.take(2000))
+      // both routes emit exactly k rows per probe (per-region splits may
+      // differ on k-boundary ties — tie-invariant result equality of the
+      // two physical paths is asserted by the grid-kNN test's d² rollup)
+      assert(perRegionCounts(gridDf).values.sum == bcast.values.sum && bcast.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("grid join reference-point rule: multi-cell pairs emit exactly once") {
     import org.apache.spark.sql.functions._
     import graft.functions.st_makeenvelope

@@ -41,6 +41,41 @@ class LatticeSourceSpec extends AnyFunSuite {
     assert(got == Seq(0, 1, 2, 3, 4))
   }
 
+  test("reported statistics are the closed form, shrink under pushdown, and drive the broadcast flip") {
+    // exact size: rows x schema defaultSize (4+4+8+8 = 24 bytes)
+    def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sizeOf(load(regions = 3, sites = 10)) == BigInt(3 * 10 * 24))
+    // filter pushdown shrinks the estimate to the admitted region
+    assert(sizeOf(load(regions = 25, sites = 100).filter(col("r") === 3)) ==
+      BigInt(100 * 24))
+    // column pruning shrinks the per-row width (r, pos = 8 bytes)
+    assert(sizeOf(load(regions = 3, sites = 10).select(col("r"), col("pos"))) ==
+      BigInt(3 * 10 * 8))
+    // keepMod thinning is reflected (closed-form admitted count)
+    assert(sizeOf(load(regions = 2, sites = 14, keepMod = 7)) ==
+      BigInt(2 * (0 until 14).count(_ % 7 < 3) * 24))
+
+    // the flip, lattice-vs-lattice so BOTH sides carry exact stats: the
+    // SAME unhinted equi join auto-broadcasts a stats-small probe side
+    // and refuses a stats-huge one (pre-stats, every DSv2 relation
+    // reported defaultSizeInBytes = Long.Max and could never broadcast)
+    val fact = load(regions = 25, sites = 200000) // 25*2e5*24 = 120 MB
+    def joined(sites: Int) = fact.join(
+      load(regions = 25, sites = sites)
+        .select(col("r").as("r2"), col("pos").as("pos2")),
+      col("r") === col("r2"))
+    val small = joined(100).queryExecution.sparkPlan.toString // 60 KB side
+    assert(small.contains("BroadcastHashJoin") && small.contains("BuildRight"),
+      small.take(2000))
+    val big = joined(2000000).queryExecution.sparkPlan.toString // 1.2 GB side
+    assert(!big.contains("BroadcastHashJoin"), big.take(2000))
+    assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+      big.take(2000))
+    // same declarative form both ways, and the small join computes
+    assert(joined(2).count() == 25L * 200000 * 2) // 2 matches per probe row
+  }
+
   test("reported key-grouped partitioning elides the aggregation exchange") {
     val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")

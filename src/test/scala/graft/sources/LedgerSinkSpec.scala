@@ -162,6 +162,32 @@ class LedgerSinkSpec extends AnyFunSuite {
     intercept[Exception] { readBack(dir).filter(col("k") > 2).count() }
   }
 
+  test("manifest statistics: exact rows + on-disk bytes, and an unhinted join auto-broadcasts") {
+    val dir = tmpDir("stats")
+    sample(200).repartition(3).write.format(Fmt).option("path", dir)
+      .mode(SaveMode.Append).save()
+    val df = readBack(dir)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val manifest = LedgerSink.readManifest(dir).get
+    assert(manifest.files.map(_._2).sum == 200L)
+    val diskBytes = manifest.files
+      .map { case (f, _) => new java.io.File(dir, f).length() }.sum
+    // full-width read: the estimate IS the manifest-listed disk bytes
+    assert(stats.sizeInBytes == BigInt(diskBytes))
+    assert(stats.rowCount.forall(_ == BigInt(200)))
+    // column pruning prorates the width downward
+    val pruned = df.select("k").queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < BigInt(diskBytes) && pruned > 0)
+    // the broadcast flip: a stats-small ledger table wins the build side
+    // of an UNHINTED equi join (pre-stats it reported Long.Max and never
+    // could)
+    val fact = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(pmod(col("l_orderkey"), lit(7L)).as("fk"))
+    val plan = fact.join(df.select(col("k"), col("v")), col("fk") === col("k"))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("unsupported column types are rejected loudly at table resolution") {
     import spark.implicits._
     val dir = tmpDir("types")
