@@ -228,6 +228,54 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q21 (suppliers who kept orders waiting) on the house schema —
+    * the hardest classic-OLAP planner rung: MULTI-CORRELATED
+    * EXISTS/NOT-EXISTS subqueries over the fact table itself, each
+    * correlated on the outer row's orderkey AND carrying a non-equi
+    * suppkey<>suppkey conjunct. Written as the LITERAL SQL (the shape a
+    * reference user's loader emits) and left to Catalyst's
+    * RewritePredicateSubquery: the EXISTS decorrelates to a LEFT SEMI
+    * join and the NOT EXISTS to a LEFT ANTI join — both hash joins on
+    * the orderkey equi key with the <> conjunct as a residual — never a
+    * per-outer-row subquery. House adaptations: the "received late"
+    * predicate is `day(l_shipdate) >= 16` (the corpus has no
+    * receipt/commit dates; any per-row deterministic predicate exercises
+    * the identical plan), the single-nation filter keeps TPC-H's
+    * supplier→nation join on the synthetic names. PlanShapeSpec asserts
+    * the decorrelated two-join shape.
+    *
+    * Scale shape: three self-visits to lineitem, ALL equi-keyed on
+    * l_orderkey — the fact table's clustering key, so the semi/anti
+    * probes co-partition with the outer scan; supplier and nation
+    * broadcast; the final is a ≤|suppliers| rollup under
+    * TakeOrderedAndProject. At sf0.001 the single-nation filter can
+    * yield zero rows (10 suppliers) — the gate scales are sf0.01/sf0.1. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_q21_lineitem")
+    orders(spark, dir).createOrReplaceTempView("graft_q21_orders")
+    supplier(spark, dir).createOrReplaceTempView("graft_q21_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_q21_nation")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_q21_supplier s
+        |JOIN graft_q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN graft_q21_orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN graft_q21_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND day(l1.l_shipdate) >= 16
+        |  AND n.n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND day(l3.l_shipdate) >= 16)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   /** Exact equi-depth binning (quantile discretization, the ML feature-
     * preprocessing op): every row gets the decile of its `l_extendedprice`
     * under the TOTAL order (cents, orderkey, linenumber) — ties split
@@ -1290,6 +1338,7 @@ object RelationalQueries {
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
+    "q_tpch_q21" -> (tpchQ21 _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
@@ -1658,6 +1707,28 @@ object RelationalQueries {
         |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the literal correlated EXISTS/NOT-EXISTS — DuckDB decorrelates its
+    // own way; equal results prove Spark's semi/anti rewrite is the same
+    // function of the data
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND day(l1.l_shipdate) >= 16
+        |  AND n.n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND day(l3.l_shipdate) >= 16)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     // the oracle states Q18's literal aggregate-then-join; the engine's
     // single-aggregation rewrite is the same function of the data
     "q_tpch_q18" ->

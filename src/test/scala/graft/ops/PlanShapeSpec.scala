@@ -49,6 +49,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
   }
 
+  test("TPC-H Q21: correlated EXISTS/NOT EXISTS decorrelate to one semi + one anti join, no per-row subquery") {
+    val p = planOf("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the correlated predicates left the plan entirely: no subquery
+    // expression survives into the physical tree
+    assert(!p.toLowerCase.contains("subquery"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("bucketed join is a shuffle-free sort-merge join") {
     // the plain join: any hashpartitioning exchange in the EXECUTED plan
     // could only come from the join inputs, so its absence proves the
