@@ -197,12 +197,35 @@ object Plans {
         "shuffles only |groups|*B fixed-width rows — the classic " +
         "bootstrap's B global resamples never exist."),
     Entry("q_minhash_audit",
-      "Signatures are scan-side projections (k tiny strings per doc, " +
-        "linear md5 work in each join branch), BEFORE the block-key " +
-        "equi join — the inside-block pair stage carries precomputed " +
-        "sigs and a deterministic 1-in-4 pair sample gates the exact " +
-        "intersect (the only quadratic term); one partial+final " +
-        "aggregate on top. No all-pairs join anywhere."),
+      "Bounded-by-construction since r13: the per-block doc cap runs " +
+        "FIRST as a bounded-state topk_agg on the md5 order (map-side " +
+        "partials, <=2*cap pairs of state per block, no window sort), " +
+        "the expensive signature kernel runs only on the <=|blocks|*cap " +
+        "survivors of a broadcast pick-back join, and pairs generate " +
+        "in-array from the per-block survivor list (the dedupMinhash " +
+        "bucket device) — no self-join, so the kernel is never " +
+        "evaluated twice per doc and total pair work is |blocks|*cap^2, " +
+        "a constant once the corpus saturates the blocks."),
+    Entry("q_spatial_dwithin_partitioned",
+      "Stats-routed grid decomposition of st_dwithin when NEITHER side " +
+        "clears the broadcast threshold: the distance-carrying side " +
+        "explodes to cells covering its envelope expanded by d, the " +
+        "other side to its own cells, ONE hash equi join on the packed " +
+        "BIGINT cell key, envelope prune, exact JTS distance, " +
+        "reference-point dedup — never BroadcastNestedLoopJoin. The " +
+        "shuffles are the cell-key exchange and nothing else; cell " +
+        "pitch is the graft.spatial.grid.cellSize knob."),
+    Entry("q_stream_outer_join",
+      "Stream-stream LEFT OUTER interval join run by the real streaming " +
+        "engine: both sides watermarked 2h, click side's unmatched rows " +
+        "held in join state until the min-of-both-sides watermark passes " +
+        "their interval horizon, then null-extended in the trailing " +
+        "no-data batch. State is bounded by the watermark (the " +
+        "long-horizon StreamOpsSpec asserts per-batch state rows stay " +
+        "constant across 14 eviction-crossing batches). The documented " +
+        "plan below is the bounded read-back rollup over the sink; the " +
+        "streaming micro-batch plan itself carries the two " +
+        "StateStoreSave sides keyed on user."),
     Entry("q_table_checksum",
       "Anti-entropy checksums: each replica is one scan into a " +
         "partial+final HashAggregate (the modular digest sum is " +

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale gate — the measured counterpart of the per-operator
+  * "scale shape" arguments (VERDICT r12 #5): build a 10× replica-shifted
+  * corpus from sf0.1 (foreign keys shifted consistently so every join
+  * still matches; dimensions stay fixed, as they would at 100 TB), run
+  * the heaviest registered queries ONCE each, and assert the plan
+  * contract EMPIRICALLY at 10× the benched scale:
+  *
+  *   - no executed (AQE-final) plan flips to BroadcastNestedLoopJoin or
+  *     CartesianProduct — the stats are 10× bigger, so any routing that
+  *     silently depended on "small enough to broadcast" flips HERE
+  *     before it flips in production;
+  *   - no spill blow-up: memory+disk spill per query stays under a loud
+  *     bound (spill growing faster than data is the 100 TB killer);
+  *   - driver heap growth per query is recorded (bounded driver reads
+  *     are a design invariant — a linear-in-data collect shows up as a
+  *     10× heap delta).
+  *
+  * Exit code 1 on any violation. Writes `STRESS_LATEST.json` (and the
+  * stable repo artifact path) for the round to commit — the same
+  * one-line-JSON contract as [[Bench]].
+  *
+  * Replica shifting: orderkey/custkey shift per replica i by i·(max+1)
+  * on BOTH sides of each FK edge (lineitem↔orders↔customer), doc/event/
+  * vec ids shift likewise, event timestamps shift by i·30 days so the
+  * timeline extends instead of densifying. Document TEXT is reused
+  * verbatim — every doc gains 9 exact near-dup replicas, which is
+  * deliberately adversarial for the LSH/dedup family (bucket sizes grow
+  * 10×; the maxBucket/capPerBlock disciplines are what this gate
+  * measures). */
+object Stress {
+
+  /** The heavy list: the most expensive batch queries of the r12
+    * definitive bench plus the operators whose caps/bounds exist
+    * precisely for scale (dedup/LSH family, partitioned spatial,
+    * TeraSort-shape binning, the Q18/Q21 planner rungs). Streaming
+    * queries are excluded: their cost is micro-batch engine setup, not
+    * data volume, and their state bounds have their own long-horizon
+    * gate (StreamOpsSpec). */
+  val Heavy: Seq[String] = Seq(
+    "q_minhash_audit", "q_fuzzy_join", "q_knn_join", "q_knn_join_partitioned",
+    "q_triangles", "q_setsim_join", "q_containment_join", "q_dedup_clusters",
+    "q_spatial_dwithin_partitioned", "q_equidepth_bins", "q_tpch_q18",
+    "q_tpch_q21")
+
+  /** Spill guard per query: generous (some external sorting at 6M rows
+    * is legitimate) but far below blow-up (which would be multi-GB). */
+  val SpillBoundBytes: Long = 4L << 30
+
+  def ensureCorpus(spark: SparkSession, src: String, dst: String,
+                   replicas: Int): Unit = {
+    val marker = new java.io.File(dst, "_STRESS_READY")
+    if (marker.exists()) return
+    new java.io.File(dst).mkdirs()
+    def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+    val oMax = maxOf(raw("orders"), "o_orderkey")
+    val cMax = maxOf(raw("customer"), "c_custkey")
+    val dMax = maxOf(raw("documents"), "doc_id")
+    val eMax = maxOf(raw("events"), "event_id")
+    val vMax = maxOf(raw("embeddings"), "vec_id")
+    def rep(t: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      (0 until replicas).map(i => f(raw(t), i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    rep("lineitem")((df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oMax)))
+    rep("orders")((df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oMax))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cMax)))
+    rep("customer")((df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * cMax)))
+    rep("documents")((df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * dMax)))
+    rep("events")((df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eMax))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 720} HOURS")))
+    rep("embeddings")((df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vMax)))
+    Seq("supplier", "part", "nation", "region").foreach(t =>
+      raw(t).write.mode("overwrite").parquet(s"$dst/$t.parquet"))
+    java.nio.file.Files.writeString(marker.toPath, s"replicas=$replicas src=$src\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
+      "/root/repo/target/stress_corpus")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureCorpus(spark, src, dst, replicas = 10)
+
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    })
+    val rt = Runtime.getRuntime
+    def heapUsed(): Long = { System.gc(); rt.totalMemory() - rt.freeMemory() }
+
+    val selected = Heavy.filter(SparkEntry.queries.contains)
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    // interleaved min-of-N passes, the Bench discipline: host contention
+    // is one-sided noise (the first artifact run sampled q_knn_join at
+    // 183 s in a contention window vs 14 s standalone minutes later), so
+    // the min of interleaved passes is the attainable steady-state number
+    val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt.max(1)
+    case class Obs(sec: Double, rows: Long, spillBytes: Long, heapDeltaMb: Long,
+                   bnlj: Boolean)
+    def passOnce(): Map[String, Obs] = selected.map { name =>
+      val spill0 = spill.get()
+      val heap0 = heapUsed()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dst)
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      name -> Obs(sec, rows, spill.get() - spill0,
+        (heapUsed() - heap0) / (1 << 20), bnlj)
+    }.toMap
+    val passes = (1 to runs).map(_ => passOnce())
+    val results = selected.map { name =>
+      val obs = passes.map(_(name))
+      val best = obs.minBy(_.sec)
+      // violations judge the WORST pass: a plan flip or spill blow-up in
+      // any pass is real even if another pass dodged it
+      val bnlj = obs.exists(_.bnlj)
+      val maxSpill = obs.map(_.spillBytes).max
+      if (bnlj) violations += s"$name: plan flipped to nested-loop/cartesian at 10x"
+      if (maxSpill > SpillBoundBytes)
+        violations += s"$name: spill $maxSpill bytes exceeds bound $SpillBoundBytes"
+      System.err.println(f"[stress] $name%-30s ${best.sec}%8.2f s  rows=${best.rows}%-8d " +
+        f"spill=${maxSpill / (1 << 20)}%5d MB  heapDelta=${best.heapDeltaMb}%5d MB  bnlj=$bnlj")
+      (name, best.sec, best.rows, maxSpill, best.heapDeltaMb, bnlj)
+    }
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.map { case (n, s, r, sp, hd, b) =>
+      s""""$n":{"sec":${ms(s)},"rows":$r,"spill_bytes":$sp,"heap_delta_mb":$hd,"bnlj":$b}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"queries":$qs,"corpus":"10x $src","n":${results.size},""" +
+      s""""violations":${violations.size},"metric":"total","unit":"sec","value":${ms(total)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/stress_local.json"), json + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/STRESS_LATEST.json"), json + "\n")
+    println(json)
+    violations.foreach(v => System.err.println(s"[stress] VIOLATION: $v"))
+    spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
+  }
+}

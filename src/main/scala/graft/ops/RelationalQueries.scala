@@ -652,6 +652,100 @@ object RelationalQueries {
       .orderBy(col("m_source"))
   }
 
+  /** The deterministic CDC changelog both [[cdcApply]] and [[scd2Build]]
+    * consume, derived from orders: every order is a change event against
+    * its customer — seq = o_orderkey (globally unique, so "latest change
+    * wins" is a total order), value = the order's price in exact cents.
+    * Op mix: seq%10 < 7 → 'U' (upsert an existing key), 7..8 → 'I'
+    * (insert a NEW key above the snapshot key space), 9 → 'D' (delete).
+    * Arrival order is deliberately NOT sequence order (the changelog is
+    * read from the orders table, which is not sorted by orderkey) —
+    * exactly the out-of-order delivery a CDC consumer must tolerate. */
+  private def cdcChangelog(spark: SparkSession, dir: String,
+                           keySpace: Long = 1000000L): DataFrame =
+    orders(spark, dir).select(
+      when(pmod(col("o_orderkey"), lit(10L)) < 7, col("o_custkey"))
+        .otherwise(col("o_custkey") + lit(keySpace)).as("key"),
+      col("o_orderkey").as("seq"),
+      when(pmod(col("o_orderkey"), lit(10L)) === 9, lit("D"))
+        .when(pmod(col("o_orderkey"), lit(10L)) >= 7, lit("I"))
+        .otherwise(lit("U")).as("op"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+
+  /** CDC changelog APPLY (the Debezium/Delta-CDF compaction kernel —
+    * the operator that turns a change stream back into a table): fold an
+    * OUT-OF-ORDER changelog of keyed (seq, op, value) events onto a
+    * snapshot. Latest-seq change wins per key; a winning 'D' removes the
+    * key, 'U'/'I' set its value, untouched snapshot keys survive as-is.
+    * Complements [[mergeUpsert]] (one change per key, no ordering): here
+    * keys carry MANY competing changes and correctness is the per-key
+    * max-seq selection, the thing a naive "apply in arrival order"
+    * pipeline gets wrong.
+    *
+    * Scale shape — the two-stage CDC compactor every lakehouse runs:
+    * (1) the fact-scale changelog collapses to one winner per key via
+    * `max_by(struct(op, cents), seq)` — a hash aggregate with map-side
+    * partials, never a per-key sort (the window formulation would sort
+    * every change; the aggregate carries ONE row of state per key);
+    * (2) one |keys|-sized full-outer hash equi join against the
+    * snapshot — co-located for free when snapshot and changelog are
+    * bucket-written on the key. Output is the bounded per-outcome audit
+    * (kept / updated / inserted / deleted counts + exact cents mass). */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = customer(spark, dir).select(col("c_custkey").as("key"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("snap_cents"))
+    val winners = cdcChangelog(spark, dir)
+      .groupBy(col("key"))
+      .agg(expr("max_by(struct(op, cents), seq)").as("w"))
+      .select(col("key"), col("w.op").as("op"), col("w.cents").as("chg_cents"))
+    snapshot.join(winners, Seq("key"), "full_outer")
+      .withColumn("outcome",
+        when(col("op").isNull, lit("kept"))
+          .when(col("op") === "D",
+            when(col("snap_cents").isNull, lit("deleted_absent")).otherwise(lit("deleted")))
+          .when(col("snap_cents").isNull, lit("inserted"))
+          .otherwise(lit("updated")))
+      .withColumn("final_cents",
+        when(col("op").isNull, col("snap_cents"))
+          .when(col("op") === "D", lit(null).cast("long"))
+          .otherwise(col("chg_cents")))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("final_cents")).as("sum_cents"))
+      .orderBy(col("outcome"))
+  }
+
+  /** SCD Type-2 dimension build (Kimball's slowly-changing-dimension
+    * history table — the other half of the CDC pair: [[cdcApply]] keeps
+    * only the latest state, this keeps EVERY version with its validity
+    * interval): per key, order the changes by seq and close each version
+    * at the NEXT change's seq (`lead`); the last version stays open
+    * (valid_to NULL = current). Deletes close their interval immediately
+    * (a 'D' version is never current). Output is the per-key audit:
+    * version count, open-version value, and the exact summed seq-span of
+    * CLOSED versions — interval arithmetic the oracle replays with the
+    * same window.
+    *
+    * Scale shape: ONE shuffle+sort on (key, seq) serves the whole build —
+    * `lead` and `row_number` share the window frame, and the per-key
+    * rollup reuses the same partitioning (no second exchange). At 100 TB
+    * this is the TeraSort-shaped pass a dimension-history rebuild costs,
+    * run per affected partition in production. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("key")).orderBy(col("seq"))
+    cdcChangelog(spark, dir)
+      .withColumn("valid_to", lead(col("seq"), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull && col("op") =!= "D")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("is_current"), col("cents"))).as("current_cents"),
+        sum(when(col("valid_to").isNotNull, col("valid_to") - col("seq")))
+          .as("closed_span"),
+        count(when(col("op") === "D", 1)).as("n_deletes"))
+      .orderBy(col("key"))
+  }
+
   /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -1374,6 +1468,8 @@ object RelationalQueries {
     "q_unpivot" -> (unpivotQ _),
     "q_date_ops" -> (dateOps _),
     "q_merge_upsert" -> (mergeUpsert _),
+    "q_cdc_apply" -> (cdcApply _),
+    "q_scd2_build" -> (scd2Build _),
     "q_json_extract" -> (jsonExtract _),
     "q_winsorize" -> (winsorize _),
     "q_rank_family" -> (rankFamily _),
@@ -1707,6 +1803,65 @@ object RelationalQueries {
         |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the oracle selects the per-key winner with a row_number window over
+    // seq DESC — a different formulation than the engine's max_by
+    // aggregate; equal results prove latest-change-wins under any arrival
+    // order (seq = o_orderkey is globally unique, so both are total)
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_custkey
+        |              ELSE o_custkey + 1000000 END AS key,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+        |              WHEN o_orderkey % 10 >= 7 THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (
+        |  SELECT key, op, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+        |      AS rn FROM ch)
+        |  WHERE rn = 1),
+        |snap AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS snap_cents
+        |  FROM customer),
+        |m AS (
+        |  SELECT CASE WHEN w.op IS NULL THEN 'kept'
+        |              WHEN w.op = 'D' AND snap.snap_cents IS NULL
+        |                THEN 'deleted_absent'
+        |              WHEN w.op = 'D' THEN 'deleted'
+        |              WHEN snap.snap_cents IS NULL THEN 'inserted'
+        |              ELSE 'updated' END AS outcome,
+        |         CASE WHEN w.op IS NULL THEN snap.snap_cents
+        |              WHEN w.op = 'D' THEN NULL
+        |              ELSE w.cents END AS final_cents
+        |  FROM snap FULL OUTER JOIN w ON snap.key = w.key)
+        |SELECT outcome, count(*) AS n_keys,
+        |       CAST(sum(final_cents) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY outcome ORDER BY outcome""".stripMargin,
+    // same changelog, same lead() interval arithmetic
+    "q_scd2_build" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_custkey
+        |              ELSE o_custkey + 1000000 END AS key,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+        |              WHEN o_orderkey % 10 >= 7 THEN 'I'
+        |              ELSE 'U' END AS op,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |v AS (
+        |  SELECT key, seq, op, cents,
+        |         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT key, count(*) AS n_versions,
+        |       CAST(sum(CASE WHEN valid_to IS NULL AND op <> 'D' THEN cents END)
+        |            AS BIGINT) AS current_cents,
+        |       CAST(sum(CASE WHEN valid_to IS NOT NULL THEN valid_to - seq END)
+        |            AS BIGINT) AS closed_span,
+        |       count(CASE WHEN op = 'D' THEN 1 END) AS n_deletes
+        |FROM v GROUP BY key ORDER BY key""".stripMargin,
     // the literal correlated EXISTS/NOT-EXISTS — DuckDB decorrelates its
     // own way; equal results prove Spark's semi/anti rewrite is the same
     // function of the data

@@ -186,6 +186,123 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Summed state-store rows of every micro-batch the query has reported
+    * (recentProgress keeps the last 100 — far above the ≥10 batches these
+    * long-horizon tests stage). */
+  private def stateRowsPerBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] =
+    q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+
+  test("long horizon: watermark window state stays bounded across 14 eviction-crossing batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val df = input.toDS().toDF()
+      .select(timestamp_millis(col("tms")).as("ts"), lit("e").as("event_type"))
+    val q = StreamOps.windowedCounts(df, watermark = "5 seconds", windowLen = "10 seconds")
+      .writeStream.format("memory").queryName("lh_windows")
+      .outputMode("append").start()
+    try {
+      // every batch advances event time a full minute — 6 window lengths
+      // past the previous batch, so each batch crosses the eviction
+      // boundary and all older windows must leave the store
+      (0 until 14).foreach { i =>
+        val t0 = B + i * 60000L
+        input.addData((0 until 20).map(j =>
+          StreamOps.Event(j.toLong, t0 + j * 400L, 1.0)): _*)
+        q.processAllAvailable()
+      }
+      val perBatch = stateRowsPerBatch(q)
+      assert(perBatch.size >= 14, s"expected >=14 stateful batches, got $perBatch")
+      // unbounded growth would hold all 14 windows (28 rows with the
+      // batch-straddling second window); eviction keeps only the windows
+      // the watermark has not yet finalized — a small CONSTANT per batch
+      assert(perBatch.max <= 6,
+        s"window state grew past the eviction bound: $perBatch")
+      // and the horizon is genuinely long: 13 batches of windows closed
+      // into the sink (the last batch's windows are still open)
+      assert(spark.table("lh_windows").count() >= 13)
+    } finally { q.stop(); spark.catalog.dropTempView("lh_windows") }
+  }
+
+  test("long horizon: stream-stream left-outer join state stays bounded across 14 batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val views = MemoryStream[(Long, Long)]
+    val c = clicks.toDS().toDF("c_user", "c_tms")
+      .select(col("c_user"), timestamp_millis(col("c_tms")).as("c_ts"))
+      .withWatermark("c_ts", "5 seconds")
+    val v = views.toDS().toDF("v_user", "v_tms")
+      .select(col("v_user"), timestamp_millis(col("v_tms")).as("v_ts"))
+      .withWatermark("v_ts", "5 seconds")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 10 SECONDS"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("lh_outer")
+      .outputMode("append").start()
+    try {
+      // both sides advance one minute per batch — far past the join
+      // interval + delay, so matched AND unmatched rows cross the
+      // eviction horizon every batch. Odd users never get a view:
+      // their clicks must flush null-extended instead of accumulating.
+      (0 until 14).foreach { i =>
+        val t0 = B + i * 60000L
+        clicks.addData((0 until 10).map(u => (u.toLong, t0 + u * 100L)): _*)
+        views.addData((0 until 10 by 2).map(u => (u.toLong, t0 + u * 100L + 3000L)): _*)
+        q.processAllAvailable()
+      }
+      val perBatch = stateRowsPerBatch(q)
+      assert(perBatch.size >= 14, s"expected >=14 stateful batches, got $perBatch")
+      // unbounded retention would reach 14*(10+5) = 210 buffered rows;
+      // watermark eviction keeps only ~2 batches' worth in flight
+      assert(perBatch.max <= 60,
+        s"join state grew past the eviction bound: $perBatch")
+      val out = spark.table("lh_outer")
+      // matched pairs flow; unmatched (odd-user) clicks were null-extended
+      // by the watermark, not retained forever
+      assert(out.filter(col("v_user").isNotNull).count() >= 5 * 13)
+      assert(out.filter(col("v_user").isNull).count() >= 5 * 12)
+    } finally { q.stop(); spark.catalog.dropTempView("lh_outer") }
+  }
+
+  test("long horizon: transformWithState state is |keys|-bounded across 12 batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import MilestoneOps._
+    val input = MemoryStream[TwsEvent]
+    val out = milestones(input.toDS(), stepCents = 100L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = try {
+      out.toDF().writeStream.format("memory").queryName("lh_tws")
+        .outputMode("append").start()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // the same 10 users fold 12 batches of events: state must stay ONE
+      // record per key — growth with batch count would mean the processor
+      // is appending state instead of updating it
+      (0 until 12).foreach { i =>
+        input.addData((0 until 10).map(u =>
+          TwsEvent(u.toLong, B + i * 1000L + u, i * 100L + u, 37L)): _*)
+        q.processAllAvailable()
+      }
+      val perBatch = stateRowsPerBatch(q)
+      assert(perBatch.size >= 12, s"expected >=12 stateful batches, got $perBatch")
+      assert(perBatch.max <= 10, s"tws state exceeded |keys|: $perBatch")
+      assert(perBatch.last == 10, s"final state != |keys|: $perBatch")
+      // and the fold really ran 12 times per key: final emission carries
+      // the full cumulative count
+      val last = spark.table("lh_tws").filter($"user_id" === 0L)
+        .collect().map(r => r.getLong(1)).max
+      assert(last == 12L, s"user 0 folded $last events, expected 12")
+    } finally { q.stop(); spark.catalog.dropTempView("lh_tws") }
+  }
+
   test("RocksDB state store provider yields identical results through the provider seam") {
     // the production-state-scale path: graft.stream.stateStoreProvider
     // routes every StreamQueries run through RocksDB instead of the
