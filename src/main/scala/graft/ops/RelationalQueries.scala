@@ -746,6 +746,66 @@ object RelationalQueries {
       .orderBy(col("key"))
   }
 
+  /** Market-basket co-occurrence (the A-priori first pass / co-purchase
+    * recommender kernel): the top-20 part pairs that appear together in
+    * the most orders. Pairs generate IN-ARRAY per order from the sorted
+    * distinct item list (the dedupMinhash bucket device) — candidate
+    * volume is Σ basket² with basket ≤ 7 lines by construction, so the
+    * pair stage is linear in orders and NEVER a self-join of the fact
+    * table on orderkey (which would be quadratic in basket size through
+    * the join, and shuffle lineitem twice).
+    *
+    * Scale shape: one hash aggregate to baskets (map-side partials on
+    * the clustering key), a bounded explode, one counting aggregate on
+    * the pair key, and TakeOrderedAndProject for the top-k — no global
+    * sort. Ties broken (n desc, a, b) — a total order, oracle-exact. */
+  def copurchase(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), y ->
+          |    struct(x AS a_part, y AS b_part))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a_part").as("a_part"), col("p.b_part").as("b_part"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("a_part"), col("b_part"))
+      .limit(k)
+
+  /** Referential-integrity audit (the dbt-test / data-contract kernel —
+    * the first job any warehouse runs after a load): for every FK edge
+    * of the star schema, count child rows whose key has no parent
+    * (orphans) and rows with a NULL key, in one pass per edge: ONE
+    * left-outer join (parent pk unique, so no fanout) feeding ONE
+    * conditional aggregate — the classic `pk IS NULL` orphan pattern,
+    * which avoids both a second anti-join pass over the child AND the
+    * 1-row-aggregate crossJoins that plan BroadcastNestedLoopJoin (the
+    * repo's documented trap). Catalyst broadcasts the dimension parents;
+    * the one fact-fact edge (lineitem→orders) co-partitions on the key
+    * both tables cluster by. Output: one row per edge, exact BIGINT. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("pk")), col("k") === col("pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("k").isNotNull && col("pk").isNull, 1)).as("n_orphans"),
+          count(when(col("k").isNull, 1)).as("n_null"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"), col("n_null"))
+    edge("lineitem.orderkey->orders", lineitem(spark, dir), "l_orderkey",
+        orders(spark, dir), "o_orderkey")
+      .unionByName(edge("lineitem.suppkey->supplier", lineitem(spark, dir),
+        "l_suppkey", supplier(spark, dir), "s_suppkey"))
+      .unionByName(edge("lineitem.partkey->part", lineitem(spark, dir),
+        "l_partkey", part(spark, dir), "p_partkey"))
+      .unionByName(edge("orders.custkey->customer", orders(spark, dir),
+        "o_custkey", customer(spark, dir), "c_custkey"))
+      .unionByName(edge("customer.nationkey->nation", customer(spark, dir),
+        "c_nationkey", nation(spark, dir), "n_nationkey"))
+      .orderBy(col("edge"))
+  }
+
   /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -1470,6 +1530,8 @@ object RelationalQueries {
     "q_merge_upsert" -> (mergeUpsert _),
     "q_cdc_apply" -> (cdcApply _),
     "q_scd2_build" -> (scd2Build _),
+    "q_copurchase" -> ((s, d) => copurchase(s, d)),
+    "q_fk_audit" -> (fkAudit _),
     "q_json_extract" -> (jsonExtract _),
     "q_winsorize" -> (winsorize _),
     "q_rank_family" -> (rankFamily _),
@@ -1803,6 +1865,51 @@ object RelationalQueries {
         |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the oracle brute-forces pairs with a per-order self-join — the
+    // formulation the engine deliberately avoids; equal top-20 proves the
+    // in-array generation emits exactly the distinct (a < b) pair bag
+    "q_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS a_part, b.l_partkey AS b_part
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey)
+        |SELECT a_part, b_part, count(*) AS n_orders
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_orders DESC, a_part, b_part
+        |LIMIT 20""".stripMargin,
+    "q_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.nationkey->nation' AS edge, count(*) AS n_child,
+        |         count(CASE WHEN c.c_nationkey IS NOT NULL
+        |                     AND n.n_nationkey IS NULL THEN 1 END) AS n_orphans,
+        |         count(CASE WHEN c.c_nationkey IS NULL THEN 1 END) AS n_null
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey->orders', count(*),
+        |         count(CASE WHEN l.l_orderkey IS NOT NULL
+        |                     AND o.o_orderkey IS NULL THEN 1 END),
+        |         count(CASE WHEN l.l_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part', count(*),
+        |         count(CASE WHEN l.l_partkey IS NOT NULL
+        |                     AND p.p_partkey IS NULL THEN 1 END),
+        |         count(CASE WHEN l.l_partkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier', count(*),
+        |         count(CASE WHEN l.l_suppkey IS NOT NULL
+        |                     AND s.s_suppkey IS NULL THEN 1 END),
+        |         count(CASE WHEN l.l_suppkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer', count(*),
+        |         count(CASE WHEN o.o_custkey IS NOT NULL
+        |                     AND c.c_custkey IS NULL THEN 1 END),
+        |         count(CASE WHEN o.o_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |) ORDER BY edge""".stripMargin,
     // the oracle selects the per-key winner with a row_number window over
     // seq DESC — a different formulation than the engine's max_by
     // aggregate; equal results prove latest-change-wins under any arrival

@@ -82,6 +82,121 @@ object VectorQueries {
           .withColumn("sim", cosineAgainst(q)), k)
     }
 
+  /** MMR diversified re-rank (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR'98 — the standard result-diversification pass a RAG
+    * retriever runs after ANN): greedily pick k results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` at λ = 1/2 (exact in
+    * binary, so both engines' score arithmetic is bit-identical). Step 1
+    * has an empty penalty set: score = λ·sim(q,d).
+    *
+    * Scale shape — the production funnel split: relevance (the
+    * data-sized stage) is the DISTRIBUTED exact top-N candidate pass
+    * ([[simTopK]]'s TakeOrderedAndProject shape); the greedy selection
+    * is inherently sequential in k, so it runs over the COLLECTED N
+    * candidates — a bounded-constant driver read (N=24 rows, the same
+    * class as the k-means seed read), never the corpus. At 100 TB the
+    * candidate stage is the ANN funnel (IVF-PQ) and this re-rank cost
+    * is unchanged — O(k·N) dot products of driver work.
+    *
+    * Determinism: driver cosine accumulates left-to-right (the DuckDB
+    * `list_sum` fold, [[foldSum]]'s device), `math.sqrt` is IEEE
+    * correctly rounded, and ties break by vec_id — the oracle replays
+    * the greedy loop as k chained CTEs over the same candidate set. */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 8,
+                n: Int = 24): DataFrame =
+    queryVectorOpt(spark, dir) match {
+      case None => emptyMmr(spark)
+      case Some(q) =>
+        val cand = Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+          .withColumn("simq", cosineAgainst(q))
+          .orderBy(col("simq").desc, col("vec_id"))
+          .limit(n)
+          .select(col("vec_id"), col("simq"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .collect()
+        val ids = cand.map(_.getLong(0))
+        val simq = cand.map(_.getDouble(1))
+        val vecs = cand.map(_.getSeq[Double](2).toArray)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val remaining = scala.collection.mutable.TreeSet(ids.indices: _*)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+        var step = 1
+        while (step <= math.min(k, ids.length)) {
+          def score(i: Int): Double =
+            if (selected.isEmpty) 0.5 * simq(i)
+            else 0.5 * simq(i) - 0.5 * selected.map(j => cos(vecs(i), vecs(j))).max
+          val best = remaining.minBy(i => (-score(i), ids(i)))
+          out += ((step, ids(best), score(best)))
+          selected += best
+          remaining -= best
+          step += 1
+        }
+        import spark.implicits._
+        out.toSeq.toDF("rank", "vec_id", "mmr")
+          .withColumn("mmr", round(col("mmr"), 4))
+          .orderBy(col("rank"))
+    }
+
+  /** Empty (rank, vec_id, mmr) result for the no-query-vector path. */
+  private def emptyMmr(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("vec_id", LongType),
+        StructField("mmr", DoubleType))))
+  }
+
+  /** The [[mmrRerank]] oracle: the greedy loop unrolled as k chained
+    * CTEs — each step's winner selected by the identical score formula
+    * and (mmr desc, vec_id) tie-break over the identical top-N
+    * candidate set. Every CTE is `AS MATERIALIZED`: DuckDB's default
+    * inlining re-evaluates the chain's references exponentially in k
+    * (sel8 inlines sel1..7, each inlining its own chain — measured as a
+    * multi-minute hang at k=8; materialized it is 0.1 s). */
+  private def mmrOracleSql(k: Int = 8, n: Int = 24): String = {
+    val sels = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT c.vec_id,
+         |         0.5 * c.simq - 0.5 * (SELECT max(p.s) FROM pair p
+         |            WHERE p.a = c.vec_id AND p.b IN ($prev)) AS mmr
+         |  FROM cand c WHERE c.vec_id NOT IN ($prev)
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, vec_id, mmr FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS MATERIALIZED (
+       |  SELECT e.vec_id, $cosineSql AS simq,
+       |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev
+       |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId),
+       |cand AS MATERIALIZED (SELECT * FROM scored ORDER BY simq DESC, vec_id LIMIT $n),
+       |pair AS MATERIALIZED (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         list_sum(list_transform(list_zip(x.ev, y.ev), p -> p[1] * p[2])) /
+       |         (sqrt(list_sum(list_transform(x.ev, v -> v * v))) *
+       |          sqrt(list_sum(list_transform(y.ev, v -> v * v)))) AS s
+       |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+       |sel1 AS MATERIALIZED (SELECT vec_id, 0.5 * simq AS mmr FROM cand
+       |         ORDER BY mmr DESC, vec_id LIMIT 1),
+       |${sels.mkString(",\n")}
+       |SELECT rank, vec_id, ROUND(mmr, 4) AS mmr FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** int8 SCALAR-QUANTIZATION ANN (the SQ sibling of [[annPq]], the
     * standard memory/bandwidth lever before PQ: 4 bytes/dim → 1): every
     * vector gets a per-vector symmetric scale `sc = max|v|/127` (the
@@ -832,6 +947,7 @@ object VectorQueries {
     "q_wcss" -> ((s, d) => wcss(s, d)),
     "q_feature_cov" -> ((s, d) => featureCov(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
+    "q_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "q_ann_sq" -> ((s, d) => annSq(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
@@ -890,6 +1006,7 @@ object VectorQueries {
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrOracleSql(),
     // n^2-scaled sufficient-statistics identity replayed in HUGEINT
     // lanes; sign-split division (Spark DIV truncates, DuckDB // floors)
     "q_feature_cov" ->
