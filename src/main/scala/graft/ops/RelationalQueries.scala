@@ -240,16 +240,19 @@ object RelationalQueries {
     * per-outer-row subquery. House adaptations: the "received late"
     * predicate is `day(l_shipdate) >= 16` (the corpus has no
     * receipt/commit dates; any per-row deterministic predicate exercises
-    * the identical plan), the single-nation filter keeps TPC-H's
-    * supplier→nation join on the synthetic names. PlanShapeSpec asserts
-    * the decorrelated two-join shape.
+    * the identical plan), the single-nation filter becomes the
+    * nation-class predicate `n_nationkey % 4 = 3` (the synthetic corpus
+    * has ~1 supplier per nation at sf0.001, so a literal one-nation
+    * equality is empty at the smoke scale; the class keeps the
+    * supplier→nation join + selective predicate shape and is non-empty
+    * at every scale). PlanShapeSpec asserts the decorrelated two-join
+    * shape.
     *
     * Scale shape: three self-visits to lineitem, ALL equi-keyed on
     * l_orderkey — the fact table's clustering key, so the semi/anti
     * probes co-partition with the outer scan; supplier and nation
     * broadcast; the final is a ≤|suppliers| rollup under
-    * TakeOrderedAndProject. At sf0.001 the single-nation filter can
-    * yield zero rows (10 suppliers) — the gate scales are sf0.01/sf0.1. */
+    * TakeOrderedAndProject. */
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir).createOrReplaceTempView("graft_q21_lineitem")
     orders(spark, dir).createOrReplaceTempView("graft_q21_orders")
@@ -263,7 +266,7 @@ object RelationalQueries {
         |JOIN graft_q21_nation n ON s.s_nationkey = n.n_nationkey
         |WHERE o.o_orderstatus = 'F'
         |  AND day(l1.l_shipdate) >= 16
-        |  AND n.n_name = 'NATION_7'
+        |  AND n.n_nationkey % 4 = 3
         |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
         |              WHERE l2.l_orderkey = l1.l_orderkey
         |                AND l2.l_suppkey <> l1.l_suppkey)
@@ -664,8 +667,12 @@ object RelationalQueries {
   private def cdcChangelog(spark: SparkSession, dir: String,
                            keySpace: Long = 1000000L): DataFrame =
     orders(spark, dir).select(
-      when(pmod(col("o_orderkey"), lit(10L)) < 7, col("o_custkey"))
-        .otherwise(col("o_custkey") + lit(keySpace)).as("key"),
+      // only INSERTS address the shifted keyspace — updates AND deletes
+      // target real snapshot keys, so every outcome class (incl.
+      // 'deleted') is reachable
+      when(pmod(col("o_orderkey"), lit(10L)).between(7, 8),
+          col("o_custkey") + lit(keySpace))
+        .otherwise(col("o_custkey")).as("key"),
       col("o_orderkey").as("seq"),
       when(pmod(col("o_orderkey"), lit(10L)) === 9, lit("D"))
         .when(pmod(col("o_orderkey"), lit(10L)) >= 7, lit("I"))
@@ -715,16 +722,18 @@ object RelationalQueries {
       .orderBy(col("outcome"))
   }
 
-  /** SCD Type-2 dimension build (Kimball's slowly-changing-dimension
-    * history table — the other half of the CDC pair: [[cdcApply]] keeps
-    * only the latest state, this keeps EVERY version with its validity
-    * interval): per key, order the changes by seq and close each version
-    * at the NEXT change's seq (`lead`); the last version stays open
-    * (valid_to NULL = current). Deletes close their interval immediately
-    * (a 'D' version is never current). Output is the per-key audit:
-    * version count, open-version value, and the exact summed seq-span of
-    * CLOSED versions — interval arithmetic the oracle replays with the
-    * same window.
+  /** SCD Type-2 build FROM AN OP-CODED CDC CHANGELOG — the tombstone
+    * variant of the history-table pair: [[SessionQueries.scd2]] derives
+    * versions from a raw event stream by lag change-detection (no
+    * deletes exist there), while this consumes explicit I/U/D change
+    * events — the Debezium-feed case — where a 'D' tombstone closes its
+    * interval immediately and is never the current version. Per key,
+    * changes order by seq and each version closes at the NEXT change's
+    * seq (`lead`); the last non-delete version stays open (valid_to
+    * NULL = current). Output is the per-key audit: version count,
+    * open-version value, tombstone count, and the exact summed seq-span
+    * of CLOSED versions — interval arithmetic the oracle replays with
+    * the same window.
     *
     * Scale shape: ONE shuffle+sort on (key, seq) serves the whole build —
     * `lead` and `row_number` share the window frame, and the per-key
@@ -1916,8 +1925,9 @@ object RelationalQueries {
     // order (seq = o_orderkey is globally unique, so both are total)
     "q_cdc_apply" ->
       """WITH ch AS (
-        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_custkey
-        |              ELSE o_custkey + 1000000 END AS key,
+        |  SELECT CASE WHEN o_orderkey % 10 BETWEEN 7 AND 8
+        |              THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
         |         o_orderkey AS seq,
         |         CASE WHEN o_orderkey % 10 = 9 THEN 'D'
         |              WHEN o_orderkey % 10 >= 7 THEN 'I'
@@ -1950,8 +1960,9 @@ object RelationalQueries {
     // same changelog, same lead() interval arithmetic
     "q_scd2_build" ->
       """WITH ch AS (
-        |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_custkey
-        |              ELSE o_custkey + 1000000 END AS key,
+        |  SELECT CASE WHEN o_orderkey % 10 BETWEEN 7 AND 8
+        |              THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
         |         o_orderkey AS seq,
         |         CASE WHEN o_orderkey % 10 = 9 THEN 'D'
         |              WHEN o_orderkey % 10 >= 7 THEN 'I'
@@ -1980,7 +1991,7 @@ object RelationalQueries {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |WHERE o.o_orderstatus = 'F'
         |  AND day(l1.l_shipdate) >= 16
-        |  AND n.n_name = 'NATION_7'
+        |  AND n.n_nationkey % 4 = 3
         |  AND EXISTS (SELECT 1 FROM lineitem l2
         |              WHERE l2.l_orderkey = l1.l_orderkey
         |                AND l2.l_suppkey <> l1.l_suppkey)

@@ -362,6 +362,104 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(run(1000).map(_._2).sum == 101L)
   }
 
+  test("cdcApply latest-seq-wins: scrambled arrival, delete-last, resurrect, insert, orphan delete") {
+    import spark.implicits._
+    // op = orderkey % 10 (<7 U, 7-8 I, 9 D), seq = orderkey; rows offered
+    // in SCRAMBLED order so arrival order can't masquerade as seq order
+    val dir = fixtureDir("cdc_apply")
+    Seq(
+      (32L, 2L, 20.00),  // key 2: U @32 (wins over the D @19) — resurrect
+      (29L, 1L, 99.00),  // key 1: D @29 (wins over the U @11) — deleted
+      (47L, 2L, 47.50),  // key 1000002: I @47 — inserted
+      (11L, 1L, 10.00),  // key 1: U @11 (loses)
+      (39L, 9L, 1.00),   // key 9: D @39, key absent from snapshot
+      (14L, 4L, 40.00),  // key 4: U @14 (loses)
+      (19L, 2L, 5.00),   // key 2: D @19 (loses)
+      (34L, 4L, 44.00))  // key 4: U @34 (wins)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1.11), (2L, 2.22), (3L, 3.33), (4L, 4.44))
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = RelationalQueries.cdcApply(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("deleted", 1L, -1L),          // key 1 (sum NULL)
+      ("deleted_absent", 1L, -1L),   // key 9
+      ("inserted", 1L, 4750L),       // key 1000002 @ $47.50
+      ("kept", 1L, 333L),            // key 3 untouched
+      ("updated", 2L, 2000L + 4400L) // keys 2 (resurrected) and 4
+    ), got)
+  }
+
+  test("scd2Build tombstones: lead() intervals, delete never current, exact closed spans") {
+    // same changelog semantics as the cdcApply fixture
+    val dir = fixtureDir("cdc_apply") // reuses the written fixture tables
+    import spark.implicits._
+    // standalone safety: (re)write the fixture — same rows as above
+    Seq((32L, 2L, 20.00), (29L, 1L, 99.00), (47L, 2L, 47.50), (11L, 1L, 10.00),
+      (39L, 9L, 1.00), (14L, 4L, 40.00), (19L, 2L, 5.00), (34L, 4L, 44.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = RelationalQueries.scd2Build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      // key, n_versions, current_cents, closed_span, n_deletes
+      (1L, 2L, -1L, 29L - 11L, 1L),   // U@11 closed by D@29; D open, never current
+      (2L, 2L, 2000L, 32L - 19L, 1L), // D@19 closed by U@32; U current
+      (4L, 2L, 4400L, 34L - 14L, 0L),
+      (9L, 1L, -1L, -1L, 1L),         // lone tombstone: no closed span, not current
+      (1000002L, 1L, 4750L, -1L, 0L)
+    ), got)
+  }
+
+  test("copurchase pairs: in-array generation dedups within order, excludes singleton baskets") {
+    import spark.implicits._
+    val dir = fixtureDir("copurchase")
+    // o1 has a REPEATED part (5) — pair bag must stay distinct-per-order;
+    // o3 is a singleton basket — contributes nothing
+    Seq((1L, 5L), (1L, 3L), (1L, 5L), (1L, 9L),
+        (2L, 3L), (2L, 5L),
+        (3L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.copurchase(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 5L, 2L), (3L, 9L, 1L), (5L, 9L, 1L)), got)
+  }
+
+  test("mmrRerank diversifies: rank 2 leaves the near-duplicate cluster that plain top-k keeps") {
+    import spark.implicits._
+    val dir = fixtureDir("mmr")
+    // query (vec_id 0) = e1; cluster A = three near-copies of e1 (top-3
+    // by relevance alone); B is distinct with lower relevance. At
+    // lambda=1/2 the second pick must be B: the A-A penalty (~1.0)
+    // crushes the marginal score of a second A.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // A cluster: simq ~0.95 but mutual sim ~1.0 (marginal score ~-0.025);
+    // B: simq 0.8 with sim-to-A1 ~0.573 (marginal ~+0.114) — the gap MMR
+    // exists to exploit. (Near-copies of q itself would NOT flip: their
+    // penalty saturates at ~their relevance and the marginal stays ~0.)
+    Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (1L, v(0.95, 0.312, 0.001, 0), 0), // A1 (highest simq: smallest norm)
+      (2L, v(0.95, 0.312, 0.002, 0), 0), // A2
+      (3L, v(0.95, 0.312, 0.003, 0), 0), // A3
+      (4L, v(0.8, -0.6, 0, 0), 1))       // B
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorQueries.mmrRerank(spark, dir, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // relevance alone would rank (1, 2, 3); MMR keeps A1 then jumps to B
+    assert(got.map(_._2).take(2) == Seq(1L, 4L), got)
+    // third pick returns to the A cluster (all remaining are A's)
+    assert(Set(2L, 3L).contains(got(2)._2), got)
+  }
+
   test("recursive-CTE BFS equals iterative frontier BFS (hops) and path counting (n_paths)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
