@@ -19,6 +19,71 @@ object SessionQueries {
   /** Gap sessionization: lag + cumulative-sum of session starts — the
     * classic two-window formulation; shuffles once on user_id and both
     * windows reuse that partitioning. */
+  /** Ordered-sequence funnel (ClickHouse `windowFunnel` semantics — the
+    * product-analytics kernel this surface lacked next to retention/
+    * attribution): per user, the deepest prefix of the step sequence
+    * signup → view → click → purchase completed by a STRICTLY ordered
+    * event chain e₁ < e₂ < … < e_k with t_k − t₁ ≤ W. The report is the
+    * classic funnel table: one row per step with the number of users
+    * reaching at least that depth (monotone by construction — a valid
+    * depth-k chain's prefixes are valid at every shallower depth, since
+    * t_j ≤ t_k keeps the window).
+    *
+    * The device that makes this ONE window pass instead of a per-user
+    * automaton: for the end-to-start window test, the BEST chain
+    * reaching step j strictly before row r is the one with the MAXIMUM
+    * start time — so three stacked running-max window columns (latest
+    * signup before r; best signup-start among completed signup→view
+    * chains before r; same through click) carry everything needed, and
+    * each step's test is `ts − chain_start ≤ W` at its own event rows.
+    * No intermediate window pruning is needed or correct: a larger
+    * start is never worse, and prefix windows are implied by the final
+    * one.
+    *
+    * Scale shape: ONE exchange + sort on (user_id, (tms, event_id)) —
+    * the three Window nodes stack on the same spec, so Spark sorts once
+    * and the later passes consume the order; the per-user rollup reuses
+    * the partitioning; output is 4 rows. State per window is one BIGINT
+    * per frame — no collect_list automaton, no per-user memory
+    * proportional to history. Strictness comes from the ROWS
+    * (unboundedPreceding, -1) frame over the (tms, event_id) total
+    * order, which both engines replay identically. */
+  def windowFunnel(spark: SparkSession, dir: String,
+                   windowHours: Int = 72): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val before = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val wMs = windowHours.toLong * 3600000L
+    val chained = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000L").as("tms"), col("event_type"))
+      .withColumn("s1",
+        max(when(col("event_type") === "signup", col("tms"))).over(before))
+      .withColumn("c2",
+        max(when(col("event_type") === "view", col("s1"))).over(before))
+      .withColumn("c3",
+        max(when(col("event_type") === "click", col("c2"))).over(before))
+    val perUser = chained.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "signup", 1L)).as("d1"),
+      max(when(col("event_type") === "view" &&
+        col("tms") - col("s1") <= wMs, 1L)).as("d2"),
+      max(when(col("event_type") === "click" &&
+        col("tms") - col("c2") <= wMs, 1L)).as("d3"),
+      max(when(col("event_type") === "purchase" &&
+        col("tms") - col("c3") <= wMs, 1L)).as("d4"))
+    perUser.agg(
+        coalesce(sum(col("d1")), lit(0L)).as("u1"),
+        coalesce(sum(col("d2")), lit(0L)).as("u2"),
+        coalesce(sum(col("d3")), lit(0L)).as("u3"),
+        coalesce(sum(col("d4")), lit(0L)).as("u4"))
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("signup").as("step_type"), col("u1").as("n_users")),
+        struct(lit(2).as("step"), lit("view").as("step_type"), col("u2").as("n_users")),
+        struct(lit(3).as("step"), lit("click").as("step_type"), col("u3").as("n_users")),
+        struct(lit(4).as("step"), lit("purchase").as("step_type"), col("u4").as("n_users")))).as("r"))
+      .select(col("r.step"), col("r.step_type"), col("r.n_users"))
+      .orderBy(col("step"))
+  }
+
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
     val runner = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1522,6 +1587,7 @@ object SessionQueries {
     "q_markov" -> (markovTransitions _),
     "q_histogram2d" -> ((s, d) => histogram2d(s, d)),
     "q_sessionize" -> (sessionize _),
+    "q_window_funnel" -> ((s, d) => windowFunnel(s, d)),
     "q_session_window" -> (sessionWindowAgg _),
     "q_spike_days" -> (spikeDays _),
     "q_cms_frequency" -> (cmsFrequency _),
@@ -2402,6 +2468,54 @@ object SessionQueries {
         |  SELECT (tms // 3600000) * 3600000 - 3600000, event_type FROM e)
         |SELECT w_start_ms, event_type, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin,
+    // the same three stacked running-max windows + end-of-chain window
+    // test, replayed over the identical (tms, event_id) strict order
+    "q_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS tms, event_type
+        |  FROM events),
+        |s1t AS (
+        |  SELECT user_id, event_id, tms, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN tms END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1
+        |  FROM e),
+        |c2t AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN s1 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c2
+        |  FROM s1t),
+        |c3t AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN c2 END)
+        |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c3
+        |  FROM c2t),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 END) AS d1,
+        |    max(CASE WHEN event_type = 'view'
+        |             AND tms - s1 <= 259200000 THEN 1 END) AS d2,
+        |    max(CASE WHEN event_type = 'click'
+        |             AND tms - c2 <= 259200000 THEN 1 END) AS d3,
+        |    max(CASE WHEN event_type = 'purchase'
+        |             AND tms - c3 <= 259200000 THEN 1 END) AS d4
+        |  FROM c3t GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS u1,
+        |         CAST(coalesce(sum(d2), 0) AS BIGINT) AS u2,
+        |         CAST(coalesce(sum(d3), 0) AS BIGINT) AS u3,
+        |         CAST(coalesce(sum(d4), 0) AS BIGINT) AS u4
+        |  FROM pu)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_type, u1 AS n_users FROM t
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'view', u2 FROM t
+        |  UNION ALL
+        |  SELECT CAST(3 AS INTEGER), 'click', u3 FROM t
+        |  UNION ALL
+        |  SELECT CAST(4 AS INTEGER), 'purchase', u4 FROM t
+        |) ORDER BY step""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value,

@@ -460,6 +460,55 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(Set(2L, 3L).contains(got(2)._2), got)
   }
 
+  test("windowFunnel: max-start chains, strict same-tms ordering, inclusive window boundary") {
+    import spark.implicits._
+    val dir = fixtureDir("funnel")
+    def ns(ms: Long): Long = ms * 1000000L
+    val H = 3600000L // one hour in ms
+    val B = 1700000000000L
+    val rows = Seq(
+      // user 1 reaches depth 4 ONLY via the max-start device: the chain
+      // from the signup@0 violates W=72h at every later step; the
+      // signup@50h rescues view@100h (50h gap), click@120h (70h),
+      // purchase@121h (71h)
+      (1L, 10L, ns(B), "signup"),
+      (1L, 11L, ns(B + 50 * H), "signup"),
+      (1L, 12L, ns(B + 100 * H), "view"),
+      (1L, 13L, ns(B + 120 * H), "click"),
+      (1L, 14L, ns(B + 121 * H), "purchase"),
+      // user 2: steps out of order — view precedes signup, click precedes
+      // any completed signup->view chain: depth stalls at 1
+      (2L, 20L, ns(B), "view"),
+      (2L, 21L, ns(B + 5 * H), "click"),
+      (2L, 22L, ns(B + 10 * H), "signup"),
+      (2L, 23L, ns(B + 20 * H), "purchase"),
+      // user 3: all three at the SAME tms — strictness is the
+      // (tms, event_id) row order: click(30) < signup(31) < view(32), so
+      // signup->view completes (gap 0) but the click saw no chain
+      (3L, 30L, ns(B), "click"),
+      (3L, 31L, ns(B), "signup"),
+      (3L, 32L, ns(B), "view"),
+      // user 4: boundary law — view at EXACTLY W passes (<=), click one
+      // millisecond past W fails
+      (4L, 40L, ns(B), "signup"),
+      (4L, 41L, ns(B + 72 * H), "view"),
+      (4L, 42L, ns(B + 72 * H) + 1000000L, "click"),
+      // user 5: no signup — contributes to no step
+      (5L, 50L, ns(B), "view"),
+      (5L, 51L, ns(B + H), "click"),
+      (5L, 52L, ns(B + 2 * H), "purchase"))
+    rows.toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionQueries.windowFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1, "signup", 4L),   // users 1,2,3,4
+      (2, "view", 3L),     // users 1,3,4
+      (3, "click", 1L),    // user 1 only
+      (4, "purchase", 1L)  // user 1 only
+    ), got)
+  }
+
   test("recursive-CTE BFS equals iterative frontier BFS (hops) and path counting (n_paths)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
