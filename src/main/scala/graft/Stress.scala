@@ -45,7 +45,8 @@ object Stress {
     "q_minhash_audit", "q_fuzzy_join", "q_knn_join", "q_knn_join_partitioned",
     "q_triangles", "q_setsim_join", "q_containment_join", "q_dedup_clusters",
     "q_spatial_dwithin_partitioned", "q_equidepth_bins", "q_tpch_q18",
-    "q_tpch_q21")
+    "q_tpch_q21", "q_cdc_apply", "q_scd2_build", "q_copurchase",
+    "q_window_funnel")
 
   /** Spill guard per query: generous (some external sorting at 6M rows
     * is legitimate) but far below blow-up (which would be multi-GB). */
