@@ -717,8 +717,11 @@ object RelationalQueries {
           .when(col("op") === "D", lit(null).cast("long"))
           .otherwise(col("chg_cents")))
       .groupBy(col("outcome"))
+      // cents mass accumulates in the DECIMAL(38,0) lane (the tpchQ1
+      // convention): per-class sums span the whole key space, where a
+      // BIGINT lane is borderline at warehouse scale
       .agg(count(lit(1)).as("n_keys"),
-        sum(col("final_cents")).as("sum_cents"))
+        sum(col("final_cents").cast("decimal(38,0)")).as("sum_cents"))
       .orderBy(col("outcome"))
   }
 
@@ -1955,7 +1958,7 @@ object RelationalQueries {
         |              ELSE w.cents END AS final_cents
         |  FROM snap FULL OUTER JOIN w ON snap.key = w.key)
         |SELECT outcome, count(*) AS n_keys,
-        |       CAST(sum(final_cents) AS BIGINT) AS sum_cents
+        |       CAST(sum(final_cents) AS DECIMAL(38,0)) AS sum_cents
         |FROM m GROUP BY outcome ORDER BY outcome""".stripMargin,
     // same changelog, same lead() interval arithmetic
     "q_scd2_build" ->
