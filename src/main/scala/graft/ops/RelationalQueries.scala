@@ -818,6 +818,36 @@ object RelationalQueries {
       .orderBy(col("edge"))
   }
 
+  /** Column completeness/cardinality profile (the dbt/Deequ `describe`
+    * kernel next to [[fkAudit]]'s referential checks — the first
+    * data-contract pass over a new feed): per column, exact null count
+    * and exact distinct count in ONE aggregate over ONE scan. Spark
+    * plans the multi-`countDistinct` through the Expand operator (one
+    * input row fans to |cols|+1 projections before partial aggregation)
+    * — a documented |cols|× map-side cost paid INSTEAD of |cols|
+    * separate scans of the table; at 100 TB swap exact distincts for
+    * `approx_count_distinct` (the q_approx_distinct device) when ±2%
+    * suffices — the plan shape is then a plain single-pass aggregate.
+    * Output: one row per profiled column, unpivoted via an in-plan
+    * struct-array explode (no join, no union of scans). */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"null_$c").as("n_null"),
+          col(s"dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
@@ -1544,6 +1574,7 @@ object RelationalQueries {
     "q_scd2_build" -> (scd2Build _),
     "q_copurchase" -> ((s, d) => copurchase(s, d)),
     "q_fk_audit" -> (fkAudit _),
+    "q_col_profile" -> (columnProfile _),
     "q_json_extract" -> (jsonExtract _),
     "q_winsorize" -> (winsorize _),
     "q_rank_family" -> (rankFamily _),
@@ -1890,6 +1921,36 @@ object RelationalQueries {
         |FROM p GROUP BY 1, 2
         |ORDER BY n_orders DESC, a_part, b_part
         |LIMIT 20""".stripMargin,
+    "q_col_profile" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_orderkey,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dist_l_orderkey,
+        |    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_partkey,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS dist_l_partkey,
+        |    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_suppkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS dist_l_suppkey,
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_returnflag,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS dist_l_returnflag,
+        |    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_linestatus,
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT) AS dist_l_linestatus,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_shipdate,
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT) AS dist_l_shipdate
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_linestatus' AS col_name, n_rows, null_l_linestatus AS n_null,
+        |         dist_l_linestatus AS n_distinct FROM t
+        |  UNION ALL
+        |  SELECT 'l_orderkey', n_rows, null_l_orderkey, dist_l_orderkey FROM t
+        |  UNION ALL
+        |  SELECT 'l_partkey', n_rows, null_l_partkey, dist_l_partkey FROM t
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, null_l_returnflag, dist_l_returnflag FROM t
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, null_l_shipdate, dist_l_shipdate FROM t
+        |  UNION ALL
+        |  SELECT 'l_suppkey', n_rows, null_l_suppkey, dist_l_suppkey FROM t
+        |) ORDER BY col_name""".stripMargin,
     "q_fk_audit" ->
       """SELECT * FROM (
         |  SELECT 'customer.nationkey->nation' AS edge, count(*) AS n_child,
