@@ -61,6 +61,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("column profile: one scan through Expand, never per-column scans") {
+    // sparkPlan (pre-AQE): the adaptive wrapper hides scan leaves from
+    // collectLeaves before execution, so count scans in the plan text
+    val p = planOf("q_col_profile")
+    assert(p.contains("Expand"), p.take(2000))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 file scan, got $scans:\n${p.take(2000)}")
+  }
+
   test("bucketed join is a shuffle-free sort-merge join") {
     // the plain join: any hashpartitioning exchange in the EXECUTED plan
     // could only come from the join inputs, so its absence proves the
