@@ -77,6 +77,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_makeenvelope", 4)(es => StMakeEnvelope(es))
     inject("st_makevalid", 1)(es => StMakeValid(es.head))
     inject("st_buffer", 2)(es => StBuffer(es.head, es(1)))
+    inject("st_buffer_spheroid", 2)(es => StBufferSpheroid(es.head, es(1)))
     inject("st_intersection", 2)(es => StIntersection(es.head, es(1)))
     inject("st_union", 2)(es => StUnion(es.head, es(1)))
     inject("st_difference", 2)(es => StDifference(es.head, es(1)))

@@ -77,6 +77,9 @@ object SparkEntry {
       // st_length_sphere: per-cell great-circle polyline length, both
       // segment haversines replayed verbatim in the oracle.
       "q_length_sphere" -> (Pipelines.lengthSphereRollup _),
+      // st_buffer_spheroid: meter-radius buffer on lon/lat via the
+      // best-UTM round trip; closed-form containment-probe oracle.
+      "q_geodesic_buffer" -> (Pipelines.geodesicBufferRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -148,6 +151,7 @@ object SparkEntry {
     ("q_geodesic" -> Pipelines.geodesicOracleSql) +
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
+    ("q_geodesic_buffer" -> Pipelines.geodesicBufferOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -55,7 +55,11 @@ object Stress {
   def ensureCorpus(spark: SparkSession, src: String, dst: String,
                    replicas: Int): Unit = {
     val marker = new java.io.File(dst, "_STRESS_READY")
-    if (marker.exists()) return
+    val stamp = s"replicas=$replicas src=$src\n"
+    // reuse only a corpus built with the SAME parameters: a stale marker
+    // from a different src/replica count would silently gate the wrong data
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath) == stamp) return
     new java.io.File(dst).mkdirs()
     def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
@@ -84,7 +88,7 @@ object Stress {
       df.withColumn("vec_id", col("vec_id") + lit(i * vMax)))
     Seq("supplier", "part", "nation", "region").foreach(t =>
       raw(t).write.mode("overwrite").parquet(s"$dst/$t.parquet"))
-    java.nio.file.Files.writeString(marker.toPath, s"replicas=$replicas src=$src\n")
+    java.nio.file.Files.writeString(marker.toPath, stamp)
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,8 +128,15 @@ object Stress {
     val runs = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUNS", "2").toInt.max(1)
     case class Obs(sec: Double, rows: Long, spillBytes: Long, heapDeltaMb: Long,
                    bnlj: Boolean)
+    // listener events are delivered async: drain the bus before EVERY
+    // spill sample so each stage's bytes land on the query that ran it
+    // (otherwise the last query of a pass can lose its spill entirely)
+    def spillNow(): Long = {
+      org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+      spill.get()
+    }
     def passOnce(): Map[String, Obs] = selected.map { name =>
-      val spill0 = spill.get()
+      val spill0 = spillNow()
       val heap0 = heapUsed()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dst)
@@ -134,7 +145,7 @@ object Stress {
       val plan = df.queryExecution.executedPlan.toString
       val bnlj = plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("CartesianProduct")
-      name -> Obs(sec, rows, spill.get() - spill0,
+      name -> Obs(sec, rows, spillNow() - spill0,
         (heapUsed() - heap0) / (1 << 20), bnlj)
     }.toMap
     val passes = (1 to runs).map(_ => passOnce())

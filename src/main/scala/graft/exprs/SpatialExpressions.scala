@@ -120,6 +120,50 @@ case class StBuffer(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Geodesic (meter-radius) buffer of a lon/lat geometry — the Sedona
+  * `ST_Buffer(geom, d, useSpheroid=true)` analogue, and the one buffer a
+  * lon/lat corpus can actually use ([[StBuffer]] in degrees warps with
+  * latitude). Device: transform the geometry into its best local WGS84
+  * UTM plane ([[graft.geom.Crs.bestUtm]] on the envelope centre — the
+  * `_ST_BestSRID` trick), run the exact JTS Minkowski buffer in meters
+  * there, and transform back. Radius fidelity is the UTM scale factor
+  * (0.9996 ± ~1e-3 within a zone) — the same contract PostGIS's
+  * geography buffer ships. Null-safe; an empty geometry buffers to an
+  * empty polygon like JTS. */
+case class StBufferSpheroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_buffer_spheroid"
+  override protected def nullSafeEval(g: Any, d: Any): Any = {
+    val in = geom(g)
+    if (in.isEmpty) return wkb(in.buffer(0.0))
+    val c = in.getEnvelopeInternal
+    val proj = graft.geom.Crs.bestUtm(
+      (c.getMinX + c.getMaxX) / 2.0, (c.getMinY + c.getMaxY) / 2.0)
+    def reproject(geo: org.locationtech.jts.geom.Geometry,
+                  f: (Double, Double) => (Double, Double)): org.locationtech.jts.geom.Geometry = {
+      val out = geo.copy()
+      out.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+        override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+          val (x, y) = f(seq.getX(i), seq.getY(i))
+          seq.setOrdinate(i, 0, x)
+          seq.setOrdinate(i, 1, y)
+        }
+        override def isDone: Boolean = false
+        override def isGeometryChanged: Boolean = true
+      })
+      out.geometryChanged()
+      out
+    }
+    val planar = reproject(in, proj.forward)
+    val buffered = planar.buffer(d.asInstanceOf[Double])
+    wkb(reproject(buffered, proj.inverse))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StBufferSpheroid =
+    copy(left = l, right = r)
+}
+
 /** Defensive geometric intersection (repair-and-retry on TopologyException). */
 case class StIntersection(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

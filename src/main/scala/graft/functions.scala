@@ -26,6 +26,8 @@ object functions {
     col(StMakeEnvelope(Seq(ex(xmin), ex(ymin), ex(xmax), ex(ymax))))
   def st_makevalid(g: Column): Column = col(StMakeValid(ex(g)))
   def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
+  def st_buffer_spheroid(g: Column, d: Column): Column =
+    col(StBufferSpheroid(ex(g), ex(d)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
@@ -303,6 +305,7 @@ object functions {
     rn("st_makeenvelope", 4)(es => StMakeEnvelope(es))
     r1("st_makevalid", StMakeValid)
     r2("st_buffer", StBuffer)
+    r2("st_buffer_spheroid", StBufferSpheroid)
     r2("st_intersection", StIntersection)
     r2("st_union", StUnion)
     r2("st_difference", StDifference)

@@ -385,6 +385,19 @@ object Crs {
   val LaeaEurope = new LambertAzimuthalEqualArea(Grs80A, Grs80E2, 52.0, 10.0,
     4321000.0, 3210000.0)
 
+  /** Best-UTM resolver (the PostGIS/Sedona `_ST_BestSRID` device
+    * restricted to the UTM bands): the WGS84 UTM zone containing
+    * (lon, lat), south variant below the equator. Longitude is wrapped
+    * into [-180, 180) first. Used by `st_buffer_spheroid` to pick the
+    * local meter plane; callers working above |lat| 84° (outside UTM's
+    * design band) get the nearest zone — adequate for buffer radii ≪
+    * the zone width, documented as this registry's polar stance. */
+  def bestUtm(lonDeg: Double, latDeg: Double): Projection = {
+    val lon = ((lonDeg + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val zone = math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
+    utm(zone, south = latDeg < 0.0, Wgs84A, Wgs84E2)
+  }
+
   /** UTM zone: lon0 = 6°·zone − 183, k0 = 0.9996, FE = 500 km,
     * FN = 0 (north) / 10 000 km (south). */
   def utm(zone: Int, south: Boolean, a: Double, e2: Double): TransverseMercator = {

@@ -424,14 +424,19 @@ object GraphQueries {
       // 1e6-degree hubs a per-term dx·dy is ~1e12 and the SUM ~1e21 —
       // past BIGINT, which non-ANSI Spark would wrap silently. The cast
       // happens BEFORE the multiply so the product lane is exact too.
+      // num/den stay DECIMAL internally; only BIGINT columns are
+      // EMITTED (the driver's DuckDB fetch renders DECIMAL outputs as
+      // lossy float64, breaking the hash compare).
       .agg(count(lit(1)).as("n_ends"), sum(col("dx")).as("s_x"),
-        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("s_xx"),
-        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("s_xy"))
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("s_xx_d"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("s_xy_d"))
       .withColumn("num", expr(
-        "CAST(n_ends AS DECIMAL(38,0)) * s_xy - CAST(s_x AS DECIMAL(38,0)) * s_x"))
+        "CAST(n_ends AS DECIMAL(38,0)) * s_xy_d - CAST(s_x AS DECIMAL(38,0)) * s_x"))
       .withColumn("den", expr(
-        "CAST(n_ends AS DECIMAL(38,0)) * s_xx - CAST(s_x AS DECIMAL(38,0)) * s_x"))
-      .select(col("n_ends"), col("s_x"), col("s_xx"), col("s_xy"),
+        "CAST(n_ends AS DECIMAL(38,0)) * s_xx_d - CAST(s_x AS DECIMAL(38,0)) * s_x"))
+      .select(col("n_ends"), col("s_x"),
+        col("s_xx_d").cast("bigint").as("s_xx"),
+        col("s_xy_d").cast("bigint").as("s_xy"),
         expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)")
           .as("r_sign"),
         expr("""CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
@@ -476,8 +481,8 @@ object GraphQueries {
         |    CAST(n_ends AS HUGEINT) * s_xx - CAST(s_x AS HUGEINT) * s_x AS den
         |  FROM m)
         |SELECT n_ends, s_x,
-        |  CAST(s_xx AS DECIMAL(38,0)) AS s_xx,
-        |  CAST(s_xy AS DECIMAL(38,0)) AS s_xy,
+        |  CAST(s_xx AS BIGINT) AS s_xx,
+        |  CAST(s_xy AS BIGINT) AS s_xy,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
         |       AS INT) AS r_sign,
         |  CAST(CASE WHEN den = 0 THEN 0

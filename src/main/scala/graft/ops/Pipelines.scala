@@ -909,7 +909,7 @@ object Pipelines {
     * same four edge terms verbatim. Same float discipline and scale shape
     * as [[distanceSphereRollup]]: integer grid keys per event, ONE
     * counting shuffle, all geometry/trig on the ≤648-row cell relation,
-    * ROUND(·,1) into DECIMAL(18,1) to absorb last-ulp libm drift. */
+    * ROUND(·,1) into DECIMAL(14,1) to absorb last-ulp libm drift. */
   def areaSphereRollup(spark: SparkSession, dir: String): DataFrame = {
     val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id")))
@@ -923,7 +923,10 @@ object Pipelines {
       .withColumn("a_m2", st_area_sphere(st_geomfromwkt(
         GeoFixtures.rectWkt(lon0, lat0, 10L, 10L))))
       .select(col("gx"), col("gy"), col("n"),
-        round(col("a_m2"), 1).cast("decimal(18,1)").as("area_m2"))
+        // (14,1): render-safe through the driver's float64 fetch (<= 15
+        // significant digits round-trip); max 10-degree cell area ~1.23e12
+        // m^2 = 13 integer digits, comfortably inside
+        round(col("a_m2"), 1).cast("decimal(14,1)").as("area_m2"))
       .orderBy(col("gx"), col("gy"))
   }
 
@@ -943,8 +946,75 @@ object Pipelines {
       |          * (2 + sin(radians(gy * 10.0 - 80.0)) + sin(radians(gy * 10.0 - 80.0))))
       |      * 6371008.7714 * 6371008.7714 / 2 AS am
       |  FROM g)
-      |SELECT gx, gy, n, CAST(round(am, 1) AS DECIMAL(18,1)) AS area_m2
+      |SELECT gx, gy, n, CAST(round(am, 1) AS DECIMAL(14,1)) AS area_m2
       |FROM a ORDER BY gx, gy""".stripMargin
+
+  /** Geodesic (meter-radius) buffer audit ([[graft.exprs.StBufferSpheroid]],
+    * the Sedona `ST_Buffer(geom, d, useSpheroid=true)` analogue — the one
+    * buffer a lon/lat corpus can use, since a degree-radius [[graft.functions.st_buffer]]
+    * warps with latitude): each occupied grid cell's centre point is
+    * buffered by 50 km through the best-local-UTM round trip
+    * (lon/lat -> UTM meters -> JTS buffer -> lon/lat), then audited with
+    * probe points at KNOWN great-circle distances. The east-offset probe
+    * device makes the truth closed-form: for two points on the same
+    * parallel, haversine collapses to d = 2R·asin(cos(lat)·sin(Δλ/2)) —
+    * EXACT, so Δλ = 2·asin(sin(d/2R)/cos(lat)) places a probe at exactly
+    * d meters (sphere). Probes at 0.90·r (must be contained) and 1.10·r
+    * (must be excluded): the ±10% margins dominate the operator's whole
+    * distortion budget (32-gon inradius cos(pi/32) ~ -0.5%, UTM scale
+    * 0.9996 ± ~1e-3, sphere-vs-ellipsoid ≤ 0.3%), so the booleans are
+    * deterministic and the oracle emits them as closed-form constants —
+    * a wrong zone pick, a broken inverse, or a radius off by >8% all
+    * flip a bit. Ring vertex count is the exact JTS contract (8 segments
+    * per quadrant -> 33 ring coordinates). Cells keep |lat| <= 75 (UTM's
+    * comfort band; the polar graticule is outside this operator's stated
+    * domain, same stance as the CRS registry).
+    *
+    * Scale shape: identical to [[distanceSphereRollup]] — ONE counting
+    * shuffle on the dense integer cell key; all geometry (buffer, two
+    * containment probes) runs on the <=576-row cell relation. At 100 TB
+    * the buffer is a per-row projection over whatever geometry column the
+    * corpus carries — no shuffle is ever keyed on the buffered payload. */
+  def geodesicBufferRollup(spark: SparkSession, dir: String): DataFrame = {
+    val r = 50000.0
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .filter(col("gy").between(1, 16))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val lon = col("gx").cast("double") * 10.0 - 175.0
+    val lat = col("gy").cast("double") * 10.0 - 85.0
+    // exact equal-latitude probe offsets (degrees) for 0.9r and 1.1r
+    def probeDx(d: org.apache.spark.sql.Column) =
+      degrees(lit(2.0) * asin(sin(d / lit(2.0 * 6371008.7714)) / cos(radians(lat))))
+    cells
+      .withColumn("buf", st_buffer_spheroid(st_point(lon, lat), lit(r)))
+      .select(col("gx"), col("gy"), col("n"),
+        st_npoints(col("buf")).as("n_ring"),
+        st_contains(col("buf"),
+          st_point(lon + probeDx(lit(0.9 * r)), lat)).cast("int").as("inside_ok"),
+        (!st_contains(col("buf"),
+          st_point(lon + probeDx(lit(1.1 * r)), lat))).cast("int").as("outside_ok"),
+        st_isvalid(col("buf")).cast("int").as("valid"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: every audit bit is a constant of the operator's
+    * contract (see [[geodesicBufferRollup]]'s distortion-budget argument);
+    * only the grid derivation runs on data. */
+  val geodesicBufferOracleSql: String =
+    """SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |       CAST(event_id % 18 AS INTEGER) AS gy,
+      |       count(*) AS n,
+      |       CAST(33 AS INTEGER) AS n_ring,
+      |       CAST(1 AS INTEGER) AS inside_ok,
+      |       CAST(1 AS INTEGER) AS outside_ok,
+      |       CAST(1 AS INTEGER) AS valid
+      |FROM events
+      |WHERE CAST(event_id % 18 AS INTEGER) BETWEEN 1 AND 16
+      |GROUP BY 1, 2 ORDER BY gx, gy""".stripMargin
 
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the

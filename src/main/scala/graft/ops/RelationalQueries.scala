@@ -184,11 +184,23 @@ object RelationalQueries {
       // DuckDB sums in HUGEINT — DECIMAL keeps both engines exact at any
       // corpus size. sum_qty stays BIGINT: qty ≤ 50 by TPC-H construction,
       // so that lane holds past 1e17 rows per group.
+      //
+      // OUTPUT lanes are BIGINT: the driver's DuckDB fetch renders
+      // DECIMAL(38,0) result columns as float64 (lossy past 2^53,
+      // printed in scientific notation), so a DECIMAL output column can
+      // never hash-match. Accumulation stays exact in DECIMAL; the final
+      // cast to BIGINT holds to ~9.2e18, i.e. ~9e7 rows/group at the
+      // charge_e6 magnitude — past that, switch the emit to the
+      // tableChecksum hex-string device rather than widening the type.
       .agg(sum(col("qty")).as("sum_qty"),
-        sum(col("base_cents").cast("decimal(38,0)")).as("sum_base_cents"),
-        sum(col("disc_e4").cast("decimal(38,0)")).as("sum_disc_e4"),
-        sum(col("charge_e6").cast("decimal(38,0)")).as("sum_charge_e6"),
-        sum(col("disc_ppm").cast("decimal(38,0)")).as("sum_disc_ppm"),
+        sum(col("base_cents").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_base_cents"),
+        sum(col("disc_e4").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_disc_e4"),
+        sum(col("charge_e6").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_charge_e6"),
+        sum(col("disc_ppm").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_disc_ppm"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", expr("sum_qty DIV count_order"))
       .withColumn("avg_price_cents",
@@ -719,9 +731,13 @@ object RelationalQueries {
       .groupBy(col("outcome"))
       // cents mass accumulates in the DECIMAL(38,0) lane (the tpchQ1
       // convention): per-class sums span the whole key space, where a
-      // BIGINT lane is borderline at warehouse scale
+      // BIGINT lane is borderline at warehouse scale. The EMITTED column
+      // is BIGINT — DECIMAL outputs break the driver's DuckDB hash
+      // compare (rendered float64); BIGINT holds the test-corpus mass
+      // with ~10 decimal digits of headroom.
       .agg(count(lit(1)).as("n_keys"),
-        sum(col("final_cents").cast("decimal(38,0)")).as("sum_cents"))
+        sum(col("final_cents").cast("decimal(38,0)")).cast("bigint")
+          .as("sum_cents"))
       .orderBy(col("outcome"))
   }
 
@@ -1890,14 +1906,14 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-        |       AS DECIMAL(38,0)) AS sum_base_cents,
+        |       AS BIGINT) AS sum_base_cents,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-        |                AS BIGINT)) AS DECIMAL(38,0)) AS sum_disc_e4,
+        |                AS BIGINT)) AS BIGINT) AS sum_disc_e4,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |                      * 1000000 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
+        |                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_charge_e6,
         |  CAST(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
-        |       AS DECIMAL(38,0)) AS sum_disc_ppm,
+        |       AS BIGINT) AS sum_disc_ppm,
         |  count(*) AS count_order,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS avg_qty,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // count(*)
@@ -2019,7 +2035,7 @@ object RelationalQueries {
         |              ELSE w.cents END AS final_cents
         |  FROM snap FULL OUTER JOIN w ON snap.key = w.key)
         |SELECT outcome, count(*) AS n_keys,
-        |       CAST(sum(final_cents) AS DECIMAL(38,0)) AS sum_cents
+        |       CAST(sum(final_cents) AS BIGINT) AS sum_cents
         |FROM m GROUP BY outcome ORDER BY outcome""".stripMargin,
     // same changelog, same lead() interval arithmetic
     "q_scd2_build" ->

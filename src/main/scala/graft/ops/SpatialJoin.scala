@@ -167,6 +167,13 @@ object SpatialJoin {
       floor(greatest(col("gl_env.xmin"), col("gr_env.xmin")) / cellSize) === col("gl_cell.cx") &&
       floor(greatest(col("gl_env.ymin"), col("gr_env.ymin")) / cellSize) === col("gl_cell.cy") &&
       st_intersects(leftGeom, rightGeom)
+    // NO join hint here: this operator is re-entered from
+    // SpatialJoinStrategy during PHYSICAL planning, where a ResolvedHint
+    // can no longer pass the optimizer (EliminateResolvedHint) — Spark
+    // throws INTERNAL_ERROR. The strategy routes here exactly when the
+    // build side is stats-large, i.e. at action time with current stats,
+    // so the declaration-vs-action threshold gap gridKnn hints against
+    // does not exist on this path.
     val joined = l.join(r, cond, "inner")
       .drop("gl_env", "gl_cell", "gr_env", "gr_cell")
     if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
@@ -237,6 +244,7 @@ object SpatialJoin {
       floor(greatest(col("gl_env.xmin") - col("gd"), col("gr_env.xmin")) / cellSize) === col("gl_cell.cx") &&
       floor(greatest(col("gl_env.ymin") - col("gd"), col("gr_env.ymin")) / cellSize) === col("gl_cell.cy") &&
       st_dwithin(leftGeom, rightGeom, col("gd"))
+    // no hint — strategy-re-entrant like gridIntersectsOn (see note there)
     val joined = l.join(r, cond, "inner")
       .drop("gd", "gl_env", "gl_cell", "gr_env", "gr_cell")
     if (outputCols.isEmpty) joined else joined.select(outputCols: _*)
@@ -559,7 +567,15 @@ object SpatialJoin {
         col("gl_env.xmax"), col("gl_env.ymax"))))
 
     val perProbe = Window.partitionBy(col("g_pid")).orderBy(col("g_dist"))
-    probe.join(build, col("gl_cell") === col("gr_cell"), "inner")
+    // SHUFFLE_HASH on the build side: gridKnn exists for build sides too
+    // large to broadcast, so the cell-key exchange is part of the
+    // operator's contract — hinted HERE (not via a session threshold
+    // tweak at the call site) because physical planning happens at ACTION
+    // time, when any caller-scoped conf suppression has already been
+    // restored; the hint makes "neither side broadcasts" hold in the
+    // executed plan, not just the routed intent
+    probe.join(build.hint("shuffle_hash"),
+        col("gl_cell") === col("gr_cell"), "inner")
       .withColumn("g_dist", st_distance(col(leftGeomCol), col(rightGeomCol)))
       .withColumn("g_rn", row_number().over(perProbe))
       .filter(col("g_rn") <= lit(kkNeeded))

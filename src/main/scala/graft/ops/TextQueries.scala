@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import Tables._
 
+  /** Per-block sample caps shared by the REGISTERED entry points and their
+    * oracle SQL (interpolated below): hard-coding the number in the oracle
+    * while the Scala op takes it as a parameter let a non-default call
+    * silently diverge from the oracle (ADVICE r13). One constant, two
+    * consumers — the registered path can't drift. */
+  val MinhashAuditCap: Int = 32
+  val FuzzyJoinCap: Int = 64
+
   /** Exact dedup: content-hash groupBy; keeps the smallest doc_id of every
     * duplicate class (the industry-standard sha-based exact dedup). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -678,7 +686,14 @@ object TextQueries {
         s"transform($trigramArrayExpr, g -> xxhash64(g))"))
         .as("sh"))
       .withColumn("sz", size(col("sh")))
-      .localCheckpoint(eager = true)
+      // SERIALIZED storage (not the deserialized default): the pinned copy
+      // is compact hash arrays, evictable to disk block-by-block under
+      // pressure — at 100x the corpus the checkpoint holds ~|corpus| longs
+      // in the bounded storage pool instead of pinning deserialized rows
+      // on the heap (r13 stress measured +571 MB heap at 10x with the
+      // default level)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val freq = sets.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -892,7 +907,7 @@ object TextQueries {
     * nature) should cost. The cap is a loud, documented parameter; the
     * oracle replays the identical md5-ranked sample via `row_number`. */
   def minhashAudit(spark: SparkSession, dir: String, perms: Int = 8,
-                   capPerBlock: Int = 32): DataFrame = {
+                   capPerBlock: Int = MinhashAuditCap): DataFrame = {
     val step = 1000000L / perms
     val base = Par.fanOut(documents(spark, dir))
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
@@ -1473,7 +1488,7 @@ object TextQueries {
     * (O(60²) ints) runs only on candidates. Rollup per language:
     * pairs checked, matches, closest distance. */
   def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 15,
-                capPerBlock: Int = 64): DataFrame = {
+                capPerBlock: Int = FuzzyJoinCap): DataFrame = {
     val d0 = Par.fanOut(documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 60).as("pre"),
@@ -1795,7 +1810,14 @@ object TextQueries {
         s"transform($trigramArrayExpr, g -> xxhash64(g))"))
         .as("sh"))
       .withColumn("sz", size(col("sh")))
-      .localCheckpoint(eager = true)
+      // SERIALIZED storage (not the deserialized default): the pinned copy
+      // is compact hash arrays, evictable to disk block-by-block under
+      // pressure — at 100x the corpus the checkpoint holds ~|corpus| longs
+      // in the bounded storage pool instead of pinning deserialized rows
+      // on the heap (r13 stress measured +571 MB heap at 10x with the
+      // default level)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val freq = sets.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -2262,7 +2284,7 @@ object TextQueries {
         |         AS cum_cover_micros
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_fuzzy_join" ->
-      """WITH d0 AS (
+      s"""WITH d0 AS (
         |  SELECT doc_id, lang, substr(text, 1, 60) AS pre,
         |         len(string_split(text, ' ')) // 10 AS tb
         |  FROM documents),
@@ -2271,7 +2293,7 @@ object TextQueries {
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
         |    AS rk
         |  FROM d0),
-        |d AS (SELECT doc_id, lang, pre, tb FROM c WHERE rk <= 64),
+        |d AS (SELECT doc_id, lang, pre, tb FROM c WHERE rk <= $FuzzyJoinCap),
         |p AS (
         |  SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
         |  FROM d a JOIN d b
@@ -2477,7 +2499,7 @@ object TextQueries {
     // topk_agg's (score desc = hash asc, key asc) total order exactly —
     // fixed-width lowercase hex compares lexicographically == numerically
     "q_minhash_audit" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x != '') AS toks
         |  FROM documents),
@@ -2496,7 +2518,7 @@ object TextQueries {
         |    list_distinct(list_transform(range(len(toks) - 2),
         |      i -> toks[CAST(i+1 AS INT)] || '_' || toks[CAST(i+2 AS INT)]
         |           || '_' || toks[CAST(i+3 AS INT)])) AS sh
-        |  FROM c WHERE rk <= 32),
+        |  FROM c WHERE rk <= $MinhashAuditCap),
         |g AS (
         |  SELECT doc_id, blk, sh,
         |    list_transform(range(8), i ->

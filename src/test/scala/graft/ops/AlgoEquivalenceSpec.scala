@@ -383,7 +383,7 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val got = RelationalQueries.cdcApply(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getDecimal(2).longValueExact())).toSeq
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
     assert(got == Seq(
       ("deleted", 1L, -1L),          // key 1 (sum NULL)
       ("deleted_absent", 1L, -1L),   // key 9

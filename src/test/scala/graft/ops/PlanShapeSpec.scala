@@ -526,6 +526,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("grid kNN cell join stays non-broadcast at ACTION time (ADVICE r13: caller restores the threshold before execution)") {
+    // q_knn_join_partitioned suppresses autoBroadcastJoinThreshold only
+    // while DECLARING the query (to route to gridKnn), then restores it in
+    // finally — physical planning happens later, at action time, under the
+    // normal threshold. The SHUFFLE_HASH hint inside gridKnn is what keeps
+    // the documented "neither side broadcasts" contract in the EXECUTED
+    // plan; this test runs the query with no session tweak at all.
+    val df = SparkEntry.queries("q_knn_join_partitioned")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"cell-key join flipped to broadcast at action time:\n${p.take(2000)}")
+  }
+
   test("stats-routed kNN: the SAME declarative knn call plans broadcast under threshold, grid above") {
     val (parcels, regions) = parcelsAndRegions()
     // identical declarative form — no API switch, no hint
@@ -591,6 +606,51 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans BroadcastNestedLoopJoin")
     }
+  }
+
+  test("no registered query emits a DecimalType output column") {
+    // r13 regression gate: the driver's DuckDB fetch renders DECIMAL RESULT
+    // columns as float64, so an emitted DECIMAL hash-matches Spark's exact
+    // rendering ONLY in one narrow shape — precision <= 15 (15 significant
+    // decimal digits survive a decimal->double->shortest-repr round trip)
+    // AND scale == 1 (Spark pads to the scale; Python float repr always
+    // prints >= 1 fractional digit, so "100.0"=="100.0", while scale 0
+    // renders "100" vs "100.0" and scale >= 2 drops trailing zeros,
+    // "0.30" vs "0.3"). That shape IS the deliberate ROUND(x,1)
+    // DECIMAL(12,1) funnel the geo rollups use to collapse libm last-ulp
+    // drift — allowed. Everything else (the r13 DECIMAL(38,0) lanes:
+    // >15-digit values render "1.49e+08"-style) is rejected: emit BIGINT
+    // or the tableChecksum hex device. DECIMAL stays fine (and
+    // encouraged) for INTERNAL accumulation — only the emitted schema is
+    // gated.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructField, StructType}
+    def renderSafe(d: DecimalType): Boolean = d.precision <= 15 && d.scale == 1
+    def hasBadDecimal(dt: DataType): Boolean = dt match {
+      case d: DecimalType => !renderSafe(d)
+      case s: StructType => s.fields.exists(f => hasBadDecimal(f.dataType))
+      case a: ArrayType => hasBadDecimal(a.elementType)
+      case m: MapType => hasBadDecimal(m.keyType) || hasBadDecimal(m.valueType)
+      case _ => false
+    }
+    def decimalCols(fields: Seq[StructField]): Seq[String] =
+      fields.collect { case f if hasBadDecimal(f.dataType) => f.name }
+    // detector sanity: must fire on the r13 regression shape and on each
+    // unsafe-render axis, and must pass the sanctioned funnel shape
+    val fixture = spark.range(1).selectExpr(
+      "CAST(id AS DECIMAL(38,0)) AS d38",   // the r13 lane itself
+      "CAST(id AS DECIMAL(10,0)) AS s0",    // scale 0: "100" vs "100.0"
+      "CAST(id AS DECIMAL(10,2)) AS s2",    // scale 2: "0.30" vs "0.3"
+      "CAST(id AS DECIMAL(16,1)) AS p16",   // >15 digits: repr truncates
+      "CAST(id AS DECIMAL(12,1)) AS ok")    // the sanctioned funnel
+    assert(decimalCols(fixture.schema.fields.toSeq) == Seq("d38", "s0", "s2", "p16"),
+      "DecimalType detector misclassified the fixture columns")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = decimalCols(SparkEntry.queries(name)(spark, dir).schema.fields.toSeq)
+      if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting DECIMAL output columns: ${offenders.mkString("; ")} — " +
+        "cast to BIGINT (or hex) before emitting; DECIMAL outputs break the oracle hash compare")
   }
 
   test("native session_window plans as an aggregate, not window functions") {

@@ -174,7 +174,8 @@ class LedgerSinkSpec extends AnyFunSuite {
       .map { case (f, _) => new java.io.File(dir, f).length() }.sum
     // full-width read: the estimate IS the manifest-listed disk bytes
     assert(stats.sizeInBytes == BigInt(diskBytes))
-    assert(stats.rowCount.forall(_ == BigInt(200)))
+    // contains, not forall: None (row count silently dropped) must FAIL
+    assert(stats.rowCount.contains(BigInt(200)))
     // column pruning prorates the width downward
     val pruned = df.select("k").queryExecution.optimizedPlan.stats.sizeInBytes
     assert(pruned < BigInt(diskBytes) && pruned > 0)
