@@ -396,11 +396,15 @@ object SpatialJoin {
         s"""(CAST(floor(gr_env.xmin / ${cellSize}D) AS BIGINT) << 32)
            | | (CAST(floor(gr_env.ymin / ${cellSize}D) AS BIGINT) & 4294967295)""".stripMargin))
     // driver statistic (the bounds-probe class): one row per OCCUPIED
-    // cell, carrying the TIGHT box of member envelope min corners plus
-    // the max member extents — far tighter per-cell distance bounds than
-    // the cell rectangle itself (a 50 km geometry in a 60 km cell makes
-    // rect-based bounds nearly vacuous; the min-corner box collapses to
-    // the members actually present)
+    // cell, carrying the TIGHT min-corner box AND max-corner box of the
+    // member envelopes — every member envelope lies inside
+    // [bx0,cx1]x[by0,cy1]. Far tighter per-cell distance bounds than the
+    // cell rectangle (a 50 km geometry in a 60 km cell makes rect-based
+    // bounds nearly vacuous), and tighter than the r12 min-corner+max-
+    // extent form: carrying the max-corner box directly removes the
+    // member-DIAGONAL slack from the upper bound (the r14 profile showed
+    // that slack admitting ~14 of 25 cells per probe — the suite's top
+    // cost center was candidate fan-out, not distance math)
     // guard: the histogram size is governed only by cellSize — a
     // pathological pitch (cells far smaller than the data extent) makes
     // occupied-cells explode and this driver collect OOM with no
@@ -413,9 +417,7 @@ object SpatialJoin {
     val hist = build.groupBy(col("gr_cell")).agg(
       count(lit(1)).as("cnt"),
       min(col("gr_env.xmin")).as("bx0"), min(col("gr_env.ymin")).as("by0"),
-      max(col("gr_env.xmin")).as("bx1"), max(col("gr_env.ymin")).as("by1"),
-      max(col("gr_env.xmax") - col("gr_env.xmin")).as("w"),
-      max(col("gr_env.ymax") - col("gr_env.ymin")).as("h"))
+      max(col("gr_env.xmax")).as("cx1"), max(col("gr_env.ymax")).as("cy1"))
       .limit(maxCells + 1).collect()
     if (hist.length > maxCells)
       throw new IllegalStateException(
@@ -444,12 +446,10 @@ object SpatialJoin {
     val cellCnts = hist.map(_.getLong(1))
     val cellBx0 = hist.map(_.getDouble(2))
     val cellBy0 = hist.map(_.getDouble(3))
-    val cellBx1 = hist.map(_.getDouble(4))
-    val cellBy1 = hist.map(_.getDouble(5))
-    val cellW = hist.map(_.getDouble(6))
-    val cellH = hist.map(_.getDouble(7))
+    val cellCx1 = hist.map(_.getDouble(4))
+    val cellCy1 = hist.map(_.getDouble(5))
     val bHist = spark.sparkContext.broadcast(
-      (cellKeys, cellCnts, cellBx0, cellBy0, cellBx1, cellBy1, cellW, cellH))
+      (cellKeys, cellCnts, cellBx0, cellBy0, cellCx1, cellCy1))
     val kkNeeded = kk
 
     // candidate cells of one probe envelope: rank occupied cells by the
@@ -479,26 +479,26 @@ object SpatialJoin {
 
       private def compute(qxmin: Double, qymin: Double,
                           qxmax: Double, qymax: Double): Array[Long] = {
-        val (keys, cnts, bx0, by0, bx1, by1, ws, hs) = bHist.value
+        val (keys, cnts, bx0, by0, cx1, cy1) = bHist.value
         val c = keys.length
         val lo = new Array[Double](c)
         val up = new Array[Double](c)
         var i = 0
         while (i < c) {
-          // the cell's members' envelopes: min corners inside the tight
-          // box [bx0,bx1]x[by0,by1], extending at most (w,h) past it on
-          // the +x/+y sides
-          // L: min distance probeEnv -> that grown box (<= distance to any
-          // member geometry, whose envelope lies inside it)
-          val ldx = math.max(0.0, math.max(bx0(i) - qxmax, qxmin - (bx1(i) + ws(i))))
-          val ldy = math.max(0.0, math.max(by0(i) - qymax, qymin - (by1(i) + hs(i))))
+          // every member envelope lies inside B = [bx0,cx1]x[by0,cy1]
+          // L: min distance probeEnv -> B. For any member, its envelope
+          // (hence geometry) is inside B, so dist(probe, member) >= this.
+          val ldx = math.max(0.0, math.max(bx0(i) - qxmax, qxmin - cx1(i)))
+          val ldy = math.max(0.0, math.max(by0(i) - qymax, qymin - cy1(i)))
           lo(i) = math.hypot(ldx, ldy)
-          // U: max distance probeEnv -> the min-corner box, plus the max
-          // member diagonal (every member has a point — its envelope min
-          // corner — in the box, and extends at most diag beyond it)
-          val udx = math.max(bx1(i) - qxmin, qxmax - bx0(i))
-          val udy = math.max(by1(i) - qymin, qymax - by0(i))
-          up(i) = math.hypot(udx, udy) + math.hypot(ws(i), hs(i))
+          // U: max pointwise distance probeEnv -> B. Each member occupies
+          // SOME point of B, and dist(probe, member) = min over point
+          // pairs <= any single pair <= this corner-to-corner max — no
+          // member-diagonal slack term (every member is wholly inside B,
+          // so the farthest a member can SIT is the far corner of B).
+          val udx = math.max(cx1(i) - qxmin, qxmax - bx0(i))
+          val udy = math.max(cy1(i) - qymin, qymax - by0(i))
+          up(i) = math.hypot(udx, udy)
           i += 1
         }
         // weighted selection of the minimal prefix by U reaching kk: a
@@ -566,14 +566,24 @@ object SpatialJoin {
         col("gl_env.xmin"), col("gl_env.ymin"),
         col("gl_env.xmax"), col("gl_env.ymax"))))
 
-    val perProbe = Window.partitionBy(col("g_pid")).orderBy(col("g_dist"))
     // SHUFFLE_HASH on the build side: gridKnn exists for build sides too
     // large to broadcast, so the cell-key exchange is part of the
     // operator's contract — hinted HERE (not via a session threshold
     // tweak at the call site) because physical planning happens at ACTION
     // time, when any caller-scoped conf suppression has already been
     // restored; the hint makes "neither side broadcasts" hold in the
-    // executed plan, not just the routed intent
+    // executed plan, not just the routed intent.
+    //
+    // Per-probe rank stays a row_number WINDOW deliberately: Spark plans
+    // it as WindowGroupLimit (partial below the g_pid exchange, final
+    // above), whose per-task sort of compact 45 B pair rows beat the
+    // bounded top-k AGGREGATE head-to-head at the 10× stress scale —
+    // per-task g_pid cardinality is near the pair count (each probe
+    // contributes ~1.2 pairs per cell partition), so a hash aggregate
+    // gets almost no partial reduction and ships serialized k-item
+    // buffers instead of rows (measured r14: agg 60 s / 6.8 GB spill vs
+    // window 50 s / 3.7 GB at 10×; PLANS_NOTES "r14 kNN decomposition").
+    val perProbe = Window.partitionBy(col("g_pid")).orderBy(col("g_dist"))
     probe.join(build.hint("shuffle_hash"),
         col("gl_cell") === col("gr_cell"), "inner")
       .withColumn("g_dist", st_distance(col(leftGeomCol), col(rightGeomCol)))

@@ -21,6 +21,31 @@ object StreamQueries {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Checkpoint root for the bounded replays. Structured Streaming fsyncs
+    * its offset/commit WAL and per-partition state-store delta files into
+    * the checkpoint on EVERY micro-batch — with the default temp location
+    * (java.io.tmpdir, real disk here) those fsyncs are the dominant fixed
+    * cost of each one-to-two-batch replay (r13 bench: ~33 s across the 24
+    * stream queries, most of it engine floor, not data). A bounded
+    * AvailableNow replay restarts from scratch by construction, so WAL
+    * durability buys nothing — the checkpoint goes to a RAM-backed dir
+    * when one exists. A production deployment recovering across restarts
+    * sets `graft.stream.checkpointRoot` (or an explicit per-query
+    * checkpointLocation) to durable storage; that conf also overrides
+    * this choice here. Dirs are deleted after each replay completes. */
+  private[streaming] def checkpointRoot(spark: SparkSession): Option[String] =
+    spark.conf.getOption("graft.stream.checkpointRoot").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_stream_ck")
+      else None // fall through to Spark's default temp checkpoint
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** The events table as a file-stream source with `ts` normalized to
     * nanos-since-epoch BIGINT. A file stream source must be handed the
     * PHYSICAL schema (it has no footer to infer from, and a mismatched
@@ -74,9 +99,11 @@ object StreamQueries {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     // start() clones the session + conf synchronously, so restoring in
     // finally cannot race the async micro-batches
+    val ckpt = checkpointRoot(spark).map(root => s"$root/$sink")
     val q = try {
-      df.writeStream.format("memory").queryName(sink)
-        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      val w = df.writeStream.format("memory").queryName(sink)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow())
+      ckpt.fold(w)(w.option("checkpointLocation", _)).start()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -88,6 +115,7 @@ object StreamQueries {
     q.awaitTermination()
     val out = finish(spark.table(sink)).localCheckpoint(eager = true)
     spark.catalog.dropTempView(sink)
+    ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
     out
   }
 
