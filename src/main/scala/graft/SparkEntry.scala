@@ -80,6 +80,12 @@ object SparkEntry {
       // st_buffer_spheroid: meter-radius buffer on lon/lat via the
       // best-UTM round trip; closed-form containment-probe oracle.
       "q_geodesic_buffer" -> (Pipelines.geodesicBufferRollup _),
+      // st_subdivide: vertex-bounded geometry splitting (the grid-join
+      // skew bounder); exact telescoping-area + invariant oracle.
+      "q_subdivide" -> (Pipelines.subdivideRollup _),
+      // st_maxinscribedcircle: pole-of-inaccessibility radius; closed-form
+      // min(w,h)/2 oracle plus center/radius-consistency invariants.
+      "q_inscribed_circle" -> (Pipelines.inscribedCircleRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -152,6 +158,8 @@ object SparkEntry {
     ("q_area_sphere" -> Pipelines.areaSphereOracleSql) +
     ("q_length_sphere" -> Pipelines.lengthSphereOracleSql) +
     ("q_geodesic_buffer" -> Pipelines.geodesicBufferOracleSql) +
+    ("q_subdivide" -> Pipelines.subdivideOracleSql) +
+    ("q_inscribed_circle" -> Pipelines.inscribedCircleOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

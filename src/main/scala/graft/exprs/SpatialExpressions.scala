@@ -164,6 +164,101 @@ case class StBufferSpheroid(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `st_subdivide(geom, max_vertices)` — split a geometry into parts of at
+  * most `max_vertices` coordinates each (PostGIS/Sedona `ST_Subdivide`
+  * semantics, the skew-bounding tool: a 100k-vertex coastline in a grid
+  * join makes ONE task pay the whole polygon on every candidate pair;
+  * subdividing first bounds per-row geometry cost everywhere downstream).
+  *
+  * Deterministic split rule (documented because PostGIS leaves its own
+  * unspecified): a part over the bound splits along its envelope's LONGER
+  * axis at the midpoint (ties split vertically), recursively; parts of
+  * lower dimension than the input (slivers where a split line grazes an
+  * edge) are dropped; recursion depth is capped at 24 (a split always
+  * halves an envelope axis, so 24 levels shrink any extent by 2^24 —
+  * past that the input is pathological and the oversized part is emitted
+  * rather than looping). `max_vertices` below 5 (a closed rectangle ring)
+  * is rejected — no polygon part can satisfy it. Returns
+  * `array<geometry>`; compose with `explode` for the relational form. */
+case class StSubdivide(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  import org.locationtech.jts.geom.{Envelope, Geometry => JGeom}
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_subdivide"
+  override protected def nullSafeEval(g: Any, mv: Any): Any = {
+    val maxV = mv.asInstanceOf[Int]
+    if (maxV < 5)
+      throw new IllegalArgumentException(
+        s"st_subdivide: max_vertices must be >= 5 (closed ring minimum), got $maxV")
+    val in = geom(g)
+    val dim = in.getDimension
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def emitParts(p: JGeom, depth: Int): Unit = {
+      var i = 0
+      while (i < p.getNumGeometries) {
+        val part = p.getGeometryN(i)
+        if (!part.isEmpty && part.getDimension == dim) go(part, depth)
+        i += 1
+      }
+    }
+    def go(p: JGeom, depth: Int): Unit = {
+      if (p.getNumGeometries > 1) emitParts(p, depth)
+      else if (p.getNumPoints <= maxV || depth >= 24) out += wkb(p)
+      else {
+        val env = p.getEnvelopeInternal
+        val (e1, e2) =
+          if (env.getWidth >= env.getHeight) {
+            val mx = (env.getMinX + env.getMaxX) / 2.0
+            (new Envelope(env.getMinX, mx, env.getMinY, env.getMaxY),
+             new Envelope(mx, env.getMaxX, env.getMinY, env.getMaxY))
+          } else {
+            val my = (env.getMinY + env.getMaxY) / 2.0
+            (new Envelope(env.getMinX, env.getMaxX, env.getMinY, my),
+             new Envelope(env.getMinX, env.getMaxX, my, env.getMaxY))
+          }
+        val f = p.getFactory
+        emitParts(Geom.safeIntersection(p, f.toGeometry(e1)), depth + 1)
+        emitParts(Geom.safeIntersection(p, f.toGeometry(e2)), depth + 1)
+      }
+    }
+    if (!in.isEmpty) emitParts(in, 0)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSubdivide =
+    copy(left = l, right = r)
+}
+
+/** `st_maxinscribedcircle(geom, tolerance)` — the largest circle that fits
+  * inside a polygonal geometry (JTS MaximumInscribedCircle; Sedona ships
+  * the same call): `struct(center geometry, radius double)`, radius exact
+  * to `tolerance`. The polygon-labeling primitive (center = the classic
+  * "pole of inaccessibility" label point) and the width measure dual to
+  * [[StMinimumBoundingRadius]]. Null for non-areal or empty input —
+  * no circle fits in a line. */
+case class StMaxInscribedCircle(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("center", BinaryType, nullable = false),
+    StructField("radius", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_maxinscribedcircle"
+  override protected def nullSafeEval(g: Any, tol: Any): Any = {
+    val in = geom(g)
+    if (in.isEmpty || in.getDimension < 2) null
+    else {
+      val mic = new org.locationtech.jts.algorithm.construct.MaximumInscribedCircle(
+        in, tol.asInstanceOf[Double])
+      new GenericInternalRow(Array[Any](
+        wkb(mic.getCenter.getFactory.createPoint(mic.getCenter.getCoordinate)),
+        mic.getRadiusLine.getLength))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StMaxInscribedCircle =
+    copy(left = l, right = r)
+}
+
 /** Defensive geometric intersection (repair-and-retry on TopologyException). */
 case class StIntersection(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

@@ -28,6 +28,10 @@ object functions {
   def st_buffer(g: Column, d: Column): Column = col(StBuffer(ex(g), ex(d)))
   def st_buffer_spheroid(g: Column, d: Column): Column =
     col(StBufferSpheroid(ex(g), ex(d)))
+  def st_subdivide(g: Column, maxVertices: Column): Column =
+    col(StSubdivide(ex(g), ex(maxVertices)))
+  def st_maxinscribedcircle(g: Column, tolerance: Column): Column =
+    col(StMaxInscribedCircle(ex(g), ex(tolerance)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
@@ -306,6 +310,8 @@ object functions {
     r1("st_makevalid", StMakeValid)
     r2("st_buffer", StBuffer)
     r2("st_buffer_spheroid", StBufferSpheroid)
+    r2("st_subdivide", StSubdivide)
+    r2("st_maxinscribedcircle", StMaxInscribedCircle)
     r2("st_intersection", StIntersection)
     r2("st_union", StUnion)
     r2("st_difference", StDifference)

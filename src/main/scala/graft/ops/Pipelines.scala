@@ -1016,6 +1016,122 @@ object Pipelines {
       |WHERE CAST(event_id % 18 AS INTEGER) BETWEEN 1 AND 16
       |GROUP BY 1, 2 ORDER BY gx, gy""".stripMargin
 
+  /** ST_Subdivide audit — the skew-bounding splitter every 100 TB spatial
+    * pipeline runs BEFORE a grid join (one 100k-vertex coastline otherwise
+    * makes a single task pay the whole polygon on every candidate pair).
+    * Each occupied grid cell builds an s-step integral STAIRCASE polygon
+    * (s = gx%4 + gy%3 + 3 ∈ [3,9]; ring has 2s+3 coordinates, so every
+    * cell exceeds the bound and actually splits) and subdivides it to
+    * ≤7 coordinates per part ([[graft.exprs.StSubdivide]]'s documented
+    * midpoint rule).
+    *
+    * Exactness device: the staircase is axis-parallel with coordinates in
+    * multiples of 1000, and envelope-midpoint split lines land on
+    * multiples of 1000/2^d — every intersection vertex is an EXACT double,
+    * so each part's shoelace area is exact and their sum telescopes to
+    * the closed form s(s+1)/2 · 10⁶ m² with zero float residue. The
+    * oracle checks that closed form plus three per-row invariants the
+    * operator must uphold (every part within the vertex bound, every part
+    * valid, parts re-union to the original geometry — `st_equals` after
+    * exact splits). Part COUNT is deliberately not emitted: the recursion
+    * shape is an implementation detail pinned by SpatialSqlSpec anchors,
+    * not a semantic contract.
+    *
+    * Scale shape: one counting shuffle on the cell key; subdivision is a
+    * per-row projection over the ≤648-row cell relation — at 100 TB it is
+    * a map-side rewrite of the geometry column, no shuffle touches it. */
+  def subdivideRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("s", (col("gx") % 4 + col("gy") % 3 + lit(3)).cast("int"))
+      .withColumn("wkt", expr(
+        """concat('POLYGON((0 0,', CAST(s * 1000 AS STRING), ' 0,',
+          |  array_join(transform(sequence(1, s), i -> concat(
+          |    CAST((s - i + 1) * 1000 AS STRING), ' ', CAST(i * 1000 AS STRING), ',',
+          |    CAST((s - i) * 1000 AS STRING), ' ', CAST(i * 1000 AS STRING))), ','),
+          |  ',0 0))')""".stripMargin))
+      .withColumn("g", st_geomfromwkt(col("wkt")))
+      .withColumn("parts", st_subdivide(col("g"), lit(7)))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(forall(parts, p -> st_npoints(p) <= 7) AS INT)").as("all_bounded"),
+        expr("CAST(forall(parts, p -> st_isvalid(p)) AS INT)").as("all_valid"),
+        expr("""CAST(floor(aggregate(parts, 0.0D, (a, p) -> a + st_area(p))
+               |     / 1000000.0D + 0.5) AS BIGINT)""".stripMargin).as("area_ku2"),
+        expr("""CAST(st_equals(aggregate(slice(parts, 2, size(parts) - 1),
+               |  parts[0], (a, p) -> st_union(a, p)), g) AS INT)""".stripMargin)
+          .as("reunion_ok"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: the invariants are constants of the operator's
+    * contract; the area telescopes to s(s+1)/2 (see [[subdivideRollup]]). */
+  val subdivideOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST(1 AS INTEGER) AS all_bounded,
+      |  CAST(1 AS INTEGER) AS all_valid,
+      |  CAST(((gx % 4 + gy % 3 + 3) * (gx % 4 + gy % 3 + 4)) // 2 AS BIGINT)
+      |    AS area_ku2,
+      |  CAST(1 AS INTEGER) AS reunion_ok
+      |FROM g ORDER BY gx, gy""".stripMargin
+
+  /** ST_MaximumInscribedCircle audit (JTS construct; the Sedona/PostGIS
+    * polygon-labeling primitive — the "pole of inaccessibility"). Each
+    * occupied cell builds a w×h integral rectangle (w = (gx%6+1) km,
+    * h = (gy%5+1) km) whose inscribed radius is the closed form
+    * min(w,h)/2; JTS converges to it within the 0.5 m tolerance, and the
+    * hectometer funnel (floor(r/100 + 0.5)) sits 100× above that error.
+    * Two further invariants: the returned center lies inside the
+    * rectangle, and its distance to the boundary re-derives the radius
+    * within 2·tolerance (the center of a non-square rectangle is any
+    * point of the medial segment, so the CENTER itself is deliberately
+    * not hashed — only its radius-consistency, which IS the contract).
+    *
+    * Scale shape: identical to the other cell rollups — one counting
+    * shuffle, per-row geometry on the bounded cell relation. */
+  def inscribedCircleRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val w = (col("gx") % 6 + lit(1)).cast("double") * 1000.0
+    val h = (col("gy") % 5 + lit(1)).cast("double") * 1000.0
+    val x0 = col("gx").cast("double") * 20000.0
+    val y0 = col("gy").cast("double") * 20000.0
+    cells
+      .withColumn("rect", st_makeenvelope(x0, y0, x0 + w, y0 + h))
+      .withColumn("mic", st_maxinscribedcircle(col("rect"), lit(0.5)))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(floor(mic.radius / 100.0D + 0.5) AS BIGINT)").as("r_hm"),
+        st_contains(col("rect"), col("mic.center")).cast("int").as("center_inside"),
+        (abs(st_distance(col("mic.center"), st_boundary(col("rect"))) - col("mic.radius"))
+          <= lit(1.0)).cast("int").as("radius_consistent"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: r = min(w,h)/2 in hectometers = 5·min(gx%6+1,
+    * gy%5+1); the two invariants are contract constants. */
+  val inscribedCircleOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST(5 * least(gx % 6 + 1, gy % 5 + 1) AS BIGINT) AS r_hm,
+      |  CAST(1 AS INTEGER) AS center_inside,
+      |  CAST(1 AS INTEGER) AS radius_consistent
+      |FROM g ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

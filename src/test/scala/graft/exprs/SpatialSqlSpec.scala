@@ -771,4 +771,54 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 12.0)
     assert(r.getInt(1) == 5) // closed ring: 4 corners + repeated start
   }
+
+  test("st_subdivide: identity below the bound, exact split above it") {
+    // a rectangle (5 ring coords) already satisfies maxV=5: identity
+    val id = one("""SELECT size(st_subdivide(st_geomfromwkt(
+      'POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))'), 5)) AS n""")
+    assert(id.getInt(0) == 1)
+    // a 3-step staircase (9 ring coords) under maxV=7: splits; parts are
+    // valid, within bound, and re-union to the original with exact area
+    val r = one("""SELECT
+        size(parts) AS n_parts,
+        forall(parts, p -> st_npoints(p) <= 7) AS bounded,
+        forall(parts, p -> st_isvalid(p)) AS valid,
+        aggregate(parts, 0.0D, (a, p) -> a + st_area(p)) AS area,
+        st_equals(aggregate(slice(parts, 2, size(parts) - 1), parts[0],
+                            (a, p) -> st_union(a, p)), g) AS reunion
+      FROM (SELECT g, st_subdivide(g, 7) AS parts FROM (SELECT st_geomfromwkt(
+        'POLYGON ((0 0, 3 0, 3 1, 2 1, 2 2, 1 2, 1 3, 0 3, 0 0))') AS g))""")
+    assert(r.getInt(0) >= 2)
+    assert(r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getDouble(3) == 6.0) // exact: axis-parallel integral splits
+    assert(r.getBoolean(4))
+  }
+
+  test("st_subdivide: multipolygon parts split independently; sliver dimensions dropped") {
+    val r = one("""SELECT size(parts) AS n,
+        aggregate(parts, 0.0D, (a, p) -> a + st_area(p)) AS area
+      FROM (SELECT st_subdivide(st_geomfromwkt(
+        'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 0, 8 0, 8 1, 5 1, 5 0)))'),
+        5) AS parts)""")
+    // first square passes through whole; second rectangle also has 5 coords
+    assert(r.getInt(0) == 2 && r.getDouble(1) == 4.0)
+  }
+
+  test("st_subdivide rejects max_vertices below a closed ring") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_subdivide(st_point(0.0D, 0.0D), 4)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("st_maxinscribedcircle: square center + half-side radius; null for lines") {
+    val r = one("""SELECT mic.radius AS r,
+        st_x(mic.center) AS cx, st_y(mic.center) AS cy,
+        st_maxinscribedcircle(st_geomfromwkt('LINESTRING (0 0, 1 1)'), 0.01D) AS nn
+      FROM (SELECT st_maxinscribedcircle(st_geomfromwkt(
+        'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), 0.001D) AS mic)""")
+    assert(math.abs(r.getDouble(0) - 5.0) <= 0.001)
+    assert(math.abs(r.getDouble(1) - 5.0) <= 0.01 && math.abs(r.getDouble(2) - 5.0) <= 0.01)
+    assert(r.isNullAt(3))
+  }
 }
