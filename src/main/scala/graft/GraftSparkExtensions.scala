@@ -80,6 +80,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_buffer_spheroid", 2)(es => StBufferSpheroid(es.head, es(1)))
     inject("st_subdivide", 2)(es => StSubdivide(es.head, es(1)))
     inject("st_maxinscribedcircle", 2)(es => StMaxInscribedCircle(es.head, es(1)))
+    inject("st_largestemptycircle", 3)(es => StLargestEmptyCircle(es.head, es(1), es(2)))
     inject("st_intersection", 2)(es => StIntersection(es.head, es(1)))
     inject("st_union", 2)(es => StUnion(es.head, es(1)))
     inject("st_difference", 2)(es => StDifference(es.head, es(1)))

@@ -86,6 +86,9 @@ object SparkEntry {
       // st_maxinscribedcircle: pole-of-inaccessibility radius; closed-form
       // min(w,h)/2 oracle plus center/radius-consistency invariants.
       "q_inscribed_circle" -> (Pipelines.inscribedCircleRollup _),
+      // st_largestemptycircle: facility-placement dual; closed-form
+      // side/sqrt(2) radius + exact center by symmetry.
+      "q_empty_circle" -> (Pipelines.emptyCircleRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -160,6 +163,7 @@ object SparkEntry {
     ("q_geodesic_buffer" -> Pipelines.geodesicBufferOracleSql) +
     ("q_subdivide" -> Pipelines.subdivideOracleSql) +
     ("q_inscribed_circle" -> Pipelines.inscribedCircleOracleSql) +
+    ("q_empty_circle" -> Pipelines.emptyCircleOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -259,6 +259,37 @@ case class StMaxInscribedCircle(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `st_largestemptycircle(obstacles, boundary, tolerance)` — the largest
+  * circle whose interior touches no obstacle and whose center lies inside
+  * the boundary (JTS LargestEmptyCircle; Sedona `ST_LargestEmptyCircle`):
+  * the facility-placement / maximal-gap dual of
+  * [[StMaxInscribedCircle]]. Returns `struct(center geometry,
+  * radius double)`, radius exact to `tolerance`. Null when either
+  * geometry is empty. */
+case class StLargestEmptyCircle(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("center", BinaryType, nullable = false),
+    StructField("radius", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_largestemptycircle"
+  override protected def nullSafeEval(o: Any, b: Any, tol: Any): Any = {
+    val obstacles = geom(o)
+    val boundary = geom(b)
+    if (obstacles.isEmpty || boundary.isEmpty) null
+    else {
+      val lec = new org.locationtech.jts.algorithm.construct.LargestEmptyCircle(
+        obstacles, boundary, tol.asInstanceOf[Double])
+      new GenericInternalRow(Array[Any](
+        wkb(lec.getCenter.getFactory.createPoint(lec.getCenter.getCoordinate)),
+        lec.getRadiusLine.getLength))
+    }
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StLargestEmptyCircle =
+    copy(first = a, second = b, third = c)
+}
+
 /** Defensive geometric intersection (repair-and-retry on TopologyException). */
 case class StIntersection(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

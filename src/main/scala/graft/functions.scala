@@ -32,6 +32,8 @@ object functions {
     col(StSubdivide(ex(g), ex(maxVertices)))
   def st_maxinscribedcircle(g: Column, tolerance: Column): Column =
     col(StMaxInscribedCircle(ex(g), ex(tolerance)))
+  def st_largestemptycircle(obstacles: Column, boundary: Column, tolerance: Column): Column =
+    col(StLargestEmptyCircle(ex(obstacles), ex(boundary), ex(tolerance)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
@@ -312,6 +314,7 @@ object functions {
     r2("st_buffer_spheroid", StBufferSpheroid)
     r2("st_subdivide", StSubdivide)
     r2("st_maxinscribedcircle", StMaxInscribedCircle)
+    rn("st_largestemptycircle", 3)(es => StLargestEmptyCircle(es.head, es(1), es(2)))
     r2("st_intersection", StIntersection)
     r2("st_union", StUnion)
     r2("st_difference", StDifference)

@@ -1132,6 +1132,60 @@ object Pipelines {
       |  CAST(1 AS INTEGER) AS radius_consistent
       |FROM g ORDER BY gx, gy""".stripMargin
 
+  /** ST_LargestEmptyCircle audit (JTS construct; Sedona
+    * `ST_LargestEmptyCircle`) — the facility-placement dual of
+    * [[inscribedCircleRollup]]: largest circle touching no obstacle with
+    * center inside the boundary. Each occupied cell sets obstacles = the
+    * four corners of a k-km square (k = gx%6+1) and boundary = the square
+    * itself; by symmetry the unique optimum is the square's CENTER with
+    * radius k·1000/√2 — both closed-form. JTS converges within the 0.5 m
+    * tolerance; the hectometer radius funnel's tightest boundary margin
+    * across k ∈ [1,6] is 7.1 m (k=1), 14× the tolerance, and the
+    * decameter center funnel sits on exact integers 10× the tolerance
+    * from any boundary.
+    *
+    * Scale shape: one counting shuffle on the cell key, geometry on the
+    * bounded cell relation — the [[distanceSphereRollup]] pattern. */
+  def emptyCircleRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    val k = (col("gx") % 6 + lit(1)).cast("double")
+    val side = k * 1000.0
+    val x0 = col("gx").cast("double") * 20000.0
+    val y0 = col("gy").cast("double") * 20000.0
+    cells
+      .withColumn("boundary", st_makeenvelope(x0, y0, x0 + side, y0 + side))
+      .withColumn("obstacles", st_geomfromwkt(concat(
+        lit("MULTIPOINT ((") , x0, lit(" "), y0,
+        lit("), ("), x0 + side, lit(" "), y0,
+        lit("), ("), x0 + side, lit(" "), y0 + side,
+        lit("), ("), x0, lit(" "), y0 + side, lit("))"))))
+      .withColumn("lec", st_largestemptycircle(col("obstacles"), col("boundary"), lit(0.5)))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(floor(lec.radius / 100.0D + 0.5) AS BIGINT)").as("r_hm"),
+        expr("CAST(floor(st_x(lec.center) / 10.0D + 0.5) AS BIGINT)").as("cx_dam"),
+        expr("CAST(floor(st_y(lec.center) / 10.0D + 0.5) AS BIGINT)").as("cy_dam"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: center = square center, radius = side/√2 (see
+    * [[emptyCircleRollup]]'s symmetry + funnel-margin argument). */
+  val emptyCircleOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST(floor((gx % 6 + 1) * 1000.0 / sqrt(2.0) / 100.0 + 0.5) AS BIGINT)
+      |    AS r_hm,
+      |  CAST(gx * 2000 + (gx % 6 + 1) * 50 AS BIGINT) AS cx_dam,
+      |  CAST(gy * 2000 + (gx % 6 + 1) * 50 AS BIGINT) AS cy_dam
+      |FROM g ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

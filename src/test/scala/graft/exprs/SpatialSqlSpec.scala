@@ -821,4 +821,16 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 5.0) <= 0.01 && math.abs(r.getDouble(2) - 5.0) <= 0.01)
     assert(r.isNullAt(3))
   }
+
+  test("st_largestemptycircle: corner obstacles in a square put the gap at the center") {
+    val r = one("""SELECT lec.radius AS r, st_x(lec.center) AS cx, st_y(lec.center) AS cy,
+        st_largestemptycircle(st_geomfromwkt('MULTIPOINT EMPTY'),
+          st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), 0.01D) AS nn
+      FROM (SELECT st_largestemptycircle(
+        st_geomfromwkt('MULTIPOINT ((0 0), (10 0), (10 10), (0 10))'),
+        st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), 0.001D) AS lec)""")
+    assert(math.abs(r.getDouble(0) - 10.0 / math.sqrt(2.0)) <= 0.001)
+    assert(math.abs(r.getDouble(1) - 5.0) <= 0.01 && math.abs(r.getDouble(2) - 5.0) <= 0.01)
+    assert(r.isNullAt(3))
+  }
 }
