@@ -1242,6 +1242,47 @@ object TextQueries {
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** CROSS-DOCUMENT repeated-span detection — the windowed-fingerprint
+    * kernel of exact-substring deduplication (the method behind
+    * suffix-array corpus dedup, approximated at Spark scale the way
+    * production pipelines do: fixed W-token windows at stride S, rolling
+    * over every document, duplicated window = duplicated span). Distinct
+    * from [[dedupExact]] (whole-doc) and [[intradocDedup]] (within one
+    * doc): this finds the boilerplate/quotation/license-block mass that
+    * repeats ACROSS documents without the documents being near-dups —
+    * the spans doc-level MinHash provably misses.
+    *
+    * Output is the occurrence-count histogram of window fingerprints
+    * (n_occ → how many distinct fingerprints occur n_occ times, and how
+    * many of those span >1 document) — the measurement that sizes an
+    * exact-substring dedup pass before running it. Docs shorter than W
+    * tokens carry no window (documented; oracle identical).
+    *
+    * Scale shape: per-row explode bounded by tokens/S per doc, then ONE
+    * hash aggregate on the 60-bit fingerprint (map-side partials; keys
+    * are uniform hashes, so no skew and no salting needed) and a
+    * bounded-cardinality histogram rollup. At 100 TB this is the
+    * canonical two-level aggregation — nothing driver-side, nothing
+    * quadratic, shuffle ∝ distinct windows. */
+  def spanDedup(spark: SparkSession, dir: String, w: Int = 20,
+                stride: Int = 5): DataFrame = {
+    val fps = Par.fanOut(documents(spark, dir))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $w, $stride), st ->
+           |  substring(md5(array_join(slice(toks, st + 1, $w), ' ')), 1, 15))"""
+          .stripMargin)).as("fp"))
+    fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).as("ndocs"))
+      .groupBy(col("cnt").as("n_occ"))
+      .agg(count(lit(1)).as("n_fp"),
+        count(when(col("ndocs") > 1, lit(1))).as("n_crossdoc_fp"))
+      .orderBy(col("n_occ"))
+  }
+
   /** Denylist redaction — the PII/content-scrubbing pass of a training
     * pipeline (emails, phone numbers, banned terms get masked before the
     * corpus ships). On the synthetic vocabulary the denylist is two corpus
@@ -1949,6 +1990,7 @@ object TextQueries {
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
+    "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2671,6 +2713,22 @@ object TextQueries {
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical window enumeration: W=20, stride 5, md5 60-bit prefix
+    "q_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         substr(md5(array_to_string(toks[st + 1 : st + 20], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, len(toks) - 20 + 1, 5)) AS st
+        |        FROM t WHERE len(toks) >= 20)),
+        |g AS (SELECT fp, count(*) AS cnt, count(DISTINCT doc_id) AS ndocs
+        |      FROM w GROUP BY fp)
+        |SELECT CAST(cnt AS BIGINT) AS n_occ, count(*) AS n_fp,
+        |       count(CASE WHEN ndocs > 1 THEN 1 END) AS n_crossdoc_fp
+        |FROM g GROUP BY cnt ORDER BY n_occ""".stripMargin,
     "q_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,
