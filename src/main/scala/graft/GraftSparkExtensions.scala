@@ -81,6 +81,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_subdivide", 2)(es => StSubdivide(es.head, es(1)))
     inject("st_maxinscribedcircle", 2)(es => StMaxInscribedCircle(es.head, es(1)))
     inject("st_largestemptycircle", 3)(es => StLargestEmptyCircle(es.head, es(1), es(2)))
+    inject("st_linelocatepoint", 2)(es => StLineLocatePoint(es.head, es(1)))
     inject("st_intersection", 2)(es => StIntersection(es.head, es(1)))
     inject("st_union", 2)(es => StUnion(es.head, es(1)))
     inject("st_difference", 2)(es => StDifference(es.head, es(1)))

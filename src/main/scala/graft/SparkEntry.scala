@@ -89,6 +89,9 @@ object SparkEntry {
       // st_largestemptycircle: facility-placement dual; closed-form
       // side/sqrt(2) radius + exact center by symmetry.
       "q_empty_circle" -> (Pipelines.emptyCircleRollup _),
+      // st_linelocatepoint: inverse linear referencing; closed-form
+      // x/(a+b) fraction through the shared double ppm funnel.
+      "q_line_locate" -> (Pipelines.lineLocateRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -164,6 +167,7 @@ object SparkEntry {
     ("q_subdivide" -> Pipelines.subdivideOracleSql) +
     ("q_inscribed_circle" -> Pipelines.inscribedCircleOracleSql) +
     ("q_empty_circle" -> Pipelines.emptyCircleOracleSql) +
+    ("q_line_locate" -> Pipelines.lineLocateOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -290,6 +290,30 @@ case class StLargestEmptyCircle(first: Expression, second: Expression, third: Ex
     copy(first = a, second = b, third = c)
 }
 
+/** `st_linelocatepoint(line, point)` — the fraction of `line`'s length at
+  * the point on the line CLOSEST to `point` (PostGIS/Sedona
+  * `ST_LineLocatePoint`; the exact inverse of
+  * `st_lineinterpolatepoint`). JTS LengthIndexedLine projection over
+  * total length. Null for a non-LineString, an empty/zero-length line,
+  * or an empty point. */
+case class StLineLocatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_linelocatepoint"
+  override protected def nullSafeEval(l: Any, p: Any): Any = (geom(l), geom(p)) match {
+    case (line: org.locationtech.jts.geom.LineString,
+          pt: org.locationtech.jts.geom.Point)
+        if !line.isEmpty && !pt.isEmpty && line.getLength > 0.0 =>
+      new org.locationtech.jts.linearref.LengthIndexedLine(line)
+        .project(pt.getCoordinate) / line.getLength
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StLineLocatePoint =
+    copy(left = l, right = r)
+}
+
 /** Defensive geometric intersection (repair-and-retry on TopologyException). */
 case class StIntersection(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

@@ -34,6 +34,8 @@ object functions {
     col(StMaxInscribedCircle(ex(g), ex(tolerance)))
   def st_largestemptycircle(obstacles: Column, boundary: Column, tolerance: Column): Column =
     col(StLargestEmptyCircle(ex(obstacles), ex(boundary), ex(tolerance)))
+  def st_linelocatepoint(line: Column, point: Column): Column =
+    col(StLineLocatePoint(ex(line), ex(point)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
   def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
@@ -315,6 +317,7 @@ object functions {
     r2("st_subdivide", StSubdivide)
     r2("st_maxinscribedcircle", StMaxInscribedCircle)
     rn("st_largestemptycircle", 3)(es => StLargestEmptyCircle(es.head, es(1), es(2)))
+    r2("st_linelocatepoint", StLineLocatePoint)
     r2("st_intersection", StIntersection)
     r2("st_union", StUnion)
     r2("st_difference", StDifference)

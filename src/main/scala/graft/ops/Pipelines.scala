@@ -1186,6 +1186,58 @@ object Pipelines {
       |  CAST(gy * 2000 + (gx % 6 + 1) * 50 AS BIGINT) AS cy_dam
       |FROM g ORDER BY gx, gy""".stripMargin
 
+  /** ST_LineLocatePoint audit — the INVERSE of the linear-referencing
+    * walk ([[lineInterpolateRollup]] goes fraction→point; this goes
+    * point→fraction, PostGIS/Sedona `ST_LineLocatePoint`): each occupied
+    * cell builds an integral L-polyline (0,0)→(a,0)→(a,b) with
+    * a = (gx%5+1) km, b = (gy%4+1) km, and probes it with a point
+    * (x, −100) hanging BELOW the horizontal leg at x = (gx%3+1)·250 —
+    * the closest on-line point is exactly (x, 0), so the located
+    * fraction is the closed form x/(a+b). Both engines evaluate the same
+    * double division and the same floor(1e6·f + 0.5) ppm funnel, so the
+    * emit is deterministic; a second column re-derives the probe's
+    * distance to the line (must be exactly 100 — the vertical drop) as a
+    * round-trip invariant.
+    *
+    * Scale shape: the standard cell rollup — one counting shuffle,
+    * per-row geometry on the bounded cell relation; at 100 TB the locate
+    * is a scalar projection over any trajectory column. */
+  def lineLocateRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("a", (col("gx") % 5 + lit(1)).cast("long") * 1000L)
+      .withColumn("b", (col("gy") % 4 + lit(1)).cast("long") * 1000L)
+      .withColumn("x", (col("gx") % 3 + lit(1)).cast("long") * 250L)
+      .withColumn("line", st_geomfromwkt(expr(
+        """concat('LINESTRING (0 0, ', CAST(a AS STRING), ' 0, ',
+          |  CAST(a AS STRING), ' ', CAST(b AS STRING), ')')""".stripMargin)))
+      .withColumn("probe", st_point(col("x").cast("double"), lit(-100.0)))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("""CAST(floor(1000000.0D * st_linelocatepoint(line, probe) + 0.5)
+               | AS BIGINT)""".stripMargin).as("frac_ppm"),
+        expr("CAST(floor(st_distance(line, probe) + 0.5) AS BIGINT)").as("probe_dist"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: fraction = x/(a+b) through the identical double
+    * ppm funnel; probe distance is the exact 100 m vertical drop. */
+  val lineLocateOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST(floor(1000000.0 * (CAST((gx % 3 + 1) * 250 AS DOUBLE)
+      |         / CAST((gx % 5 + 1) * 1000 + (gy % 4 + 1) * 1000 AS DOUBLE))
+      |       + 0.5) AS BIGINT) AS frac_ppm,
+      |  CAST(100 AS BIGINT) AS probe_dist
+      |FROM g ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

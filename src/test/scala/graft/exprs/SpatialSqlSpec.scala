@@ -833,4 +833,16 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 5.0) <= 0.01 && math.abs(r.getDouble(2) - 5.0) <= 0.01)
     assert(r.isNullAt(3))
   }
+
+  test("st_linelocatepoint: inverse of lineinterpolatepoint; off-line projection; nulls") {
+    val r = one("""SELECT
+        st_linelocatepoint(l, st_lineinterpolatepoint(l, 0.25D)) AS back,
+        st_linelocatepoint(l, st_point(2.0D, -7.0D)) AS proj,
+        st_linelocatepoint(st_geomfromwkt('LINESTRING (1 1, 1 1)'), st_point(0.0D, 0.0D)) AS zl,
+        st_linelocatepoint(st_point(0.0D, 0.0D), st_point(0.0D, 0.0D)) AS np
+      FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 8 0, 8 2)') AS l)""")
+    assert(math.abs(r.getDouble(0) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.2) < 1e-12) // closest (2,0) at 2/10 of length
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
 }
