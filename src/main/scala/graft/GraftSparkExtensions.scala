@@ -125,6 +125,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
     inject("st_rotate", 2)(es => StRotate(es.head, es(1)))
     inject("st_hausdorffdistance", 2)(es => StHausdorffDistance(es.head, es(1)))
+    inject("st_frechetdistance", 2)(es => StFrechetDistance(es.head, es(1)))
+    inject("st_shortestline", 2)(es => StShortestLine(es.head, es(1)))
     inject("st_minimumboundingradius", 1)(es => StMinimumBoundingRadius(es.head))
     inject("st_linemerge", 1)(es => StLineMerge(es.head))
     inject("st_polygonize", 1)(es => StPolygonize(es.head))

@@ -92,6 +92,10 @@ object SparkEntry {
       // st_linelocatepoint: inverse linear referencing; closed-form
       // x/(a+b) fraction through the shared double ppm funnel.
       "q_line_locate" -> (Pipelines.lineLocateRollup _),
+      // st_frechetdistance + st_shortestline: order-aware trajectory
+      // similarity (translate closed form; reversal blow-up lane) and
+      // the nearest-pair witness line with exact integer endpoints.
+      "q_frechet" -> (Pipelines.frechetRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -168,6 +172,7 @@ object SparkEntry {
     ("q_inscribed_circle" -> Pipelines.inscribedCircleOracleSql) +
     ("q_empty_circle" -> Pipelines.emptyCircleOracleSql) +
     ("q_line_locate" -> Pipelines.lineLocateOracleSql) +
+    ("q_frechet" -> Pipelines.frechetOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -1411,6 +1411,55 @@ case class StHausdorffDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_frechetdistance(a, b) — discrete Fréchet distance (Sedona/PostGIS
+  * `ST_FrechetDistance` vertex-sampled form; JTS DiscreteFrechetDistance):
+  * the min over monotone vertex couplings of the max coupled-pair
+  * distance. The order-aware trajectory similarity measure — unlike
+  * Hausdorff it cannot "cheat" by pairing a late vertex of one path with
+  * an early vertex of the other, so reversed or re-ordered paths score
+  * far; the standard metric for route/trace matching. Exact closed form
+  * for translate pairs: the endpoint pairs are forced into every
+  * coupling (each at exactly the translation norm) and the identity
+  * coupling achieves that max, so DF(A, A+t) = |t|. Null for an empty
+  * input. */
+case class StFrechetDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_frechetdistance"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ga, gb) = (geom(a), geom(b))
+    if (ga.isEmpty || gb.isEmpty) null
+    else org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance.distance(ga, gb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StFrechetDistance =
+    copy(left = l, right = r)
+}
+
+/** st_shortestline(a, b) — the 2-point LineString of closest approach
+  * from `a` to `b` (PostGIS/Sedona `ST_ShortestLine`): start on `a`, end
+  * on `b`, length = st_distance(a, b). The witness-producing form of the
+  * distance predicate — st_closestpoint is its start point. Degenerate
+  * (zero-length) when the inputs intersect; null for an empty input. */
+case class StShortestLine(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_shortestline"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ga, gb) = (geom(a), geom(b))
+    if (ga.isEmpty || gb.isEmpty) null
+    else {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(ga, gb)
+      wkb(Geom.factory.createLineString(Array(pts(0), pts(1))))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StShortestLine =
+    copy(left = l, right = r)
+}
+
 /** st_minimumboundingradius(g) — struct<center: geometry, radius: double>
   * of the minimum enclosing circle (Sedona `ST_MinimumBoundingRadius`
   * shape; JTS MinimumBoundingCircle, exact Welzl-style support-point

@@ -97,6 +97,10 @@ object functions {
   def st_rotate(g: Column, theta: Column): Column = col(StRotate(ex(g), ex(theta)))
   def st_hausdorffdistance(a: Column, b: Column): Column =
     col(StHausdorffDistance(ex(a), ex(b)))
+  def st_frechetdistance(a: Column, b: Column): Column =
+    col(StFrechetDistance(ex(a), ex(b)))
+  def st_shortestline(a: Column, b: Column): Column =
+    col(StShortestLine(ex(a), ex(b)))
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
   def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
   def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
@@ -363,6 +367,8 @@ object functions {
     rn("st_scale", 3)(es => StScale(es.head, es(1), es(2)))
     r2("st_rotate", StRotate)
     r2("st_hausdorffdistance", StHausdorffDistance)
+    r2("st_frechetdistance", StFrechetDistance)
+    r2("st_shortestline", StShortestLine)
     r1("st_minimumboundingradius", StMinimumBoundingRadius)
     r1("st_linemerge", StLineMerge)
     r1("st_polygonize", StPolygonize)

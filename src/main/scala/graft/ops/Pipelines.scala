@@ -1238,6 +1238,106 @@ object Pipelines {
       |  CAST(100 AS BIGINT) AS probe_dist
       |FROM g ORDER BY gx, gy""".stripMargin
 
+  /** Discrete-Fréchet + shortest-line rollup
+    * ([[graft.exprs.StFrechetDistance]], [[graft.exprs.StShortestLine]] —
+    * the order-aware trajectory similarity and the distance witness). Each
+    * occupied cell builds an integral L-polyline
+    * A = (0,0)→(a,0)→(a,b) (a = (gx%5+1) km, b = (gy%4+1) km) and its
+    * translate B = A + (dx, h) with dx = 3·(gx%7)−9 ∈ [−9,9] and
+    * h = 25·(gy%6)+25 ∈ [25,150]:
+    *
+    *  - `frechet_mm`: DF(A, B). For a translate pair the endpoint pairs
+    *    are FORCED into every monotone coupling (each at exactly |t| =
+    *    √(dx²+h²)) and the identity coupling achieves that max, so
+    *    DF = |t| exactly — the oracle is the closed-form hypotenuse
+    *    through the shared floor(1000·d + 0.5) mm funnel (both engines
+    *    sqrt the identical integral argument; IEEE sqrt is correctly
+    *    rounded, so the doubles are bit-equal).
+    *  - `frechet_rev_mm`: DF(A, reverse(B)) — the order-awareness proof.
+    *    Reversal forces (A₁,B₃) and (A₃,B₁), so DF jumps from |t| to
+    *    max(√((a+dx)²+(b+h)²), √((a−dx)²+(b−h)²)) — the identity
+    *    coupling's middle pair (a,0)↔(a+dx,h) sits at |t| below both —
+    *    while Hausdorff would be blind to the flip.
+    *  - shortest line between the disjoint horizontal legs S1 =
+    *    (0,0)→(a,0) and S2 = (a+g,h)→(a+g+500,h) (gap g = (gx%4+1)·100):
+    *    the unique nearest pair is (a,0)→(a+g,h), checked by endpoint
+    *    coordinates (`sl_*`, exact integers), length (`sl_len_mm` =
+    *    hypotenuse funnel), and `sl_len_minus_dist` ≡ 0 (st_length of
+    *    the witness re-sqrts the same coordinates st_distance measured).
+    *
+    * Scale shape: the standard cell rollup — ONE counting shuffle on the
+    * dense integer cell key; all geometry runs per-row on the ≤648-row
+    * cell relation. At 100 TB both functions are scalar projections over
+    * trajectory columns (DF is O(mn) in the VERTEX counts — bounded by
+    * simplify-before-compare, not by corpus size). */
+  def frechetRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("a", (col("gx") % 5 + lit(1)).cast("long") * 1000L)
+      .withColumn("b", (col("gy") % 4 + lit(1)).cast("long") * 1000L)
+      .withColumn("dx", (col("gx") % 7).cast("long") * 3L - 9L)
+      .withColumn("h", (col("gy") % 6).cast("long") * 25L + 25L)
+      .withColumn("g", (col("gx") % 4 + lit(1)).cast("long") * 100L)
+      .withColumn("lineA", st_geomfromwkt(expr(
+        """concat('LINESTRING (0 0, ', CAST(a AS STRING), ' 0, ',
+          |  CAST(a AS STRING), ' ', CAST(b AS STRING), ')')""".stripMargin)))
+      .withColumn("lineB",
+        st_translate(col("lineA"), col("dx").cast("double"), col("h").cast("double")))
+      .withColumn("s1", st_geomfromwkt(expr(
+        "concat('LINESTRING (0 0, ', CAST(a AS STRING), ' 0)')")))
+      .withColumn("s2", st_geomfromwkt(expr(
+        """concat('LINESTRING (', CAST(a + g AS STRING), ' ', CAST(h AS STRING),
+          |  ', ', CAST(a + g + 500 AS STRING), ' ', CAST(h AS STRING), ')')""".stripMargin)))
+      .withColumn("sl", st_shortestline(col("s1"), col("s2")))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("""CAST(floor(1000.0D * st_frechetdistance(lineA, lineB) + 0.5)
+               | AS BIGINT)""".stripMargin).as("frechet_mm"),
+        expr("""CAST(floor(1000.0D * st_frechetdistance(lineA, st_reverse(lineB)) + 0.5)
+               | AS BIGINT)""".stripMargin).as("frechet_rev_mm"),
+        expr("CAST(floor(1000.0D * st_length(sl) + 0.5) AS BIGINT)").as("sl_len_mm"),
+        expr("""CAST(floor(1000.0D * (st_length(sl) - st_distance(s1, s2)) + 0.5)
+               | AS BIGINT)""".stripMargin).as("sl_len_minus_dist"),
+        expr("CAST(st_x(st_startpoint(sl)) AS BIGINT)").as("sl_x0"),
+        expr("CAST(st_y(st_startpoint(sl)) AS BIGINT)").as("sl_y0"),
+        expr("CAST(st_x(st_endpoint(sl)) AS BIGINT)").as("sl_x1"),
+        expr("CAST(st_y(st_endpoint(sl)) AS BIGINT)").as("sl_y1"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: forward Fréchet is the translation hypotenuse;
+    * reversed Fréchet is the max of the two forced cross-endpoint
+    * distances; the shortest line is (a,0)→(a+g,h) with hypotenuse
+    * length — every lane through the identical mm funnel. */
+  val frechetOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT gx, gy, n,
+      |    CAST((gx % 5 + 1) * 1000 AS DOUBLE) AS a,
+      |    CAST((gy % 4 + 1) * 1000 AS DOUBLE) AS b,
+      |    CAST((gx % 7) * 3 - 9 AS DOUBLE) AS dx,
+      |    CAST((gy % 6) * 25 + 25 AS DOUBLE) AS h,
+      |    CAST((gx % 4 + 1) * 100 AS DOUBLE) AS gp
+      |  FROM g)
+      |SELECT gx, gy, n,
+      |  CAST(floor(1000.0 * sqrt(dx*dx + h*h) + 0.5) AS BIGINT) AS frechet_mm,
+      |  CAST(floor(1000.0 * greatest(
+      |        sqrt((a + dx)*(a + dx) + (b + h)*(b + h)),
+      |        sqrt((a - dx)*(a - dx) + (b - h)*(b - h))) + 0.5) AS BIGINT)
+      |    AS frechet_rev_mm,
+      |  CAST(floor(1000.0 * sqrt(gp*gp + h*h) + 0.5) AS BIGINT) AS sl_len_mm,
+      |  CAST(0 AS BIGINT) AS sl_len_minus_dist,
+      |  CAST(a AS BIGINT) AS sl_x0, CAST(0 AS BIGINT) AS sl_y0,
+      |  CAST(a + gp AS BIGINT) AS sl_x1, CAST(h AS BIGINT) AS sl_y1
+      |FROM p ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

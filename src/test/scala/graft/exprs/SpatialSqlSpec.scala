@@ -845,4 +845,30 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 0.2) < 1e-12) // closest (2,0) at 2/10 of length
     assert(r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("st_frechetdistance: translate closed form; order-aware vs reversal; nulls") {
+    val r = one("""SELECT
+        st_frechetdistance(l, st_translate(l, 3.0D, 4.0D)) AS fwd,
+        st_frechetdistance(l, st_reverse(l)) AS rev,
+        st_frechetdistance(l, l) AS self,
+        st_frechetdistance(l, st_geomfromwkt('LINESTRING EMPTY')) AS ne
+      FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 8 0, 8 6)') AS l)""")
+    assert(r.getDouble(0) == 5.0) // exact hypotenuse of the translation
+    // reversed path forces (0,0)<->(8,6): DF = 10 — Hausdorff would say 0
+    assert(r.getDouble(1) == 10.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3))
+  }
+
+  test("st_shortestline: witness endpoints on each input; length = st_distance; nulls") {
+    val r = one("""SELECT
+        st_astext(st_shortestline(a, b)) AS sl,
+        st_length(st_shortestline(a, b)) - st_distance(a, b) AS dlen,
+        st_shortestline(a, st_geomfromwkt('POINT EMPTY')) AS ne
+      FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 8 0)') AS a,
+                   st_geomfromwkt('LINESTRING (11 4, 20 4)') AS b)""")
+    assert(r.getString(0) == "LINESTRING (8 0, 11 4)")
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+  }
 }
