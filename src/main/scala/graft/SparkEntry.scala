@@ -96,6 +96,9 @@ object SparkEntry {
       // similarity (translate closed form; reversal blow-up lane) and
       // the nearest-pair witness line with exact integer endpoints.
       "q_frechet" -> (Pipelines.frechetRollup _),
+      // st_minimumrotatedrectangle + st_minimumdiameter: oriented
+      // footprint summary; rotation-invariant exact integer lanes.
+      "q_oriented_envelope" -> (Pipelines.orientedEnvelopeRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -173,6 +176,7 @@ object SparkEntry {
     ("q_empty_circle" -> Pipelines.emptyCircleOracleSql) +
     ("q_line_locate" -> Pipelines.lineLocateOracleSql) +
     ("q_frechet" -> Pipelines.frechetOracleSql) +
+    ("q_oriented_envelope" -> Pipelines.orientedEnvelopeOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

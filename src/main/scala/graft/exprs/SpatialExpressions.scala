@@ -1460,6 +1460,52 @@ case class StShortestLine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_minimumrotatedrectangle(g) — the minimum-AREA enclosing rectangle
+  * at any orientation (PostGIS `ST_OrientedEnvelope`, Sedona/GEOS
+  * `ST_MinimumRotatedRectangle`; JTS MinimumAreaRectangle, rotating
+  * calipers over the convex hull). The oriented counterpart of
+  * st_envelope: for elongated diagonal shapes its area can be
+  * arbitrarily smaller than the axis-aligned box, which is why oriented
+  * footprints (roads, runways, vessels) are summarized with it.
+  * Degenerates to the geometry's own point/segment for 0/1-D extents;
+  * null for empty input. */
+case class StMinimumRotatedRectangle(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_minimumrotatedrectangle"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v)
+    if (g.isEmpty) null
+    else wkb(org.locationtech.jts.algorithm.MinimumAreaRectangle.getMinimumRectangle(g))
+  }
+  override protected def withNewChildInternal(c: Expression): StMinimumRotatedRectangle =
+    copy(child = c)
+}
+
+/** st_minimumdiameter(g) — the WIDTH of a geometry: the length of the
+  * shortest line through it whose perpendicular extent covers it (JTS
+  * MinimumDiameter; the minimum over directions of the projected
+  * extent). For a rectangle this is exactly the short side — the
+  * complement of st_minimumboundingradius's enclosing measure, used to
+  * filter sliver polygons whose area is fine but whose width is
+  * degenerate. Null for empty input. */
+case class StMinimumDiameter(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_minimumdiameter"
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = geom(v)
+    if (g.isEmpty) null
+    else new org.locationtech.jts.algorithm.MinimumDiameter(g).getLength
+  }
+  override protected def withNewChildInternal(c: Expression): StMinimumDiameter =
+    copy(child = c)
+}
+
 /** st_minimumboundingradius(g) — struct<center: geometry, radius: double>
   * of the minimum enclosing circle (Sedona `ST_MinimumBoundingRadius`
   * shape; JTS MinimumBoundingCircle, exact Welzl-style support-point

@@ -1338,6 +1338,68 @@ object Pipelines {
       |  CAST(a + gp AS BIGINT) AS sl_x1, CAST(h AS BIGINT) AS sl_y1
       |FROM p ORDER BY gx, gy""".stripMargin
 
+  /** Oriented-envelope rollup ([[graft.exprs.StMinimumRotatedRectangle]],
+    * [[graft.exprs.StMinimumDiameter]] — the orientation-free footprint
+    * summary pair). Each occupied cell builds an integral w×h rectangle
+    * (w = (gx%5+1)·100, h = (gy%4+1)·100) ROTATED about the origin by
+    * θ = (gx%6)·15°, then recovers the orientation-invariant measures:
+    *
+    *  - `mrr_area` / `mrr_perim`: area and perimeter of the minimum
+    *    rotated rectangle — for any rotation of a rectangle the minimum-
+    *    area enclosing rectangle is the rectangle itself, so both are the
+    *    EXACT integers w·h and 2(w+h) (rotating-calipers fp noise is
+    *    ~1e-9 relative, absorbed by the floor(x+0.5) funnel), while the
+    *    axis-aligned envelope inflates with θ.
+    *  - `width_m`: st_minimumdiameter = the short side min(w,h) exactly —
+    *    the sliver-polygon filter measure.
+    *  - `mrr_le_env`: the containment invariant — the oriented envelope's
+    *    area never exceeds the axis-aligned envelope's.
+    *
+    * Scale shape: the standard cell rollup — ONE counting shuffle on the
+    * dense integer cell key; rotating calipers run per-row on the
+    * ≤648-row cell relation (O(hull vertices) each). At 100 TB both are
+    * scalar projections over a footprint column. */
+  def orientedEnvelopeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("w", (col("gx") % 5 + lit(1)).cast("long") * 100L)
+      .withColumn("h", (col("gy") % 4 + lit(1)).cast("long") * 100L)
+      .withColumn("theta",
+        (col("gx") % 6).cast("double") * lit(math.Pi / 12.0))
+      .withColumn("rect0", st_geomfromwkt(expr(
+        """concat('POLYGON ((0 0, ', CAST(w AS STRING), ' 0, ',
+          |  CAST(w AS STRING), ' ', CAST(h AS STRING), ', 0 ',
+          |  CAST(h AS STRING), ', 0 0))')""".stripMargin)))
+      .withColumn("g", st_rotate(col("rect0"), col("theta")))
+      .withColumn("mrr", st_minimumrotatedrectangle(col("g")))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(floor(st_area(mrr) + 0.5) AS BIGINT)").as("mrr_area"),
+        expr("CAST(floor(st_perimeter(mrr) + 0.5) AS BIGINT)").as("mrr_perim"),
+        expr("CAST(floor(st_minimumdiameter(g) + 0.5) AS BIGINT)").as("width_m"),
+        expr("st_area(mrr) <= st_area(st_envelope(g)) + 0.5").as("mrr_le_env"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: the minimum rotated rectangle of a rotated
+    * rectangle is itself, so area/perimeter/width are the pre-rotation
+    * integers; the envelope-domination invariant is constant TRUE. */
+  val orientedEnvelopeOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST((gx % 5 + 1) * 100 * (gy % 4 + 1) * 100 AS BIGINT) AS mrr_area,
+      |  CAST(2 * ((gx % 5 + 1) * 100 + (gy % 4 + 1) * 100) AS BIGINT) AS mrr_perim,
+      |  CAST(least((gx % 5 + 1) * 100, (gy % 4 + 1) * 100) AS BIGINT) AS width_m,
+      |  TRUE AS mrr_le_env
+      |FROM g ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

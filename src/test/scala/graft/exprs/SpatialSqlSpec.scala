@@ -871,4 +871,22 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
     assert(r.isNullAt(2))
   }
+
+  test("st_minimumrotatedrectangle / st_minimumdiameter: diagonal sliver, degenerates, nulls") {
+    val r = one("""SELECT
+        st_area(st_minimumrotatedrectangle(d)) AS a,
+        st_area(st_envelope(d)) AS env_a,
+        st_minimumdiameter(d) AS w,
+        st_astext(st_minimumrotatedrectangle(st_point(3.0D, 4.0D))) AS pt,
+        st_minimumrotatedrectangle(st_geomfromwkt('POLYGON EMPTY')) AS ne,
+        st_minimumdiameter(st_geomfromwkt('POLYGON EMPTY')) AS nw
+      FROM (SELECT st_geomfromwkt(
+        'POLYGON ((0 0, 8 6, 7.4 6.8, -0.6 0.8, 0 0))') AS d)""")
+    // 10x1 rectangle tilted along (8,6)/10: oriented area 10, box area 8.6*6.8
+    assert(math.abs(r.getDouble(0) - 10.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 8.6 * 6.8) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9) // width = short side
+    assert(r.getString(3) == "POINT (3 4)")
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
 }
