@@ -1283,6 +1283,80 @@ object TextQueries {
       .orderBy(col("n_occ"))
   }
 
+  /** Cross-document exact-substring EXCISION — the removal counterpart of
+    * [[spanDedup]] (which only histograms the repeated spans): the
+    * deduplicate-text-datasets pass that keeps ONE canonical occurrence
+    * of every cross-document repeated span and cuts the rest, so
+    * boilerplate/license blocks stop dominating the training mix.
+    *
+    * Rule, shared verbatim by the oracle: a `w`-token window (stride
+    * `stride`) is excisable iff its fingerprint occurs in MORE THAN ONE
+    * document (within-doc-only repeats are [[intradocDedup]]'s job); the
+    * canonical kept occurrence is the (doc_id, start)-minimum instance;
+    * every other instance marks its token range [start, start+w) for
+    * removal. Overlapping marked ranges inside a doc merge
+    * (gaps-and-islands) before counting, so stride < w never
+    * double-counts. Emits the per-source excision budget — the number a
+    * pipeline owner reads before committing to the cut.
+    *
+    * Scale shape: window enumeration is a per-row explode bounded by
+    * tokens/stride; canonical marking is ONE shuffle on the uniform
+    * fingerprint key (row_number + min/max-doc over the same sort — no
+    * self-join, no countDistinct); interval merge is ONE shuffle on
+    * doc_id feeding two window passes and the island rollup on the same
+    * partitioning; the final per-source agg is map-side partial. Nothing
+    * quadratic, no skew (md5 keys), payload text never shuffles — the
+    * shape survives 100 TB unchanged. */
+  def spanExcise(spark: SparkSession, dir: String, w: Int = 20,
+                 stride: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Par.fanOut(documents(spark, dir))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"),
+        col("toks"))
+    val inst = docs.filter(col("n_toks") >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $w, $stride), st -> struct(
+           |  CAST(st AS BIGINT) AS st,
+           |  substring(md5(array_join(slice(toks, st + 1, $w), ' ')), 1, 15) AS fp))"""
+          .stripMargin)).as("i"))
+      .select(col("doc_id"), col("i.st").as("st"), col("i.fp").as("fp"))
+    // ONE fp-sorted window pass serves both the canonical row_number and
+    // the cross-document test (min doc != max doc over the full frame)
+    val byFp = Window.partitionBy("fp").orderBy("doc_id", "st")
+    val full = byFp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val excise = inst
+      .withColumn("rn", row_number().over(byFp))
+      .withColumn("crossdoc", min(col("doc_id")).over(full) =!= max(col("doc_id")).over(full))
+      .filter(col("crossdoc") && col("rn") > 1)
+      .select(col("doc_id"), col("st"), (col("st") + w).as("en"))
+    // gaps-and-islands merge of overlapping [st, en) per doc — (doc_id, st)
+    // is unique by construction (one window per position), so the sort is
+    // tie-free and both engines walk identical sequences
+    val byDoc = Window.partitionBy("doc_id").orderBy("st", "en")
+    val merged = excise
+      .withColumn("prev_max_en",
+        max(col("en")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("cut"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cut")).as("toks_cut"), count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), col("source"), col("n_toks"))
+      .join(merged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("toks_cut")).as("docs_excised"),
+        sum(col("n_toks")).as("toks_total"),
+        coalesce(sum(col("toks_cut")), lit(0L)).as("toks_cut"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"))
+      .withColumn("cut_ppm", expr("(1000000 * toks_cut) DIV toks_total"))
+      .orderBy(col("source"))
+  }
+
   /** Denylist redaction — the PII/content-scrubbing pass of a training
     * pipeline (emails, phone numbers, banned terms get masked before the
     * corpus ships). On the synthetic vocabulary the denylist is two corpus
@@ -1991,6 +2065,7 @@ object TextQueries {
     "q_quality_score" -> (qualityScore _),
     "q_fingerprint" -> (fingerprint _),
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
+    "q_span_excise" -> ((s, d) => spanExcise(s, d)),
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2729,6 +2804,53 @@ object TextQueries {
         |SELECT CAST(cnt AS BIGINT) AS n_occ, count(*) AS n_fp,
         |       count(CASE WHEN ndocs > 1 THEN 1 END) AS n_crossdoc_fp
         |FROM g GROUP BY cnt ORDER BY n_occ""".stripMargin,
+    // verbatim replay of the excision rule: same window enumeration as
+    // q_span_dedup, canonical = (doc_id, st)-minimum via row_number,
+    // cross-doc via min/max doc over the fp partition, islands via the
+    // identical tie-free prev-max walk
+    "q_span_excise" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, len(toks) AS n_toks, toks FROM t),
+        |w AS (
+        |  SELECT doc_id, st,
+        |         substr(md5(array_to_string(toks[st + 1 : st + 20], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, len(toks) - 20 + 1, 5)) AS st
+        |        FROM d WHERE n_toks >= 20)),
+        |m AS (
+        |  SELECT doc_id, st,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, st) AS rn,
+        |    min(doc_id) OVER (PARTITION BY fp) <> max(doc_id) OVER (PARTITION BY fp)
+        |      AS crossdoc
+        |  FROM w),
+        |e AS (SELECT doc_id, st, st + 20 AS en FROM m WHERE crossdoc AND rn > 1),
+        |i AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM e),
+        |isl AS (SELECT doc_id, st, en,
+        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM i),
+        |cut AS (
+        |  SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS toks_cut,
+        |         count(*) AS n_spans
+        |  FROM (SELECT doc_id, island, max(en) AS mx, min(st) AS mn
+        |        FROM isl GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs, count(cut.doc_id) AS docs_excised,
+        |  CAST(sum(d.n_toks) AS BIGINT) AS toks_total,
+        |  CAST(coalesce(sum(cut.toks_cut), 0) AS BIGINT) AS toks_cut,
+        |  CAST(coalesce(sum(cut.n_spans), 0) AS BIGINT) AS n_spans,
+        |  CAST((1000000 * coalesce(sum(cut.toks_cut), 0)) // sum(d.n_toks) AS BIGINT)
+        |    AS cut_ppm
+        |FROM d LEFT JOIN cut ON d.doc_id = cut.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,

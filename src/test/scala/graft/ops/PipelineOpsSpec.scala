@@ -74,6 +74,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(0).getLong(5) === seg1.length.toLong, "chars_removed")
   }
 
+  test("span excise: keep-first canonical + island merge on a crafted corpus") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")  // exactly one window
+    val fillF = (1 to 20).map(i => s"f$i").mkString(" ")
+    val fillG = (1 to 20).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      // canonical owner of the boiler window (doc_id-min): loses nothing
+      (1L, s"$boiler $fillF", "en", "a", 0L),
+      // same boiler once: its [0,20) instance is excised -> 20 toks, 1 span
+      (2L, s"$boiler $fillG", "en", "a", 0L),
+      // boiler TWICE: st=0 and st=20 instances both excised; adjacent
+      // ranges [0,20)+[20,40) must merge to ONE 40-token island
+      (3L, s"$boiler $boiler", "en", "a", 0L),
+      // below the window width: contributes to totals, never to cuts
+      (4L, "x y z", "en", "a", 0L))
+    val fdir = fixtureDir("span_excise")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val r = TextQueries.spanExcise(spark, fdir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 4L, "n_docs")
+    assert(r(0).getLong(2) === 2L, "docs_excised")
+    assert(r(0).getLong(3) === 123L, "toks_total: 40*3 + 3")
+    assert(r(0).getLong(4) === 60L, "toks_cut: 20 + merged 40")
+    assert(r(0).getLong(5) === 2L, "n_spans: one merged island each")
+    assert(r(0).getLong(6) === 60000000L / 123L, "cut_ppm")
+  }
+
   test("link prediction: scores bounded by the wedge law, output deterministic top-50") {
     val rows = GraphQueries.linkPredictRa(spark, dir).collect()
     assert(rows.length === 50)
