@@ -46,7 +46,11 @@ object Stress {
     "q_triangles", "q_setsim_join", "q_containment_join", "q_dedup_clusters",
     "q_spatial_dwithin_partitioned", "q_equidepth_bins", "q_tpch_q18",
     "q_tpch_q21", "q_cdc_apply", "q_scd2_build", "q_copurchase",
-    "q_window_funnel")
+    "q_window_funnel",
+    // replicas make every window cross-doc duplicated — the excision
+    // walk's worst case (all non-canonical instances flow to the island
+    // merge); gate proves the volume stays linear with no spill blow-up
+    "q_span_excise")
 
   /** Spill guard per query: generous (some external sorting at 6M rows
     * is legitimate) but far below blow-up (which would be multi-GB). */

@@ -82,6 +82,68 @@ object VectorQueries {
           .withColumn("sim", cosineAgainst(q)), k)
     }
 
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL —
+    * the "how many leading dimensions do I actually need" measurement
+    * that sizes a production embedding index): exact cosine top-k by the
+    * d-dimensional PREFIX of every embedding, for d ∈ {8, 16, 32, 64},
+    * scored against the full-width top-k as ground truth. Emits per-d
+    * overlap, recall@k, and whether rank-1 survives truncation. The
+    * d = 64 lane truncates nothing, so recall = 100 / top1 = true is a
+    * built-in self-check of the whole comparison harness.
+    *
+    * Scale shape: each lane is the [[simTopK]] brute pass — ONE scan
+    * projecting a prefix dot product against the broadcast query vector
+    * into TakeOrderedAndProject (no shuffle of vectors, no window); the
+    * overlap joins run on k-row frames. At 100 TB the lanes run on an
+    * ANN candidate pool instead of the corpus, unchanged in shape.
+    *
+    * Determinism: prefix cosine folds left-to-right over the SLICED
+    * array on both engines ([[foldSum]] vs DuckDB `list_sum`), prefix
+    * norms included — every lane reuses the bit-identical [[simTopK]]
+    * arithmetic, so the top-k SETS match and set overlap is exact. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 10,
+                       dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+    queryVectorOpt(spark, dir) match {
+      case None => emptyMatryoshka(spark)
+      case Some(q) =>
+        val base = Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+        val full = rankTop(base.withColumn("sim", cosineAgainst(q)), k)
+          .select(col("rank").as("frank"), col("vec_id"))
+        dims.map { d =>
+          val t = rankTop(base.withColumn("sim", cosinePrefix(q, d)), k)
+            .select(col("rank").as("trank"), col("vec_id"))
+          t.join(full, Seq("vec_id"))
+            .agg(count(lit(1)).as("n_overlap"),
+              (count(when(col("trank") === 1 && col("frank") === 1, lit(1))) > 0)
+                .as("top1_same"))
+            .select(lit(d).as("dim"), col("n_overlap"),
+              expr(s"(100 * n_overlap) DIV $k").as("recall_pct"), col("top1_same"))
+        }.reduce(_.union(_)).orderBy(col("dim"))
+    }
+
+  /** d-dimensional-prefix cosine — [[cosineAgainst]] over sliced arrays,
+    * same left-to-right folds so the oracle matches bit-for-bit. */
+  private def cosinePrefix(q: Seq[Double], d: Int): Column = {
+    val qd = q.take(d)
+    val embD = slice(transform(col("embedding"), x => x.cast("double")), 1, d)
+    val dot = foldSum(zip_with(embD, typedlit(qd), (a, b) => a * b))
+    val na = foldSum(transform(embD, x => x * x))
+    val nb = lit(qd.map(x => x * x).sum)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def emptyMatryoshka(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("dim", IntegerType, nullable = false),
+        StructField("n_overlap", LongType, nullable = false),
+        StructField("recall_pct", LongType, nullable = false),
+        StructField("top1_same", BooleanType, nullable = false))))
+  }
+
   /** MMR diversified re-rank (Maximal Marginal Relevance, Carbonell &
     * Goldstein SIGIR'98 — the standard result-diversification pass a RAG
     * retriever runs after ANN): greedily pick k results maximizing
@@ -947,6 +1009,7 @@ object VectorQueries {
     "q_wcss" -> ((s, d) => wcss(s, d)),
     "q_feature_cov" -> ((s, d) => featureCov(s, d)),
     "q_sim_topk" -> ((s, d) => simTopK(s, d)),
+    "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "q_ann_sq" -> ((s, d) => annSq(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -968,6 +1031,41 @@ object VectorQueries {
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
       |  (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
       |   sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Prefix-d mirror of [[cosineSql]]: DuckDB 1-based inclusive slices,
+    * same left-to-right list_sum folds (norms included). */
+  private def prefixCosineSql(d: Int): String =
+    s"""list_sum(list_transform(list_zip(e.embedding[1:$d], q.qv[1:$d]),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(e.embedding[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(q.qv[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** [[matryoshkaRecall]] oracle: one ranked CTE per prefix width (the
+    * 64 lane IS the full width, doubling as the harness self-check),
+    * joined to the full-width top-k on vec_id — generated from the SAME
+    * k/dims constants the Scala defaults use. */
+  private val matryoshkaOracleSql: String = {
+    val k = 10
+    val dims = Seq(8, 16, 32, 64)
+    def ranked(name: String, cos: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, rn FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rn
+         |    FROM embeddings e, q WHERE e.vec_id <> $QueryVecId)
+         |  WHERE rn <= $k)""".stripMargin
+    val ctes = (Seq(ranked("f", cosineSql)) ++
+      dims.map(d => ranked(s"t$d", prefixCosineSql(d)))).mkString(",\n")
+    val lanes = dims.map { d =>
+      s"""SELECT $d AS dim, count(*) AS n_overlap,
+         |  CAST((100 * count(*)) // $k AS BIGINT) AS recall_pct,
+         |  count(CASE WHEN t.rn = 1 AND f.rn = 1 THEN 1 END) > 0 AS top1_same
+         |FROM t$d t JOIN f USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |$ctes
+       |SELECT * FROM ($lanes) ORDER BY dim""".stripMargin
+  }
 
   /** The trained-quantizer CTE chain (mirrors [[trainedCentroids]]: seeds
     * = vec_id < 8, one decimal-exact Lloyd round), shared by the kmeans,
@@ -1242,7 +1340,8 @@ object VectorQueries {
          |         AS INTEGER) AS rank,
          |       vec_id, dot_q
          |FROM d ORDER BY rank LIMIT 10""".stripMargin,
-"q_sim_topk" ->
+"q_matryoshka_recall" -> matryoshkaOracleSql,
+    "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (
          |  SELECT e.vec_id, $cosineSql AS sim
