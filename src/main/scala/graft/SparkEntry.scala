@@ -99,6 +99,9 @@ object SparkEntry {
       // st_minimumrotatedrectangle + st_minimumdiameter: oriented
       // footprint summary; rotation-invariant exact integer lanes.
       "q_oriented_envelope" -> (Pipelines.orientedEnvelopeRollup _),
+      // st_geometricmedian: Weiszfeld + Vardi-Zhang vertex certificate;
+      // symmetric-cross and strict-majority exact anchors.
+      "q_geometric_median" -> (Pipelines.geometricMedianRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -177,6 +180,7 @@ object SparkEntry {
     ("q_line_locate" -> Pipelines.lineLocateOracleSql) +
     ("q_frechet" -> Pipelines.frechetOracleSql) +
     ("q_oriented_envelope" -> Pipelines.orientedEnvelopeOracleSql) +
+    ("q_geometric_median" -> Pipelines.geometricMedianOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -103,6 +103,7 @@ object functions {
     col(StShortestLine(ex(a), ex(b)))
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
   def st_minimumrotatedrectangle(g: Column): Column = col(StMinimumRotatedRectangle(ex(g)))
+  def st_geometricmedian(g: Column): Column = col(StGeometricMedian(ex(g)))
   def st_minimumdiameter(g: Column): Column = col(StMinimumDiameter(ex(g)))
   def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
   def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
@@ -373,6 +374,7 @@ object functions {
     r2("st_shortestline", StShortestLine)
     r1("st_minimumboundingradius", StMinimumBoundingRadius)
     r1("st_minimumrotatedrectangle", StMinimumRotatedRectangle)
+    r1("st_geometricmedian", StGeometricMedian)
     r1("st_minimumdiameter", StMinimumDiameter)
     r1("st_linemerge", StLineMerge)
     r1("st_polygonize", StPolygonize)

@@ -1400,6 +1400,85 @@ object Pipelines {
       |  TRUE AS mrr_le_env
       |FROM g ORDER BY gx, gy""".stripMargin
 
+  /** Geometric-median rollup ([[graft.exprs.StGeometricMedian]] — the
+    * sum-of-DISTANCES minimizer, the robust center the centroid is not).
+    * Each occupied cell anchors at integral (cx, cy) = (gx·1000, gy·500)
+    * and probes two exactly-solvable configurations:
+    *
+    *  - `cross`: 4 points (cx±a, cy), (cx, cy±b) — by symmetry the
+    *    median is the anchor itself; Weiszfeld starts AT the centroid
+    *    (= the anchor) and is a fixed point there up to ~1e-12 relative
+    *    fp noise, absorbed by the floor(x+0.5) funnel.
+    *  - `maj`: 5 points with the anchor TRIPLED plus (cx+s, cy) and
+    *    (cx, cy+t) — by the strict-majority theorem (w=3 of 5: the
+    *    summed unit vectors of the 2 others can never reach norm 3) the
+    *    median IS the anchor, returned EXACTLY by the Vardi–Zhang
+    *    vertex certificate with no iteration at all.
+    *  - `opt_ok`: the definitional invariant on the maj set — total
+    *    distance from the median ≤ total distance from the centroid
+    *    (which sits at (cx+s/5, cy+t/5) ≠ the median).
+    *
+    * Scale shape: the standard cell rollup — ONE counting shuffle; the
+    * median solve is a per-row scalar over bounded vertex sets (at
+    * 100 TB: per-group collect of bounded clusters, then this scalar). */
+  def geometricMedianRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("cx", col("gx").cast("long") * 1000L)
+      .withColumn("cy", col("gy").cast("long") * 500L)
+      .withColumn("a", (col("gx") % 5 + lit(1)).cast("long") * 100L)
+      .withColumn("b", (col("gy") % 4 + lit(1)).cast("long") * 100L)
+      .withColumn("s", (col("gx") % 3 + lit(1)).cast("long") * 40L)
+      .withColumn("t", (col("gy") % 3 + lit(1)).cast("long") * 60L)
+      .withColumn("cross", st_geometricmedian(st_geomfromwkt(expr(
+        """concat('MULTIPOINT (', CAST(cx - a AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx + a AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx AS STRING), ' ', CAST(cy - b AS STRING),
+          |  ', ', CAST(cx AS STRING), ' ', CAST(cy + b AS STRING), ')')""".stripMargin))))
+      .withColumn("maj", st_geometricmedian(st_geomfromwkt(expr(
+        """concat('MULTIPOINT (', CAST(cx AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx + s AS STRING), ' ', CAST(cy AS STRING),
+          |  ', ', CAST(cx AS STRING), ' ', CAST(cy + t AS STRING), ')')""".stripMargin))))
+      .withColumn("mx", expr("st_x(maj)")).withColumn("my", expr("st_y(maj)"))
+      .withColumn("gcx", col("cx").cast("double") + col("s").cast("double") / 5.0)
+      .withColumn("gcy", col("cy").cast("double") + col("t").cast("double") / 5.0)
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(floor(st_x(cross) + 0.5) AS BIGINT)").as("cross_x"),
+        expr("CAST(floor(st_y(cross) + 0.5) AS BIGINT)").as("cross_y"),
+        expr("CAST(floor(mx + 0.5) AS BIGINT)").as("maj_x"),
+        expr("CAST(floor(my + 0.5) AS BIGINT)").as("maj_y"),
+        expr("""3.0D * sqrt((mx - cx) * (mx - cx) + (my - cy) * (my - cy))
+               |  + sqrt((mx - cx - s) * (mx - cx - s) + (my - cy) * (my - cy))
+               |  + sqrt((mx - cx) * (mx - cx) + (my - cy - t) * (my - cy - t))
+               |<= 3.0D * sqrt((gcx - cx) * (gcx - cx) + (gcy - cy) * (gcy - cy))
+               |  + sqrt((gcx - cx - s) * (gcx - cx - s) + (gcy - cy) * (gcy - cy))
+               |  + sqrt((gcx - cx) * (gcx - cx) + (gcy - cy - t) * (gcy - cy - t))
+               |  + 1e-9D""".stripMargin).as("opt_ok"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Closed-form mirror: both medians are the exact integer anchor; the
+    * optimality invariant is constant TRUE. */
+  val geometricMedianOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT gx, gy, n,
+      |  CAST(gx * 1000 AS BIGINT) AS cross_x,
+      |  CAST(gy * 500 AS BIGINT) AS cross_y,
+      |  CAST(gx * 1000 AS BIGINT) AS maj_x,
+      |  CAST(gy * 500 AS BIGINT) AS maj_y,
+      |  TRUE AS opt_ok
+      |FROM g ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

@@ -889,4 +889,24 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getString(3) == "POINT (3 4)")
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("st_geometricmedian: collinear middle, majority vertex, square center, nulls") {
+    val r = one("""SELECT
+        st_astext(st_geometricmedian(st_geomfromwkt('MULTIPOINT (0 0, 3 0, 10 0)'))) AS mid,
+        st_astext(st_geometricmedian(st_geomfromwkt(
+          'MULTIPOINT (5 5, 5 5, 5 5, 9 5, 5 8)'))) AS maj,
+        st_x(st_geometricmedian(st_geomfromwkt('MULTIPOINT (0 0, 4 0, 4 4, 0 4)'))) AS sqx,
+        st_y(st_geometricmedian(st_geomfromwkt('MULTIPOINT (0 0, 4 0, 4 4, 0 4)'))) AS sqy,
+        st_astext(st_geometricmedian(st_point(7.0D, -2.0D))) AS single,
+        st_geometricmedian(st_geomfromwkt('MULTIPOINT EMPTY')) AS ne""")
+    // collinear: middle point is EXACT (VZ certificate: two opposing unit
+    // vectors sum to 0 <= 1); majority: the tripled vertex is exact
+    assert(r.getString(0) == "POINT (3 0)")
+    assert(r.getString(1) == "POINT (5 5)")
+    // square corners: median = center by symmetry (Weiszfeld fixed point)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    assert(r.getString(4) == "POINT (7 -2)")
+    assert(r.isNullAt(5))
+  }
 }
