@@ -240,6 +240,42 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue) on the house schema — the
+    * SCALAR-CORRELATED-aggregate shape: the literal SQL's per-outer-row
+    * `(SELECT 0.2 * avg(l_quantity) WHERE l_partkey = p_partkey)` is
+    * rewritten the textbook Spark way — the per-part average computes
+    * ONCE as a grouped aggregate and joins back on the same key. The
+    * 0.2·avg threshold compares by exact integer CROSS-MULTIPLICATION
+    * (5·qty·cnt < sum_qty ⟺ qty < 0.2·avg), so no float division enters
+    * the predicate and both engines agree bit-for-bit. House adaptation:
+    * the brand/container filter becomes the part-class predicate
+    * `p_partkey % 10 = 3` (same selective-dimension role, non-empty at
+    * every scale).
+    *
+    * Scale shape: the per-part aggregate takes map-side partials on
+    * l_partkey (the fact table's second clustering key); the filtered
+    * part list broadcasts to prune the fact scan 10× BEFORE the
+    * threshold join, which is equi on the same l_partkey — the fact
+    * table shuffles once; the final global sum is a one-row partial-agg
+    * funnel. Money stays in exact cents. */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val parts = part(spark, dir)
+      .filter(col("p_partkey") % 10 === 3).select(col("p_partkey"))
+    val perPart = lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast("bigint") * lit(5L) * col("cnt_qty") <
+        col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")),
+          lit(0L)).as("sum_cents"))
+      .withColumn("avg_yearly_cents", expr("sum_cents DIV 7"))
+  }
+
   /** TPC-H Q21 (suppliers who kept orders waiting) on the house schema —
     * the hardest classic-OLAP planner rung: MULTI-CORRELATED
     * EXISTS/NOT-EXISTS subqueries over the fact table itself, each
@@ -1550,6 +1586,7 @@ object RelationalQueries {
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
+    "q_tpch_q17" -> ((s, d) => tpchQ17(s, d)),
     "q_tpch_q21" -> (tpchQ21 _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
@@ -2098,6 +2135,23 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice_cents DESC, orderdate_ms, o_orderkey
         |LIMIT 100""".stripMargin,
+    // the oracle states Q17's decorrelated join form with the same
+    // integer cross-multiplied threshold (5·qty·cnt < sum ⟺ qty < 0.2·avg)
+    "q_tpch_q17" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 10 = 3),
+        |a AS (SELECT l_partkey,
+        |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |        count(*) AS cnt_qty
+        |      FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |  CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+        |       AS BIGINT) AS sum_cents,
+        |  CAST(CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+        |       AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM lineitem l
+        |JOIN p ON l.l_partkey = p.p_partkey
+        |JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.cnt_qty < a.sum_qty""".stripMargin,
     "q_tpch_q3" ->
       """SELECT o_orderkey,
         |       CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
