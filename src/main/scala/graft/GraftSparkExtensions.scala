@@ -167,6 +167,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("mrl_agg", 2)(es => MrlAgg(es.head, es(1)))
     inject("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     inject("minhash_bands", 4)(es => MinHashBands(es))
+    inject("hilbert_index", 3)(es => HilbertIndex(es.head, es(1), es(2)))
+    inject("hilbert_xy", 2)(es => HilbertXY(es.head, es(1)))
     inject("simhash64", 2)(es => SimHash64(es.head, es(1)))
     inject("hamming64", 2)(es => Hamming64(es.head, es(1)))
     inject("ngram_jaccard", 3)(es => NGramJaccard(es.head, es(1), es(2)))

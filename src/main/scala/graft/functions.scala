@@ -160,6 +160,9 @@ object functions {
   // ---- text dedup / fingerprinting kernels ----
   def minhash_sig(text: Column, k: Column, shingleLen: Column): Column =
     col(MinHashSig(ex(text), ex(k), ex(shingleLen)))
+  def hilbert_index(n: Column, x: Column, y: Column): Column =
+    col(HilbertIndex(ex(n), ex(x), ex(y)))
+  def hilbert_xy(n: Column, d: Column): Column = col(HilbertXY(ex(n), ex(d)))
   def minhash_bands(text: Column, numBands: Column, rowsPerBand: Column, shingleLen: Column): Column =
     col(MinHashBands(Seq(ex(text), ex(numBands), ex(rowsPerBand), ex(shingleLen))))
   def simhash64(text: Column, shingleLen: Column): Column =
@@ -417,6 +420,8 @@ object functions {
     rn("kmv_merge_agg", 2)(es => KmvMergeAgg(es.head, es(1)))
     rn("bitmap_agg", 2)(es => BitmapAgg(es.head, es(1)))
     rn("cms_estimate", 2)(es => CmsEstimate(es.head, es(1)))
+    rn("hilbert_index", 3)(es => HilbertIndex(es.head, es(1), es(2)))
+    r2("hilbert_xy", HilbertXY)
     rn("minhash_sig", 3)(es => MinHashSig(es.head, es(1), es(2)))
     rn("minhash_bands", 4)(es => MinHashBands(es))
     r2("simhash64", SimHash64)

