@@ -275,8 +275,26 @@ object SinkQueries {
 
   /** The box-filtered scan over the z-clustered copy, exposed separately
     * so PlanShapeSpec can assert row-group pruning on the executed scan. */
-  private[ops] def zorderScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$OutBase/events_zorder"
+  private[ops] def zorderScan(spark: SparkSession, dir: String): DataFrame =
+    curveScan(spark, dir, s"$OutBase/events_zorder", morton8)
+
+  /** Same layout machinery on the Hilbert key ([[graft.exprs
+    * .HilbertIndex]] over the 256×256 bucket grid) — the clustering
+    * Iceberg/Delta-style optimizers actually ship; a contiguous key range
+    * is a CONNECTED region of the (user, time) plane (HilbertSpec), so
+    * the sorted write's row groups carry box-shaped min/max stats with no
+    * Z-seam bleed. */
+  private[ops] def hilbertScan(spark: SparkSession, dir: String): DataFrame =
+    curveScan(spark, dir, s"$OutBase/events_hilbert",
+      (a, b) => graft.functions.hilbert_index(lit(256L), a, b))
+
+  /** Space-filling-curve clustered write + 2-D box read-back, curve
+    * pluggable (Morton for [[zorderScan]], Hilbert for [[hilbertScan]]).
+    * Results are bit-identical to the unclustered filter — layout changes
+    * what is READ, never what is returned. */
+  private def curveScan(spark: SparkSession, dir: String, path: String,
+      curve: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val b = ev.agg(min(col("user_id")), max(col("user_id")),
@@ -293,7 +311,7 @@ object SinkQueries {
       }
       val ub = bucket("user_id", uLo, uHi)
       val tb = bucket("ts", tLo, tHi)
-      ev.withColumn("z", morton8(ub, tb))
+      ev.withColumn("z", curve(ub, tb))
         .repartitionByRange(16, col("z"))
         .sortWithinPartitions(col("z"))
         .write.mode("overwrite").parquet(path)
@@ -305,6 +323,15 @@ object SinkQueries {
         .filter(col("user_id").between(uA, uB) && col("ts").between(tA, tB))
     }
   }
+
+  /** [[zorderRoundtrip]]'s aggregate on the HILBERT-clustered copy —
+    * same box, same answer, connected-region row groups. */
+  def hilbertRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    hilbertScan(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
 
   /** Hilbert-vs-Morton locality audit ([[graft.exprs.HilbertIndex]] /
     * [[graft.exprs.HilbertXY]] against [[morton8]] — the measurement that
@@ -763,6 +790,7 @@ object SinkQueries {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_zorder" -> (zorderRoundtrip _),
     "q_hilbert" -> (hilbertLocality _),
+    "q_hilbert_layout" -> (hilbertRoundtrip _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_compact_files" -> ((s, d) => compactSmallFiles(s, d)),
     "q_partition_prune" -> (partitionPrune _),
@@ -861,6 +889,19 @@ object SinkQueries {
         |FROM unioned GROUP BY lang ORDER BY lang""".stripMargin,
     "q_hilbert" -> hilbertOracleSql,
     "q_zorder" ->
+      """WITH b AS (
+        |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+        |         min(epoch_ns(ts)) AS tlo, max(epoch_ns(ts)) AS thi
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
+        |  AND epoch_ns(ts) BETWEEN tlo + (thi - tlo) // 4 AND tlo + (thi - tlo) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical oracle shape to q_zorder: the layout must never change
+    // the answer, only what is read
+    "q_hilbert_layout" ->
       """WITH b AS (
         |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
         |         min(epoch_ns(ts)) AS tlo, max(epoch_ns(ts)) AS thi
