@@ -910,6 +910,43 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Weighted median per group — the exact distributed algorithm (one
+    * shuffle+sort, cumulative-weight rank arithmetic), the measure a
+    * training-mix owner wants when documents carry sampling weights and
+    * an unweighted median would let a swarm of down-weighted rows drag
+    * the center. Definitional rule shared verbatim with the oracle: the
+    * LOWER weighted median = the minimum value whose running weight
+    * (ordered by value, event_id — a tie-free total order) doubles to at
+    * least the group total. Weights and values are exact integers
+    * (1 + user_id%5; cents), so both engines walk identical sequences
+    * and the pick is bit-deterministic.
+    *
+    * Scale shape: ONE shuffle on the group key serves the sort, the
+    * running sum, the group total (same-window max), and the argmin pick
+    * — no second pass, no collect; at 100 TB this is the textbook
+    * sort-based exact quantile with per-group parallelism. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        (col("user_id") % 5L + 1L).as("w"))
+    val byVal = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    val full = Window.partitionBy("event_type")
+      .orderBy("cents", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev
+      .withColumn("cum", sum(col("w")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(full))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("total")).as("total_weight"),
+        count(lit(1)).as("n_at_or_above"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate-percentile CONTRACT audit: Spark's `percentile_approx`
     * (Greenwald-Khanna) against its own rank-error guarantee, emitted as
     * booleans. The sketch VALUE is not oracle-replayable — GK merge is
@@ -1614,6 +1651,7 @@ object RelationalQueries {
     "q_range_join" -> (rangeJoin _),
     "q_bloom_join" -> (bloomJoin _),
     "q_percentile" -> (percentiles _),
+    "q_weighted_median" -> (weightedMedian _),
     "q_approx_pct_audit" -> (approxPercentileAudit _),
     "q_quantile_sketch" -> ((s, d) => quantileSketchAudit(s, d)),
     "q_skyline" -> ((s: SparkSession, d: String) => skyline(s, d)),
@@ -2292,6 +2330,26 @@ object RelationalQueries {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // verbatim replay of the lower-weighted-median rule: same tie-free
+    // (cents, event_id) order, same doubled-running-weight crossing
+    "q_weighted_median" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(user_id % 5 + 1 AS BIGINT) AS w
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, cents, w,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY cents, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY event_type) AS total
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(min(cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(total) AS BIGINT) AS total_weight,
+        |  count(*) AS n_at_or_above
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
