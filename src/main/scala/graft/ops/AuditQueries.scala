@@ -176,6 +176,38 @@ object AuditQueries {
     * with its data), each one aggregate with map-side partials shuffling
     * |buckets| fixed-width rows; the digest compare joins two
     * |buckets|-row relations. */
+  /** k-anonymity / l-diversity audit — the re-identification-risk gate a
+    * corpus owner runs before releasing user-derived training data
+    * (Sweeney 2002; Machanavajjhala 2007): group by the QUASI-IDENTIFIER
+    * tuple an adversary could link on (here: the user cohort bucket,
+    * event type, day-of-week), and measure each equivalence class's size
+    * (k: every member hides among k rows) and its distinct SENSITIVE
+    * values (l: even a linked class doesn't reveal the attribute when
+    * l > 1). Emitted as the class-size histogram with the worst
+    * (minimum) l per size — the table from which the release decision
+    * reads "k = min size" and "rows in classes below threshold".
+    *
+    * Scale shape: ONE shuffle on the QI tuple computes size AND exact
+    * distinct-sensitive per class (count + countDistinct in the same
+    * grouped aggregate — the distinct expansion stays inside the single
+    * exchange); the histogram rollup runs on the ≤|classes| relation
+    * with map-side partials. No row ever leaves with its identifier. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select((col("user_id") % 10L).as("qi_cohort"), col("event_type"),
+        expr("CAST((ts DIV 86400000000000) % 7 AS BIGINT)").as("qi_dow"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 1000").as("sensitive"))
+      .groupBy(col("qi_cohort"), col("event_type"), col("qi_dow"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("sensitive")).as("l"))
+    classes
+      .groupBy(col("k").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        min(col("l")).as("min_ldiversity"))
+      .orderBy(col("class_size"))
+  }
+
   def tableChecksum(spark: SparkSession, dir: String, bucketSize: Long = 500L): DataFrame = {
     val Mersenne61 = "2305843009213693951" // 2^61 - 1
     def digest(rows: DataFrame): DataFrame = rows
@@ -207,6 +239,7 @@ object AuditQueries {
     "q_expectations" -> (expectations _),
     "q_ref_integrity" -> (refIntegrity _),
     "q_benford" -> (benford _),
+    "q_k_anonymity" -> (kAnonymity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +340,21 @@ object AuditQueries {
         |SELECT d, CAST(n AS BIGINT) AS n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
         |  benford_ppm, CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS dev_ppm
         |FROM e ORDER BY d""".stripMargin,
+    // verbatim replay of the QI grouping and the class-size histogram;
+    // epoch_ns mirrors the engine's nanosAsLong ts read
+    "q_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id % 10 AS BIGINT) AS qi_cohort, event_type,
+        |    CAST((epoch_ns(ts) // 86400000000000) % 7 AS BIGINT) AS qi_dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS sensitive
+        |  FROM events WHERE value IS NOT NULL),
+        |k AS (
+        |  SELECT qi_cohort, event_type, qi_dow, count(*) AS k,
+        |         count(DISTINCT sensitive) AS l
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT k AS class_size, count(*) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(min(l) AS BIGINT) AS min_ldiversity
+        |FROM k GROUP BY k ORDER BY class_size""".stripMargin,
   )
 }
