@@ -68,7 +68,13 @@ object GraphQueries {
     * node. Rank packs as `degree·1000 + node` (injective while node ids
     * < 1000 — guarded) so the order is one integer both engines compare
     * identically. */
-  def triangles(spark: SparkSession, dir: String, buckets: Int = 300): DataFrame = {
+  def triangles(spark: SparkSession, dir: String, buckets: Int = 300): DataFrame =
+    triangleParts(spark, dir, buckets)._2.orderBy(col("node"))
+
+  /** Shared kernel of [[triangles]] and [[clusteringCoef]]: the distinct
+    * undirected edge list's (degrees, per-node triangle counts). */
+  private def triangleParts(spark: SparkSession, dir: String,
+      buckets: Int): (DataFrame, DataFrame) = {
     require(buckets <= 1000, s"rank packing needs node ids < 1000, got $buckets")
     val raw = lineitem(spark, dir).select(
       pmod(col("l_partkey"), lit(buckets.toLong)).as("x"),
@@ -92,10 +98,31 @@ object GraphQueries {
     val wedges = e1.join(e2, Seq("a")).filter(col("rb1") < col("rb2"))
     val closing = oriented.select(col("a").as("b1"), col("b").as("b2"))
     val tri = wedges.join(closing, Seq("b1", "b2"))
-    tri.select(col("a").as("node"))
+    val triCounts = tri.select(col("a").as("node"))
       .union(tri.select(col("b1").as("node")))
       .union(tri.select(col("b2").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    (deg, triCounts)
+  }
+
+  /** Local clustering coefficient — per node, the fraction of its
+    * neighbor PAIRS that are themselves connected: cc(v) = 2·tri(v) /
+    * (d(v)·(d(v)−1)); the community-tightness feature next to raw
+    * triangle counts (Watts–Strogatz 1998). Emitted as the exact
+    * rational in ppm (integer DIV — both engines share the arithmetic),
+    * with triangle-free nodes kept via the left join (cc = 0) and
+    * degree-1 nodes excluded (the coefficient is undefined there — a
+    * documented rule, not a dropped row).
+    *
+    * Scale shape: identical to [[triangles]] (the rank-oriented wedge
+    * join — each triangle counted exactly once, no hub explosion) plus
+    * one degree-keyed join on the ≤|nodes| relation. */
+  def clusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    val (deg, tri) = triangleParts(spark, dir, 300)
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", expr("(2000000 * n_tri) DIV (d * (d - 1))"))
       .orderBy(col("node"))
   }
 
@@ -453,6 +480,7 @@ object GraphQueries {
     "q_link_predict" -> ((s, d) => linkPredictRa(s, d)),
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangles" -> ((s, d) => triangles(s, d)),
+    "q_clustering_coef" -> (clusteringCoef _),
     "q_khop" -> ((s, d) => khopReach(s, d)),
     "q_label_prop" -> ((s, d) => labelProp(s, d)),
   )
@@ -636,6 +664,38 @@ object GraphQueries {
         |  UNION ALL SELECT b2 FROM tri)
         |SELECT node, count(*) AS n_tri FROM corners
         |GROUP BY node ORDER BY node""".stripMargin,
+    // same triangle replay, joined back to degrees for the exact ppm
+    // rational; d = 1 nodes excluded by the shared rule
+    "q_clustering_coef" ->
+      """WITH raw AS (
+        |  SELECT l_partkey % 300 AS x, l_suppkey % 300 AS y FROM lineitem
+        |  WHERE l_partkey % 300 <> l_suppkey % 300),
+        |und AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM raw),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |rk AS (SELECT node, d * 1000 + node AS rk FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN ru.rk < rv.rk THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN ru.rk < rv.rk THEN und.v ELSE und.u END AS b,
+        |         CASE WHEN ru.rk < rv.rk THEN rv.rk ELSE ru.rk END AS rb
+        |  FROM und JOIN rk ru ON und.u = ru.node JOIN rk rv ON und.v = rv.node),
+        |tri AS (
+        |  SELECT e1.a, e1.b AS b1, e2.b AS b2
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.rb < e2.rb
+        |  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b1 FROM tri
+        |  UNION ALL SELECT b2 FROM tri),
+        |t AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+        |SELECT deg.node, CAST(deg.d AS BIGINT) AS d,
+        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST((2000000 * coalesce(t.n_tri, 0)) // (deg.d * (deg.d - 1))
+        |       AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN t ON deg.node = t.node
+        |WHERE deg.d >= 2 ORDER BY deg.node""".stripMargin,
     "q_pagerank" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_partkey % 100 AS src, l_suppkey % 100 AS dst
