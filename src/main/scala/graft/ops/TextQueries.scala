@@ -1357,6 +1357,54 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** URL canonicalization dedup — the CommonCrawl-style pass that
+    * collapses surface variants of one page before fetch/dedup budgets
+    * are spent: strip query strings and fragments, strip the `www.`
+    * host prefix, lowercase. Each doc synthesizes a RAW url whose messy
+    * variance is driven by doc_id (uppercase host on %5, www on %4, a
+    * utm query on %3==1, a fragment on %3==2) while the CANONICAL page
+    * identity is doc_id DIV 3 — so consecutive doc triples are the same
+    * page in three disguises, and the engine's string canonicalization
+    * must rediscover exactly that arithmetic. Emits the per-host dedup
+    * budget: raw urls, canonical pages, duplicates removed, largest
+    * variant group.
+    *
+    * Scale shape: canonicalization is a per-row projection; the dedup is
+    * a two-level aggregate (canonical-key groups, then host rollup) —
+    * both shuffles on uniform keys with map-side partials, no
+    * countDistinct expansion. The oracle derives the SAME numbers from
+    * the closed-form id arithmetic, never running the string pipeline —
+    * an independent derivation, not a replay. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("doc_id DIV 3") // integral, not the `/` double division
+    val rawUrl = concat(lit("https://"),
+      when(pmod(col("doc_id"), lit(4L)) === 0L, lit("www.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0L, lit("SITE")).otherwise(lit("site")),
+      pmod(k, lit(13L)).cast("string"),
+      lit(".example."),
+      when(pmod(k, lit(2L)) === 0L, lit("com")).otherwise(lit("net")),
+      lit("/corpus/page"), k.cast("string"), lit(".html"),
+      when(pmod(col("doc_id"), lit(3L)) === 1L,
+        concat(lit("?utm_source=feed&cid="), col("doc_id").cast("string")))
+        .when(pmod(col("doc_id"), lit(3L)) === 2L,
+          concat(lit("#sec"), pmod(col("doc_id"), lit(7L)).cast("string")))
+        .otherwise(lit("")))
+    val canon = lower(regexp_replace(
+      regexp_replace(rawUrl, "[?#].*$", ""), "^https://www\\.", "https://"))
+    val groups = documents(spark, dir)
+      .select(canon.as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("host", regexp_extract(col("canonical"), "^https://([^/]+)/", 1))
+    groups
+      .groupBy(col("host"))
+      .agg(sum(col("cnt")).as("n_raw"),
+        count(lit(1)).as("n_canonical"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dupes_removed"),
+        max(col("cnt")).as("max_group"))
+      .orderBy(col("host"))
+  }
+
   /** Denylist redaction — the PII/content-scrubbing pass of a training
     * pipeline (emails, phone numbers, banned terms get masked before the
     * corpus ships). On the synthetic vocabulary the denylist is two corpus
@@ -2066,6 +2114,7 @@ object TextQueries {
     "q_fingerprint" -> (fingerprint _),
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_span_excise" -> ((s, d) => spanExcise(s, d)),
+    "q_url_dedup" -> (urlDedup _),
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2851,6 +2900,21 @@ object TextQueries {
         |    AS cut_ppm
         |FROM d LEFT JOIN cut ON d.doc_id = cut.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // INDEPENDENT derivation, not a replay: the oracle never touches the
+    // url strings — it recomputes the dedup budget from the id arithmetic
+    // the canonical identity was constructed from (page k = doc_id DIV 3,
+    // host from k), so an engine canonicalization bug cannot self-confirm
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id // 3 AS k FROM documents),
+        |g AS (SELECT k, count(*) AS cnt FROM d GROUP BY k),
+        |h AS (SELECT 'site' || CAST(k % 13 AS VARCHAR) || '.example.' ||
+        |        (CASE WHEN k % 2 = 0 THEN 'com' ELSE 'net' END) AS host, cnt
+        |      FROM g)
+        |SELECT host, CAST(sum(cnt) AS BIGINT) AS n_raw,
+        |  count(*) AS n_canonical,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
+        |  CAST(max(cnt) AS BIGINT) AS max_group
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
     "q_repetition" ->
       """WITH d AS (
         |  SELECT doc_id,
