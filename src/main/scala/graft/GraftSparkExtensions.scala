@@ -130,6 +130,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     inject("st_minimumboundingradius", 1)(es => StMinimumBoundingRadius(es.head))
     inject("st_minimumrotatedrectangle", 1)(es => StMinimumRotatedRectangle(es.head))
     inject("st_geometricmedian", 1)(es => StGeometricMedian(es.head))
+    inject("st_angle", 3)(es => StAngle(es.head, es(1), es(2)))
     inject("st_minimumdiameter", 1)(es => StMinimumDiameter(es.head))
     inject("st_linemerge", 1)(es => StLineMerge(es.head))
     inject("st_polygonize", 1)(es => StPolygonize(es.head))

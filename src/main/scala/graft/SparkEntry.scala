@@ -102,6 +102,9 @@ object SparkEntry {
       // st_geometricmedian: Weiszfeld + Vardi-Zhang vertex certificate;
       // symmetric-cross and strict-majority exact anchors.
       "q_geometric_median" -> (Pipelines.geometricMedianRollup _),
+      // st_angle: unoriented vertex angle; exact right-angle constant +
+      // atan2-mirror acute/obtuse lanes + exact symmetry zero.
+      "q_angle" -> (Pipelines.angleRollup _),
       // st_azimuth: forward/reverse planar bearings, atan2 mirror oracle.
       "q_azimuth" -> (Pipelines.azimuthRollup _),
       // geometry-accessor family (type/parts/boundary/pointonsurface/
@@ -181,6 +184,7 @@ object SparkEntry {
     ("q_frechet" -> Pipelines.frechetOracleSql) +
     ("q_oriented_envelope" -> Pipelines.orientedEnvelopeOracleSql) +
     ("q_geometric_median" -> Pipelines.geometricMedianOracleSql) +
+    ("q_angle" -> Pipelines.angleOracleSql) +
     ("q_geom_accessors" -> Pipelines.geomAccessorsOracleSql) +
     ("q_line_interpolate" -> Pipelines.lineInterpolateOracleSql) +
     ("q_collect" -> Pipelines.collectOracleSql) +

@@ -1506,6 +1506,31 @@ case class StMinimumDiameter(child: Expression)
     copy(child = c)
 }
 
+/** st_angle(p1, p2, p3) — the UNORIENTED angle at vertex p2 between the
+  * rays p2→p1 and p2→p3, in [0, π] (JTS Angle.angleBetween; the PostGIS
+  * `ST_Angle` 3-point form up to orientation — PostGIS returns the
+  * clockwise angle in [0, 2π), this returns the geometry of the corner
+  * itself, which is what turn-detection and polygon-quality checks
+  * consume). Null for empty or non-point input. */
+case class StAngle(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_angle"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    (geom(a), geom(b), geom(c)) match {
+      case (p1: org.locationtech.jts.geom.Point, p2: org.locationtech.jts.geom.Point,
+            p3: org.locationtech.jts.geom.Point)
+          if !p1.isEmpty && !p2.isEmpty && !p3.isEmpty =>
+        org.locationtech.jts.algorithm.Angle.angleBetween(
+          p1.getCoordinate, p2.getCoordinate, p3.getCoordinate)
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): StAngle = copy(first = a, second = b, third = c)
+}
+
 /** st_geometricmedian(g) — the point minimizing the SUM of Euclidean
   * distances to the input's vertices (Sedona `ST_GeometricMedian`; the
   * robust "center" a facility-location / outlier-resistant summary

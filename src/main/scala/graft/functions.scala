@@ -104,6 +104,8 @@ object functions {
   def st_minimumboundingradius(g: Column): Column = col(StMinimumBoundingRadius(ex(g)))
   def st_minimumrotatedrectangle(g: Column): Column = col(StMinimumRotatedRectangle(ex(g)))
   def st_geometricmedian(g: Column): Column = col(StGeometricMedian(ex(g)))
+  def st_angle(p1: Column, p2: Column, p3: Column): Column =
+    col(StAngle(ex(p1), ex(p2), ex(p3)))
   def st_minimumdiameter(g: Column): Column = col(StMinimumDiameter(ex(g)))
   def st_linemerge(g: Column): Column = col(StLineMerge(ex(g)))
   def st_polygonize(gs: Column): Column = col(StPolygonize(ex(gs)))
@@ -378,6 +380,7 @@ object functions {
     r1("st_minimumboundingradius", StMinimumBoundingRadius)
     r1("st_minimumrotatedrectangle", StMinimumRotatedRectangle)
     r1("st_geometricmedian", StGeometricMedian)
+    rn("st_angle", 3)(es => StAngle(es.head, es(1), es(2)))
     r1("st_minimumdiameter", StMinimumDiameter)
     r1("st_linemerge", StLineMerge)
     r1("st_polygonize", StPolygonize)

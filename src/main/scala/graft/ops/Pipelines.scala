@@ -1479,6 +1479,68 @@ object Pipelines {
       |  TRUE AS opt_ok
       |FROM g ORDER BY gx, gy""".stripMargin
 
+  /** Vertex-angle rollup ([[graft.exprs.StAngle]] — the corner measure
+    * behind turn detection and polygon-quality checks). Each occupied
+    * cell anchors at the origin and probes three integral corners:
+    * the exact right angle (p1 on the +x axis, p3 on the +y axis —
+    * atan2(0,a) and atan2(b,0) are EXACT 0 and π/2 doubles, so the
+    * emitted ppm is the constant floor(10⁶·π/2 + 0.5)), an acute corner
+    * at atan2(dd,c), and an obtuse corner at |atan2(−dd,−c)| — both
+    * through the atan2-mirror funnel [[azimuthRollup]] established
+    * (both engines evaluate atan2 on identical integral doubles). A
+    * fourth lane pins the symmetry invariant st_angle(p1,p2,p3) =
+    * st_angle(p3,p2,p1) to an exact zero.
+    *
+    * Scale shape: the standard cell rollup — ONE counting shuffle,
+    * per-row scalar trig on the bounded cell relation. */
+  def angleRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Par.fanOut(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id")))
+      .select((col("user_id") % 36L).cast("int").as("gx"),
+        (col("event_id") % 18L).cast("int").as("gy"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("a", (col("gx") % 5 + lit(1)).cast("double") * 100.0)
+      .withColumn("b", (col("gy") % 4 + lit(1)).cast("double") * 100.0)
+      .withColumn("c", (col("gx") % 7 + lit(1)).cast("double") * 50.0)
+      .withColumn("dd", (col("gy") % 6 + lit(1)).cast("double") * 75.0)
+      .withColumn("o", st_point(lit(0.0), lit(0.0)))
+      .withColumn("px", st_point(col("a"), lit(0.0)))
+      .withColumn("py", st_point(lit(0.0), col("b")))
+      .withColumn("pc", st_point(col("c"), col("dd")))
+      .withColumn("pr", st_point(-col("c"), -col("dd")))
+      .select(col("gx"), col("gy"), col("n"),
+        expr("CAST(floor(1000000.0D * st_angle(px, o, py) + 0.5) AS BIGINT)")
+          .as("right_ppm"),
+        expr("CAST(floor(1000000.0D * st_angle(px, o, pc) + 0.5) AS BIGINT)")
+          .as("acute_ppm"),
+        expr("CAST(floor(1000000.0D * st_angle(px, o, pr) + 0.5) AS BIGINT)")
+          .as("obtuse_ppm"),
+        expr("""CAST(floor(1000000.0D * (st_angle(px, o, pc) - st_angle(pc, o, px))
+               | + 0.5) AS BIGINT)""".stripMargin).as("sym_zero"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Mirror: the right angle is the exact π/2 constant; acute/obtuse are
+    * the verbatim atan2 forms; symmetry is an exact zero. */
+  val angleOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(user_id % 36 AS INTEGER) AS gx,
+      |         CAST(event_id % 18 AS INTEGER) AS gy, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT gx, gy, n,
+      |    CAST((gx % 7 + 1) * 50 AS DOUBLE) AS c,
+      |    CAST((gy % 6 + 1) * 75 AS DOUBLE) AS dd
+      |  FROM g)
+      |SELECT gx, gy, n,
+      |  CAST(floor(1000000.0 * (pi() / 2) + 0.5) AS BIGINT) AS right_ppm,
+      |  CAST(floor(1000000.0 * atan2(dd, c) + 0.5) AS BIGINT) AS acute_ppm,
+      |  CAST(floor(1000000.0 * abs(atan2(-dd, -c)) + 0.5) AS BIGINT) AS obtuse_ppm,
+      |  CAST(0 AS BIGINT) AS sym_zero
+      |FROM p ORDER BY gx, gy""".stripMargin
+
   /** Great-circle path-length rollup ([[graft.exprs.StLengthSphere]], the
     * last of the three geodesic measures): each occupied 10° cell of the
     * event grid is traced as an L-shaped two-segment lon/lat polyline —

@@ -909,4 +909,17 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.getString(4) == "POINT (7 -2)")
     assert(r.isNullAt(5))
   }
+
+  test("st_angle: right angle exact, straight line is pi, zero ray, nulls") {
+    val r = one("""SELECT
+        st_angle(st_point(5.0D, 0.0D), st_point(0.0D, 0.0D), st_point(0.0D, 3.0D)) AS right,
+        st_angle(st_point(-4.0D, 0.0D), st_point(0.0D, 0.0D), st_point(9.0D, 0.0D)) AS straight,
+        st_angle(st_point(2.0D, 2.0D), st_point(0.0D, 0.0D), st_point(7.0D, 7.0D)) AS zero,
+        st_angle(st_point(1.0D, 0.0D), st_point(0.0D, 0.0D),
+                 st_geomfromwkt('POINT EMPTY')) AS ne""")
+    assert(r.getDouble(0) == math.Pi / 2)
+    assert(r.getDouble(1) == math.Pi)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3))
+  }
 }
