@@ -58,8 +58,12 @@ object Hilbert {
   }
 
   private[exprs] def checkN(n: Long): Unit =
-    require(n >= 2 && (n & (n - 1)) == 0,
-      s"hilbert: grid size must be a power of two >= 2, got $n")
+    // upper bound 2^31: the curve has n^2 cells and the index must fit a
+    // Long — beyond that, the n*n bounds check and the s*s*3 accumulation
+    // in xy2d both overflow silently, so oversized grids must fail loudly
+    // here instead of producing overflow artifacts downstream
+    require(n >= 2 && n <= (1L << 31) && (n & (n - 1)) == 0,
+      s"hilbert: grid size must be a power of two in [2, 2^31], got $n")
 }
 
 /** hilbert_index(n, x, y) -> bigint — position of cell (x, y) on the

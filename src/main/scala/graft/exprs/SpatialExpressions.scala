@@ -1555,9 +1555,13 @@ case class StGeometricMedian(child: Expression)
       val cs = g.getCoordinates
       if (cs.length == 1) wkb(Geom.factory.createPoint(cs(0)))
       else {
-        // multiplicity-grouped distinct vertices for the VZ certificate
+        // multiplicity-grouped distinct vertices for the VZ certificate,
+        // sorted by (x, y) so a degenerate input where several vertices
+        // certify (e.g. an even collinear count: both middles pass) picks
+        // a documented, stable vertex instead of hash-map iteration order
         val grouped = cs.groupBy(c => (c.x, c.y)).view
           .map { case ((x, y), arr) => (x, y, arr.length.toDouble) }.toArray
+          .sortBy { case (x, y, _) => (x, y) }
         val vertex = grouped.collectFirst {
           case (px, py, w) if {
             var sx = 0.0; var sy = 0.0

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality audit operators — the validation gates a production
@@ -208,6 +209,54 @@ object AuditQueries {
       .orderBy(col("class_size"))
   }
 
+  /** k-anonymity GENERALIZATION — the step a release owner runs after
+    * [[kAnonymity]] says the raw quasi-identifiers are too sharp:
+    * coarsen the QI columns until every equivalence class hides at least
+    * K rows (Samarati 2001 full-domain generalization; the ladder here
+    * drops the most specific QI column per level, the single-path
+    * lattice walk). Levels: 0 = (cohort, event_type, dow), 1 = (cohort,
+    * event_type), 2 = (cohort), 3 = fully generalized — which is exactly
+    * `ROLLUP(cohort, event_type, dow)`, so the whole ladder is ONE
+    * grouping-sets aggregate, not four scans. Emits per level: class
+    * count, min class size (the achieved k), rows in classes below K,
+    * whether the level clears K, and whether it is the CHOSEN release
+    * level (the least-generalized level that clears K — guaranteed to
+    * exist: the fully-generalized level is one class of all rows).
+    *
+    * Scale shape: ROLLUP expands each row into 4 grouping-set rows
+    * inside the map stage and aggregates them through ONE shuffle with
+    * map-side partials (bounded expansion factor = lattice height, the
+    * textbook trade for single-pass multi-level aggregation); the
+    * per-level rollup and the chosen-level window run on the ≤
+    * |classes| and 4-row relations. No row leaves with its identifier. */
+  def kGeneralize(spark: SparkSession, dir: String, kThreshold: Long = 50L): DataFrame = {
+    val base = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select((col("user_id") % 10L).as("qi_cohort"), col("event_type"),
+        expr("CAST((ts DIV 86400000000000) % 7 AS BIGINT)").as("qi_dow"))
+    val classes = base
+      .rollup(col("qi_cohort"), col("event_type"), col("qi_dow"))
+      .agg(count(lit(1)).as("k"),
+        (grouping(col("qi_cohort")) + grouping(col("event_type")) +
+          grouping(col("qi_dow"))).cast("long").as("level"))
+      .select(col("level"), col("k"))
+    val perLevel = classes
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("k")).as("min_k"),
+        sum(col("k")).as("n_rows"),
+        coalesce(sum(when(col("k") < kThreshold, col("k"))), lit(0L))
+          .as("rows_below_k"))
+      .withColumn("meets_k", col("min_k") >= kThreshold)
+    // chosen = least-generalized qualifying level; the window runs over
+    // the 4-row per-level relation, never over data
+    perLevel
+      .withColumn("chosen", col("level") ===
+        min(when(col("meets_k"), col("level")))
+          .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .orderBy(col("level"))
+  }
+
   def tableChecksum(spark: SparkSession, dir: String, bucketSize: Long = 500L): DataFrame = {
     val Mersenne61 = "2305843009213693951" // 2^61 - 1
     def digest(rows: DataFrame): DataFrame = rows
@@ -240,6 +289,7 @@ object AuditQueries {
     "q_ref_integrity" -> (refIntegrity _),
     "q_benford" -> (benford _),
     "q_k_anonymity" -> (kAnonymity _),
+    "q_k_generalize" -> ((s, d) => kGeneralize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +406,26 @@ object AuditQueries {
         |  CAST(sum(k) AS BIGINT) AS n_rows,
         |  CAST(min(l) AS BIGINT) AS min_ldiversity
         |FROM k GROUP BY k ORDER BY class_size""".stripMargin,
+    // same ROLLUP ladder replayed; K = 50 shared with the engine default
+    "q_k_generalize" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id % 10 AS BIGINT) AS qi_cohort, event_type,
+        |    CAST((epoch_ns(ts) // 86400000000000) % 7 AS BIGINT) AS qi_dow
+        |  FROM events WHERE value IS NOT NULL),
+        |cls AS (
+        |  SELECT CAST(GROUPING(qi_cohort) + GROUPING(event_type)
+        |           + GROUPING(qi_dow) AS BIGINT) AS level,
+        |         count(*) AS k
+        |  FROM c GROUP BY ROLLUP (qi_cohort, event_type, qi_dow)),
+        |lvl AS (
+        |  SELECT level, count(*) AS n_classes, CAST(min(k) AS BIGINT) AS min_k,
+        |         CAST(sum(k) AS BIGINT) AS n_rows,
+        |         CAST(coalesce(sum(k) FILTER (WHERE k < 50), 0) AS BIGINT)
+        |           AS rows_below_k,
+        |         min(k) >= 50 AS meets_k
+        |  FROM cls GROUP BY level)
+        |SELECT level, n_classes, min_k, n_rows, rows_below_k, meets_k,
+        |       level = min(CASE WHEN meets_k THEN level END) OVER () AS chosen
+        |FROM lvl ORDER BY level""".stripMargin,
   )
 }

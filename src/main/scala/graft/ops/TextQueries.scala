@@ -1300,13 +1300,22 @@ object TextQueries {
     * pipeline owner reads before committing to the cut.
     *
     * Scale shape: window enumeration is a per-row explode bounded by
-    * tokens/stride; canonical marking is ONE shuffle on the uniform
-    * fingerprint key (row_number + min/max-doc over the same sort — no
-    * self-join, no countDistinct); interval merge is ONE shuffle on
-    * doc_id feeding two window passes and the island rollup on the same
-    * partitioning; the final per-source agg is map-side partial. Nothing
-    * quadratic, no skew (md5 keys), payload text never shuffles — the
-    * shape survives 100 TB unchanged. */
+    * tokens/stride; canonical marking is ONE grouped AGGREGATE per
+    * fingerprint (lexicographic min(struct(doc_id, st)) = the canonical
+    * instance; min/max doc_id = the cross-doc test) joined back to the
+    * instances — deliberately NOT a per-fp window: fingerprints are
+    * uniform across DISTINCT spans, but the operator's whole point is
+    * that one boilerplate span repeats across millions of documents, and
+    * each such hot span would be a single window partition (one task
+    * sorting all its occurrences — the r14 verdict's skew watch item).
+    * The aggregate carries O(1) state per fp through map-side partials
+    * no matter how hot the span, and the join-back probe side streams
+    * (no per-key state). Interval merge is ONE shuffle on doc_id
+    * (windows bounded by doc length) feeding the island rollup; the
+    * final per-source agg is map-side partial. Nothing quadratic, no
+    * skew, payload text never shuffles — the shape survives 100 TB
+    * unchanged. [[AlgoEquivalenceSpec]] pins this aggregate form to the
+    * definitional row_number-window form on the same corpus. */
   def spanExcise(spark: SparkSession, dir: String, w: Int = 20,
                  stride: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1321,18 +1330,28 @@ object TextQueries {
            |  substring(md5(array_join(slice(toks, st + 1, $w), ' ')), 1, 15) AS fp))"""
           .stripMargin)).as("i"))
       .select(col("doc_id"), col("i.st").as("st"), col("i.fp").as("fp"))
-    // ONE fp-sorted window pass serves both the canonical row_number and
-    // the cross-document test (min doc != max doc over the full frame)
-    val byFp = Window.partitionBy("fp").orderBy("doc_id", "st")
-    val full = byFp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val excise = inst
-      .withColumn("rn", row_number().over(byFp))
-      .withColumn("crossdoc", min(col("doc_id")).over(full) =!= max(col("doc_id")).over(full))
-      .filter(col("crossdoc") && col("rn") > 1)
+    // O(1)-state-per-fp canonical marking: (doc_id, st) is unique within
+    // a fingerprint's instances, so the lexicographic struct minimum IS
+    // the row_number()=1 instance of the definitional ORDER BY doc_id, st
+    // — without ever materializing a hot fingerprint as one sort partition
+    val perFp = inst.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("st"))).as("canon"),
+        (min(col("doc_id")) =!= max(col("doc_id"))).as("crossdoc"))
+    val excise = inst.join(perFp, Seq("fp"))
+      .filter(col("crossdoc") &&
+        !(col("doc_id") === col("canon.doc_id") && col("st") === col("canon.st")))
       .select(col("doc_id"), col("st"), (col("st") + w).as("en"))
-    // gaps-and-islands merge of overlapping [st, en) per doc — (doc_id, st)
-    // is unique by construction (one window per position), so the sort is
-    // tie-free and both engines walk identical sequences
+    exciseRollup(docs, excise)
+  }
+
+  /** Shared excision tail: gaps-and-islands merge of overlapping [st, en)
+    * ranges per doc, then the per-source cut budget. (doc_id, st, en) is
+    * unique by construction in every caller (one window per scale per
+    * position), so the sort is tie-free and both engines walk identical
+    * sequences. Scale shape: ONE shuffle on doc_id, windows bounded by
+    * document length, rollup with map-side partials. */
+  private def exciseRollup(docs: DataFrame, excise: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("st", "en")
     val merged = excise
       .withColumn("prev_max_en",
@@ -1355,6 +1374,54 @@ object TextQueries {
         coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"))
       .withColumn("cut_ppm", expr("(1000000 * toks_cut) DIV toks_total"))
       .orderBy(col("source"))
+  }
+
+  /** MULTI-SCALE exact-substring excision — [[spanExcise]]'s fixed
+    * (w=20, stride=5) grid provably misses repeats that are SHORTER than
+    * w or long-but-misaligned to the stride (the r14 verdict's gap vs
+    * suffix-array dedup à la deduplicate-text-datasets, Lee et al. 2022).
+    * This pass runs the same windowed-fingerprint rule at w ∈ {10, 20,
+    * 50} over ONE shared tokenization: the w=10 lane catches short
+    * boilerplate the 20-grid steps over, the w=50 lane pins long blocks
+    * whose interior the short lanes only sample, and all three lanes'
+    * excision ranges merge in a single gaps-and-islands pass per doc —
+    * so overlapping detections across scales never double-count a token.
+    * Canonical-instance and cross-document rules are per (scale, fp),
+    * verbatim the single-scale rule.
+    *
+    * Scale shape: identical to [[spanExcise]] with a ×|scales| constant
+    * on the explode (windows share the tokenization — the text splits
+    * ONCE); canonical marking stays the O(1)-state aggregate on the
+    * (w, fp) key, and the islands merge runs once over the union of all
+    * scales' ranges on the same doc_id shuffle. */
+  def spanMultiscale(spark: SparkSession, dir: String,
+                     scales: Seq[Int] = Seq(10, 20, 50),
+                     stride: Int = 5): DataFrame = {
+    val ws = scales.sorted
+    val docs = Par.fanOut(documents(spark, dir))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"),
+        col("toks"))
+    val lanes = ws.map(w =>
+      s"""CASE WHEN size(toks) >= $w THEN
+         |  transform(sequence(0, size(toks) - $w, $stride), st -> struct(
+         |    CAST($w AS BIGINT) AS w,
+         |    CAST(st AS BIGINT) AS st,
+         |    substring(md5(array_join(slice(toks, st + 1, $w), ' ')), 1, 15) AS fp))
+         |ELSE CAST(array() AS array<struct<w: bigint, st: bigint, fp: string>>)
+         |END""".stripMargin).mkString("concat(", ",\n", ")")
+    val inst = docs.filter(col("n_toks") >= ws.head)
+      .select(col("doc_id"), explode(expr(lanes)).as("i"))
+      .select(col("doc_id"), col("i.w").as("w"), col("i.st").as("st"),
+        col("i.fp").as("fp"))
+    val perFp = inst.groupBy(col("w"), col("fp"))
+      .agg(min(struct(col("doc_id"), col("st"))).as("canon"),
+        (min(col("doc_id")) =!= max(col("doc_id"))).as("crossdoc"))
+    val excise = inst.join(perFp, Seq("w", "fp"))
+      .filter(col("crossdoc") &&
+        !(col("doc_id") === col("canon.doc_id") && col("st") === col("canon.st")))
+      .select(col("doc_id"), col("st"), (col("st") + col("w")).as("en"))
+    exciseRollup(docs, excise)
   }
 
   /** URL canonicalization dedup — the CommonCrawl-style pass that
@@ -2114,6 +2181,7 @@ object TextQueries {
     "q_fingerprint" -> (fingerprint _),
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_span_excise" -> ((s, d) => spanExcise(s, d)),
+    "q_span_multiscale" -> ((s, d) => spanMultiscale(s, d)),
     "q_url_dedup" -> (urlDedup _),
     "q_repetition" -> (repetition _),
     "q_stopword_ratio" -> (stopwordRatio _),
@@ -2876,6 +2944,60 @@ object TextQueries {
         |      AS crossdoc
         |  FROM w),
         |e AS (SELECT doc_id, st, st + 20 AS en FROM m WHERE crossdoc AND rn > 1),
+        |i AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM e),
+        |isl AS (SELECT doc_id, st, en,
+        |          sum(ni) OVER (PARTITION BY doc_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM i),
+        |cut AS (
+        |  SELECT doc_id, CAST(sum(mx - mn) AS BIGINT) AS toks_cut,
+        |         count(*) AS n_spans
+        |  FROM (SELECT doc_id, island, max(en) AS mx, min(st) AS mn
+        |        FROM isl GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT d.source, count(*) AS n_docs, count(cut.doc_id) AS docs_excised,
+        |  CAST(sum(d.n_toks) AS BIGINT) AS toks_total,
+        |  CAST(coalesce(sum(cut.toks_cut), 0) AS BIGINT) AS toks_cut,
+        |  CAST(coalesce(sum(cut.n_spans), 0) AS BIGINT) AS n_spans,
+        |  CAST((1000000 * coalesce(sum(cut.toks_cut), 0)) // sum(d.n_toks) AS BIGINT)
+        |    AS cut_ppm
+        |FROM d LEFT JOIN cut ON d.doc_id = cut.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // three-scale replay of the same rule, keyed by (w, fp); the islands
+    // merge runs once over the union of all scales' ranges
+    "q_span_multiscale" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, len(toks) AS n_toks, toks FROM t),
+        |wi AS (
+        |  SELECT doc_id, CAST(10 AS BIGINT) AS w, st,
+        |         substr(md5(array_to_string(toks[st + 1 : st + 10], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 10 + 1, 5)) AS st
+        |        FROM d WHERE n_toks >= 10)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(20 AS BIGINT) AS w, st,
+        |         substr(md5(array_to_string(toks[st + 1 : st + 20], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 20 + 1, 5)) AS st
+        |        FROM d WHERE n_toks >= 20)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(50 AS BIGINT) AS w, st,
+        |         substr(md5(array_to_string(toks[st + 1 : st + 50], ' ')), 1, 15) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 50 + 1, 5)) AS st
+        |        FROM d WHERE n_toks >= 50)),
+        |m AS (
+        |  SELECT doc_id, w, st,
+        |    row_number() OVER (PARTITION BY w, fp ORDER BY doc_id, st) AS rn,
+        |    min(doc_id) OVER (PARTITION BY w, fp)
+        |      <> max(doc_id) OVER (PARTITION BY w, fp) AS crossdoc
+        |  FROM wi),
+        |e AS (SELECT doc_id, st, st + w AS en FROM m WHERE crossdoc AND rn > 1),
         |i AS (
         |  SELECT doc_id, st, en,
         |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en

@@ -104,7 +104,7 @@ object VectorQueries {
   def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 10,
                        dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
     queryVectorOpt(spark, dir) match {
-      case None => emptyMatryoshka(spark)
+      case None => emptyMatryoshka(spark, dims)
       case Some(q) =>
         val base = Par.fanOut(embeddings(spark, dir))
           .filter(col("vec_id") =!= QueryVecId)
@@ -133,10 +133,17 @@ object VectorQueries {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  private def emptyMatryoshka(spark: SparkSession): DataFrame = {
+  /** Missing-query-vector degenerate: one (dim, 0, 0, false) row per
+    * lane — NOT an empty frame, because the oracle's per-dim global
+    * aggregates each emit exactly one row even over an empty candidate
+    * set, and the two sides must stay row-count-consistent on any
+    * fixture (ADVICE r14 #1). */
+  private def emptyMatryoshka(spark: SparkSession, dims: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      dims.sorted.map(d =>
+        org.apache.spark.sql.Row(d, 0L, 0L, false)).asJava,
       StructType(Seq(
         StructField("dim", IntegerType, nullable = false),
         StructField("n_overlap", LongType, nullable = false),

@@ -43,4 +43,22 @@ class HilbertSpec extends AnyFunSuite {
     val r = spark.sql("SELECT hilbert_index(16L, CAST(NULL AS BIGINT), 0L)").head()
     assert(r.isNullAt(0))
   }
+
+  test("grids beyond 2^31 are rejected loudly instead of overflowing Long (ADVICE r14)") {
+    // n = 2^32: n*n overflows Long, so the old bounds check rejected all
+    // VALID indices with a misleading message and xy2d's s*s*3 walk would
+    // overflow silently; the contract is a clear grid-size error instead
+    graft.functions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT hilbert_xy(${1L << 32}L, 0L)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^31")), msgs(e).mkString(" | "))
+    // the largest legal grid still works at the far corner
+    val n = 1L << 31
+    val d = spark.sql(s"SELECT hilbert_index(${n}L, ${n - 1}L, ${n - 1}L)").head().getLong(0)
+    val back = spark.sql(s"SELECT hilbert_xy(${n}L, ${d}L) AS p").selectExpr("p.x", "p.y").head()
+    assert(back.getLong(0) == n - 1 && back.getLong(1) == n - 1)
+  }
 }

@@ -910,6 +910,21 @@ class SpatialSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(5))
   }
 
+  test("st_geometricmedian: multi-certificate tie resolves to the (x,y)-min vertex") {
+    // EVEN collinear count: any point on the segment between the two
+    // middle vertices minimizes the distance sum, and BOTH middles pass
+    // the Vardi-Zhang certificate. The documented tie-break is the
+    // (x, y)-lexicographic minimum certified vertex (ADVICE r14 #2) —
+    // previously this depended on HashMap iteration order.
+    val r = one("""SELECT
+        st_astext(st_geometricmedian(st_geomfromwkt('MULTIPOINT (10 0, 4 0, 0 0, 7 0)'))) AS evenline,
+        st_astext(st_geometricmedian(st_geomfromwkt('MULTIPOINT (2 9, 2 3, 2 5, 2 1)'))) AS evenvert""")
+    // middles of {0,4,7,10} are 4 and 7 -> pick x-min 4
+    assert(r.getString(0) == "POINT (4 0)")
+    // middles of y in {1,3,5,9} are 3 and 5 -> equal x, pick y-min 3
+    assert(r.getString(1) == "POINT (2 3)")
+  }
+
   test("st_angle: right angle exact, straight line is pi, zero ray, nulls") {
     val r = one("""SELECT
         st_angle(st_point(5.0D, 0.0D), st_point(0.0D, 0.0D), st_point(0.0D, 3.0D)) AS right,

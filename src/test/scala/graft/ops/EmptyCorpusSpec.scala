@@ -40,6 +40,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // the recall audit is a global agg: it reports one row with zero hits
     val recall = SparkEntry.queries("q_ann_recall")(spark, d).head
     assert(recall.getLong(1) == 0L && recall.getLong(2) == 0L)
+    // matryoshka must stay ROW-COUNT-CONSISTENT with its oracle here: the
+    // oracle's four per-dim global aggregates each emit one row even over
+    // an empty candidate set, so the engine's degenerate branch emits one
+    // (dim, 0, 0, false) row per lane — never an empty frame (ADVICE r14)
+    val mat = SparkEntry.queries("q_matryoshka_recall")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(mat == Seq(8, 16, 32, 64).map(d2 => (d2, 0L, 0L, false)), mat.toString)
   }
 
   test("every registered query runs on an all-empty corpus") {

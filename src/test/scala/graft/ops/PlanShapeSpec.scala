@@ -720,6 +720,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the group-key exchange, got $exchanges:\n${p.take(2500)}")
   }
 
+  test("weighted median: no per-group window over event rows — TeraSort device only") {
+    // r14 verdict watch item: Window.partitionBy(event_type) routes every
+    // row of a group through ONE task's external sort (event_type has a
+    // handful of values). The scale-safe form computes the running weight
+    // partition-locally behind a range exchange (the Scan ExistingRDD
+    // boundary) and keeps the ONLY window in the plan on the tiny
+    // per-(partition, group) partials relation — so no window spec may
+    // ever reference the event-row sort key `cents`.
+    val p = planOf("q_weighted_median")
+    val rowWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).filter(_.contains("cents"))
+    assert(rowWindows.isEmpty,
+      s"event-row window (single reducer per event_type at scale) leaked back:\n${rowWindows.mkString("\n")}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"TeraSort range-shuffle boundary missing from the plan:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-partition offsets must broadcast back, never shuffle the events side:\n${p.take(2000)}")
+  }
+
+  test("span excise: canonical marking is an aggregate on fp, never a per-fp window") {
+    // r14 verdict watch item: a boilerplate span repeated across millions
+    // of documents is ONE window partition under Window.partitionBy(fp).
+    // The scale-safe form is min(struct(doc_id, st)) + min/max(doc_id) in
+    // a grouped aggregate (O(1) state per fp through map-side partials)
+    // joined back to the instances; the only windows left partition by
+    // doc_id (bounded by document length — the islands merge).
+    val p = planOf("q_span_excise")
+    val fpWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition(fp"))
+    assert(fpWindows.isEmpty,
+      s"per-fingerprint window (hot-span skew at scale) leaked back:\n${fpWindows.mkString("\n")}")
+    // min(struct) has no mutable hash buffer, so the canonical marking
+    // plans as SortAggregate(key=[fp#..]) — partials collapse each
+    // mapper's instances of a fingerprint to ONE row, so the final side
+    // sees <= numPartitions rows per fp no matter how hot the span
+    assert(p.linesIterator.exists(l =>
+      (l.contains("Aggregate(keys=[fp") || l.contains("Aggregate(key=[fp")) &&
+        l.contains("min(")),
+      s"canonical-instance aggregate on fp missing:\n${p.take(6000)}")
+  }
+
   test("whole-stage codegen survives around the spatial expressions") {
     // CodegenFallback expressions must not disable codegen for the rest of
     // the plan: the executed flagship still contains WholeStageCodegen
