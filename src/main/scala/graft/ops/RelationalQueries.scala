@@ -979,7 +979,14 @@ object RelationalQueries {
       .withColumn("total", sum(col("psum")).over(
         byG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("pid"), col("event_type"), col("offset"), col("total"))
-    local.join(broadcast(offsets), Seq("pid", "event_type"))
+    // null-safe group equality (aliased keys — offsets descends from
+    // `local`, so df("col") references would be an ambiguous self-join):
+    // a NULL group key is a legitimate partition in the definitional
+    // window form and must survive the join-back
+    val off = offsets.select(col("pid").as("o_pid"),
+      col("event_type").as("o_et"), col("offset"), col("total"))
+    local.join(broadcast(off),
+        col("pid") === col("o_pid") && col("event_type") <=> col("o_et"))
       .filter((col("offset") + col("local_cum")) * 2 >= col("total"))
       .groupBy(col("event_type"))
       .agg(min(col("cents")).as("wmedian_cents"),

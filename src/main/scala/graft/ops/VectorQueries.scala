@@ -282,34 +282,113 @@ object VectorQueries {
     * and the integer dot kernel is SIMD-friendly; compose with the IVF
     * routing ([[annIvf]]) for sublinear candidate sets. */
   def annSq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    queryVectorOpt(spark, dir) match {
+    sqScoredOpt(spark, dir) match {
       case None => emptyRankedSq(spark)
-      case Some(q) =>
-        val sqScale = q.map(math.abs).max / 127.0
-        if (sqScale == 0.0) emptyRankedSq(spark)
-        else {
-          val qq: Seq[Long] = q.map(x => math.floor(x / sqScale + 0.5).toLong)
-          val embD = transform(col("embedding"), x => x.cast("double"))
-          val base = Par.fanOut(embeddings(spark, dir))
-            .filter(col("vec_id") =!= QueryVecId)
-            .withColumn("v", embD)
-            .withColumn("sc",
-              array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-            .withColumn("qv", when(col("sc") === 0.0,
-                transform(col("v"), _ => lit(0L)))
-              .otherwise(transform(col("v"),
-                x => floor(x / col("sc") + lit(0.5)).cast("long"))))
-            .withColumn("dot_q", aggregate(
-              zip_with(col("qv"), typedlit(qq), (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x))
-            .withColumn("score", col("dot_q").cast("double") * col("sc"))
-          val top = base.orderBy(col("score").desc, col("vec_id")).limit(k)
-          top.withColumn("rank",
-              row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
-            .select(col("rank"), col("vec_id"), col("dot_q"))
-            .orderBy(col("rank"))
-        }
+      case Some(base) =>
+        val top = base.orderBy(col("score").desc, col("vec_id")).limit(k)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+          .select(col("rank"), col("vec_id"), col("dot_q"))
+          .orderBy(col("rank"))
     }
+
+  /** The int8-SQ scored relation (vec_id, dot_q, score) — ONE definition
+    * shared by [[annSq]] and [[ndcgAudit]] so the quantization law
+    * cannot drift between the ranking and its quality audit. None when
+    * the query vector is missing or all-zero. */
+  private def sqScoredOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    queryVectorOpt(spark, dir).flatMap { q =>
+      val sqScale = q.map(math.abs).max / 127.0
+      if (sqScale == 0.0) None
+      else {
+        val qq: Seq[Long] = q.map(x => math.floor(x / sqScale + 0.5).toLong)
+        val embD = transform(col("embedding"), x => x.cast("double"))
+        Some(Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+          .withColumn("v", embD)
+          .withColumn("sc",
+            array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+          .withColumn("qv", when(col("sc") === 0.0,
+              transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"),
+              x => floor(x / col("sc") + lit(0.5)).cast("long"))))
+          .withColumn("dot_q", aggregate(
+            zip_with(col("qv"), typedlit(qq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("score", col("dot_q").cast("double") * col("sc")))
+      }
+    }
+
+  /** NDCG@10 audit of the int8-SQ ranking — the RANK-QUALITY complement
+    * of [[annRecall]]'s set-based recall: recall@k says whether the
+    * quantized index returns the right SET; NDCG (Järvelin & Kekäläinen
+    * 2002) says whether it returns them in the right ORDER with
+    * graded-relevance weighting, which is what a retrieval stack
+    * actually ships. Ground truth grades come from the FULL-precision
+    * cosine ranking (top-3 → rel 3, 4-6 → rel 2, 7-10 → rel 1, else 0);
+    * the system ranking is the int8-SQ score order; DCG discounts each
+    * position by 1/log₂(pos+1).
+    *
+    * Exactness — no engine evaluates a logarithm: the ten discount
+    * weights are ⌊10⁶/log₂(pos+1)+0.5⌋ FIXED LITERALS shared verbatim
+    * with the oracle (the Benford-table device), gains 2^rel−1 ∈
+    * {7,3,1,0} are literals, and IDCG is the constant 19676614 (the
+    * grade multiset {3×3, 3×2, 4×1} is fixed by construction) — so
+    * DCG/NDCG are pure integer arithmetic on exactly-agreed ranks.
+    *
+    * Scale shape: two brute scoring passes (each a scan into
+    * TakeOrderedAndProject — no shuffle of vectors), then joins and
+    * aggregates on k-row frames. At 100 TB both lanes run over an ANN
+    * candidate pool instead of the corpus, shape unchanged. */
+  def ndcgAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val weightCase = "CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
+      "WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 " +
+      "WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465 " +
+      "WHEN 9 THEN 301030 WHEN 10 THEN 289065 END"
+    val Idcg = 19676614L
+    (queryVectorOpt(spark, dir), sqScoredOpt(spark, dir)) match {
+      case (Some(q), Some(sq)) =>
+        val truth = Par.fanOut(embeddings(spark, dir))
+          .filter(col("vec_id") =!= QueryVecId)
+          .withColumn("sim", cosineAgainst(q))
+          .orderBy(col("sim").desc, col("vec_id")).limit(k)
+          .withColumn("frank",
+            row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+          .select(col("vec_id"),
+            expr("CASE WHEN frank <= 3 THEN 3L WHEN frank <= 6 THEN 2L ELSE 1L END")
+              .as("rel"))
+        val sys = sq.orderBy(col("score").desc, col("vec_id")).limit(k)
+          .withColumn("pos",
+            row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+          .select(col("pos"), col("vec_id"))
+        sys.join(truth, Seq("vec_id"), "left")
+          .withColumn("rel", coalesce(col("rel"), lit(0L)))
+          .withColumn("gain",
+            expr("CASE rel WHEN 3 THEN 7L WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"))
+          .withColumn("w", expr(weightCase).cast("long"))
+          .agg(
+            coalesce(sum(col("gain") * col("w")), lit(0L)).as("dcg_e6"),
+            count(when(col("rel") > 0, lit(1))).as("n_graded"),
+            coalesce(max(when(col("pos") === 1, col("rel"))), lit(0L)).as("top1_rel"))
+          .select(lit(k).as("k"), col("dcg_e6"), lit(Idcg).as("idcg_e6"),
+            expr(s"(1000000 * dcg_e6) DIV ${Idcg}L").as("ndcg_pm"),
+            col("n_graded"), col("top1_rel"))
+      case _ =>
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        // degenerate: one all-zero row, matching the oracle's global
+        // aggregates over an empty join (the matryoshka consistency rule)
+        spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(k, 0L, Idcg, 0L, 0L, 0L)).asJava,
+          StructType(Seq(
+            StructField("k", IntegerType, nullable = false),
+            StructField("dcg_e6", LongType, nullable = false),
+            StructField("idcg_e6", LongType, nullable = false),
+            StructField("ndcg_pm", LongType, nullable = false),
+            StructField("n_graded", LongType, nullable = false),
+            StructField("top1_rel", LongType, nullable = false))))
+    }
+  }
 
   private def emptyRankedSq(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -1019,6 +1098,7 @@ object VectorQueries {
     "q_matryoshka_recall" -> ((s, d) => matryoshkaRecall(s, d)),
     "q_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "q_ann_sq" -> ((s, d) => annSq(s, d)),
+    "q_ndcg_audit" -> ((s, d) => ndcgAudit(s, d)),
     "q_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_emb_norms" -> (embNorms _),
@@ -1348,6 +1428,61 @@ object VectorQueries {
          |       vec_id, dot_q
          |FROM d ORDER BY rank LIMIT 10""".stripMargin,
 "q_matryoshka_recall" -> matryoshkaOracleSql,
+    // the q_ann_sq CTE chain + full-precision grades; discount weights
+    // and IDCG are shared literals — neither engine evaluates a log
+    "q_ndcg_audit" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |scored AS (
+         |  SELECT e.vec_id, $cosineSql AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId),
+         |truth AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS frank
+         |  FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+         |g AS (SELECT vec_id,
+         |        CASE WHEN frank <= 3 THEN 3 WHEN frank <= 6 THEN 2 ELSE 1 END AS rel
+         |      FROM truth),
+         |qs AS (SELECT list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sq FROM q),
+         |qq AS (
+         |  SELECT list_transform(q.qv,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) / qs.sq + 0.5) AS BIGINT)) AS qc
+         |  FROM q, qs),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+         |  FROM embeddings WHERE vec_id <> $QueryVecId),
+         |codes AS (
+         |  SELECT vec_id, sc,
+         |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) END AS qv
+         |  FROM e),
+         |d AS (
+         |  SELECT c.vec_id, c.sc,
+         |    CAST(list_sum(list_transform(list_zip(c.qv, qq.qc),
+         |      p -> p[1] * p[2])) AS BIGINT) AS dot_q
+         |  FROM codes c, qq),
+         |sys AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY CAST(dot_q AS DOUBLE) * sc DESC, vec_id) AS pos
+         |  FROM d ORDER BY CAST(dot_q AS DOUBLE) * sc DESC, vec_id LIMIT 10),
+         |j AS (
+         |  SELECT sys.pos, coalesce(g.rel, 0) AS rel
+         |  FROM sys LEFT JOIN g USING (vec_id)),
+         |t AS (
+         |  SELECT pos, rel,
+         |    CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS gain,
+         |    CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         |      WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+         |      WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+         |      WHEN 10 THEN 289065 END AS w
+         |  FROM j)
+         |SELECT CAST(10 AS INTEGER) AS k,
+         |  CAST(coalesce(sum(gain * w), 0) AS BIGINT) AS dcg_e6,
+         |  CAST(19676614 AS BIGINT) AS idcg_e6,
+         |  CAST((1000000 * coalesce(sum(gain * w), 0)) // 19676614 AS BIGINT) AS ndcg_pm,
+         |  count(CASE WHEN rel > 0 THEN 1 END) AS n_graded,
+         |  CAST(coalesce(max(CASE WHEN pos = 1 THEN rel END), 0) AS BIGINT) AS top1_rel
+         |FROM t""".stripMargin,
     "q_sim_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |scored AS (

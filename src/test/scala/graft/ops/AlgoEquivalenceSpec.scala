@@ -695,4 +695,38 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       s"short-span gap not exercised: single=$single multi=$multi")
     assert(multi("src_l") > 0L && multi("src_n") == 0L)
   }
+
+  test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
+    // the r15 rework replaced the per-group window with range-shuffle +
+    // partition-local running weights + broadcast offsets; this pins the
+    // join-back against hand-walked definitional arithmetic on the edges
+    // the corpus lacks: a NULL group key (a legitimate window partition —
+    // the join-back uses <=> so it must survive), cents ties broken by
+    // event_id, a weight-skewed group, and a null value row (excluded)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 0L, Option("a"), Option(1.00)),  // w=1, c=100
+      (2L, 0L, 4L, Option("a"), Option(2.00)),  // w=5, c=200
+      (3L, 0L, 2L, Option("a"), Option(3.00)),  // w=3, c=300
+      (4L, 0L, 1L, Option("b"), Option(5.00)),  // w=2, c=500 (tie)
+      (5L, 0L, 1L, Option("b"), Option(5.00)),  // w=2, c=500 (tie)
+      (6L, 0L, 0L, Option("b"), Option(4.00)),  // w=1, c=400
+      (7L, 0L, 3L, Option.empty[String], Option(9.00)), // NULL group, w=4
+      (8L, 0L, 1L, Option.empty[String], Option(7.00)), // NULL group, w=2
+      (9L, 0L, 0L, Option("a"), Option.empty[Double]))  // null value: excluded
+    val dir = fixtureDir("wmedian")
+    rows.map { case (id, ts, u, et, v) => (id, ts, u, et.orNull, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalQueries.weightedMedian(spark, dir).collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // hand-walk: a -> cum 1,6,9 of total 9, doubling at c=200 (2 rows at/after);
+    // b -> cum 1,3,5 of total 5, doubling at c=500 (2 rows); NULL -> cum 2,6
+    // of total 6, doubling at c=900 (1 row)
+    val want = Set(
+      (Option("a"), 200L, 9L, 2L),
+      (Option("b"), 500L, 5L, 2L),
+      (Option.empty[String], 900L, 6L, 1L))
+    assert(got == want, s"got=$got want=$want")
+  }
 }
