@@ -383,8 +383,116 @@ object Multimodal {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Variant image synthesis for the perceptual-dedup fixture: page
+    * identity = doc_id DIV 3 (the urlDedup arithmetic — consecutive doc
+    * triples are the SAME picture in three brightness disguises),
+    * grayscale sawtooth content from the base id, variant shift
+    * (doc_id % 3)·10. Values stay in [0, 219] so the shift NEVER wraps
+    * a byte — the invariance [[aHashBits]]'s dedup relies on. */
+  private[ops] def synthesizeVariant(id: Long): MediaItem = {
+    val base = id / 3
+    val w = (8 + base % 9).toInt
+    val h = (6 + base % 5).toInt
+    val delta = ((id % 3) * 10).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      // quadratic-phase texture: chosen over the plain (base*7+i)%200
+      // sawtooth because it makes the aHash fully discriminative on the
+      // fixture (167/167 distinct base hashes at sf0.01 vs 72 for the
+      // sawtooth, whose phase shifts mostly preserve threshold patterns)
+      val v = (((base * 31 + i * (i + 1 + base % 13)) % 200) + delta).toByte
+      rgb(i * 3) = v; rgb(i * 3 + 1) = v; rgb(i * 3 + 2) = v
+      i += 1
+    }
+    MediaItem(id, "image", encodeBmp(ImageData(w, h, rgb)))
+  }
+
+  /** 64-bit average hash (aHash — the classic perceptual image
+    * fingerprint) over REAL decoded pixels: 8×8 block grid, bit(y,x) set
+    * iff the block's mean gray level exceeds the image mean. All
+    * arithmetic is integer (cross-multiplied mean comparison
+    * `blockSum·n > total·blockN`), block bounds are the integer-division
+    * grid `[y·h/8, (y+1)·h/8)` (empty blocks on images shorter than 8
+    * rows compare 0 > 0 = unset — deterministic), and the result is the
+    * 64-char '0'/'1' string both engines can build byte-identically
+    * (production would pack it to one BIGINT; the string keeps the
+    * oracle comparison trivially exact).
+    *
+    * The invariance that makes this a DEDUP key: adding a constant δ to
+    * every pixel shifts block means and the image mean by the same δ,
+    * so every bit — and the hash — is UNCHANGED. Brightness-variant
+    * near-duplicates therefore collide exactly, no hamming tolerance
+    * needed (the banded-hamming extension is q_dedup_simhash's device). */
+  private[ops] def aHashBits(img: ImageData): String = {
+    val w = img.width; val h = img.height; val n = w * h
+    val g = new Array[Long](n)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (img.rgb(i * 3) & 0xff).toLong + (img.rgb(i * 3 + 1) & 0xff) +
+        (img.rgb(i * 3 + 2) & 0xff)
+      g(i) = v; total += v; i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var y = 0
+    while (y < 8) {
+      val r0 = y * h / 8; val r1 = (y + 1) * h / 8
+      var x = 0
+      while (x < 8) {
+        val c0 = x * w / 8; val c1 = (x + 1) * w / 8
+        var s = 0L; var cnt = 0L
+        var r = r0
+        while (r < r1) {
+          var c = c0
+          while (c < c1) { s += g(r * w + c); cnt += 1; c += 1 }
+          r += 1
+        }
+        sb.append(if (s * n > total * cnt) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual-hash image dedup — near-duplicate IMAGE detection, the
+    * multimodal counterpart of the text near-dup family: decode every
+    * image (REAL BMP parse), fingerprint it with [[aHashBits]], and
+    * collapse hash groups exactly. The fixture's brightness-variant
+    * construction means a correct decode + hash pipeline must rediscover
+    * the `doc_id DIV 3` page identity (modulo genuine cross-base hash
+    * collisions, which the oracle replays rather than assumes away).
+    * Emits the dedup budget: images, distinct hashes, duplicates
+    * removed, largest group, multi-image groups, and the canonical
+    * (min-id) keeper checksum that pins WHICH image each group keeps.
+    *
+    * Scale shape: synthesis+decode+hash are partition-local typed work
+    * (payload bytes never shuffle — only the 64-char hash and the id
+    * reach the exchange); the dedup is one hash aggregate with map-side
+    * partials and a single-row rollup. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        (id, aHashBits(decodeBmp(synthesizeVariant(id).payload)))
+      })
+      .toDF("doc_id", "ahash")
+    hashed
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .agg(sum(col("cnt")).as("n_images"),
+        count(lit(1)).as("n_hashes"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dupes_removed"),
+        max(col("cnt")).as("max_group"),
+        count(when(col("cnt") > 1, lit(1))).as("n_multi_groups"),
+        sum(col("keeper")).as("keeper_id_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
+    "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_sampled" -> (sampledStats _),
     "q_binary_ingest" -> (binaryIngest _),
     "q_mm_audio_energy" -> (audioFrameEnergy _),
@@ -396,6 +504,49 @@ object Multimodal {
     * codec defect surfaces as a stat mismatch. All per-item stats are
     * exact integers; the single mean division is the last operation. */
   val oracles: Map[String, String] = Map(
+    // aHash replayed from the GENERATOR arithmetic per distinct BASE id
+    // only: the brightness shift provably never changes a bit (no byte
+    // wrap), so hash(doc) = hash(doc DIV 3's content at delta 0) — and
+    // genuine cross-base hash collisions are REPLAYED, not assumed away.
+    // The encode->decode->hash round trip runs only on the Spark side.
+    "q_mm_phash_dedup" ->
+      """WITH b AS (SELECT DISTINCT doc_id // 3 AS base FROM documents),
+        |geom AS (SELECT base, 8 + base % 9 AS w, 6 + base % 5 AS h FROM b),
+        |px AS (
+        |  SELECT base, w, h, w * h AS n,
+        |    i.range // w AS r, i.range % w AS c,
+        |    3 * ((base * 31 + i.range * (i.range + 1 + base % 13)) % 200) AS g
+        |  FROM geom, range(0, 160) i WHERE i.range < w * h),
+        |tot AS (SELECT base, n, sum(g) AS total FROM px GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT base, w, h, y.range AS y, x.range AS x
+        |  FROM geom, range(0, 8) y, range(0, 8) x),
+        |bs AS (
+        |  SELECT p.base, bl.y, bl.x, sum(p.g) AS s, count(*) AS cnt
+        |  FROM px p JOIN blocks bl ON bl.base = p.base
+        |    AND p.r >= bl.y * bl.h // 8 AND p.r < (bl.y + 1) * bl.h // 8
+        |    AND p.c >= bl.x * bl.w // 8 AND p.c < (bl.x + 1) * bl.w // 8
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT bl.base, bl.y * 8 + bl.x AS k,
+        |    CASE WHEN coalesce(bs.s, 0) * t.n > t.total * coalesce(bs.cnt, 0)
+        |         THEN '1' ELSE '0' END AS bit
+        |  FROM blocks bl
+        |  LEFT JOIN bs ON bs.base = bl.base AND bs.y = bl.y AND bs.x = bl.x
+        |  JOIN tot t ON t.base = bl.base),
+        |hs AS (SELECT base, string_agg(bit, '' ORDER BY k) AS ahash
+        |       FROM bits GROUP BY base),
+        |m AS (SELECT d.doc_id, hs.ahash
+        |      FROM documents d JOIN hs ON d.doc_id // 3 = hs.base),
+        |grp AS (SELECT ahash, count(*) AS cnt, min(doc_id) AS keeper
+        |        FROM m GROUP BY ahash)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_images,
+        |  count(*) AS n_hashes,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
+        |  CAST(max(cnt) AS BIGINT) AS max_group,
+        |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,
+        |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+        |FROM grp""".stripMargin,
     // the retrieval chain replayed from the GENERATOR (never the
     // container): per image the 4x4 cell sums come from the (id*7+i)
     // channel ramp bucketed by the same integer grid; scores and the

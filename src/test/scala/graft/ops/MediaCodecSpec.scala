@@ -142,6 +142,35 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: brightness-shift invariance, variant grouping, and discriminative power") {
+    import graft.ops.MediaCodec._
+    // the dedup key's load-bearing property: adding delta to every pixel
+    // shifts block means and the image mean equally, so no bit changes —
+    // proven here over the real encode->decode round trip
+    for (base <- Seq(0L, 7L, 41L, 166L)) {
+      val hashes = (0 to 2).map { v =>
+        val item = Multimodal.synthesizeVariant(base * 3 + v)
+        Multimodal.aHashBits(decodeBmp(item.payload))
+      }
+      assert(hashes.distinct.size == 1, s"base $base variants split: $hashes")
+      assert(hashes.head.length == 64 && hashes.head.forall(c => c == '0' || c == '1'))
+    }
+    // distinct bases must NOT collapse (the quadratic-phase texture was
+    // chosen for exactly this; the plain sawtooth gave 72/167)
+    val baseHashes = (0L until 167L).map { b =>
+      Multimodal.aHashBits(decodeBmp(Multimodal.synthesizeVariant(b * 3).payload))
+    }
+    assert(baseHashes.distinct.size == baseHashes.size,
+      s"cross-base collisions: ${baseHashes.size - baseHashes.distinct.size}")
+    // the invariance is not vacuous: aHash deliberately shrugs off a
+    // single-pixel bump (that robustness is its point), but INVERTING
+    // the image flips block-vs-mean comparisons and must change the hash
+    val img = decodeBmp(Multimodal.synthesizeVariant(0L).payload)
+    val inverted = img.rgb.map(b => (219 - (b & 0xff)).toByte)
+    assert(Multimodal.aHashBits(ImageData(img.width, img.height, inverted)) !=
+      Multimodal.aHashBits(img))
+  }
+
   test("feature pipeline runs end-to-end on sf0.001 with real decode") {
     val spark = SparkFixture.spark
     val rows = Multimodal.featureStats(spark, "/root/testdata/sf0.001").collect()
