@@ -490,9 +490,84 @@ object Multimodal {
         sum(col("keeper")).as("keeper_id_sum"))
   }
 
+  /** Variant audio synthesis for the gain-invariant dedup fixture: clip
+    * identity = doc_id DIV 3, variant = exact integer gain 1/2/3 (max
+    * amplitude 3·1024 = 3072 — far from int16 clipping, so scaling is
+    * EXACT). Quadratic-phase sample law, chosen like the image texture:
+    * the plain i·17 sawtooth collapsed the energy contour to 31 distinct
+    * signatures over 167 clips; this one gives 167/167 at sf0.01 and an
+    * honest 1640/1667 at sf0.1 (the residual collisions are REAL
+    * fingerprint limits the oracle replays). */
+  private[ops] def synthesizeAudioVariant(id: Long): MediaItem = {
+    val base = id / 3
+    val gain = (1 + id % 3).toInt
+    val n = (64 + base % 129).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) =
+        (((base * 131 + i.toLong * (i + 7 + base % 31)) % 2048 - 1024) * gain).toShort
+      i += 1
+    }
+    MediaItem(id, "audio", encodeWav(AudioData(8000, samples)))
+  }
+
+  /** Energy-contour audio fingerprint (the shape behind Shazam-class
+    * audio matching, reduced to its deterministic core): 4-sample frame
+    * |PCM| energies, one bit per frame transition — '1' iff the next
+    * frame is strictly louder. A positive gain g scales every frame
+    * energy by exactly g (integer samples, no clipping), so EVERY
+    * comparison — and the signature — is invariant under the variant
+    * transform, the audio analogue of [[aHashBits]]'s brightness
+    * invariance. Variable clip length ⇒ variable signature length; the
+    * string IS the group key. */
+  private[ops] def energyContour(au: AudioData, frame: Int = 4): String = {
+    val nf = au.samples.length / frame
+    if (nf < 2) return ""
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var s = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { s += math.abs(au.samples(i).toInt); i += 1 }
+      e(f) = s; f += 1
+    }
+    val sb = new java.lang.StringBuilder(nf - 1)
+    f = 0
+    while (f < nf - 1) { sb.append(if (e(f + 1) > e(f)) '1' else '0'); f += 1 }
+    sb.toString
+  }
+
+  /** Gain-invariant AUDIO dedup — [[phashDedup]]'s counterpart for the
+    * audio modality: decode every clip (REAL RIFF/WAVE parse),
+    * fingerprint its loudness contour, collapse signature groups
+    * exactly. Same budget columns and scale shape as the image pass:
+    * payload bytes never shuffle, one hash aggregate + single-row
+    * rollup. */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        (id, energyContour(decodeWav(synthesizeAudioVariant(id).payload)))
+      })
+      .toDF("doc_id", "sig")
+    hashed
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .agg(sum(col("cnt")).as("n_clips"),
+        count(lit(1)).as("n_sigs"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dupes_removed"),
+        max(col("cnt")).as("max_group"),
+        count(when(col("cnt") > 1, lit(1))).as("n_multi_groups"),
+        sum(col("keeper")).as("keeper_id_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_phash_dedup" -> (phashDedup _),
+    "q_mm_audio_dedup" -> (audioDedup _),
     "q_mm_sampled" -> (sampledStats _),
     "q_binary_ingest" -> (binaryIngest _),
     "q_mm_audio_energy" -> (audioFrameEnergy _),
@@ -542,6 +617,34 @@ object Multimodal {
         |        FROM m GROUP BY ahash)
         |SELECT CAST(sum(cnt) AS BIGINT) AS n_images,
         |  count(*) AS n_hashes,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
+        |  CAST(max(cnt) AS BIGINT) AS max_group,
+        |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,
+        |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+        |FROM grp""".stripMargin,
+    // energy contour replayed from the GENERATOR per distinct base at
+    // gain 1 (gain scales every frame energy exactly, changing no bit);
+    // partial tail frames are dropped on both sides (i < (n//4)*4)
+    "q_mm_audio_dedup" ->
+      """WITH b AS (SELECT DISTINCT doc_id // 3 AS base FROM documents),
+        |nn AS (SELECT base, 64 + base % 129 AS n FROM b),
+        |sm AS (
+        |  SELECT base, i.range // 4 AS f,
+        |    abs((base * 131 + i.range * (i.range + 7 + base % 31)) % 2048 - 1024) AS a
+        |  FROM nn, range(0, 192) i WHERE i.range < (n // 4) * 4),
+        |fr AS (SELECT base, f, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |ctr AS (SELECT base, f, e,
+        |          lead(e) OVER (PARTITION BY base ORDER BY f) AS ne
+        |        FROM fr),
+        |hs AS (SELECT base,
+        |         string_agg(CASE WHEN ne > e THEN '1' ELSE '0' END, '' ORDER BY f) AS sig
+        |       FROM ctr WHERE ne IS NOT NULL GROUP BY base),
+        |m AS (SELECT d.doc_id, hs.sig
+        |      FROM documents d JOIN hs ON d.doc_id // 3 = hs.base),
+        |grp AS (SELECT sig, count(*) AS cnt, min(doc_id) AS keeper
+        |        FROM m GROUP BY sig)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_clips,
+        |  count(*) AS n_sigs,
         |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
         |  CAST(max(cnt) AS BIGINT) AS max_group,
         |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,

@@ -171,6 +171,33 @@ class MediaCodecSpec extends AnyFunSuite {
       Multimodal.aHashBits(img))
   }
 
+  test("energy contour: gain invariance, discriminative power, and loudness sensitivity") {
+    import graft.ops.MediaCodec._
+    // exact-integer gain scaling multiplies every frame energy by g, so
+    // no strict comparison flips — proven over the real WAV round trip
+    for (base <- Seq(0L, 13L, 99L, 166L)) {
+      val sigs = (0 to 2).map { v =>
+        Multimodal.energyContour(decodeWav(
+          Multimodal.synthesizeAudioVariant(base * 3 + v).payload))
+      }
+      assert(sigs.distinct.size == 1, s"base $base variants split: $sigs")
+      assert(sigs.head.nonEmpty && sigs.head.forall(c => c == '0' || c == '1'))
+    }
+    // quadratic-phase law: fully discriminative at the sf0.01 base count
+    val sigs = (0L until 167L).map { b =>
+      Multimodal.energyContour(decodeWav(Multimodal.synthesizeAudioVariant(b * 3).payload))
+    }
+    assert(sigs.distinct.size == sigs.size,
+      s"cross-base collisions at sf0.01 scale: ${sigs.size - sigs.distinct.size}")
+    // sensitivity: NON-uniform loudness change (silencing one frame) must
+    // alter the contour — the invariance is to global gain only
+    val au = decodeWav(Multimodal.synthesizeAudioVariant(0L).payload)
+    val muted = au.samples.clone()
+    (4 until 8).foreach(i => muted(i) = 0)
+    assert(Multimodal.energyContour(AudioData(au.sampleRate, muted)) !=
+      Multimodal.energyContour(au))
+  }
+
   test("feature pipeline runs end-to-end on sf0.001 with real decode") {
     val spark = SparkFixture.spark
     val rows = Multimodal.featureStats(spark, "/root/testdata/sf0.001").collect()
