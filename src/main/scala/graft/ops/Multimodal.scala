@@ -564,10 +564,92 @@ object Multimodal {
         sum(col("keeper")).as("keeper_id_sum"))
   }
 
+  /** Variant video synthesis for the frame-rate-invariant dedup fixture:
+    * clip identity = doc_id DIV 3; the variant shows each base frame
+    * (1 + doc_id % 3) times in a row — the same footage at 1×/2×/3× the
+    * frame rate (≤ 15 frames of the fixed 8×6 geometry). Frame content
+    * follows a quadratic-phase law over BASE frame index fi, so repeats
+    * are byte-identical frames and distinct bases render distinct
+    * footage (see the texture comment below). */
+  private[ops] def synthesizeVideoVariant(id: Long): MediaItem = {
+    val base = id / 3
+    val rep = (1 + id % 3).toInt
+    val nf = (2 + base % 4).toInt
+    val frames = Array.tabulate(nf * rep) { out =>
+      val fi = out / rep
+      val f = new Array[Byte](VidFrameBytes)
+      var p = 0
+      // quadratic-phase texture (NOT the plain base·13+fi·101+p law used
+      // by the feature fixture): under the linear law bases 256 apart
+      // render byte-identical frames, collapsing 1667 sf0.1 clips into
+      // 256 signature groups; this law keeps all 1667 distinct
+      while (p < VidFrameBytes) {
+        f(p) = ((base * 13 + fi * 101 + p * (p + 3 + base % 29)) % 256).toByte
+        p += 1
+      }
+      f
+    }
+    MediaItem(id, "video", encodePpmStream(VideoData(VidW, VidH, frames)))
+  }
+
+  /** Temporal signature of a decoded video: per-frame position-weighted
+    * digest Σ (p+1)·byte_p (integer-exact, SQL-replayable — md5-of-bytes
+    * is not practical to rebuild relationally), then RUN-LENGTH COLLAPSE
+    * of consecutive equal digests, joined with '-'. Showing a frame for
+    * longer (any per-frame repeat count) collapses to the same signature
+    * — the frame-rate/freeze-frame invariance this dedup keys on. The
+    * collapse rule is digest equality on BOTH engines, so a (harmless,
+    * replayed) digest collision can never split the two sides. */
+  private[ops] def temporalSignature(vid: VideoData): String = {
+    val digests = vid.frames.map { f =>
+      var s = 0L
+      var p = 0
+      while (p < f.length) { s += (p + 1).toLong * (f(p) & 0xff); p += 1 }
+      s
+    }
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < digests.length) {
+      if (i == 0 || digests(i) != digests(i - 1)) {
+        if (sb.length > 0) sb.append('-')
+        sb.append(digests(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Frame-rate-invariant VIDEO dedup — the third modality of the
+    * near-dup family ([[phashDedup]] brightness-invariant images,
+    * [[audioDedup]] gain-invariant audio): decode every clip (REAL
+    * concatenated-P6-PPM parse), reduce it to its run-length-collapsed
+    * frame-digest sequence, collapse signature groups exactly. Same
+    * budget columns and scale shape: payloads never shuffle, one hash
+    * aggregate + single-row rollup. */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        (id, temporalSignature(decodePpmStream(synthesizeVideoVariant(id).payload)))
+      })
+      .toDF("doc_id", "sig")
+    hashed
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .agg(sum(col("cnt")).as("n_videos"),
+        count(lit(1)).as("n_sigs"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dupes_removed"),
+        max(col("cnt")).as("max_group"),
+        count(when(col("cnt") > 1, lit(1))).as("n_multi_groups"),
+        sum(col("keeper")).as("keeper_id_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_phash_dedup" -> (phashDedup _),
     "q_mm_audio_dedup" -> (audioDedup _),
+    "q_mm_video_dedup" -> (videoDedup _),
     "q_mm_sampled" -> (sampledStats _),
     "q_binary_ingest" -> (binaryIngest _),
     "q_mm_audio_energy" -> (audioFrameEnergy _),
@@ -617,6 +699,38 @@ object Multimodal {
         |        FROM m GROUP BY ahash)
         |SELECT CAST(sum(cnt) AS BIGINT) AS n_images,
         |  count(*) AS n_hashes,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
+        |  CAST(max(cnt) AS BIGINT) AS max_group,
+        |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,
+        |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+        |FROM grp""".stripMargin,
+    // temporal signature replayed from the GENERATOR per distinct base
+    // at repeat 1 (repeating a frame collapses under the RLE rule, so
+    // the base sequence IS every variant's signature); the digest is the
+    // same position-weighted sum both engines compute integer-exact
+    "q_mm_video_dedup" ->
+      """WITH b AS (SELECT DISTINCT doc_id // 3 AS base FROM documents),
+        |nn AS (SELECT base, 2 + base % 4 AS nf FROM b),
+        |fr AS (
+        |  SELECT base, fi.range AS fi,
+        |    sum((p.range + 1) *
+        |        ((base * 13 + fi.range * 101
+        |          + p.range * (p.range + 3 + base % 29)) % 256)) AS d
+        |  FROM nn, range(0, 5) fi, range(0, 144) p
+        |  WHERE fi.range < nf GROUP BY 1, 2),
+        |rle AS (
+        |  SELECT base, fi, d,
+        |    lag(d) OVER (PARTITION BY base ORDER BY fi) AS pd
+        |  FROM fr),
+        |hs AS (
+        |  SELECT base, string_agg(CAST(d AS VARCHAR), '-' ORDER BY fi) AS sig
+        |  FROM rle WHERE pd IS NULL OR d <> pd GROUP BY base),
+        |m AS (SELECT doc_id, hs.sig
+        |      FROM documents d JOIN hs ON d.doc_id // 3 = hs.base),
+        |grp AS (SELECT sig, count(*) AS cnt, min(doc_id) AS keeper
+        |        FROM m GROUP BY sig)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_videos,
+        |  count(*) AS n_sigs,
         |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
         |  CAST(max(cnt) AS BIGINT) AS max_group,
         |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,

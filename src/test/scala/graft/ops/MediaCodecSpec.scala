@@ -198,6 +198,33 @@ class MediaCodecSpec extends AnyFunSuite {
       Multimodal.energyContour(au))
   }
 
+  test("temporal signature: frame-rate invariance, discriminative power, order sensitivity") {
+    import graft.ops.MediaCodec._
+    // showing each frame 1x/2x/3x longer collapses to one signature
+    for (base <- Seq(0L, 29L, 100L, 166L)) {
+      val sigs = (0 to 2).map { v =>
+        Multimodal.temporalSignature(decodePpmStream(
+          Multimodal.synthesizeVideoVariant(base * 3 + v).payload))
+      }
+      assert(sigs.distinct.size == 1, s"base $base variants split: $sigs")
+      assert(sigs.head.nonEmpty)
+    }
+    // distinct bases render distinct footage under the quadratic law
+    // (the linear base*13 law made bases 256 apart byte-identical)
+    val sigs = (0L until 300L).map { b =>
+      Multimodal.temporalSignature(decodePpmStream(
+        Multimodal.synthesizeVideoVariant(b * 3).payload))
+    }
+    assert(sigs.distinct.size == sigs.size,
+      s"cross-base collisions: ${sigs.size - sigs.distinct.size}")
+    // REORDERING frames must change the signature (invariance is to
+    // duration only, not to the temporal order of distinct frames)
+    val vid = decodePpmStream(Multimodal.synthesizeVideoVariant(3L).payload)
+    assert(vid.frames.length >= 2)
+    val swapped = VideoData(vid.width, vid.height, vid.frames.reverse)
+    assert(Multimodal.temporalSignature(swapped) != Multimodal.temporalSignature(vid))
+  }
+
   test("feature pipeline runs end-to-end on sf0.001 with real decode") {
     val spark = SparkFixture.spark
     val rows = Multimodal.featureStats(spark, "/root/testdata/sf0.001").collect()
