@@ -153,6 +153,82 @@ object RelationalQueries {
       .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 (volume shipping) verbatim on the house schema — the
+    * bi-directional nation-pair probe: revenue shipped BETWEEN two
+    * nations in either direction, per (supplier nation, customer nation,
+    * ship year). Q7's planner signature is the DISJUNCTIVE pair
+    * predicate `(n1=A AND n2=B) OR (n1=B AND n2=A)`: each nation arm is
+    * first pruned to the two named nations (the IN-filter pushes into
+    * both broadcast sides), and the direction constraint lands as a
+    * post-join filter — Catalyst gets both for free from the declared
+    * form. Revenue in the exact 10⁻⁴-dollar lane; the ship-year comes
+    * from the same UTC-pinned timestamp cast both engines share.
+    *
+    * Scale shape: one big probe (the two-year lineitem slice, filter
+    * pushed to the scan) against three broadcast dims (orders is the
+    * only other large side and joins on its key); group-by on a
+    * 2×2×2-bounded key with map-side partials. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nations = nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val li = lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'") &&
+        expr("l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("year(CAST(l_shipdate AS TIMESTAMP))").as("l_year"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("rev"))
+    li
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nations.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("sn_key"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nations.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting) verbatim on the house schema —
+    * the top-20 "who returned the most revenue this quarter" probe: one
+    * quarter of orders joined to their RETURNED lineitems ('R' flag
+    * pushed to the lineitem scan), customer + nation dims broadcast,
+    * grouped per customer, and the LIMIT 20 riding
+    * TakeOrderedAndProject (per-partition top-20, never a global sort).
+    * Revenue in the exact 10⁻⁴-dollar lane, account balance emitted in
+    * exact cents; ties broken by c_custkey so the top-20 is a total
+    * order both engines walk identically. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(expr("o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("acctbal_cents")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"), col("n_name"))
+      .agg(sum(col("rev")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q1 (pricing summary report) verbatim on the house schema —
     * THE canonical scan-heavy OLAP aggregate: one pass over shipped
     * lineitems, 2-key grouping, eight measures. Every money lane is
@@ -1670,6 +1746,8 @@ object RelationalQueries {
     "q_equidepth_bins" -> ((s, d) => equidepthBins(s, d)),
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q5" -> (tpchQ5 _),
+    "q_tpch_q7" -> (tpchQ7 _),
+    "q_tpch_q10" -> (tpchQ10 _),
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
     "q_tpch_q17" -> ((s, d) => tpchQ17(s, d)),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -2025,6 +2103,41 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |                AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |  n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |                AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_e4 DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -720,6 +720,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly the group-key exchange, got $exchanges:\n${p.take(2500)}")
   }
 
+  test("TPC-H Q10: return-flag filter pushed, top-20 is TakeOrderedAndProject") {
+    val p = planOf("q_tpch_q10")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("TPC-H Q7: ship-date slice pushed to the scan, nation arms broadcast") {
+    val p = planOf("q_tpch_q7")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("weighted median: no per-group window over event rows — TeraSort device only") {
     // r14 verdict watch item: Window.partitionBy(event_type) routes every
     // row of a group through ONE task's external sort (event_type has a
