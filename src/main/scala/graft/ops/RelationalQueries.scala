@@ -169,7 +169,10 @@ object RelationalQueries {
     * only other large side and joins on its key); group-by on a
     * 2×2×2-bounded key with map-side partials. */
   def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    // NATION_3/NATION_8: the one pair with suppliers on both sides at
+    // EVERY scale factor (sf0.001 has only 10 suppliers; nations 1 and 2
+    // have none there, which would leave the smoke gate rowless)
+    val pair = Seq("NATION_3", "NATION_8")
     val nations = nation(spark, dir)
       .filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey"), col("n_name"))
@@ -2115,8 +2118,8 @@ object RelationalQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1, 2, 3
