@@ -232,6 +232,49 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** TPC-H Q6 (forecasting revenue change) verbatim on the house schema
+    * — THE pushed-predicate microbenchmark: three range filters (ship
+    * year, discount band, quantity cap) that must ALL reach the parquet
+    * scan, then one ungrouped sum. Revenue = price·discount in the exact
+    * 10⁻⁶-dollar lane (the full IEEE product is floored once per row,
+    * identically in both engines; discount literals compare against the
+    * same stored doubles). Plan-asserted: every filter in PushedFilters,
+    * no exchange before the partial aggregate. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'") &&
+        expr("l_shipdate < TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        coalesce(sum(expr(
+          "CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)")),
+          lit(0L)).as("revenue_e6"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14 (promotion effect) verbatim on the house schema — the
+    * conditional-share probe: what fraction of one month's revenue came
+    * from PROMO parts. Part is the broadcast dim; the month filter is
+    * pushed to the lineitem scan; the share is emitted in exact ppm
+    * (integer DIV of the two exact 10⁻⁴-dollar sums) instead of Q14's
+    * float percentage, so no division result is ever hashed. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'") &&
+        expr("l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"))
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)")
+          .as("rev"))
+      .join(part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        coalesce(sum(when(col("p_type") === "PROMO", col("rev"))), lit(0L))
+          .as("promo_e4"),
+        coalesce(sum(col("rev")), lit(0L)).as("total_e4"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_ppm",
+        expr("CASE WHEN total_e4 = 0 THEN 0L ELSE (1000000 * promo_e4) DIV total_e4 END"))
+
   /** TPC-H Q1 (pricing summary report) verbatim on the house schema —
     * THE canonical scan-heavy OLAP aggregate: one pass over shipped
     * lineitems, 2-key grouping, eight measures. Every money lane is
@@ -1751,6 +1794,8 @@ object RelationalQueries {
     "q_tpch_q5" -> (tpchQ5 _),
     "q_tpch_q7" -> (tpchQ7 _),
     "q_tpch_q10" -> (tpchQ10 _),
+    "q_tpch_q6" -> (tpchQ6 _),
+    "q_tpch_q14" -> (tpchQ14 _),
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
     "q_tpch_q17" -> ((s, d) => tpchQ17(s, d)),
     "q_tpch_q21" -> (tpchQ21 _),
@@ -2141,6 +2186,33 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue_e4 DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 1000000
+        |                                    + 0.5) AS BIGINT)), 0) AS BIGINT)
+        |         AS revenue_e6,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+        |      AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00')
+        |SELECT
+        |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS BIGINT)
+        |    AS promo_e4,
+        |  CAST(coalesce(sum(rev), 0) AS BIGINT) AS total_e4,
+        |  count(*) AS n_lines,
+        |  CAST(CASE WHEN coalesce(sum(rev), 0) = 0 THEN 0
+        |       ELSE (1000000 * coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0))
+        |            // sum(rev) END AS BIGINT) AS promo_ppm
+        |FROM j""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -728,6 +728,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("TPC-H Q6: all three range filters reach the parquet scan") {
+    // the printed PushedFilters list truncates at 100 chars, so assert on
+    // the UNTRUNCATED DataFilters/PushedFilters of the scan node itself
+    val scans = SparkEntry.queries("q_tpch_q6")(spark, dir).queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+  }
+
   test("TPC-H Q7: ship-date slice pushed to the scan, nation arms broadcast") {
     val p = planOf("q_tpch_q7")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
