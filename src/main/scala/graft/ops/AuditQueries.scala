@@ -220,8 +220,10 @@ object AuditQueries {
     * grouping-sets aggregate, not four scans. Emits per level: class
     * count, min class size (the achieved k), rows in classes below K,
     * whether the level clears K, and whether it is the CHOSEN release
-    * level (the least-generalized level that clears K — guaranteed to
-    * exist: the fully-generalized level is one class of all rows).
+    * level (the least-generalized level that clears K; when total rows
+    * < K no level qualifies and `chosen` is NULL on every row — the
+    * release owner's signal that even full generalization can't hide K
+    * rows).
     *
     * Scale shape: ROLLUP expands each row into 4 grouping-set rows
     * inside the map stage and aggregates them through ONE shuffle with
@@ -240,7 +242,14 @@ object AuditQueries {
         (grouping(col("qi_cohort")) + grouping(col("event_type")) +
           grouping(col("qi_dow"))).cast("long").as("level"))
       .select(col("level"), col("k"))
-    val perLevel = classes
+    // empty-input guard: ANSI ROLLUP over zero rows still emits the
+    // grand-total grouping set (DuckDB does: one (level 3, k 0) row);
+    // Spark emits nothing, so the level-3 row is restored explicitly —
+    // the any-fixture row-count-consistency rule (ADVICE r15 #1). The
+    // guard is one count-only pass that resolves to a single driver row.
+    val guard = base.groupBy().agg(count(lit(1)).as("n"))
+      .filter(col("n") === 0).select(lit(3L).as("level"), lit(0L).as("k"))
+    val perLevel = classes.unionByName(guard)
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n_classes"),
         min(col("k")).as("min_k"),

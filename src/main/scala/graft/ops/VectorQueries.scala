@@ -341,6 +341,11 @@ object VectorQueries {
     * aggregates on k-row frames. At 100 TB both lanes run over an ANN
     * candidate pool instead of the corpus, shape unchanged. */
   def ndcgAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // the discount-weight table and IDCG below are k=10 literals; any
+    // other k would silently NULL the weights past position 10 and
+    // normalize by the wrong ideal — fail loudly instead (ADVICE r15)
+    require(k == 10, s"ndcgAudit is defined for k=10 only (got $k): " +
+      "the discount table and IDCG are k=10 closed forms")
     val weightCase = "CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
       "WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 " +
       "WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465 " +

@@ -49,6 +49,18 @@ class EmptyCorpusSpec extends AnyFunSuite {
     assert(mat == Seq(8, 16, 32, 64).map(d2 => (d2, 0L, 0L, false)), mat.toString)
   }
 
+  test("q_k_generalize stays row-count-consistent with ANSI ROLLUP on empty input") {
+    // ANSI ROLLUP over zero rows still emits the grand-total grouping set
+    // (the DuckDB oracle returns one (level 3, k 0) row); the engine's
+    // guard must restore it, never return an empty frame (ADVICE r15 #1)
+    val rows = SparkEntry.queries("q_k_generalize")(spark, dir).collect()
+    assert(rows.length == 1, s"expected the grand-total level-3 row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L && !r.getBoolean(5) && r.isNullAt(6),
+      r.toString)
+  }
+
   test("every registered query runs on an all-empty corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); None }
