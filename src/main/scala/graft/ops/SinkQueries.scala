@@ -312,7 +312,7 @@ object SinkQueries {
       val ub = bucket("user_id", uLo, uHi)
       val tb = bucket("ts", tLo, tHi)
       ev.withColumn("z", curve(ub, tb))
-        .repartitionByRange(16, col("z"))
+        .repartitionByRange(Par.rangeWidth(ev.sparkSession, 16), col("z"))
         .sortWithinPartitions(col("z"))
         .write.mode("overwrite").parquet(path)
       // the 2-D box: the middle [lo+span/4, lo+span/2] of both axes,

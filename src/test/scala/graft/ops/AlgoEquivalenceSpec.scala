@@ -696,6 +696,53 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(multi("src_l") > 0L && multi("src_n") == 0L)
   }
 
+  test("winsorize TeraSort device equals the definitional per-group window form") {
+    // r15 verdict #1: the exact p05/p95 bounds moved off the per-group
+    // window onto the groupedCumWeight rank device (w=1). This pins the
+    // two forms row-for-row on the real corpus — same bounds picks, same
+    // clipped sums, same clip counts — so the device can never drift
+    // from the definitional rank statistic the oracle replays.
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val device = rows(RelationalQueries.winsorize(spark, dir))
+    val window = rows(RelationalQueries.winsorizeWindowed(spark, dir))
+    assert(device == window, s"device=$device\nwindow=$window")
+    assert(device.nonEmpty, "fixture must produce groups")
+  }
+
+  test("winsorize device handles tiny groups where both rank targets hit one row") {
+    // 1-row and 2-row groups: ceil(n/20) == ceil(19n/20) == 1 (or 2), so
+    // ONE row must satisfy both picks and lo == hi == that value; a
+    // per-row emission defect (two rows, or min/max crossing) breaks this
+    import spark.implicits._
+    val dir = fixtureDir("winsor_tiny")
+    Seq(
+      (1L, 1, 7.00, "A", "F"),
+      (2L, 1, 3.00, "N", "O"),
+      (3L, 2, 9.00, "N", "O"))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .withColumn("l_quantity", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("l_discount", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("l_tax", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+      .withColumn("l_partkey", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("l_suppkey", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.winsorize(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // group (A,F): n=1, BOTH rank targets are 1 → one row satisfies both
+    // picks, lo=hi=7e6, nothing clipped; group (N,O): n=2, targets are
+    // ranks 1 and 2 → lo=3e6, hi=9e6, nothing clipped
+    val want = Set(
+      ("A", "F", 1L, 7000000L, 0L, 0L),
+      ("N", "O", 2L, 12000000L, 0L, 0L))
+    assert(got == want, s"got=$got")
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the

@@ -768,6 +768,62 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-partition offsets must broadcast back, never shuffle the events side:\n${p.take(2000)}")
   }
 
+  test("TPC-H Q2: correlated scalar MIN decorrelates to an aggregate join-back; dims broadcast; top-100 is TakeOrderedAndProject") {
+    val p = planOf("q_tpch_q2")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the correlated scalar MIN left the plan entirely: no subquery
+    // expression survives into the physical tree — it decorrelated into
+    // the per-part aggregate joined back on p_partkey
+    assert(!p.toLowerCase.contains("subquery"), p.take(3000))
+  }
+
+  test("winsorize: exact bounds ride the TeraSort device — no window spec references micros") {
+    // r15 verdict #1: the exact p05/p95 rank statistic was the last
+    // per-group window over the fact table (a ~6-value group key routes
+    // ~1/6 of the table through one task's external sort at 100 TB). The
+    // device form keeps the only window on the tiny per-(partition,
+    // group) partials relation, so no window spec may reference the
+    // fact-row sort key `micros` (or the device's value lane `v`).
+    val p = planOf("q_winsorize")
+    val rowWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(l => l.contains("micros") || l.contains("v#"))
+    assert(rowWindows.isEmpty,
+      s"fact-row window leaked back into winsorize:\n${rowWindows.mkString("\n")}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"TeraSort range-shuffle boundary missing from the plan:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds must broadcast back to the fact, never shuffle it:\n${p.take(2000)}")
+  }
+
+  test("TeraSort range exchanges track spark.sql.shuffle.partitions, floored at the historical width") {
+    // r15 verdict #2: a hardcoded 32/16-way range exchange is a
+    // parallelism CEILING — at 100× each range slice becomes a multi-TB
+    // single-task sort. The width must follow the session's shuffle
+    // parallelism (how a real cluster sizes itself) with the old literal
+    // only as a floor for tiny test sessions.
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "48")
+      assert(Par.rangeWidth(spark) == 48 && Par.rangeWidth(spark, 16) == 48)
+      val p = planOf("q_s2_range_partition")
+      val range = p.linesIterator.filter(_.contains("rangepartitioning")).toSeq
+      assert(range.nonEmpty && range.forall(_.contains(", 48)")),
+        s"range exchange did not follow the conf at 48:\n${range.mkString("\n")}")
+      spark.conf.set(conf, "2")
+      // the floor keeps tiny sessions at the historical minimum
+      assert(Par.rangeWidth(spark) == 32 && Par.rangeWidth(spark, 16) == 16)
+      val p2 = planOf("q_s2_range_partition")
+      val range2 = p2.linesIterator.filter(_.contains("rangepartitioning")).toSeq
+      assert(range2.nonEmpty && range2.forall(_.contains(", 16)")),
+        s"floor did not hold at conf=2:\n${range2.mkString("\n")}")
+    } finally spark.conf.set(conf, old)
+  }
+
   test("span excise: canonical marking is an aggregate on fp, never a per-fp window") {
     // r14 verdict watch item: a boilerplate span repeated across millions
     // of documents is ONE window partition under Window.partitionBy(fp).
