@@ -645,6 +645,193 @@ object Multimodal {
         sum(col("keeper")).as("keeper_id_sum"))
   }
 
+  /** End-to-end FILE-based image dedup — [[phashDedup]] with the
+    * ingestion half a data owner actually runs (r15 verdict #3): the
+    * brightness-variant BMPs are staged as real FILES and re-enter Spark
+    * through the `binaryFile` source (path → id recovery → REAL decode →
+    * [[aHashBits]] → exact hash collapse), so the dedup is proven over
+    * the container-file path, not an in-flight synthesis. The staged set
+    * is capped (doc_id < [[FileDedupCap]] — a few hundred files; test
+    * scaffolding, same discipline as [[binaryIngest]]); `src_len_ok`
+    * cross-checks the source's `length` against the actual byte count so
+    * a framing defect in the scan surfaces in the rollup.
+    *
+    * Scale shape: binaryFile scans are embarrassingly parallel and
+    * decode+hash stay partition-local — payload bytes never shuffle,
+    * only the 64-char hash and the id reach the exchange; the dedup is
+    * one hash aggregate + single-row rollup. The production path at
+    * 100 TB repacks (id, payload) into parquet once and reruns the same
+    * hash stage over that ([[mediaTable]]'s shape). */
+  private[ops] val FileDedupCap = 540L
+
+  def fileDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"${SinkQueries.OutBase}/file_dedup"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    new java.io.File(base).mkdirs()
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < FileDedupCap)
+      .as[Long].collect().sorted
+    ids.foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, s"img_$id.bmp"), synthesizeVariant(id).payload)
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(base)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("length"), col("content"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, len, bytes) =>
+        (id, aHashBits(decodeBmp(bytes)), len == bytes.length.toLong)
+      })
+      .toDF("doc_id", "ahash", "len_ok")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"),
+        min(col("len_ok")).as("grp_len_ok"))
+      .agg(sum(col("cnt")).as("n_images"),
+        count(lit(1)).as("n_hashes"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dupes_removed"),
+        max(col("cnt")).as("max_group"),
+        count(when(col("cnt") > 1, lit(1))).as("n_multi_groups"),
+        sum(col("keeper")).as("keeper_id_sum"),
+        coalesce(min(col("grp_len_ok")), lit(true)).as("src_len_ok"))
+  }
+
+  /** Seeded container corruption for [[quarantine]]: ids ≡ 5 (mod 13)
+    * get their magic bytes zeroed (never decodes past the first check),
+    * ids ≡ 9 (mod 13) are truncated to 100 bytes (cuts inside pixel/PCM
+    * data for every container the generator emits: the smallest BMP is
+    * 222 bytes, WAV data chunks declare ≥128 bytes beyond offset 44, a
+    * PPM frame needs 155). Both transforms map to ONE deterministic
+    * failure class per id — the closed form the oracle replays. */
+  private[ops] def corruptPayload(id: Long, payload: Array[Byte]): Array[Byte] =
+    if (id % 13 == 5) {
+      val b = payload.clone()
+      var i = 0
+      while (i < 4 && i < b.length) { b(i) = 0; i += 1 }
+      b
+    } else if (id % 13 == 9) {
+      java.util.Arrays.copyOf(payload, math.min(100, payload.length))
+    } else payload
+
+  /** Map a decode failure to its quarantine class. The [[MediaCodec]]
+    * decoders throw `require` messages with stable vocabulary; the
+    * classifier keys on it: magic/container-identity failures →
+    * `bad_magic`, any out-of-data condition → `truncated`, anything
+    * else (unsupported profile, geometry change) → `malformed`. */
+  private[ops] def classifyDecodeFailure(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("")
+    if (m.contains("magic") || m.contains("RIFF") || m.contains("not a BMP")) "bad_magic"
+    else if (m.contains("truncated") || m.contains("overruns") ||
+      m.contains("missing data chunk") || m.contains("missing fmt chunk") ||
+      m.contains("runs off") || m.contains("empty stream") ||
+      m.contains("expected an integer")) "truncated"
+    else "malformed"
+  }
+
+  /** Corrupt-container QUARANTINE — the malformed-input discipline of a
+    * real 100 TB media pass (r15 verdict #4): undecodable bytes must
+    * land in a quarantine lane with a reason, never kill the job. A
+    * deterministic subset of containers is corrupted
+    * ([[corruptPayload]]: magic smash / truncation), every payload runs
+    * through the REAL decoder behind a catch, and the rollup audits
+    * both lanes per (modality, status): item count, id checksum, and
+    * the decoded lane's exact level sum (proving corruption never
+    * leaked into the surviving stats). The decode-or-quarantine stage
+    * is the binary analogue of [[RelationalQueries.corruptRecords]]'
+    * PERMISSIVE JSON lane.
+    *
+    * Scale shape: synthesis+corruption+decode are partition-local typed
+    * work; only (modality, status, id, level_sum) reaches the exchange;
+    * one bounded group-key aggregate. MediaCodecSpec pins that each
+    * corruption class is CAUGHT (classified), not crashed. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val m = synthesize(id)
+        val payload = corruptPayload(id, m.payload)
+        try {
+          val levelSum = m.modality match {
+            case "image" =>
+              val img = decodeBmp(payload)
+              var s = 0L; img.rgb.foreach(b => s += (b & 0xff)); s
+            case "audio" =>
+              val au = decodeWav(payload)
+              var s = 0L; au.samples.foreach(v => s += math.abs(v.toInt)); s
+            case _ =>
+              val vid = decodePpmStream(payload)
+              var s = 0L; vid.frames.foreach(_.foreach(b => s += (b & 0xff))); s
+          }
+          (m.modality, "ok", id, levelSum)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (m.modality, classifyDecodeFailure(e), id, 0L)
+        }
+      })
+      .toDF("modality", "status", "doc_id", "level_sum")
+      .groupBy(col("modality"), col("status"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("level_sum")).as("sum_levels"))
+      .orderBy(col("modality"), col("status"))
+  }
+
+  /** Collision-rate audit for the modality near-dup triplet (r15 verdict
+    * #8): each dedup claims an invariance (brightness / gain /
+    * frame-rate) and a discrimination (distinct bases ⇒ distinct
+    * signatures, modulo honest fingerprint collisions). The unit specs
+    * pin the invariance on fixtures; this REGISTERED query audits both
+    * directions at corpus scale against the generator's `base = id DIV
+    * 3` ground truth, per modality: items, distinct bases, distinct
+    * signatures, bases whose variants SPLIT across signatures
+    * (invariance violations — exactly 0 for a correct decode+hash
+    * path, and the oracle computes that 0 rather than assuming it),
+    * bases COLLIDED with another base, and the worst signature group's
+    * base count ([[phashDedup]]'s estimator-error pattern, aimed at the
+    * false-positive direction).
+    *
+    * Scale shape: three partition-local decode+hash passes (payloads
+    * never shuffle; only (modality, base, sig) rows do), then bounded
+    * aggregates: per-(modality,base,sig), per-sig, per-base, and a
+    * 3-row rollup. */
+  def collisionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Par.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Seq(
+          ("image", id / 3,
+            aHashBits(decodeBmp(synthesizeVariant(id).payload))),
+          ("audio", id / 3,
+            energyContour(decodeWav(synthesizeAudioVariant(id).payload))),
+          ("video", id / 3,
+            temporalSignature(decodePpmStream(synthesizeVideoVariant(id).payload))))
+      })
+      .toDF("modality", "base", "sig")
+    val bs = sigs.groupBy(col("modality"), col("base"), col("sig"))
+      .agg(count(lit(1)).as("n_items"))
+    val perSig = bs.groupBy(col("modality"), col("sig"))
+      .agg(count(lit(1)).as("n_bases_s"))
+    val perBase = bs.join(perSig, Seq("modality", "sig"))
+      .groupBy(col("modality"), col("base"))
+      .agg(sum(col("n_items")).as("n_items_b"),
+        count(lit(1)).as("n_sigs_b"),
+        max(col("n_bases_s")).as("max_share"))
+    perBase.groupBy(col("modality"))
+      .agg(sum(col("n_items_b")).as("n_items"),
+        count(lit(1)).as("n_bases"),
+        count(when(col("n_sigs_b") > 1, lit(1))).as("n_split_bases"),
+        count(when(col("max_share") > 1, lit(1))).as("n_collided_bases"))
+      .join(perSig.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_sigs"), max(col("n_bases_s")).as("max_bases_per_sig")),
+        Seq("modality"))
+      .select(col("modality"), col("n_items"), col("n_bases"), col("n_sigs"),
+        col("n_split_bases"), col("n_collided_bases"), col("max_bases_per_sig"))
+      .orderBy(col("modality"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (featureStats _),
     "q_mm_phash_dedup" -> (phashDedup _),
@@ -654,6 +841,9 @@ object Multimodal {
     "q_binary_ingest" -> (binaryIngest _),
     "q_mm_audio_energy" -> (audioFrameEnergy _),
     "q_mm_retrieval" -> ((s, d) => mmRetrieval(s, d)),
+    "q_mm_file_dedup" -> (fileDedup _),
+    "q_mm_quarantine" -> (quarantine _),
+    "q_mm_collision_audit" -> (collisionAudit _),
   )
 
   /** The oracle mirrors the deterministic GENERATOR (not the container):
@@ -704,6 +894,173 @@ object Multimodal {
         |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,
         |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
         |FROM grp""".stripMargin,
+    // the file-path dedup replays the SAME generator closed form as
+    // q_mm_phash_dedup over the capped id set; the encode→file→
+    // binaryFile→decode round trip runs only on the Spark side, so a
+    // defect in staging, source framing, path parsing, or decode breaks
+    // the hash. src_len_ok is the framing cross-check, TRUE by contract.
+    "q_mm_file_dedup" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 540),
+        |b AS (SELECT DISTINCT doc_id // 3 AS base FROM docs),
+        |geom AS (SELECT base, 8 + base % 9 AS w, 6 + base % 5 AS h FROM b),
+        |px AS (
+        |  SELECT base, w, h, w * h AS n,
+        |    i.range // w AS r, i.range % w AS c,
+        |    3 * ((base * 31 + i.range * (i.range + 1 + base % 13)) % 200) AS g
+        |  FROM geom, range(0, 160) i WHERE i.range < w * h),
+        |tot AS (SELECT base, n, sum(g) AS total FROM px GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT base, w, h, y.range AS y, x.range AS x
+        |  FROM geom, range(0, 8) y, range(0, 8) x),
+        |bs AS (
+        |  SELECT p.base, bl.y, bl.x, sum(p.g) AS s, count(*) AS cnt
+        |  FROM px p JOIN blocks bl ON bl.base = p.base
+        |    AND p.r >= bl.y * bl.h // 8 AND p.r < (bl.y + 1) * bl.h // 8
+        |    AND p.c >= bl.x * bl.w // 8 AND p.c < (bl.x + 1) * bl.w // 8
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT bl.base, bl.y * 8 + bl.x AS k,
+        |    CASE WHEN coalesce(bs.s, 0) * t.n > t.total * coalesce(bs.cnt, 0)
+        |         THEN '1' ELSE '0' END AS bit
+        |  FROM blocks bl
+        |  LEFT JOIN bs ON bs.base = bl.base AND bs.y = bl.y AND bs.x = bl.x
+        |  JOIN tot t ON t.base = bl.base),
+        |hs AS (SELECT base, string_agg(bit, '' ORDER BY k) AS ahash
+        |       FROM bits GROUP BY base),
+        |m AS (SELECT d.doc_id, hs.ahash
+        |      FROM docs d JOIN hs ON d.doc_id // 3 = hs.base),
+        |grp AS (SELECT ahash, count(*) AS cnt, min(doc_id) AS keeper
+        |        FROM m GROUP BY ahash)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_images,
+        |  count(*) AS n_hashes,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dupes_removed,
+        |  CAST(max(cnt) AS BIGINT) AS max_group,
+        |  count(CASE WHEN cnt > 1 THEN 1 END) AS n_multi_groups,
+        |  CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+        |  TRUE AS src_len_ok
+        |FROM grp""".stripMargin,
+    // quarantine lanes replayed closed-form: the corruption rule is id
+    // arithmetic (mod 13), each rule maps to ONE deterministic failure
+    // class (magic smash → bad_magic before any size field is read;
+    // 100-byte truncation cuts inside pixel/PCM data for every container
+    // the generator emits → truncated), and the surviving lane's level
+    // sums are the q_mm_features generator closed forms
+    "q_mm_quarantine" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CASE WHEN doc_id % 13 = 5 THEN 'bad_magic'
+        |         WHEN doc_id % 13 = 9 THEN 'truncated'
+        |         ELSE 'ok' END AS status,
+        |    CASE WHEN doc_id % 13 IN (5, 9) THEN 0
+        |      ELSE CASE CAST(doc_id % 3 AS INT)
+        |        WHEN 0 THEN list_sum(list_transform(
+        |          range((8 + doc_id % 9) * (6 + doc_id % 5)),
+        |          i -> (doc_id * 7 + i) % 256 + (doc_id * 7 + i + 85) % 256
+        |               + (doc_id * 7 + i + 170) % 256))
+        |        WHEN 1 THEN list_sum(list_transform(range(64 + doc_id % 129),
+        |          i -> abs((doc_id * 31 + i * 17) % 2048 - 1024)))
+        |        ELSE list_sum(list_transform(range((2 + doc_id % 4) * 144),
+        |          j -> (doc_id * 13 + (j // 144) * 101 + (j % 144)) % 256))
+        |        END END AS level_sum
+        |  FROM documents)
+        |SELECT modality, status, count(*) AS n_items,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(level_sum) AS BIGINT) AS sum_levels
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // all three modality signatures replayed per distinct base from the
+    // generator closed forms (the same CTEs as the three dedup oracles),
+    // then the collision/split audit computed — NOT assumed: the oracle
+    // derives n_split_bases = 0 from its own per-base signature
+    // uniqueness, so an engine-side invariance break is a hash mismatch
+    "q_mm_collision_audit" ->
+      """WITH b AS (SELECT DISTINCT doc_id // 3 AS base FROM documents),
+        |geom AS (SELECT base, 8 + base % 9 AS w, 6 + base % 5 AS h FROM b),
+        |px AS (
+        |  SELECT base, w, h, w * h AS n,
+        |    i.range // w AS r, i.range % w AS c,
+        |    3 * ((base * 31 + i.range * (i.range + 1 + base % 13)) % 200) AS g
+        |  FROM geom, range(0, 160) i WHERE i.range < w * h),
+        |tot AS (SELECT base, n, sum(g) AS total FROM px GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT base, w, h, y.range AS y, x.range AS x
+        |  FROM geom, range(0, 8) y, range(0, 8) x),
+        |bsx AS (
+        |  SELECT p.base, bl.y, bl.x, sum(p.g) AS s, count(*) AS cnt
+        |  FROM px p JOIN blocks bl ON bl.base = p.base
+        |    AND p.r >= bl.y * bl.h // 8 AND p.r < (bl.y + 1) * bl.h // 8
+        |    AND p.c >= bl.x * bl.w // 8 AND p.c < (bl.x + 1) * bl.w // 8
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT bl.base, bl.y * 8 + bl.x AS k,
+        |    CASE WHEN coalesce(bsx.s, 0) * t.n > t.total * coalesce(bsx.cnt, 0)
+        |         THEN '1' ELSE '0' END AS bit
+        |  FROM blocks bl
+        |  LEFT JOIN bsx ON bsx.base = bl.base AND bsx.y = bl.y AND bsx.x = bl.x
+        |  JOIN tot t ON t.base = bl.base),
+        |hs_img AS (SELECT base, string_agg(bit, '' ORDER BY k) AS sig
+        |           FROM bits GROUP BY base),
+        |nn_a AS (SELECT base, 64 + base % 129 AS n FROM b),
+        |sm AS (
+        |  SELECT base, i.range // 4 AS f,
+        |    abs((base * 131 + i.range * (i.range + 7 + base % 31)) % 2048 - 1024) AS a
+        |  FROM nn_a, range(0, 192) i WHERE i.range < (n // 4) * 4),
+        |fr_a AS (SELECT base, f, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |ctr AS (SELECT base, f, e,
+        |          lead(e) OVER (PARTITION BY base ORDER BY f) AS ne
+        |        FROM fr_a),
+        |hs_aud AS (SELECT base,
+        |             string_agg(CASE WHEN ne > e THEN '1' ELSE '0' END, '' ORDER BY f) AS sig
+        |           FROM ctr WHERE ne IS NOT NULL GROUP BY base),
+        |nn_v AS (SELECT base, 2 + base % 4 AS nf FROM b),
+        |fr_v AS (
+        |  SELECT base, fi.range AS fi,
+        |    sum((p.range + 1) *
+        |        ((base * 13 + fi.range * 101
+        |          + p.range * (p.range + 3 + base % 29)) % 256)) AS d
+        |  FROM nn_v, range(0, 5) fi, range(0, 144) p
+        |  WHERE fi.range < nf GROUP BY 1, 2),
+        |rle AS (
+        |  SELECT base, fi, d,
+        |    lag(d) OVER (PARTITION BY base ORDER BY fi) AS pd
+        |  FROM fr_v),
+        |hs_vid AS (
+        |  SELECT base, string_agg(CAST(d AS VARCHAR), '-' ORDER BY fi) AS sig
+        |  FROM rle WHERE pd IS NULL OR d <> pd GROUP BY base),
+        |sigs AS (
+        |  SELECT 'image' AS modality, d.doc_id, h.base, h.sig
+        |  FROM documents d JOIN hs_img h ON d.doc_id // 3 = h.base
+        |  UNION ALL
+        |  SELECT 'audio', d.doc_id, h.base, h.sig
+        |  FROM documents d JOIN hs_aud h ON d.doc_id // 3 = h.base
+        |  UNION ALL
+        |  SELECT 'video', d.doc_id, h.base, h.sig
+        |  FROM documents d JOIN hs_vid h ON d.doc_id // 3 = h.base),
+        |bsr AS (SELECT modality, base, sig, count(*) AS n_items
+        |        FROM sigs GROUP BY 1, 2, 3),
+        |per_sig AS (SELECT modality, sig, count(*) AS n_bases_s
+        |            FROM bsr GROUP BY 1, 2),
+        |per_base AS (
+        |  SELECT b2.modality, b2.base, sum(b2.n_items) AS n_items_b,
+        |         count(*) AS n_sigs_b, max(s.n_bases_s) AS max_share
+        |  FROM bsr b2 JOIN per_sig s
+        |    ON s.modality = b2.modality AND s.sig = b2.sig
+        |  GROUP BY 1, 2),
+        |agg_b AS (
+        |  SELECT modality, CAST(sum(n_items_b) AS BIGINT) AS n_items,
+        |         count(*) AS n_bases,
+        |         count(CASE WHEN n_sigs_b > 1 THEN 1 END) AS n_split_bases,
+        |         count(CASE WHEN max_share > 1 THEN 1 END) AS n_collided_bases
+        |  FROM per_base GROUP BY 1),
+        |agg_s AS (
+        |  SELECT modality, count(*) AS n_sigs,
+        |         CAST(max(n_bases_s) AS BIGINT) AS max_bases_per_sig
+        |  FROM per_sig GROUP BY 1)
+        |SELECT a.modality, a.n_items, a.n_bases, s.n_sigs,
+        |       a.n_split_bases, a.n_collided_bases, s.max_bases_per_sig
+        |FROM agg_b a JOIN agg_s s ON a.modality = s.modality
+        |ORDER BY a.modality""".stripMargin,
     // temporal signature replayed from the GENERATOR per distinct base
     // at repeat 1 (repeating a frame collapses under the RLE rule, so
     // the base sequence IS every variant's signature); the digest is the

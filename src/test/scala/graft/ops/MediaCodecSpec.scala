@@ -225,6 +225,37 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(Multimodal.temporalSignature(swapped) != Multimodal.temporalSignature(vid))
   }
 
+  test("every seeded corruption class is CAUGHT and classified, never crashes the decode") {
+    // the quarantine contract (r15 verdict #4): for EVERY modality, the
+    // magic smash classifies bad_magic and the 100-byte truncation
+    // classifies truncated — by catching the decoder's require, not by
+    // trusting the seed arithmetic. Ids chosen so each (modality,
+    // corruption) cell is exercised: id%3 picks the modality,
+    // id%13 ∈ {5, 9} picks the corruption.
+    def outcome(id: Long): String = {
+      val m = Multimodal.synthesize(id)
+      val p = Multimodal.corruptPayload(id, m.payload)
+      try {
+        m.modality match {
+          case "image" => decodeBmp(p)
+          case "audio" => decodeWav(p)
+          case _       => decodePpmStream(p)
+        }
+        "ok"
+      } catch {
+        case scala.util.control.NonFatal(e) => Multimodal.classifyDecodeFailure(e)
+      }
+    }
+    // id % 39 residues give every (modality, corruption) pair:
+    // 18≡(0,5) 31≡(1,5) 5≡(2,5) 9≡(0,9) 22≡(1,9) 35≡(2,9)
+    assert(outcome(18L) == "bad_magic" && outcome(31L) == "bad_magic" &&
+      outcome(5L) == "bad_magic", "magic smash must classify bad_magic in every modality")
+    assert(outcome(9L) == "truncated" && outcome(22L) == "truncated" &&
+      outcome(35L) == "truncated", "truncation must classify truncated in every modality")
+    // untouched ids decode clean
+    assert(Seq(0L, 1L, 2L).forall(outcome(_) == "ok"))
+  }
+
   test("feature pipeline runs end-to-end on sf0.001 with real decode") {
     val spark = SparkFixture.spark
     val rows = Multimodal.featureStats(spark, "/root/testdata/sf0.001").collect()
