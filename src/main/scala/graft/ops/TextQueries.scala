@@ -702,12 +702,28 @@ object TextQueries {
       .join(freq, "s")
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("s"), col("doc_id"), col("sz"))
+      .select(col("s"), col("doc_id"), col("sz"), col("rn"))
+    // PPJoin POSITIONAL filter (r15 verdict #5), applied per shared
+    // prefix gram BEFORE the distinct/verify: with both docs' grams in
+    // the same global rarest-first order, overlap ≤ 1 + min(grams after
+    // this one in a, in b) — and J ≥ t requires overlap ≥
+    // t/(1+t)·(|Sa|+|Sb|). LOSSLESS for the pair: at the FIRST shared
+    // gram no earlier elements are common, so its bound ≥ the true
+    // overlap and a qualifying pair always survives through that edge;
+    // later shared grams may prune their own edges harmlessly. The
+    // 1e-9 slack keeps float rounding on the side of ADMITTING a
+    // borderline candidate, never dropping one — exactness lives in the
+    // verify step. Measured effect: the bound kills the candidate mass
+    // that length-compatibility alone admits under heavy replication
+    // (the 30× stress regime where per-pair cost crept 1.30×).
     val cand = prefixes.as("a")
       .join(prefixes.as("b"), Seq("s"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.sz"), col("b.sz")) >=
         ceil(greatest(col("a.sz"), col("b.sz")) * threshold))
+      .filter((lit(1) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))).cast("double") >=
+        (col("a.sz") + col("b.sz")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     cand
