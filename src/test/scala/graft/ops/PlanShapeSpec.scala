@@ -780,6 +780,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("subquery"), p.take(3000))
   }
 
+  test("file dedup: images enter via the binaryFile source; payload bytes never reach an exchange") {
+    val qe = SparkEntry.queries("q_mm_file_dedup")(spark, dir).queryExecution
+    qe.executedPlan // force planning; exchanges exist only post-EnsureRequirements
+    val p = qe.executedPlan.toString
+    assert(p.toLowerCase.contains("binaryfile"),
+      s"binaryFile scan missing from the plan:\n${p.take(2000)}")
+    // decode+hash run partition-local before the serialize boundary, so
+    // the only exchanged columns are (doc_id, ahash, len_ok) — a content
+    // column in any shuffle key means the payload started traveling
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("content")),
+      s"payload column in a shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
   test("winsorize: exact bounds ride the TeraSort device — no window spec references micros") {
     // r15 verdict #1: the exact p05/p95 rank statistic was the last
     // per-group window over the fact table (a ~6-value group key routes
