@@ -449,6 +449,68 @@ object RelationalQueries {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q13 (customer distribution) on the house schema — the
+    * ZERO-PRESERVING outer-join count distribution: how many customers
+    * placed exactly k orders, INCLUDING k = 0. The planner signature is
+    * the filter living in the LEFT OUTER JOIN's ON clause (a WHERE would
+    * silently turn the join inner and erase the zero bucket), then
+    * count(o_orderkey) — null-skipping, so unmatched customers count 0 —
+    * and a second aggregate over the counts. House adaptation: the
+    * priority class filter `o_orderpriority <> '1-URGENT'` stands in for
+    * Q13's comment NOT LIKE (the corpus carries no comment column); the
+    * shape — join-condition-only predicate on the outer join — is
+    * identical.
+    *
+    * Scale shape: one hash outer join on the customer key (orders side
+    * filter pushed to its scan), count with map-side partials, then the
+    * distribution aggregate over a ≤|distinct counts| relation. ORDER BY
+    * (custdist DESC, c_count DESC) is a total order. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = customer(spark, dir).select(col("c_custkey"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 (discounted revenue) on the house schema — the
+    * DISJUNCTIVE join predicate rung: three OR'd conjunction groups,
+    * each repeating the `p_partkey = l_partkey` equality with its own
+    * brand/size/quantity band, written LITERALLY. Catalyst must (a)
+    * factor the common equality out of the disjunction into a hash-join
+    * key (never a nested-loop join over the OR), (b) keep the remaining
+    * OR as the join residual, and (c) push the per-side PARTIAL
+    * disjunctions (quantity bands to lineitem, brand×size bands to
+    * part) into both scans — all three plan-asserted. House adaptation:
+    * brand/size/quantity bands over the synthetic domains (no
+    * shipinstruct/container columns); revenue in the exact 10⁻⁴-dollar
+    * lane like Q3/Q5/Q7.
+    *
+    * Scale shape: the filtered part side broadcasts; lineitem's scan
+    * carries the pushed quantity disjunction; one ungrouped sum with a
+    * map-side partial. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_q19_lineitem")
+    part(spark, dir).createOrReplaceTempView("graft_q19_part")
+    spark.sql(
+      """SELECT count(*) AS n_lines,
+        |  CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |         * 10000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
+        |FROM graft_q19_lineitem, graft_q19_part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#11'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#13'
+        |       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+        |       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
+        |""".stripMargin)
+  }
+
   /** TPC-H Q2 (minimum-cost supplier) on the house schema — the one
     * classic planner shape the ladder lacked (r15 verdict #6): a
     * CORRELATED SCALAR MIN over a four-table dimension chain
@@ -1919,6 +1981,8 @@ object RelationalQueries {
     "q_tpch_q17" -> ((s, d) => tpchQ17(s, d)),
     "q_tpch_q21" -> (tpchQ21 _),
     "q_tpch_q2" -> (tpchQ2 _),
+    "q_tpch_q13" -> (tpchQ13 _),
+    "q_tpch_q19" -> (tpchQ19 _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
@@ -2513,6 +2577,30 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    // the ON-clause filter is load-bearing: in WHERE it would turn the
+    // outer join inner and erase Q13's zero-order bucket
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the literal disjunction — DuckDB factors/pushes its own way; equal
+    // results prove Spark's factored hash join + OR residual is the same
+    // function of the data
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |         * 10000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#11'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#13'
+        |       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+        |       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     // the literal correlated scalar MIN over the derived partsupp —
     // DuckDB decorrelates its own way; equal results prove Spark's
     // aggregate join-back rewrite is the same function of the data

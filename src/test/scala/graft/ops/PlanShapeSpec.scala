@@ -780,6 +780,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("subquery"), p.take(3000))
   }
 
+  test("TPC-H Q19: disjunctive predicate factors into a hash join with an OR residual; partial disjunctions push to both scans") {
+    val qe = SparkEntry.queries("q_tpch_q19")(spark, dir).queryExecution
+    qe.executedPlan
+    val p = qe.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the common equality was not factored out of the disjunction:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the OR survives as the join residual…
+    val joinLine = p.linesIterator.find(_.contains("BroadcastHashJoin")).get
+    assert(joinLine.contains(" OR "), s"OR residual missing from the join:\n$joinLine")
+    // …and each side's PARTIAL disjunction reached its parquet scan
+    // (PushedFilters on the scan nodes' untruncated metadata would be
+    // stronger, but the Or(...) prefix in the printed plan already pins
+    // that a disjunctive pushdown happened on both scans)
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.count(_.contains("Or(")) >= 2,
+      s"per-side partial disjunctions not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("TPC-H Q13: the priority filter stays in the outer join's ON clause — zero-order customers survive") {
+    val qe = SparkEntry.queries("q_tpch_q13")(spark, dir).queryExecution
+    qe.executedPlan
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftOuter"), s"outer join lost:\n${p.take(2000)}")
+    // the filter must ride the orders side (pushed to its scan), never
+    // the post-join relation where it would re-drop the zero bucket
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority,1-URGENT))]")
+      || p.contains("Not(EqualTo(o_orderpriority"), p.take(3000))
+    // behavioral pin: the zero bucket counts EXACTLY the customers with
+    // no surviving orders — the number a WHERE-clause (inner-join) form
+    // would silently drop from the distribution
+    import org.apache.spark.sql.functions.col
+    val nCust = Tables.customer(spark, dir).count()
+    val nWithOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    val zeroBucket = SparkEntry.queries("q_tpch_q13")(spark, dir)
+      .filter(col("c_count") === 0L).collect()
+      .headOption.map(_.getLong(1)).getOrElse(0L)
+    assert(zeroBucket == nCust - nWithOrders,
+      s"zero bucket $zeroBucket != $nCust customers - $nWithOrders with orders")
+  }
+
   test("file dedup: images enter via the binaryFile source; payload bytes never reach an exchange") {
     val qe = SparkEntry.queries("q_mm_file_dedup")(spark, dir).queryExecution
     qe.executedPlan // force planning; exchanges exist only post-EnsureRequirements
