@@ -511,6 +511,48 @@ object RelationalQueries {
         |""".stripMargin)
   }
 
+  /** TPC-H Q16 (parts/supplier relationship) on the house schema — the
+    * NULL-AWARE anti join rung: `ps_suppkey NOT IN (subquery)` has
+    * three-valued-logic semantics (one NULL in the subquery empties the
+    * result), so Catalyst cannot rewrite it to a plain anti join on
+    * possibly-null columns — it must plan the single-column null-aware
+    * BroadcastHashJoin (LeftAnti, isNullAware=true), the one anti-join
+    * variant nothing else in the inventory exercises (q_j4 and the Q21
+    * rung are plain NOT EXISTS anti joins). Plan-asserted, including
+    * that the build side broadcasts (a non-broadcastable build would
+    * degrade to BNLJ, which the guardrails ban).
+    *
+    * House adaptations: partsupp derives from lineitem as the DISTINCT
+    * (partkey, suppkey) pairs (same derivation family as Q2's); the
+    * "complaints suppliers" predicate becomes the supplier class
+    * `s_suppkey % 4 = 1` (the corpus has no comment column); brand/type
+    * exclusions and the size IN-list keep Q16's filter shape on the
+    * part dim. count(DISTINCT ps_suppkey) per (brand, type, size);
+    * ORDER BY includes the full group key — a total order.
+    *
+    * Scale shape: the distinct-pair derivation is one map-side-partial
+    * aggregate of the fact; supplier (the NOT IN build) and part both
+    * broadcast; the distinct-count groups on a bounded dim key. */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("graft_q16_lineitem")
+    part(spark, dir).createOrReplaceTempView("graft_q16_part")
+    supplier(spark, dir).createOrReplaceTempView("graft_q16_supplier")
+    spark.sql(
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+        |                            l_suppkey AS ps_suppkey
+        |            FROM graft_q16_lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps, graft_q16_part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+        |                         WHERE s_suppkey % 4 = 1)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
   /** TPC-H Q2 (minimum-cost supplier) on the house schema — the one
     * classic planner shape the ladder lacked (r15 verdict #6): a
     * CORRELATED SCALAR MIN over a four-table dimension chain
@@ -1983,6 +2025,7 @@ object RelationalQueries {
     "q_tpch_q2" -> (tpchQ2 _),
     "q_tpch_q13" -> (tpchQ13 _),
     "q_tpch_q19" -> (tpchQ19 _),
+    "q_tpch_q16" -> (tpchQ16 _),
     "q_tpch_q1" -> (tpchQ1 _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_s3_pushdown" -> (s3Pushdown _),
@@ -2577,6 +2620,23 @@ object RelationalQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    // the literal NOT IN — DuckDB evaluates its own three-valued
+    // semantics; equal results prove Spark's null-aware anti join is the
+    // same function of the data
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+        |                            l_suppkey AS ps_suppkey
+        |            FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_suppkey % 4 = 1)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // the ON-clause filter is load-bearing: in WHERE it would turn the
     // outer join inner and erase Q13's zero-order bucket
     "q_tpch_q13" ->

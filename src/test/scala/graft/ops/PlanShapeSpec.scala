@@ -799,6 +799,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-side partial disjunctions not pushed:\n${scans.mkString("\n")}")
   }
 
+  test("TPC-H Q16: NOT IN plans as the single-column NULL-AWARE broadcast anti join") {
+    val qe = SparkEntry.queries("q_tpch_q16")(spark, dir).queryExecution
+    qe.executedPlan
+    val p = qe.executedPlan.toString
+    // the printed form is `BroadcastHashJoin [keys], [keys], LeftAnti,
+    // BuildRight, true` — the trailing boolean IS isNullAware; a plain
+    // anti join here would silently change NOT IN's three-valued
+    // semantics, and a non-broadcast plan would be the banned BNLJ
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"anti join missing:\n${p.take(3000)}")
+    assert(anti.exists(l => l.contains("BroadcastHashJoin") && l.trim.endsWith("true")),
+      s"NOT IN did not plan null-aware:\n${anti.mkString("\n")}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("TPC-H Q13: the priority filter stays in the outer join's ON clause — zero-order customers survive") {
     val qe = SparkEntry.queries("q_tpch_q13")(spark, dir).queryExecution
     qe.executedPlan
