@@ -572,11 +572,15 @@ object RelationalQueries {
     * emitted in exact cents. The ORDER BY includes (n_name, s_name,
     * p_partkey), a total order over the output pairs.
     *
-    * Scale shape: the derived partsupp is one map-side-partial aggregate
-    * of the fact table keyed by (part, supp); both its uses co-shuffle
-    * on that key; supplier/nation/region broadcast (plan-asserted); the
-    * min join-back is an equi hash join on p_partkey; the top-100 rides
-    * TakeOrderedAndProject, never a global sort. */
+    * Scale shape: the derived partsupp is a map-side-partial aggregate
+    * of the fact keyed by (part, supp) — evaluated ONCE PER USE (outer
+    * + decorrelated min): column pruning diverges the two subtrees, so
+    * ReuseExchange does not kick in, and two fact visits is the literal-
+    * SQL trade, the same class as Q21's three (spec Q2 reads partsupp
+    * twice too — here partsupp is itself derived). Supplier/nation/
+    * region broadcast (plan-asserted); the min join-back is an equi
+    * hash join on p_partkey; the top-100 rides TakeOrderedAndProject,
+    * never a global sort. */
   def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir).createOrReplaceTempView("graft_q2_lineitem")
     part(spark, dir).createOrReplaceTempView("graft_q2_part")
