@@ -743,6 +743,33 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(got == want, s"got=$got")
   }
 
+  test("groupedCumWeight matches the sequential reference on seeded random corpora") {
+    // the shared TeraSort device now carries TWO registered queries
+    // (weighted median, exact winsorize); this pins its (cum, total)
+    // contract against a plain sequential walk on three seeded random
+    // corpora with heavy value ties, NULL groups, and skewed weights —
+    // the regimes where a partition-boundary or offset bug would hide
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { i =>
+        val g = rnd.nextInt(4) match { case 0 => null; case k => "g" + k }
+        (g, rnd.nextInt(8).toLong, 1L + rnd.nextInt(5), i.toLong)
+      }
+      val df = rows.toDF("g", "v", "w", "tb")
+      val got = RelationalQueries.groupedCumWeight(df, Seq("tb")).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = rows.groupBy(r => Option(r._1)).flatMap { case (g, rs) =>
+        val srt = rs.sortBy(r => (r._2, r._4))
+        val total = rs.map(_._3).sum
+        var run = 0L
+        srt.map { r => run += r._3; (g, r._2, r._3, run, total) }
+      }.toSet
+      assert(got == want, s"seed $seed: device disagrees with the sequential walk")
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
