@@ -17,6 +17,20 @@ object Bench {
   /** Summed canary seconds at the round-7 quiet-host min-of-3 anchor
     * (BENCH_LOCAL_r07.json). */
   val CanaryRefSec: Double = 3.136
+  /** IO-lane drift canaries (r16 verdict #5): the CPU-bound canary set is
+    * blind to DISK contention — the documented cause of four rounds of
+    * write-heavy false flags (q_version_diff r10-r13, q_bucketed_join
+    * r10; BASELINE.md). These three are plan-frozen write+read
+    * roundtrips spanning the write paths (headerless CSV sink, versioned
+    * parquet publish + swap, two-version diff read); their summed
+    * min-time is emitted as canary_io_sec so a write-heavy mover divides
+    * by the right denominator. Do not edit the membership without
+    * re-anchoring IoCanaryRefSec. */
+  val IoCanaries: Seq[String] = Seq(
+    "q_csv_roundtrip", "q_materialize", "q_version_diff")
+  /** Summed IO-canary seconds at the round-17 quiet-host min-of-3 anchor
+    * (BASELINE.md, IO canary section). */
+  val IoCanaryRefSec: Double = 3.428
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,7 +133,18 @@ object Bench {
           .setScale(3, BigDecimal.RoundingMode.HALF_UP)
         s""","canary_sec":${ms(ct)},"canary_ref_sec":$canaryRef,"canary_ratio":$ratio"""
       } else ""
-    val json = s"""{"queries":$qs,"queries_file":"$fullFile","sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson$canary,"metric":"total","unit":"sec","value":$total}"""
+    // IO lane: same mechanism over the write+read roundtrips, separate
+    // denominator — disk contention moves this one while the CPU canary
+    // sits flat, which is exactly the split the write-heavy false flags
+    // of r10-r13 needed
+    val canaryIo =
+      if (Bench.IoCanaries.forall(canaryMap.contains)) {
+        val ct = Bench.IoCanaries.map(canaryMap).sum
+        val ratio = BigDecimal(ct / Bench.IoCanaryRefSec)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        s""","canary_io_sec":${ms(ct)},"canary_io_ref_sec":${Bench.IoCanaryRefSec},"canary_io_ratio":$ratio"""
+      } else ""
+    val json = s"""{"queries":$qs,"queries_file":"$fullFile","sf":"$sfDir","runs":$runs,"stat":"min","n":${results.size},"n_errors":${errors.size},"errors":$errJson$canary$canaryIo,"metric":"total","unit":"sec","value":$total}"""
     // belt and braces: the full line also lands on disk twice — the env
     // override for dev loops, the stable path for the round artifact
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

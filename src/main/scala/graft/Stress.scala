@@ -47,6 +47,10 @@ object Stress {
     "q_spatial_dwithin_partitioned", "q_equidepth_bins", "q_tpch_q18",
     "q_tpch_q21", "q_cdc_apply", "q_scd2_build", "q_copurchase",
     "q_window_funnel",
+    // r17: the grid intersects-join joins its dwithin sibling in the gate
+    // AND the growth set — they are the #2/#3 bench cost centers and the
+    // operators a 100 TB geospatial pass leans on (r16 verdict #4)
+    "q_spatial_join_partitioned",
     // r16: the exact winsorize moved onto the TeraSort rank device — gate
     // its spill/plan at 10× and record its growth curve like the median
     "q_winsorize",
@@ -69,15 +73,21 @@ object Stress {
     * the 30× growth mode below measures the curve empirically. */
   val SpillBoundBytes: Long = 8L << 30
 
-  /** Growth-curve probes: the three heaviest join kernels plus the
-    * TeraSort-device winsorize, re-run at 30× so the artifact records an
-    * empirical 10×→30× scaling exponent instead of a single point.
-    * Runs BY DEFAULT (r15 verdict #7 — every round records the curve
-    * without being asked); SPARK_GRAFT_STRESS_GROWTH=0 opts out for
-    * quick dev iterations. */
+  /** Growth-curve probes: the heaviest join kernels plus the
+    * TeraSort-device winsorize and (r17) both grid spatial joins, re-run
+    * at 30× so the artifact records an empirical 10×→30× scaling exponent
+    * instead of a single point. Runs BY DEFAULT (r15 verdict #7 — every
+    * round records the curve without being asked);
+    * SPARK_GRAFT_STRESS_GROWTH=0 opts out for quick dev iterations.
+    * Since r17 the 30× samples use the same interleaved min-of-N
+    * discipline as the 10× gate (r16 verdict #3: single-shot samples
+    * drifted 30-50% round-over-round with untouched kernels — e.g. the
+    * knn 10× point 32.2→43.7 s — making cross-round growth deltas
+    * unattributable). */
   val GrowthProbes: Seq[String] =
     Seq("q_knn_join_partitioned", "q_setsim_join", "q_containment_join",
-      "q_winsorize")
+      "q_winsorize", "q_spatial_dwithin_partitioned",
+      "q_spatial_join_partitioned")
 
   def ensureCorpus(spark: SparkSession, src: String, dst: String,
                    replicas: Int): Unit = {
@@ -204,30 +214,42 @@ object Stress {
       // but dropped from the gated Heavy pass has no 10× baseline — skip
       // it with a log line instead of throwing after the expensive 30×
       // corpus build (ADVICE r15 #3)
-      val entries = GrowthProbes.filter(SparkEntry.queries.contains).flatMap { name =>
-        val baseObs = passes.flatMap(_.get(name))
-        if (baseObs.isEmpty) {
-          System.err.println(s"[stress] 30x $name skipped: not in the Heavy pass (no 10x baseline)")
-          None
-        } else {
-          val spill0 = spillNow()
-          val t0 = System.nanoTime()
-          val df = SparkEntry.queries(name)(spark, dst30)
-          val rows = df.count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val sp = spillNow() - spill0
-          val plan = df.queryExecution.executedPlan.toString
-          if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
-            violations += s"$name: plan flipped to nested-loop/cartesian at 30x"
-          val base = baseObs.minBy(_.sec)
-          val ratio = if (base.sec > 0) sec / base.sec else 0.0
-          System.err.println(f"[stress] 30x $name%-28s ${sec}%8.2f s  rows=$rows%-8d " +
-            f"spill=${sp / (1 << 20)}%5d MB  t30/t10=${ratio}%.2f")
-          Some(s""""$name":{"sec_30x":${ms(sec)},"rows_30x":$rows,"spill_bytes_30x":$sp,""" +
-            s""""sec_10x":${ms(base.sec)},"time_ratio_30x_over_10x":${ms(ratio)}}""")
-        }
+      val probes = GrowthProbes.filter(SparkEntry.queries.contains).filter { name =>
+        val ok = passes.exists(_.contains(name))
+        if (!ok) System.err.println(
+          s"[stress] 30x $name skipped: not in the Heavy pass (no 10x baseline)")
+        ok
       }
-      s""","growth":${entries.mkString("{", ",", "}")}"""
+      // the 30× samples ride the SAME interleaved min-of-N discipline as
+      // the 10× gate: sec is the min across passes (host contention is
+      // one-sided noise), spill and BNLJ judge the worst pass (a spill or
+      // plan flip in any pass is real even if another pass dodged it)
+      case class G(sec: Double, rows: Long, spill: Long, bnlj: Boolean)
+      def growthPass(): Map[String, G] = probes.map { name =>
+        val spill0 = spillNow()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dst30)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        name -> G(sec, rows, spillNow() - spill0,
+          plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+      }.toMap
+      val gpasses = (1 to runs).map(_ => growthPass())
+      val entries = probes.map { name =>
+        val obs = gpasses.map(_(name))
+        if (obs.exists(_.bnlj))
+          violations += s"$name: plan flipped to nested-loop/cartesian at 30x"
+        val best = obs.minBy(_.sec)
+        val maxSpill = obs.map(_.spill).max
+        val base = passes.flatMap(_.get(name)).minBy(_.sec)
+        val ratio = if (base.sec > 0) best.sec / base.sec else 0.0
+        System.err.println(f"[stress] 30x $name%-28s ${best.sec}%8.2f s  rows=${best.rows}%-8d " +
+          f"spill=${maxSpill / (1 << 20)}%5d MB  t30/t10=${ratio}%.2f")
+        s""""$name":{"sec_30x":${ms(best.sec)},"rows_30x":${best.rows},"spill_bytes_30x":$maxSpill,""" +
+          s""""sec_10x":${ms(base.sec)},"rows_10x":${base.rows},"time_ratio_30x_over_10x":${ms(ratio)}}"""
+      }
+      s""","growth":${entries.mkString("{", ",", "}")},"growth_runs":$runs"""
     } else ""
     val qs = results.map { case (n, s, r, sp, hd, b) =>
       s""""$n":{"sec":${ms(s)},"rows":$r,"spill_bytes":$sp,"heap_delta_mb":$hd,"bnlj":$b}"""

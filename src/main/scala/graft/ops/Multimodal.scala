@@ -667,9 +667,19 @@ object Multimodal {
   def fileDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = s"${SinkQueries.OutBase}/file_dedup"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    new java.io.File(base).mkdirs()
+    // stage and CLEAN on the same filesystem: the write below is plain
+    // java.nio, so the pre-delete must be too — FileSystem.get (the
+    // configured default FS) would target a different filesystem whenever
+    // fs.defaultFS is non-local, leaving stale .bmp files from a prior
+    // run to skew n_images (ADVICE r16)
+    val baseDir = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(baseDir)) {
+      val walk = java.nio.file.Files.walk(baseDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(baseDir)
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
       .filter(col("doc_id") < FileDedupCap)
       .as[Long].collect().sorted

@@ -573,26 +573,32 @@ object RelationalQueries {
     * p_partkey), a total order over the output pairs.
     *
     * Scale shape: the derived partsupp is a map-side-partial aggregate
-    * of the fact keyed by (part, supp) — evaluated ONCE PER USE (outer
-    * + decorrelated min): column pruning diverges the two subtrees, so
-    * ReuseExchange does not kick in, and two fact visits is the literal-
-    * SQL trade, the same class as Q21's three (spec Q2 reads partsupp
-    * twice too — here partsupp is itself derived). Supplier/nation/
-    * region broadcast (plan-asserted); the min join-back is an equi
-    * hash join on p_partkey; the top-100 rides TakeOrderedAndProject,
-    * never a global sort. */
+    * of the fact keyed by (part, supp), materialized ONCE by an eager
+    * serialized local checkpoint (r16 verdict #6 — the setsimJoin `sets`
+    * precedent): as a plain CTE it was evaluated once per use (outer +
+    * decorrelated min) because column pruning diverges the two subtrees
+    * and ReuseExchange never kicks in — two fact scans for one query.
+    * The checkpoint pins the aggregate (≈|part×supp| rows, far smaller
+    * than the fact) in evictable executor-local blocks and both uses
+    * read it; spec Q2 reads the MATERIALIZED partsupp twice too, so the
+    * literal correlated SQL — and the decorrelation rung under test —
+    * is unchanged. Supplier/nation/region broadcast (plan-asserted);
+    * the min join-back is an equi hash join on p_partkey; the top-100
+    * rides TakeOrderedAndProject, never a global sort. */
   def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    lineitem(spark, dir).createOrReplaceTempView("graft_q2_lineitem")
     part(spark, dir).createOrReplaceTempView("graft_q2_part")
     supplier(spark, dir).createOrReplaceTempView("graft_q2_supplier")
     nation(spark, dir).createOrReplaceTempView("graft_q2_nation")
     region(spark, dir).createOrReplaceTempView("graft_q2_region")
+    lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("ps_cost_cents"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .createOrReplaceTempView("graft_q2_ps")
     spark.sql(
-      """WITH ps AS (
-        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-        |         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-        |           AS ps_cost_cents
-        |  FROM graft_q2_lineitem GROUP BY 1, 2)
+      """WITH ps AS (SELECT * FROM graft_q2_ps)
         |SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
         |       s_name, n_name, p_partkey, p_brand, ps_cost_cents
         |FROM graft_q2_part, ps, graft_q2_supplier, graft_q2_nation,
@@ -1638,13 +1644,21 @@ object RelationalQueries {
     * and AlgoEquivalenceSpec pins this device against the definitional
     * per-group window ([[winsorizeWindowed]]). */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    // group key packed to the device's single STRING g; '|' never occurs
-    // in the flag/status domains, so the packing is injective
+    // group key packed to the device's single STRING g. NULL-safe and
+    // injective: each part gets a presence marker ('#'+value, or '∅' for
+    // NULL — which cannot collide with a literal "∅" value, that packs as
+    // "#∅"), because concat_ws alone silently DROPS null parts and would
+    // collide a NULL flag with its absence while the final groupBy still
+    // splits them (ADVICE r16); '|' never occurs in the flag/status
+    // domains, so the separator stays unambiguous
+    def packed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.isNull, lit("∅")).otherwise(concat(lit("#"), c))
     val keyed = lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_orderkey"), col("l_linenumber"),
         expr("CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)").as("micros"),
-        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("g"))
+        concat_ws("|", packed(col("l_returnflag")),
+          packed(col("l_linestatus"))).as("g"))
     val dev = groupedCumWeight(
       keyed.select(col("g"), col("micros").as("v"), lit(1L).as("w"),
         col("l_orderkey").as("tb1"), col("l_linenumber").cast("long").as("tb2")),
@@ -1689,7 +1703,14 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(min(when(col("rk") === expr("(n + 19) DIV 20"), col("micros"))).as("lo"),
         max(when(col("rk") === expr("(19 * n + 19) DIV 20"), col("micros"))).as("hi"))
-    base.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
+      .withColumnRenamed("l_returnflag", "bf").withColumnRenamed("l_linestatus", "bs")
+    // join-back is NULL-SAFE (<=>): a NULL group key is a legitimate
+    // window partition, and the device form's null-marked packing keeps
+    // it — plain equality here would silently drop the group and the two
+    // forms would diverge exactly on the ADVICE r16 null edge
+    base.join(broadcast(bounds),
+        col("l_returnflag") <=> col("bf") && col("l_linestatus") <=> col("bs"))
+      .drop("bf", "bs")
       .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("micros"))))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),

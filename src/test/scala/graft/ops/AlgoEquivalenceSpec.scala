@@ -60,6 +60,56 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(model.exists { case (a, b, j) => j < 1.0 && j >= 0.7 })
   }
 
+  test("containmentJoin equals brute force incl. an exactly-at-threshold pair (positional-bound losslessness)") {
+    import spark.implicits._
+    // t1..t12 / the same minus the last token: 10 trigrams each sharing
+    // exactly 9 → containment 0.9 BOTH ways — the boundary the positional
+    // filter must admit (overlap == ceil(t·sz_a) with zero slack)
+    val twelve = (1 to 12).map(i => s"t$i").mkString(" ")
+    val eleven = (1 to 11).map(i => s"t$i").mkString(" ") + " xx"
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight", // exact dup of 1
+      3L -> "quick brown fox jumps over",     // strict sub-span of 1: 3→1 at 1.0, 1→3 below t
+      4L -> twelve,                           // exactly-at-threshold pair with 5
+      5L -> eleven,
+      6L -> "one two",                        // < 3 tokens: excluded
+      7L -> "",                               // empty: excluded
+      8L -> "the quick brown cat naps under the lazy dog tonight", // shares grams, below t
+      9L -> "pad pad pad pad pad",            // repeated token: 1 distinct gram
+      10L -> "pad pad pad pad pad pad pad")   // superset by repetition: 9↔10 both 1.0
+    val dir = fixtureDir("containment_equiv")
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def grams(t: String): Set[String] = {
+      val l = t.split(" ").filter(_.nonEmpty)
+      if (l.length < 3) Set.empty
+      else l.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val model = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts
+      if ia != ib
+      ga = grams(ta); gb = grams(tb)
+      if ga.nonEmpty && gb.nonEmpty
+      c = BigDecimal((ga & gb).size.toDouble / ga.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.9
+    } yield (ia, ib, c)).toSet
+
+    val got = TextQueries.containmentJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == model, s"got=$got model=$model")
+    // the fixture must actually exercise the interesting cases
+    assert(model.contains((3L, 1L, 1.0)) && !model.exists(p => p._1 == 1L && p._2 == 3L),
+      "asymmetry case missing")
+    assert(model.contains((4L, 5L, 0.9)) && model.contains((5L, 4L, 0.9)),
+      "exactly-at-threshold pair missing — the positional bound's zero-slack edge")
+    assert(grams(texts(7)._2).intersect(grams(texts(0)._2)).nonEmpty &&
+      !model.exists(p => p._1 == 8L), "below-threshold gram-sharing case missing")
+  }
+
   test("skyline equals pairwise dominance on ties, duplicates, and single points") {
     import spark.implicits._
     // (flag, price, qty): equal-price columns, equal-qty rows, exact dups,
@@ -712,16 +762,20 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(device.nonEmpty, "fixture must produce groups")
   }
 
-  test("winsorize device handles tiny groups where both rank targets hit one row") {
+  test("winsorize device handles tiny groups where both rank targets hit one row, incl. a NULL group") {
     // 1-row and 2-row groups: ceil(n/20) == ceil(19n/20) == 1 (or 2), so
     // ONE row must satisfy both picks and lo == hi == that value; a
-    // per-row emission defect (two rows, or min/max crossing) breaks this
+    // per-row emission defect (two rows, or min/max crossing) breaks this.
+    // The NULL-flag group pins the null-marked key packing (ADVICE r16):
+    // concat_ws alone would collide (NULL,"O") into "O"'s packed key in
+    // the device while the final groupBy still splits them
     import spark.implicits._
     val dir = fixtureDir("winsor_tiny")
     Seq(
-      (1L, 1, 7.00, "A", "F"),
-      (2L, 1, 3.00, "N", "O"),
-      (3L, 2, 9.00, "N", "O"))
+      (1L, 1, 7.00, Option("A"), Option("F")),
+      (2L, 1, 3.00, Option("N"), Option("O")),
+      (3L, 2, 9.00, Option("N"), Option("O")),
+      (4L, 1, 5.00, Option.empty[String], Option("O")))
       .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_linestatus")
       .withColumn("l_quantity", org.apache.spark.sql.functions.lit(1.0))
       .withColumn("l_discount", org.apache.spark.sql.functions.lit(0.0))
@@ -731,16 +785,21 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       .withColumn("l_partkey", org.apache.spark.sql.functions.lit(1L))
       .withColumn("l_suppkey", org.apache.spark.sql.functions.lit(1L))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val got = RelationalQueries.winsorize(spark, dir).collect().map(r =>
-      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
+    val got = rows(RelationalQueries.winsorize(spark, dir))
     // group (A,F): n=1, BOTH rank targets are 1 → one row satisfies both
     // picks, lo=hi=7e6, nothing clipped; group (N,O): n=2, targets are
-    // ranks 1 and 2 → lo=3e6, hi=9e6, nothing clipped
+    // ranks 1 and 2 → lo=3e6, hi=9e6, nothing clipped; group (NULL,O):
+    // n=1, its own bounds — NOT merged into (N,O) or dropped
     val want = Set(
-      ("A", "F", 1L, 7000000L, 0L, 0L),
-      ("N", "O", 2L, 12000000L, 0L, 0L))
+      (Option("A"), "F", 1L, 7000000L, 0L, 0L),
+      (Option("N"), "O", 2L, 12000000L, 0L, 0L),
+      (Option.empty[String], "O", 1L, 5000000L, 0L, 0L))
     assert(got == want, s"got=$got")
+    // and the definitional window form (null-safe join-back) agrees
+    assert(rows(RelationalQueries.winsorizeWindowed(spark, dir)) == want)
   }
 
   test("groupedCumWeight matches the sequential reference on seeded random corpora") {

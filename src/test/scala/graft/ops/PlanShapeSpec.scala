@@ -778,6 +778,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // expression survives into the physical tree — it decorrelated into
     // the per-part aggregate joined back on p_partkey
     assert(!p.toLowerCase.contains("subquery"), p.take(3000))
+    // single fact visit (r16 verdict #6): the derived partsupp is an
+    // eager checkpoint, so BOTH uses read the RDD boundary and the query
+    // plan scans lineitem zero times — the one scan happened in the
+    // checkpoint job
+    assert(p.contains("Scan ExistingRDD"),
+      s"checkpointed partsupp boundary missing:\n${p.take(3000)}")
+    assert(!p.contains("lineitem"),
+      s"lineitem re-scanned — the single-visit checkpoint regressed:\n${p.take(3000)}")
   }
 
   test("TPC-H Q19: disjunctive predicate factors into a hash join with an OR residual; partial disjunctions push to both scans") {
@@ -803,14 +811,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val qe = SparkEntry.queries("q_tpch_q16")(spark, dir).queryExecution
     qe.executedPlan
     val p = qe.executedPlan.toString
-    // the printed form is `BroadcastHashJoin [keys], [keys], LeftAnti,
-    // BuildRight, true` — the trailing boolean IS isNullAware; a plain
-    // anti join here would silently change NOT IN's three-valued
-    // semantics, and a non-broadcast plan would be the banned BNLJ
-    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
-    assert(anti.nonEmpty, s"anti join missing:\n${p.take(3000)}")
-    assert(anti.exists(l => l.contains("BroadcastHashJoin") && l.trim.endsWith("true")),
-      s"NOT IN did not plan null-aware:\n${anti.mkString("\n")}")
+    // read isNullAwareAntiJoin STRUCTURALLY off the exec node (ADVICE
+    // r16: the printed line's trailing token flips on any Spark version
+    // that appends another positional field) — a plain anti join here
+    // would silently change NOT IN's three-valued semantics, and a
+    // non-broadcast plan would be the banned BNLJ
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it, so
+    // unwrap to the current physical plan first
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val anti = root.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+    }
+    assert(anti.nonEmpty, s"broadcast anti join missing:\n${p.take(3000)}")
+    assert(anti.exists(_.isNullAwareAntiJoin),
+      s"NOT IN did not plan null-aware:\n${anti.map(_.verboseString(2)).mkString("\n")}")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
   }
