@@ -9,14 +9,18 @@ object Bench {
     * Round 11: q_mm_features left the set (its plan changed — real codec
     * decode replaced the stub) for q_union_all_counts (flattest candidate,
     * r10/canary vs r07 anchor ratio 1.00), and CanaryRefSec re-anchored to
-    * the same BENCH_LOCAL_r07.json sum over the new membership. */
+    * the same BENCH_LOCAL_r07.json sum over the new membership.
+    * Round 17: q_cube left the set (its plan changed — the ANSI
+    * empty-input grand-total guard added a count pass + union) for
+    * q_sort_limit (flattest candidate, r16-official/canary vs r07 anchor
+    * ratio 0.97); same re-anchoring method. */
   val Canaries: Seq[String] = Seq(
     "q_hapax", "q_union_all_counts", "q_quality_score", "q_date_ops",
     "q_j1_broadcast_agg", "q_j4_anti_join", "q_sim_topk", "q_khop",
-    "q_lang_id", "q_cube")
+    "q_lang_id", "q_sort_limit")
   /** Summed canary seconds at the round-7 quiet-host min-of-3 anchor
     * (BENCH_LOCAL_r07.json). */
-  val CanaryRefSec: Double = 3.136
+  val CanaryRefSec: Double = 2.872
   /** IO-lane drift canaries (r16 verdict #5): the CPU-bound canary set is
     * blind to DISK contention — the documented cause of four rounds of
     * write-heavy false flags (q_version_diff r10-r13, q_bucketed_join
@@ -28,9 +32,12 @@ object Bench {
     * re-anchoring IoCanaryRefSec. */
   val IoCanaries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_materialize", "q_version_diff")
-  /** Summed IO-canary seconds at the round-17 quiet-host min-of-3 anchor
-    * (BASELINE.md, IO canary section). */
-  val IoCanaryRefSec: Double = 3.428
+  /** Summed IO-canary seconds at the round-17 anchor: per-query minima
+    * over two interleaved 3-pass runs, taken at CPU-canary ratio
+    * 1.42-1.46 (BASELINE.md, IO canary section — on a quieter host the
+    * ratio reads below 1; the lane exists to catch ratios well above the
+    * same run's CPU ratio, which is the disk-contention signature). */
+  val IoCanaryRefSec: Double = 3.558
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

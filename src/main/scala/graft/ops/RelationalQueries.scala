@@ -776,19 +776,36 @@ object RelationalQueries {
       .distinct()
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** ANSI empty-input guard for the grouping-sets family: ROLLUP/CUBE
+    * over zero rows still emit the grand-total `()` grouping set (one
+    * all-NULL row with count 0 — DuckDB does), while Spark's Expand
+    * lowering emits nothing. The guard restores the row with one
+    * count-only pass that resolves to a single driver row — the
+    * k_generalize precedent (ADVICE r15 #1), promoted to the raw
+    * rollup/cube queries by the r17 empty-corpus oracle sweep, which
+    * caught exactly these two as the only row-count divergences. */
+  private def grandTotalGuard(base: DataFrame): DataFrame =
+    base.groupBy().agg(count(lit(1)).as("n")).filter(col("n") === 0)
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), lit(0L).as("cnt"))
+
   /** Rollup (§2.4 note: grouping-sets family). */
-  def rollupQ(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
+  def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(spark, dir)
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"))
+      .unionByName(grandTotalGuard(base))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** Cube. */
-  def cubeQ(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
+  def cubeQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(spark, dir)
+    base.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"))
+      .unionByName(grandTotalGuard(base))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** Explicit GROUPING SETS — the general member of the grouping-sets
     * family (§2.4 note): two independent single-dimension sets, a shape

@@ -61,6 +61,20 @@ class EmptyCorpusSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("q_rollup / q_cube emit the ANSI grand-total grouping set on empty input") {
+    // ANSI ROLLUP/CUBE over zero rows still emit the () grouping set —
+    // one all-NULL row with count 0 (the DuckDB oracle does); Spark's
+    // Expand lowering emits nothing, so the guard must restore it. Found
+    // by the r17 empty-corpus oracle sweep (the only two divergences in
+    // 311), same class as matryoshka r14 / k_generalize r15.
+    Seq("q_rollup", "q_cube").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.length == 1, s"$q: expected the grand-total row, got ${rows.length}")
+      val r = rows.head
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L, s"$q: ${r.toString}")
+    }
+  }
+
   test("every registered query runs on an all-empty corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); None }
