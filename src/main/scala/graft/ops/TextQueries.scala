@@ -2088,13 +2088,19 @@ object TextQueries {
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     // ONE ranked relation feeds both the probe prefixes (a filter of it)
-    // and the full inverted index — the two subtrees share every stage up
-    // to the rank window, so ReuseExchange folds the expensive part
+    // and the full inverted index. It is the expensive part of the
+    // positional device — a gram-keyed join plus a per-doc rank sort over
+    // the FULL exploded corpus — so it is eagerly checkpointed like
+    // `sets`: computed once, read by both self-join sides from serialized
+    // evictable blocks (without this the two subtrees each rebuild it —
+    // measured 2× the window sorts at the 30× stress point)
     val ranked = sets
       .select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
       .join(freq, "s")
       .withColumn("rn", row_number().over(byDoc))
       .select(col("s"), col("doc_id"), col("sz"), col("rn"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val prefixes = ranked
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("s"), col("doc_id").as("a_id"),
