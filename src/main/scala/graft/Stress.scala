@@ -223,9 +223,15 @@ object Stress {
       // the 30× samples ride the SAME interleaved min-of-N discipline as
       // the 10× gate: sec is the min across passes (host contention is
       // one-sided noise), spill and BNLJ judge the worst pass (a spill or
-      // plan flip in any pass is real even if another pass dodged it)
+      // plan flip in any pass is real even if another pass dodged it).
+      // Passes alternate probe ORDER (forward, reversed, …): a probe that
+      // always runs right after the suite's big spiller inherits its disk
+      // churn in every sample — measured r17: containment 54.8 s when
+      // always after knn's 13 GB spill vs 31.4 s in a dedicated JVM — so
+      // the min over alternating orders gets each probe at least one
+      // sample with a different predecessor
       case class G(sec: Double, rows: Long, spill: Long, bnlj: Boolean)
-      def growthPass(): Map[String, G] = probes.map { name =>
+      def growthPass(order: Seq[String]): Map[String, G] = order.map { name =>
         val spill0 = spillNow()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dst30)
@@ -235,7 +241,8 @@ object Stress {
         name -> G(sec, rows, spillNow() - spill0,
           plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
       }.toMap
-      val gpasses = (1 to runs).map(_ => growthPass())
+      val gpasses = (1 to runs).map(i =>
+        growthPass(if (i % 2 == 1) probes else probes.reverse))
       val entries = probes.map { name =>
         val obs = gpasses.map(_(name))
         if (obs.exists(_.bnlj))
