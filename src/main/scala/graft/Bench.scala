@@ -33,11 +33,11 @@ object Bench {
   val IoCanaries: Seq[String] = Seq(
     "q_csv_roundtrip", "q_materialize", "q_version_diff")
   /** Summed IO-canary seconds at the round-17 anchor: per-query minima
-    * over two interleaved 3-pass runs, taken at CPU-canary ratio
-    * 1.42-1.46 (BASELINE.md, IO canary section — on a quieter host the
-    * ratio reads below 1; the lane exists to catch ratios well above the
-    * same run's CPU ratio, which is the disk-contention signature). */
-  val IoCanaryRefSec: Double = 3.558
+    * over the two r17 closing full runs (CPU-canary 1.184/1.250, the
+    * quietest states measured that round; BASELINE.md, IO canary
+    * section). The lane exists to catch ratios well above the same
+    * run's CPU ratio — the disk-contention signature. */
+  val IoCanaryRefSec: Double = 2.751
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
