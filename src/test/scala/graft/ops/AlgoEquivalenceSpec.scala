@@ -829,6 +829,113 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  /** Seeded mutation corpus for the similarity-join equivalence sweeps:
+    * base docs drawn from a small vocab, plus structured variants (exact
+    * copy, drop-first/last token, replace a middle token, append a few) —
+    * the edits land trigram overlap in every band around the thresholds,
+    * including exact 1.0 and just-at/just-below boundary pairs that a
+    * hand fixture only pins at one size. */
+  private def mutationCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 15).map(i => s"w$i")
+    def draw(n: Int): Vector[String] = Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    val bases = (0 until 8).map(_ => draw(8 + rnd.nextInt(17)))
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    bases.zipWithIndex.foreach { case (b, i) =>
+      docs += b
+      // base 0 always gets the exact-dup and drop-last variants, base 1
+      // the middle-replace — so every seed exercises c==1.0, a
+      // near-threshold drop, and a mid-band edit; the rest are random
+      val variants = Seq[Vector[String] => Vector[String]](
+        identity,
+        v => v.dropRight(1),
+        v => v.drop(1),
+        v => if (v.length < 3) v else v.updated(v.length / 2, vocab(rnd.nextInt(vocab.length))),
+        v => v ++ draw(1 + rnd.nextInt(3)))
+      val picks =
+        if (i == 0) Seq(variants(0), variants(1))
+        else if (i == 1) Seq(variants(3))
+        else Seq(variants(rnd.nextInt(variants.length)))
+      picks.foreach(f => docs += f(b))
+    }
+    docs += Vector("one", "two")      // < 3 tokens: excluded
+    docs += Vector.empty              // empty: excluded
+    docs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t.mkString(" ")) }.toSeq
+  }
+
+  private def trigrams(t: String): Set[String] = {
+    val l = t.split(" ").filter(_.nonEmpty)
+    if (l.length < 3) Set.empty else l.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private def writeDocs(dir: String, texts: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("setsimJoin equals brute force on seeded mutation corpora at two thresholds") {
+    // the r16/r17 positional-filter work touched exactly this candidate
+    // stage; the hand fixture pins one boundary size — this sweeps random
+    // sizes and edit kinds at the default threshold and a second one with
+    // a different ceil band (both verified float-ceil == rational-ceil
+    // for every sz, so the candidate filters stay provably lossless)
+    for (seed <- Seq(1, 7, 42); t <- Seq(0.7, 0.5)) {
+      val texts = mutationCorpus(seed)
+      val dir = fixtureDir(s"setsim_rand_$seed")
+      writeDocs(dir, texts)
+      val model = (for {
+        (ia, ta) <- texts; (ib, tb) <- texts
+        if ia < ib
+        ga = trigrams(ta); gb = trigrams(tb)
+        if ga.nonEmpty && gb.nonEmpty
+        inter = (ga & gb).size
+        j = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (ia, ib, j)).toSet
+      val got = TextQueries.setsimJoin(spark, dir, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == model, s"seed=$seed t=$t missing=${model -- got} extra=${got -- model}")
+      if (t == 0.7) {
+        assert(model.exists(_._3 == 1.0), s"seed=$seed: no exact-dup pair")
+        assert(model.exists(p => p._3 < 1.0), s"seed=$seed: no near-dup pair")
+      }
+    }
+  }
+
+  test("containmentJoin equals brute force on seeded mutation corpora at two thresholds") {
+    for (seed <- Seq(1, 7, 42); t <- Seq(0.9, 0.75)) {
+      val texts = mutationCorpus(seed)
+      val dir = fixtureDir(s"contain_rand_$seed")
+      writeDocs(dir, texts)
+      val model = (for {
+        (ia, ta) <- texts; (ib, tb) <- texts
+        if ia != ib
+        ga = trigrams(ta); gb = trigrams(tb)
+        if ga.nonEmpty && gb.nonEmpty
+        c = BigDecimal((ga & gb).size.toDouble / ga.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= t
+      } yield (ia, ib, c)).toSet
+      val got = TextQueries.containmentJoin(spark, dir, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == model, s"seed=$seed t=$t missing=${model -- got} extra=${got -- model}")
+      if (t == 0.9) {
+        // asymmetric near-dups must appear: sub→base at 1.0 while the
+        // reverse direction sits strictly below 1.0
+        assert(model.exists(_._3 == 1.0), s"seed=$seed: no full-containment pair")
+        assert(model.exists(p => p._3 < 1.0), s"seed=$seed: no partial pair")
+        assert(texts.exists { case (ia, ta) => texts.exists { case (ib, tb) =>
+          val ga = trigrams(ta); val gb = trigrams(tb)
+          ia != ib && ga.nonEmpty && gb.nonEmpty &&
+            (ga & gb) == ga && (ga & gb) != gb
+        }}, s"seed=$seed: no strictly-asymmetric subset pair")
+      }
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
