@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Partition-invariance audit: every registered batch query must produce
+  * value-identical output under different shuffle widths.
+  *
+  * Why this is a SCALE gate, not a style check: the correctness gate
+  * (Verify + DuckDB) always runs at one width (`spark.sql.shuffle.
+  * partitions` = 32), and the spec suite at another fixed width (4) — but
+  * on a 1000-executor deployment the width is whatever the cluster is
+  * sized to, and AQE re-plans it at runtime. Any result that depends on
+  * the partitioning — a float sum whose value shifts with reduction
+  * order, a row_number tie broken by partition layout, a sample keyed on
+  * partition id — is a latent wrong-answer at exactly the scale this
+  * engine targets. The repo's design answer is integer/micros arithmetic
+  * and value-keyed (md5/xxhash) ordering everywhere; this main audits
+  * that contract across the whole inventory instead of trusting it.
+  *
+  * Method: run each query twice in one session — width A (32, the
+  * verify width) and width B (13, odd and coprime to every input file
+  * count, so hash bucketing, range-exchange widths via [[ops.Par
+  * .rangeWidth]], and AQE coalescing all differ) — canonicalize each
+  * result to its multiset of row strings (the driver's DuckDB compare is
+  * order-insensitive the same way; ties under an ORDER BY may permute
+  * across widths without being a defect), and require exact equality.
+  *
+  * Streaming queries are excluded: their determinism is pinned by the
+  * oracle gate, and re-running the bounded engines under a second width
+  * would dominate the sweep's cost for a family whose state stores are
+  * keyed, not partition-ordered. Everything else — sinks, JDBC, media —
+  * runs both passes.
+  *
+  * Emits one JSON artifact (DETERMINISM_r{N}.json shape):
+  * {n, pass, fail, widths, corpus, failures:[{name, rows_a, rows_b,
+  * example_only_a, example_only_b}]}.
+  */
+object DeterminismCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "/root/repo/DETERMINISM.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val widths = Seq(32, 13)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", widths.head.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val batch = SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
+      .toSeq.sortBy(_._1)
+
+    def canon(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, (String, Seq[String])] =
+      try {
+        val df = fn(spark, sfDir)
+        val schema = df.schema.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+        Right((schema, df.collect().map(_.toString).sorted.toSeq))
+      } catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    case class Fail(name: String, detail: String)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[Fail]
+    var done = 0
+    batch.foreach { case (name, fn) =>
+      val results = widths.map { w =>
+        spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+        canon(name, fn)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", widths.head.toString)
+      (results.head, results(1)) match {
+        case (Left(e), _) => failures += Fail(name, s"width ${widths.head} failed: $e")
+        case (_, Left(e)) => failures += Fail(name, s"width ${widths(1)} failed: $e")
+        case (Right((sa, ra)), Right((sb, rb))) =>
+          if (sa != sb) failures += Fail(name, s"schema differs: [$sa] vs [$sb]")
+          else if (ra != rb) {
+            val onlyA = ra.diff(rb).take(2)
+            val onlyB = rb.diff(ra).take(2)
+            failures += Fail(name,
+              s"rows differ (${ra.size} vs ${rb.size}); only@${widths.head}=$onlyA only@${widths(1)}=$onlyB")
+          }
+      }
+      done += 1
+      if (done % 25 == 0) System.err.println(s"[determinism] $done/${batch.size}")
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failJson = failures.map(f => s"""{"name":${q(f.name)},"detail":${q(f.detail)}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"corpus":${q(sfDir)},"widths":[${widths.mkString(",")}],""" +
+      s""""method":"per-query multiset-of-rows equality across shuffle widths (streams excluded: oracle-pinned)",""" +
+      s""""n":${batch.size},"pass":${batch.size - failures.size},"fail":${failures.size},""" +
+      s""""failures":$failJson}"""
+    Files.writeString(Paths.get(out), json)
+    println(json)
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
