@@ -63,8 +63,21 @@ object DeterminismCheck {
         Right((schema, df.collect().map(_.toString).sorted.toSeq))
       } catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+    // per-query digest of the canonical result, carried in the artifact so
+    // two runs in DIFFERENT JVMs (e.g. SPARK_GRAFT_CPUS=32 vs 7 — core
+    // count drives defaultParallelism, and with it Par.fanOut widths and
+    // every mapPartitions split) can be diffed for the cross-core axis the
+    // in-JVM width flip can't reach
+    def digest(schema: String, rows: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(schema.getBytes("UTF-8"))
+      rows.foreach(r => md.update(r.getBytes("UTF-8")))
+      md.digest().take(12).map(b => f"$b%02x").mkString
+    }
+
     case class Fail(name: String, detail: String)
     val failures = scala.collection.mutable.ArrayBuffer.empty[Fail]
+    val digests = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
     batch.foreach { case (name, fn) =>
       val results = widths.map { w =>
@@ -82,7 +95,7 @@ object DeterminismCheck {
             val onlyB = rb.diff(ra).take(2)
             failures += Fail(name,
               s"rows differ (${ra.size} vs ${rb.size}); only@${widths.head}=$onlyA only@${widths(1)}=$onlyB")
-          }
+          } else digests(name) = digest(sa, ra)
       }
       done += 1
       if (done % 25 == 0) System.err.println(s"[determinism] $done/${batch.size}")
@@ -96,11 +109,12 @@ object DeterminismCheck {
     } + "\""
     val failJson = failures.map(f => s"""{"name":${q(f.name)},"detail":${q(f.detail)}}""")
       .mkString("[", ",", "]")
+    val digJson = digests.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"corpus":${q(sfDir)},"widths":[${widths.mkString(",")}],""" +
-      s""""method":"per-query multiset-of-rows equality across shuffle widths (streams excluded: oracle-pinned)",""" +
+      s"""{"corpus":${q(sfDir)},"widths":[${widths.mkString(",")}],"cpus":$cpus,""" +
+      s""""method":"per-query multiset-of-rows equality across shuffle widths (streams excluded: oracle-pinned); digests diffable across SPARK_GRAFT_CPUS runs",""" +
       s""""n":${batch.size},"pass":${batch.size - failures.size},"fail":${failures.size},""" +
-      s""""failures":$failJson}"""
+      s""""failures":$failJson,"digests":$digJson}"""
     Files.writeString(Paths.get(out), json)
     println(json)
     spark.stop()
