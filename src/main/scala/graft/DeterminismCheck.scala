@@ -26,11 +26,14 @@ import java.nio.file.{Files, Paths}
   * order-insensitive the same way; ties under an ORDER BY may permute
   * across widths without being a defect), and require exact equality.
   *
-  * Streaming queries are excluded: their determinism is pinned by the
-  * oracle gate, and re-running the bounded engines under a second width
-  * would dominate the sweep's cost for a family whose state stores are
-  * keyed, not partition-ordered. Everything else — sinks, JDBC, media —
-  * runs both passes.
+  * Streaming queries run the same two-pass audit on THEIR width knob:
+  * `runBounded` pins the state-store exchange to
+  * `graft.stream.statePartitions` (the session shuffle width is restored
+  * around every stream start), and each run gets a fresh sink name and
+  * checkpoint, so passes at 4 vs 7 state partitions genuinely re-shard
+  * the stateful operators instead of replaying a checkpoint that pinned
+  * the old width. Everything else — sinks, JDBC, media — runs both
+  * passes on the SQL shuffle width.
   *
   * Emits one JSON artifact (DETERMINISM_r{N}.json shape):
   * {n, pass, fail, widths, corpus, failures:[{name, rows_a, rows_b,
@@ -52,8 +55,8 @@ object DeterminismCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val batch = SparkEntry.queries.filterNot(_._1.startsWith("q_stream_"))
-      .toSeq.sortBy(_._1)
+    val streamWidths = Seq(4, 7)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
 
     def canon(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, (String, Seq[String])] =
@@ -79,26 +82,30 @@ object DeterminismCheck {
     val failures = scala.collection.mutable.ArrayBuffer.empty[Fail]
     val digests = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var done = 0
-    batch.foreach { case (name, fn) =>
-      val results = widths.map { w =>
-        spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    all.foreach { case (name, fn) =>
+      val stream = name.startsWith("q_stream_")
+      val ws = if (stream) streamWidths else widths
+      val knob = if (stream) "graft.stream.statePartitions"
+                 else "spark.sql.shuffle.partitions"
+      val results = ws.map { w =>
+        spark.conf.set(knob, w.toString)
         canon(name, fn)
       }
-      spark.conf.set("spark.sql.shuffle.partitions", widths.head.toString)
+      spark.conf.set(knob, ws.head.toString)
       (results.head, results(1)) match {
-        case (Left(e), _) => failures += Fail(name, s"width ${widths.head} failed: $e")
-        case (_, Left(e)) => failures += Fail(name, s"width ${widths(1)} failed: $e")
+        case (Left(e), _) => failures += Fail(name, s"width ${ws.head} failed: $e")
+        case (_, Left(e)) => failures += Fail(name, s"width ${ws(1)} failed: $e")
         case (Right((sa, ra)), Right((sb, rb))) =>
           if (sa != sb) failures += Fail(name, s"schema differs: [$sa] vs [$sb]")
           else if (ra != rb) {
             val onlyA = ra.diff(rb).take(2)
             val onlyB = rb.diff(ra).take(2)
             failures += Fail(name,
-              s"rows differ (${ra.size} vs ${rb.size}); only@${widths.head}=$onlyA only@${widths(1)}=$onlyB")
+              s"rows differ (${ra.size} vs ${rb.size}); only@${ws.head}=$onlyA only@${ws(1)}=$onlyB")
           } else digests(name) = digest(sa, ra)
       }
       done += 1
-      if (done % 25 == 0) System.err.println(s"[determinism] $done/${batch.size}")
+      if (done % 25 == 0) System.err.println(s"[determinism] $done/${all.size}")
     }
 
     def q(s: String): String = "\"" + s.flatMap {
@@ -111,9 +118,9 @@ object DeterminismCheck {
       .mkString("[", ",", "]")
     val digJson = digests.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"corpus":${q(sfDir)},"widths":[${widths.mkString(",")}],"cpus":$cpus,""" +
-      s""""method":"per-query multiset-of-rows equality across shuffle widths (streams excluded: oracle-pinned); digests diffable across SPARK_GRAFT_CPUS runs",""" +
-      s""""n":${batch.size},"pass":${batch.size - failures.size},"fail":${failures.size},""" +
+      s"""{"corpus":${q(sfDir)},"widths":[${widths.mkString(",")}],"stream_widths":[${streamWidths.mkString(",")}],"cpus":$cpus,""" +
+      s""""method":"per-query multiset-of-rows equality across shuffle widths (streams: graft.stream.statePartitions, fresh checkpoints); digests diffable across SPARK_GRAFT_CPUS runs",""" +
+      s""""n":${all.size},"pass":${all.size - failures.size},"fail":${failures.size},""" +
       s""""failures":$failJson,"digests":$digJson}"""
     Files.writeString(Paths.get(out), json)
     println(json)
