@@ -645,14 +645,22 @@ object SpatialJoin {
       // same polygon is probed by every left row in the partition, which
       // is PreparedGeometryFactory's designed use case (~3x on intersects)
       val tree = new STRtree()
+      // null geometry ⇒ the join predicate is NULL ⇒ no match (the rule
+      // every sibling form applies: gridIntersects/gridDWithin drop the
+      // row at the envelope, broadcastKnn filters both sides) — skip, on
+      // BOTH sides, instead of NPE-ing the stage on the WKB parse
       bRight.value.foreach { case (wkb, values) =>
-        val g = Geom.fromWkb(wkb)
-        val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
-        tree.insert(g.getEnvelopeInternal, (prepared, values))
+        if (wkb != null) {
+          val g = Geom.fromWkb(wkb)
+          val prepared = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+          tree.insert(g.getEnvelopeInternal, (prepared, values))
+        }
       }
       tree.build()
       it.flatMap { lrow =>
-        val lg = Geom.fromWkb(lrow.getAs[Array[Byte]](leftGeomIdx))
+        val lwkb = lrow.getAs[Array[Byte]](leftGeomIdx)
+        if (lwkb == null) Iterator.empty else {
+        val lg = Geom.fromWkb(lwkb)
         val qEnv = new org.locationtech.jts.geom.Envelope(lg.getEnvelopeInternal)
         distance.foreach(qEnv.expandBy)
         tree.query(qEnv).asScala.iterator
@@ -666,6 +674,7 @@ object SpatialJoin {
             }
           }
           .map { case (_, rvals) => projectRow(picks, lrow, rvals) }
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -936,6 +936,66 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("gridIntersects/gridDWithin equal the broadcast R-tree forms on seeded random geometries") {
+    // the grid forms carry the two devices a broadcast join doesn't need —
+    // the cell cover and the reference-point dedup — so they are the forms
+    // that can silently drop or duplicate a pair. This sweeps seeded random
+    // mixes (points, axis-aligned boxes, buffered polygons, a fat
+    // multi-cell rectangle, exact duplicates, a NULL geometry) across cell
+    // sizes smaller/comparable/larger than the geometry extents, with
+    // NEGATIVE coordinates (floor at negative cells) and integer envelope
+    // corners landing exactly on cell boundaries (the floor boundary), and
+    // requires pair-set equality with the R-tree broadcast forms.
+    import org.apache.spark.sql.functions._
+    import graft.functions.{st_buffer, st_makeenvelope, st_point}
+    import spark.implicits._
+    def geoms(seed: Int, prefix: String): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      def c(): Double = rnd.nextDouble() * 140 - 40          // spans negatives
+      def ci(): Double = (rnd.nextInt(29) - 8) * 5.0         // cell-aligned ints
+      val pts = (0 until 12).map(i => (i.toLong, "pt", c(), c(), 0.0))
+      val boxes = (12 until 22).map(i => (i.toLong, "box", c(), c(), 1.0 + rnd.nextDouble() * 9))
+      val aligned = (22 until 26).map(i => (i.toLong, "box", ci(), ci(), 5.0)) // corners on cell edges
+      val polys = (26 until 32).map(i => (i.toLong, "poly", c(), c(), 0.5 + rnd.nextDouble() * 4))
+      val fat = Seq((32L, "box", -20.0, -15.0, 55.0))        // spans many 5-unit cells
+      val dup = pts.take(2).map { case (id, k, x, y, s) => (id + 100, k, x, y, s) }
+      val base = (pts ++ boxes ++ aligned ++ polys ++ fat ++ dup)
+        .toDF("id", "kind", "x", "y", "s")
+        .select(col("id").as(s"${prefix}_id"),
+          when(col("kind") === "pt", st_point(col("x"), col("y")))
+            .when(col("kind") === "box",
+              st_makeenvelope(col("x"), col("y"), col("x") + col("s"), col("y") + col("s")))
+            .otherwise(st_buffer(st_point(col("x"), col("y")), col("s")))
+            .as(s"${prefix}_geom"))
+      val nullRow = Seq(999L).toDF(s"${prefix}_id")
+        .select(col(s"${prefix}_id"), lit(null).cast("binary").as(s"${prefix}_geom"))
+      base.unionByName(nullRow)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (seed <- Seq(3, 11)) {
+      val l = geoms(seed, "l")
+      val r = geoms(seed + 50, "r")
+      val want = pairs(SpatialJoin.broadcastIntersects(l, r, "l_geom", "r_geom",
+        Seq("l_id", "r_id")))
+      assert(want.nonEmpty, s"seed=$seed: intersects fixture found nothing")
+      for (cs <- Seq(2.5, 5.0, 60.0)) {
+        val got = pairs(SpatialJoin.gridIntersects(l, r, "l_geom", "r_geom", cs,
+          Seq("l_id", "r_id")))
+        assert(got == want,
+          s"seed=$seed cell=$cs: missing=${want -- got} extra=${got -- want}")
+      }
+      for (d <- Seq(0.0, 3.7); cs <- Seq(2.5, 60.0)) {
+        val wantD = pairs(SpatialJoin.broadcastDWithin(l, r, "l_geom", "r_geom", d,
+          Seq("l_id", "r_id")))
+        val gotD = pairs(SpatialJoin.gridDWithin(l, r, "l_geom", "r_geom", d, cs,
+          Seq("l_id", "r_id")))
+        assert(gotD == wantD,
+          s"seed=$seed d=$d cell=$cs: missing=${wantD -- gotD} extra=${gotD -- wantD}")
+      }
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
