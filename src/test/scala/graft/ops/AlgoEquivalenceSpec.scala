@@ -996,6 +996,37 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize island method == native session_window at the EXACT gap boundary") {
+    // the two registered sessionizations are different physical operators
+    // with the same contract; the island rule starts a new session when
+    // tms − prev > gap (boundary row MERGES), and Spark's session_window
+    // merges inclusively at start == previous end — verified equal here at
+    // exactly gap, gap±1 ms, and same-instant events, because the corpus
+    // never lands a pair on the exact boundary and a future engine change
+    // to strict comparison would otherwise slip through the oracle gate
+    import spark.implicits._
+    val gapMs = 4L * 3600 * 1000
+    val base = 1700000000000L
+    def ns(ms: Long): Long = ms * 1000000L
+    val rows = Seq(
+      (1L, ns(base), 1L), (2L, ns(base + gapMs), 1L),          // exactly gap: merge
+      (3L, ns(base), 2L), (4L, ns(base + gapMs + 1), 2L),      // gap+1: split
+      (5L, ns(base), 3L), (6L, ns(base + gapMs - 1), 3L),      // gap−1: merge
+      (7L, ns(base), 4L), (8L, ns(base), 4L),                  // same instant: merge
+      (9L, ns(base), 5L), (10L, ns(base + gapMs), 5L),         // chain: each step at
+      (11L, ns(base + 2 * gapMs), 5L))                         //   the boundary: one session
+    val dir = fixtureDir("session_boundary")
+    rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val island = SessionQueries.sessionize(spark, dir).collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val native = SessionQueries.sessionWindowAgg(spark, dir).collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(island == native, s"island=$island native=$native")
+    assert(island == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1), island)
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
