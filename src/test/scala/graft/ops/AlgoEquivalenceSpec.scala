@@ -1014,17 +1014,58 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       (5L, ns(base), 3L), (6L, ns(base + gapMs - 1), 3L),      // gap−1: merge
       (7L, ns(base), 4L), (8L, ns(base), 4L),                  // same instant: merge
       (9L, ns(base), 5L), (10L, ns(base + gapMs), 5L),         // chain: each step at
-      (11L, ns(base + 2 * gapMs), 5L))                         //   the boundary: one session
+      (11L, ns(base + 2 * gapMs), 5L),                         //   the boundary: one session
+      // watermark sentinel: an event 30 days out pushes the streaming
+      // engines' final watermark far past every boundary session's
+      // close+gap, so the streaming half of this pin actually emits
+      (12L, ns(base + 30L * 24 * 3600 * 1000), 99L))
     val dir = fixtureDir("session_boundary")
+    // single FILE named events.parquet (not a parquet directory): the
+    // streaming source that replays this fixture filters on that exact
+    // file name, mirroring the testdata layout
     rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tgt = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(tgt)) {
+      val walk = java.nio.file.Files.walk(tgt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.copy(part.toPath, tgt,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val island = SessionQueries.sessionize(spark, dir).collect()
       .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
     val native = SessionQueries.sessionWindowAgg(spark, dir).collect()
       .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
     assert(island == native, s"island=$island native=$native")
-    assert(island == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1), island)
+    assert(island == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1, 99L -> 1), island)
+  }
+
+  test("streaming sessionizations agree with the batch island rule at the exact gap boundary") {
+    // the custom flatMapGroupsWithState sessionizer and the native
+    // streaming session_window carry their OWN gap comparisons; replay
+    // the batch boundary fixture through both real streaming engines and
+    // require the same per-user session counts the island rule produced
+    import graft.streaming.StreamQueries
+    val dir = fixtureDir("session_boundary") // written by the batch boundary test
+    assert(new java.io.File(s"$dir/events.parquet").exists(),
+      "batch boundary fixture must run first (suite order)")
+    // the sentinel user's own session closes only at end-of-stream, so
+    // the streaming engines (append mode: emit once the watermark passes)
+    // may or may not include it depending on final-batch semantics —
+    // compare the BOUNDARY users only
+    val want = Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1)
+    def perUser(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(_.getLong(0)).filter(_ != 99L)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(perUser(StreamQueries.streamSessionize(spark, dir)) == want,
+      "flatMapGroupsWithState sessionizer diverges at the gap boundary")
+    assert(perUser(StreamQueries.streamSessionWindow(spark, dir)) == want,
+      "streaming session_window diverges at the gap boundary")
   }
 
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
