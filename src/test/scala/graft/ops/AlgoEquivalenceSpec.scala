@@ -1068,6 +1068,70 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
       "streaming session_window diverges at the gap boundary")
   }
 
+  test("intervalUnion and maxConcurrency equal sequential sweeps on quantized touching/nested spans") {
+    // both operators' oracles replay the same window formulation, so a
+    // boundary-convention bug would cancel; this pins them against plain
+    // sequential folds on seeded corpora QUANTIZED to half the span, so
+    // exact-touching intervals (merge), nested spans, duplicate
+    // timestamps, and zero-length day-spans (a user's single event:
+    // +1/−1 at the same instant) all occur constantly — none of which the
+    // corpus's random-nanosecond times ever produce
+    import spark.implicits._
+    val spanMs = 1800000L
+    val dayMs = 86400000L
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1700000000000L - (1700000000000L % dayMs) // day-aligned
+      val rows = (1 to 120).map { i =>
+        val u = 1L + rnd.nextInt(5)
+        // half-span grid over ~2.5 days => touching and day-crossing spans
+        val tms = base + rnd.nextInt(120) * (spanMs / 2)
+        (i.toLong, tms, u)
+      } :+ ((121L, base + 37 * (spanMs / 2), 6L)) // singleton user: 1-event day span
+      val dir = fixtureDir(s"interval_rand_$seed")
+      rows.map { case (id, tms, u) => (id, tms * 1000000L, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // intervalUnion model: per-user sweep, new segment iff tms > max end
+      val wantIu = rows.groupBy(_._3).map { case (u, rs) =>
+        val srt = rs.sortBy(r => (r._2, r._1))
+        var segs = List.empty[(Long, Long, Long)] // (minT, maxEnd, n)
+        srt.foreach { r =>
+          val end = r._2 + spanMs
+          segs = segs match {
+            case (s, e, n) :: rest if r._2 <= e => (s, math.max(e, end), n + 1L) :: rest
+            case _ => (r._2, end, 1L) :: segs
+          }
+        }
+        (u, srt.size.toLong, segs.size.toLong, segs.map(s => s._2 - s._1).sum)
+      }.toSet
+      val gotIu = SessionQueries.intervalUnion(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotIu == wantIu, s"seed=$seed intervalUnion: got=$gotIu want=$wantIu")
+      // the quantization must actually produce an exact-touching merge
+      // (covered > naive disjoint sum for some user) and >1 segment somewhere
+      assert(wantIu.exists(_._3 > 1L) && wantIu.exists(t => t._3 < t._2), wantIu)
+
+      // maxConcurrency model: per (user, day) closed span [min,max]; sweep
+      // per day ordered (t asc, +1 before −1): touching endpoints overlap
+      val spans = rows.groupBy(r => (r._3, r._2 / dayMs)).map { case ((u, d), rs) =>
+        (d, rs.map(_._2).min, rs.map(_._2).max)
+      }.toSeq
+      val wantMc = spans.groupBy(_._1).map { case (d, ss) =>
+        val pts = ss.flatMap(s => Seq((s._2, 1L), (s._3, -1L)))
+          .sortBy(p => (p._1, -p._2))
+        var live = 0L; var mx = 0L
+        pts.foreach { p => live += p._2; mx = math.max(mx, live) }
+        (d, ss.size.toLong, mx)
+      }.toSet
+      val gotMc = SessionQueries.maxConcurrency(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotMc == wantMc, s"seed=$seed maxConcurrency: got=$gotMc want=$wantMc")
+      assert(wantMc.exists(_._3 > 1L), s"seed=$seed: no concurrency exercised")
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
