@@ -1132,6 +1132,79 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaks and twap equal sequential references on duplicate days, tied timestamps, and zero spans") {
+    // streaks' day−row_number anchor and twap's lead-duration weighting
+    // against plain sequential walks, on corpora built to hit the edges:
+    // the same day logged many times (distinct must collapse), exactly-
+    // consecutive days vs one-day gaps, users active a single day,
+    // duplicate (tms) ties broken by event_id, and zero-span users
+    // (every event at one instant ⇒ twap falls back to last_cents)
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    for (seed <- Seq(9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      var id = 0L
+      for (u <- 1L to 6L) {
+        val nDays = 1 + rnd.nextInt(8)
+        var day = 19000L + rnd.nextInt(10)
+        (0 until nDays).foreach { _ =>
+          val perDay = 1 + rnd.nextInt(3)
+          val baseMs = rnd.nextInt(80000000)
+          (0 until perDay).foreach { j =>
+            id += 1
+            // every other extra event reuses the EXACT same timestamp
+            val ms = if (j % 2 == 1) baseMs else baseMs + rnd.nextInt(3600000)
+            rows += ((id, day * dayNs + ms * 1000000L, u,
+              (100 + rnd.nextInt(900)) / 100.0 * 100 / 100.0))
+          }
+          day += 1 + rnd.nextInt(2) // gap 1 (consecutive) or 2 (break)
+        }
+      }
+      id += 1; rows += ((id, 19020L * dayNs + 5000L * 1000000L, 7L, 3.21)) // single event
+      id += 1
+      rows += ((id, 19021L * dayNs, 8L, 1.11)) // zero-span pair: both at the
+      id += 1; rows += ((id, 19021L * dayNs, 8L, 2.22)) //   exact same instant
+      val dir = fixtureDir(s"streak_twap_$seed")
+      rows.toSeq.map { case (i, ts, u, v) => (i, ts, u, "view", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      val wantStreaks = rows.groupBy(_._3).map { case (u, rs) =>
+        val days = rs.map(r => r._2 / dayNs).distinct.sorted
+        // run-length walk over the distinct sorted days
+        var streaks = List.empty[Long]; var prev = Long.MinValue
+        days.foreach { d =>
+          if (d == prev + 1) streaks = (streaks.head + 1) :: streaks.tail
+          else streaks = 1L :: streaks
+          prev = d
+        }
+        (u, days.size.toLong, streaks.size.toLong, streaks.max)
+      }.toSet
+      val gotStreaks = SessionQueries.streaks(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotStreaks == wantStreaks, s"seed=$seed streaks: got=$gotStreaks want=$wantStreaks")
+      assert(wantStreaks.exists(_._4 > 1L) && wantStreaks.exists(_._3 > 1L), wantStreaks)
+
+      val wantTwap = rows.groupBy(_._3).map { case (u, rs) =>
+        val srt = rs.toSeq.map(r => (r._2 / 1000000L, r._1,
+          math.floor(r._4 * 100 + 0.5).toLong)).sortBy(t => (t._1, t._2))
+        val durs = srt.zipWithIndex.map { case ((t, _, _), i) =>
+          if (i == srt.size - 1) 0L else srt(i + 1)._1 - t
+        }
+        val mass = srt.zip(durs).map { case ((_, _, c), d) => c * d }.sum
+        val span = durs.sum
+        val twapC = if (span == 0L) srt.last._3 else mass / span
+        (u, srt.size.toLong, mass, span, twapC)
+      }.toSet
+      val gotTwap = SessionQueries.twap(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(gotTwap == wantTwap, s"seed=$seed twap: got=$gotTwap want=$wantTwap")
+      // zero-span fallback actually exercised
+      assert(wantTwap.exists(t => t._4 == 0L && t._2 > 1L), wantTwap)
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
