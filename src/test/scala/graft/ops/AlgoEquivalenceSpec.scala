@@ -1205,6 +1205,83 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("resample LOCF/linear equal sequential fills incl. falling segments and non-divisible gaps") {
+    // the linear form's sign-split DIV device claims "truncate toward
+    // v_prev" on both slopes; plain Scala Long division (truncation
+    // toward zero on the signed delta) is the independent statement of
+    // that contract. Corpora force what the random corpus rarely gives:
+    // FALLING segments (the negative branch), gaps whose value delta is
+    // not divisible by the hour delta (truncation visible), multiple
+    // events collapsing into one hour via max, and single-observation
+    // users (a grid of one point; both fills degenerate to the sample).
+    import spark.implicits._
+    val hourNs = 3600000000000L
+    for (seed <- Seq(13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      var id = 0L
+      for (u <- 1L to 5L) {
+        var hour = 500000L + rnd.nextInt(50)
+        val nObs = 1 + rnd.nextInt(6)
+        (0 until nObs).foreach { _ =>
+          val perHour = 1 + rnd.nextInt(2)
+          (0 until perHour).foreach { _ =>
+            id += 1
+            val micros = (rnd.nextInt(2000000) - 1000000).toLong // rises AND falls
+            rows += ((id, hour * hourNs + rnd.nextInt(3600000) * 1000000L, u,
+              micros / 1e6))
+          }
+          hour += 1 + rnd.nextInt(6) // gaps 1..6 hours
+        }
+      }
+      val dir = fixtureDir(s"resample_rand_$seed")
+      rows.toSeq.map { case (i, ts, u, v) => (i, ts, u, "view", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      // shared hourly reduction: max micros per (user, hour)
+      val hourly = rows.groupBy(r => (r._3, r._2 / hourNs)).map { case ((u, h), rs) =>
+        ((u, h), rs.map(r => math.floor(r._4 * 1000000 + 0.5).toLong).max)
+      }
+      val byUser = hourly.groupBy(_._1._1)
+      def gridOf(obs: Map[Long, Long]): Seq[Long] = (obs.keys.min to obs.keys.max).toSeq
+
+      val wantLocf = byUser.map { case (u, m) =>
+        val obs = m.map { case ((_, h), v) => h -> v }
+        val grid = gridOf(obs)
+        var cur = 0L
+        val fills = grid.map { h => obs.get(h).foreach(cur = _); cur }
+        (u, grid.size.toLong, obs.size.toLong, fills.sum)
+      }.toSet
+      val gotLocf = SessionQueries.resampleLocf(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotLocf == wantLocf, s"seed=$seed locf: got=$gotLocf want=$wantLocf")
+
+      val wantLin = byUser.map { case (u, m) =>
+        val obs = m.map { case ((_, h), v) => h -> v }
+        val grid = gridOf(obs)
+        val hs = obs.keys.toSeq.sorted
+        val fills = grid.map { h =>
+          obs.getOrElse(h, {
+            val hp = hs.filter(_ < h).max; val hn = hs.filter(_ > h).min
+            val vp = obs(hp); val vn = obs(hn)
+            vp + ((vn - vp) * (h - hp)) / (hn - hp) // Scala /: truncates toward vp
+          })
+        }
+        (u, grid.size.toLong, obs.size.toLong, fills.sum)
+      }.toSet
+      val gotLin = SessionQueries.resampleLinear(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotLin == wantLin, s"seed=$seed linear: got=$gotLin want=$wantLin")
+      // the corpora must really exercise the claims
+      assert(byUser.exists { case (_, m) =>
+        val vs = m.toSeq.sortBy(_._1._2).map(_._2)
+        vs.zip(vs.tail).exists { case (a, b) => b < a }
+      }, "no falling segment generated")
+      assert(wantLin != wantLocf, "linear and LOCF coincide — gaps not exercised")
+    }
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
