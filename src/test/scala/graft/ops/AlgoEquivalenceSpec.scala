@@ -1282,6 +1282,39 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("pitJoin boundary probe resolves to exactly ONE version — the one starting at that instant") {
+    // the SCD2 intervals are half-open [valid_from, valid_to); a probe
+    // landing EXACTLY on a version boundary must match only the newer
+    // version — an inclusive-both-ends convention would double-count the
+    // probe into both versions, and the +30-minute probe shift never
+    // lands on a boundary in the random-nanosecond corpus. The fixture
+    // aligns one event 30 minutes before a state change so its probe
+    // hits the boundary instant dead on.
+    import spark.implicits._
+    val m30 = 1800000L
+    val t0 = 1700000000000L
+    def ns(ms: Long): Long = ms * 1000000L
+    val rows = Seq(
+      (1L, ns(t0), 1L, "a"),            // version 1 "a" starts at t0
+      (2L, ns(t0 + m30), 1L, "a"),      // probe = t0+60min == version 2 valid_from
+      (3L, ns(t0 + 2 * m30), 1L, "b"),  // state change: version 2 "b" from t0+60min
+      (4L, ns(t0 + 3 * m30), 1L, "b"),
+      (5L, ns(t0), 2L, "x"))            // single open version
+    val dir = fixtureDir("pit_boundary")
+    rows.map { case (id, ts, u, st) => (id, ts, u, st, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionQueries.pitJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val want = Set(
+      (1L, 1L, "a", 1L),  // only e1's probe (t0+30min) stays in version 1
+      (1L, 2L, "b", 3L),  // e2's boundary probe joins e3/e4's in version 2
+      (2L, 1L, "x", 1L))
+    assert(got == want, s"got=$got want=$want")
+    // disjointness invariant: every probe resolved exactly once
+    assert(got.toSeq.map(_._4).sum == rows.size, got)
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
