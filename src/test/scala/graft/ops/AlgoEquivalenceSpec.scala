@@ -1315,6 +1315,64 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._4).sum == rows.size, got)
   }
 
+  test("funnel/timeToConvert/retention window boundaries: strict lower, inclusive upper, midnight day edge") {
+    // the conversion predicates are half-open in exactly one direction —
+    // funnel counts a click in (v, v+W], timeToConvert a purchase
+    // STRICTLY after the first signup, retention a (user, day+1) return
+    // where day is epoch-day integer division. Events exactly ON each
+    // edge (same-instant click, click at exactly v+W and v+W+1,
+    // purchase at the signup instant, one millisecond before midnight
+    // vs exactly midnight) pin each convention.
+    import spark.implicits._
+    val T = 1700000000000L
+    val W = 3600000L
+    val dayMs = 86400000L
+    def ns(ms: Long): Long = ms * 1000000L
+    val rows = Seq(
+      (1L, "view", T), (2L, "click", T),            // u1: same instant — NOT converted
+      (3L, "view", T), (4L, "click", T + W),        // u2: exactly v+W — converted
+      (5L, "view", T), (6L, "click", T + W + 1),    // u3: one ms past — NOT converted
+      (7L, "view", T + 100), (8L, "click", T),      // u4: click before first view — NOT
+      (9L, "signup", T), (10L, "purchase", T),      // u5: same-instant purchase excluded,
+      (11L, "purchase", T + 10),                    //     converts 10 ms later
+      (12L, "signup", T), (13L, "purchase", T + 20),// u6: delta 20
+      (14L, "signup", T), (15L, "purchase", T - 5), // u7: purchase BEFORE signup only
+      // u8: last ms of day D, then exactly midnight — day boundary retained
+      (16L, "view", 19701L * dayMs - 1), (17L, "view", 19701L * dayMs),
+      // u9: day D then D+2 — not retained
+      (18L, "view", 19701L * dayMs - 1), (19L, "view", 19703L * dayMs))
+    val users = Map(1L->1L,2L->1L,3L->2L,4L->2L,5L->3L,6L->3L,7L->4L,8L->4L,
+      9L->5L,10L->5L,11L->5L,12L->6L,13L->6L,14L->7L,15L->7L,
+      16L->8L,17L->8L,18L->9L,19L->9L)
+    val dir = fixtureDir("convert_boundary")
+    rows.map { case (id, et, tms) => (id, ns(tms), users(id), et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val fun = SessionQueries.funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // users 8/9 are viewers too (their day-boundary events are views)
+    assert(fun == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (4L, 1L, 0L),
+      (8L, 1L, 0L), (9L, 1L, 0L)), fun)
+
+    val ttc = SessionQueries.timeToConvert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(ttc.toSeq == Seq((2L, 10L, 10L, 20L, 30L)), ttc.toSeq)
+
+    // retention model: generic fold over the fixture (the conversion
+    // users' single active day rides along with n_retained = 0)
+    val active = rows.map { case (id, _, tms) => (users(id), tms / dayMs) }.distinct
+    val byDay = active.groupBy(_._2).map { case (d, us) =>
+      (d, us.size.toLong,
+        us.count { case (u, _) => active.contains((u, d + 1)) }.toLong)
+    }.toSet
+    val ret = SessionQueries.retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ret == byDay, s"got=$ret want=$byDay")
+    // the midnight edge really split the days and really retained
+    assert(byDay.exists { case (d, _, r2) => d == 19700L && r2 == 1L }, byDay)
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
