@@ -1373,6 +1373,72 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(byDay.exists { case (d, _, r2) => d == 19700L && r2 == 1L }, byDay)
   }
 
+  test("activeUsers/ewma/decayCount equal generic folds at the 7-day edge, 8-tap head, dyadic weights") {
+    // WAU's contribution explode must include a user active EXACTLY six
+    // days before the window end and exclude seven; ewma's 8-tap dyadic
+    // warm-up zero-fills missing lags and drops the 9th-oldest event;
+    // decayCount's 2^(day−maxDay) weights are dyadic rationals that sum
+    // exactly. All three checked against plain folds over one fixture.
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val D = 19800L
+    val rows = Seq( // (event_id, day, ms_in_day, user, type, value)
+      (1L, D, 0L, 1L, "view", 1.00),        // u1 active D and D+6: in D+6's window,
+      (2L, D + 6, 0L, 1L, "view", 2.00),    //   counted once there (distinct)
+      (3L, D, 1L, 2L, "view", 3.00),        // u2 only D: boundary contributor to D+6,
+                                            //   absent from D+7
+      (4L, D + 7, 0L, 3L, "view", 4.00),    // u3 extends the grid past D+6
+      // u4: ten escalating-cent events on distinct instants — the 8-tap
+      // window truncates the two oldest at the last event
+      ) ++ (0 until 10).map(j =>
+        (10L + j, D + 2, 1000L + j, 4L, "click", (1 << j) / 100.0)
+      ) ++ Seq(
+      // u5: two events at the SAME instant — tap order is the event_id tie
+      (30L, D + 3, 500L, 5L, "click", 1.00),
+      (31L, D + 3, 500L, 5L, "click", 2.00))
+    val dir = fixtureDir("rolling_boundary")
+    rows.map { case (id, day, ms, u, et, v) =>
+      (id, day * dayNs + ms * 1000000L, u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // WAU model
+    val act = rows.map(r => (r._4, r._2)).distinct
+    val (loD, hiD) = (act.map(_._2).min + 6, act.map(_._2).max)
+    val wantWau = (loD to hiD).map { d =>
+      (d, act.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.size.toLong)
+    }.filter(_._2 > 0).toSet
+    val gotWau = SessionQueries.activeUsers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotWau == wantWau, s"got=$gotWau want=$wantWau")
+    // u2 (active only on day D) is IN the D+6 window — exactly six days
+    // before the end — and OUT of D+7's: u1,u2,u4,u5 then u1,u3,u4,u5
+    assert(wantWau.exists(p => p._1 == D + 6 && p._2 == 4L), wantWau)
+    assert(wantWau.exists(p => p._1 == D + 7 && p._2 == 4L), wantWau)
+
+    // ewma model: per user ordered by (tms, event_id), 8 dyadic taps
+    val wantEwma = rows.groupBy(_._4).map { case (u, rs) =>
+      val cents = rs.sortBy(r => (r._2 * 86400000L + r._3, r._1))
+        .map(r => math.floor(r._6 * 100 + 0.5).toLong)
+      val ws = cents.indices.map { i =>
+        (0 until 8).map(j => if (i - j >= 0) cents(i - j) << (7 - j) else 0L).sum
+      }
+      (u, cents.size.toLong, ws.last, ws.sum)
+    }.toSet
+    val gotEwma = SessionQueries.ewma(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotEwma == wantEwma, s"got=$gotEwma want=$wantEwma")
+
+    // decayCount model: exact dyadic sum per type
+    val maxDay = rows.map(_._2).max
+    val wantDecay = rows.groupBy(_._5).map { case (et, rs) =>
+      (et, rs.size.toLong, rs.map(r => math.pow(2.0, (r._2 - maxDay).toDouble)).sum)
+    }.toSet
+    val gotDecay = SessionQueries.decayCount(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotDecay == wantDecay, s"got=$gotDecay want=$wantDecay")
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
