@@ -1439,6 +1439,38 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(gotDecay == wantDecay, s"got=$gotDecay want=$wantDecay")
   }
 
+  test("attribution's strictly-preceding frame: same-instant touches split by event_id") {
+    // a touch at the SAME millisecond as the purchase is in the frame iff
+    // its event_id is smaller — the (tms, event_id) total order is the
+    // tie rule, not wall time alone; a same-instant touch AFTER the
+    // purchase in id order must not steal credit from 'organic'
+    import spark.implicits._
+    val T = 1700000000000L
+    def ns(ms: Long): Long = ms * 1000000L
+    val rows = Seq( // (event_id, tms, user, type, value)
+      (1L, T, 1L, "view", 1.0), (2L, T + 10, 1L, "click", 1.0),
+      (3L, T + 20, 1L, "purchase", 1.00),
+      (11L, T, 2L, "view", 1.0), (12L, T, 2L, "purchase", 2.00), // same instant, view first
+      (21L, T, 3L, "purchase", 3.00), (22L, T, 3L, "view", 1.0), // view AFTER by id: organic
+      (31L, T, 4L, "purchase", 4.00),                            // no touch at all
+      (41L, T, 5L, "click", 1.0), (42L, T + 1, 5L, "purchase", 5.00),
+      (43L, T + 2, 5L, "view", 1.0), (44L, T + 3, 5L, "purchase", 6.00))
+    val dir = fixtureDir("attribution_boundary")
+    rows.map { case (id, tms, u, et, v) => (id, ns(tms), u, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionQueries.attribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      ("first", "view", 2L, 300L),    // u1 (100) + u2's same-instant view (200)
+      ("first", "click", 2L, 1100L),  // both of u5's purchases first-touch the click
+      ("first", "organic", 2L, 700L), // u3 (same-instant view too LATE) + u4
+      ("last", "click", 2L, 600L),    // u1 (100) + u5's first purchase (500)
+      ("last", "view", 2L, 800L),     // u2 (200) + u5's second purchase (600)
+      ("last", "organic", 2L, 700L))
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
