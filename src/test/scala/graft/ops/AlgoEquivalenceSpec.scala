@@ -1471,6 +1471,39 @@ class AlgoEquivalenceSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("windowRange RANGE frame: inclusive trailing edge and same-tms peer inclusion") {
+    // two RANGE-frame conventions ROWS frames don't have: an event
+    // EXACTLY 3600000 ms earlier is inside the trailing frame (inclusive
+    // lower bound), and same-tms rows are PEERS — each sees the other's
+    // value regardless of event_id order. The corpus's random-nanosecond
+    // times exercise neither; the model is a plain per-row scan.
+    import spark.implicits._
+    val T = 1700000000000L
+    val H = 3600000L
+    def ns(ms: Long): Long = ms * 1000000L
+    val rows = Seq( // (event_id, tms, user, value)
+      (1L, T, 1L, 1.25),
+      (2L, T + H, 1L, 2.50),      // exactly one hour later: frame includes e1
+      (3L, T + H + 1, 1L, 4.00),  // one ms past: e1 aged out, e2 in
+      (4L, T, 2L, 1.00), (5L, T, 2L, 2.00), // same-instant peers: both see 3.00
+      (6L, T + 10, 2L, 4.00))
+    val dir = fixtureDir("range_frame_boundary")
+    rows.map { case (id, tms, u, v) => (id, ns(tms), u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SessionQueries.windowRange(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = rows.map { case (id, tms, u, _) =>
+      val s = rows.filter(o => o._3 == u && o._2 >= tms - H && o._2 <= tms)
+        .map(o => BigDecimal(o._4)).sum
+      (u, id, s.toDouble)
+    }.toSet
+    assert(got == want, s"got=$got want=$want")
+    // the claims really happened: e2 summed e1; e3 did not; peers symmetric
+    assert(want.contains((1L, 2L, 3.75)) && want.contains((1L, 3L, 6.5)), want)
+    assert(want.contains((2L, 4L, 3.0)) && want.contains((2L, 5L, 3.0)), want)
+  }
+
   test("weightedMedian TeraSort form equals the definitional rule, incl. a NULL group") {
     // the r15 rework replaced the per-group window with range-shuffle +
     // partition-local running weights + broadcast offsets; this pins the
