@@ -21,6 +21,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: fuse chained st_transform calls (SURVEY §7.5)
     ext.injectOptimizerRule(_ => graft.plans.CollapseStTransforms)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseEnvelopeBounds)
     // planner strategy: st_intersects join conditions plan as a broadcast
     // R-tree join instead of BroadcastNestedLoopJoin (SURVEY §2.3)
     ext.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical
 
 /** Parallelism floor for map-side-expensive pipelines.
   *
@@ -13,12 +14,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * At production scale this is the identity: a 100 TB table scans as tens of
   * thousands of splits, the condition is false, and no shuffle is added.
-  * The check costs one plan->RDD conversion (no job).
   */
 object Par {
+  /** True when the optimized plan contains an operator that plans its own
+    * exchange (repartition, shuffle join, aggregate, window, global sort,
+    * dedup). Exchange output width is the session's shuffle parallelism
+    * (or AQE's coalesced sizing), so the single-file scan collapse this
+    * helper exists to fix cannot survive above one. */
+  private def widensItself(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case _: logical.RepartitionOperation => true
+      case _: logical.Aggregate => true
+      case _: logical.Join => true
+      case _: logical.Window => true
+      case _: logical.Sort => true
+      case _: logical.Deduplicate => true
+      case _ => false
+    }
+
   def fanOut(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    // Probing width via df.rdd is only free on exchange-free plans: under
+    // AQE, toRdd on a plan that already holds exchanges MATERIALIZES them
+    // (AdaptiveSparkPlanExec runs every non-final query stage as a real
+    // job) and that work is thrown away — at scale, a full wasted pass
+    // over the input (measured r17: one orphaned 600k-row scan+shuffle
+    // job per spatial-join query whose probe side was pre-repartitioned).
+    // Exchange-bearing plans are already at shuffle width, so skip both
+    // the probe and the repartition there; exchange-free plans keep the
+    // exact partition-count check, where .rdd plans but never runs a job.
+    if (widensItself(df)) df
+    else if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** Width of a TeraSort-device range exchange ([[Ranks.withGlobalRank]],
