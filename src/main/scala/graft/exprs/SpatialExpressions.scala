@@ -20,7 +20,9 @@ import org.locationtech.jts.geom.Geometry
   * direct-WKB write, so it implements real `doGenCode`.
   */
 object SpatialExpressions {
-  @inline private[exprs] def geom(v: Any): Geometry = Geom.fromWkb(v.asInstanceOf[Array[Byte]])
+  // cached decode: expression sites are read-only consumers (every
+  // mutating op copies first — see Geom.fromWkbCached's safety note)
+  @inline private[exprs] def geom(v: Any): Geometry = Geom.fromWkbCached(v.asInstanceOf[Array[Byte]])
   @inline private[exprs] def wkb(g: Geometry): Array[Byte] = Geom.toWkb(g)
 }
 import SpatialExpressions._

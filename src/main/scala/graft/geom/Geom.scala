@@ -28,6 +28,45 @@ object Geom {
   def fromWkb(b: Array[Byte]): Geometry = wkbReader.get.read(b)
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
 
+  /** Per-thread direct-mapped WKB→Geometry decode memo.
+    *
+    * Spatial joins evaluate their predicates once per CANDIDATE PAIR, and
+    * one side of every such pair is a dimension-sized relation whose few
+    * distinct geometries recur millions of times (25 regions × 5.3M kNN
+    * pairs at sf0.1) — re-parsing ~1 µs of WKB per evaluation was the
+    * dominant per-pair cost next to the distance math itself. A content-
+    * keyed cache hit costs one byte-array hash + equals (~80 ns for the
+    * 93-byte envelope WKB); a miss adds the same on top of the parse.
+    *
+    * Safety: entries are shared within a thread across rows, so callers
+    * must treat parsed geometries as immutable — every mutating site in
+    * the expression layer `copy()`s first (audited r17; the JTS read-only
+    * predicates/overlay ops never mutate inputs, and the lazily-computed
+    * internal envelope is confined to this thread). This is transient
+    * per-task JVM state keyed on bytes in flight, never a cross-run
+    * result cache. */
+  private final class DecodeCache(cap: Int) {
+    private val keys = new Array[Array[Byte]](cap)
+    private val vals = new Array[Geometry](cap)
+    def get(b: Array[Byte]): Geometry = {
+      val i = (java.util.Arrays.hashCode(b) & 0x7fffffff) % cap
+      val k = keys(i)
+      if (k != null && java.util.Arrays.equals(k, b)) vals(i)
+      else {
+        val g = wkbReader.get.read(b)
+        keys(i) = b
+        vals(i) = g
+        g
+      }
+    }
+  }
+  private val decodeCache =
+    ThreadLocal.withInitial[DecodeCache](() => new DecodeCache(64))
+
+  /** [[fromWkb]] through the per-thread decode memo — for read-only
+    * consumers (the Catalyst expression layer); see [[DecodeCache]]. */
+  def fromWkbCached(b: Array[Byte]): Geometry = decodeCache.get().get(b)
+
   /** WKB of the axis-aligned rectangle [x0,x1]×[y0,y1], written directly
     * (big-endian, the same layout JTS WKBWriter emits — byte-identical to
     * encoding the equivalent JTS polygon). The envelope is the probe-side
